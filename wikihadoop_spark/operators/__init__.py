@@ -1,0 +1,22 @@
+"""Reusable relational + pipeline operators.
+
+Each module is a thin, composable layer over DataFrame primitives chosen
+for their physical plan at scale (broadcast vs shuffle, single-pass
+window vs self-join, map-side combine), not just their semantics.
+"""
+
+from .pairing import pair_with_previous
+from .asof import asof_join
+from .sessionize import sessionize
+from .topk import top_k_per_group
+from .dedup import exact_dedup, minhash_signatures, lsh_candidate_pairs
+
+__all__ = [
+    "pair_with_previous",
+    "asof_join",
+    "sessionize",
+    "top_k_per_group",
+    "exact_dedup",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+]

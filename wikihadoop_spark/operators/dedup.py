@@ -1,0 +1,167 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash.
+
+Design for 100 TB:
+- Exact dedup is a hash-aggregate on a fingerprint (map-side combine,
+  one shuffle) — never a pairwise comparison.
+- Near-dup never does all-pairs: MinHash signatures are a single
+  explode + hash-aggregate; LSH banding turns candidate generation
+  into an equi-join on band keys (shuffle on band key, AQE handles
+  hot bands); exact verification runs only on the candidate pairs.
+
+Everything here is engine-portable on purpose: the hash family is
+md5-based (not Spark's murmur3) so the DuckDB oracle can mirror the
+exact same arithmetic.  All ops stay in built-in JVM expressions — no
+Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Fixed permutation family h_i(x) = (A[i] * x + B[i]) mod M over
+# x in [0, M).  M = 2^31 - 1 keeps every product below 2^62 (no bigint
+# overflow under ANSI mode — same closed form is embedded in the oracle
+# SQL).  Constants generated once with seed 20260813.
+MERSENNE31 = 2147483647
+MINHASH_A = [2128164061, 398802783, 596987483, 1147225394, 1916785055, 1479347477, 972347433, 116450323, 291219901, 430979122, 234034475, 1406942088, 1761180996, 1267685541, 924035317, 1172698796, 2038977239, 402639406, 2143289124, 1357670271, 1355823819, 2113210626, 668925749, 252657890, 1177825180, 428031841, 1696544698, 230896654, 794664036, 1758809001, 1480032976, 858479240]
+MINHASH_B = [527406850, 106582524, 1903391909, 87966394, 666804717, 1973199131, 490296874, 1423351956, 955195195, 331877174, 1530448621, 2086450537, 890048279, 664594620, 970348799, 767008894, 2005366379, 811038816, 1658406169, 297044272, 788724776, 1949869887, 1988273002, 1035172614, 307572219, 1793558278, 961940036, 1524628944, 1962834532, 104594903, 1989011545, 1619595135]
+
+TOKEN_PATTERN = "[a-z0-9]+"
+
+
+def hash64(col: Column) -> Column:
+    """Portable 60-bit hash: first 15 hex digits of md5, as bigint.
+
+    Identical in DuckDB as ``('0x' || substr(md5(x), 1, 15))::BIGINT``.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def hash31(col: Column) -> Column:
+    """hash64 reduced into [0, 2^31-1) for overflow-free permutation."""
+    return hash64(col) % F.lit(MERSENNE31)
+
+
+def tokens(text: Column) -> Column:
+    return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_PATTERN), 0)
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """k-token shingles (space-joined).  Short texts fall back to one
+    whole-text shingle so every document gets a signature."""
+    t = tokens(text)
+    windows = F.transform(
+        F.sequence(F.lit(1), F.size(t) - F.lit(k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+    )
+    return F.when(F.size(t) >= k, windows).otherwise(F.array(F.lower(text)))
+
+
+def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Canonicalize exact duplicates over ``cols``: one row per distinct
+    value set with the minimum id as the keeper and the duplicate count.
+    Deterministic, unlike ``dropDuplicates`` (which keeps an arbitrary
+    row per key)."""
+    return df.groupBy(*cols).agg(
+        F.min(id_col).alias(id_col),
+        F.count(F.lit(1)).alias("n_dupes"),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """One row per document: ``id_col, s0..s{n-1}`` minhash signature.
+
+    Plan shape: project shingles → explode → hash once → aggregate n
+    mins (map-side partial aggregation keeps the shuffle at one row per
+    (doc, partition)).
+    """
+    if n_hashes > len(MINHASH_A):
+        raise ValueError(f"at most {len(MINHASH_A)} hash functions available")
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_k)).alias("__shingle")
+    ).withColumn("__x", hash31(F.col("__shingle")))
+    aggs = [
+        F.min((F.lit(MINHASH_A[i]) * F.col("__x") + F.lit(MINHASH_B[i])) % F.lit(MERSENNE31)).alias(f"s{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame,
+    *,
+    id_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-duplicate pairs from LSH banding over a signature
+    DataFrame, with the estimated Jaccard (fraction of matching
+    minhashes).  Pairs are (a < b), distinct across bands.
+
+    Each band is an equi-join on a band-key struct — a plain shuffled
+    hash join, no cross product.
+    """
+    rows = n_hashes // bands
+    a, b = sig.alias("a"), sig.alias("b")
+    per_band = []
+    for band in range(bands):
+        cols = [f"s{band * rows + r}" for r in range(rows)]
+        cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        for c in cols:
+            cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+        per_band.append(
+            a.join(b, on=cond, how="inner").select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                *[F.col(f"a.s{i}").alias(f"a_s{i}") for i in range(n_hashes)],
+                *[F.col(f"b.s{i}").alias(f"b_s{i}") for i in range(n_hashes)],
+            )
+        )
+    cands = per_band[0]
+    for p in per_band[1:]:
+        cands = cands.unionByName(p)
+    cands = cands.dropDuplicates(["id_a", "id_b"])
+    matches = sum(
+        (F.col(f"a_s{i}") == F.col(f"b_s{i}")).cast("int") for i in range(n_hashes)
+    )
+    return cands.select(
+        "id_a",
+        "id_b",
+        (matches.cast("double") / F.lit(float(n_hashes))).alias("est_jaccard"),
+    )
+
+
+def exact_jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (verification pass).
+
+    Joins the (small) candidate set back to the corpus twice; at scale
+    the candidate side is broadcast."""
+    sets = docs.select(
+        F.col(id_col),
+        F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("__set"),
+    )
+    a = sets.select(F.col(id_col).alias("id_a"), F.col("__set").alias("set_a"))
+    b = sets.select(F.col(id_col).alias("id_b"), F.col("__set").alias("set_b"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    n_int = F.size(F.array_intersect("set_a", "set_b"))
+    n_union = F.size("set_a") + F.size("set_b") - n_int
+    return joined.select(
+        "id_a",
+        "id_b",
+        (n_int.cast("double") / n_union.cast("double")).alias("jaccard"),
+    )

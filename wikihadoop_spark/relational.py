@@ -1,0 +1,1440 @@
+"""Named query catalog + DuckDB oracle SQL (the driver contract).
+
+Every operator family from SURVEY.md §2 gets a named query over the
+driver's star schema, written DataFrame-first, with a semantically
+identical ANSI-SQL oracle for DuckDB.
+
+Engine-parity conventions (why the code looks the way it does):
+- Multi-row SUM/AVG over doubles is order-dependent across engines, so
+  money/quantity aggregates cast to fixed-scale DECIMAL first — decimal
+  addition is exact and order-free, making Spark and DuckDB bit-equal.
+  Scales are chosen so no intermediate or final cast ever rounds.
+- Single floating-point ops (one multiply, one divide) on identical
+  inputs are IEEE-deterministic — those stay double.
+- Every computed column is aliased identically on both sides (the
+  driver sorts columns by name before hashing).
+- Window orderings always include a unique tiebreak column.
+- Timestamps are timestamp_ntz on the Spark side (UTC session), naive
+  on DuckDB — identical wall-clock values.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import Tables
+from .operators.asof import asof_join
+from .operators.dedup import (
+    MERSENNE31,
+    MINHASH_A,
+    MINHASH_B,
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from .operators.sessionize import sessionize
+from .operators.similarity import cosine_topk
+from .operators.topk import top_k_per_group
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---- decimal-cast helpers (see module docstring) --------------------------
+
+
+def dec2(c: str) -> Column:
+    return F.col(c).cast("decimal(15,2)")
+
+
+def pct2(c: str) -> Column:
+    """discount/tax-style small ratios."""
+    return F.col(c).cast("decimal(9,2)")
+
+
+def ONE() -> Column:
+    # built lazily: Column construction needs an active SparkContext
+    return F.lit(1).cast("decimal(9,2)")
+
+
+def disc_price() -> Column:
+    return dec2("l_extendedprice") * (ONE() - pct2("l_discount"))
+
+
+SQL_DISC_PRICE = (
+    "CAST(l_extendedprice AS DECIMAL(15,2))"
+    " * (CAST(1 AS DECIMAL(9,2)) - CAST(l_discount AS DECIMAL(9,2)))"
+)
+
+
+# ===========================================================================
+# Scan / filter / project  (reference S1-S8, F1-F3)
+# ===========================================================================
+
+
+@query(
+    "scan_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00' AND l_discount > 0.05
+    """,
+)
+def scan_filter_project(spark: SparkSession, sf: str) -> DataFrame:
+    """Projection + predicate; Catalyst pushes both into the parquet scan
+    (reference: scan-level filtering, StreamWikiDumpInputFormat.java:387-393)."""
+    t = Tables(spark, sf)
+    return (
+        t.lineitem.filter(
+            (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") > 0.05)
+        ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+@query(
+    "filter_regex",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE regexp_matches(text, 'vector (table|row)')
+    """,
+)
+def filter_regex(spark: SparkSession, sf: str) -> DataFrame:
+    """Regex row filter — the excludePagesWith analog (reference F1,
+    StreamWikiDumpInputFormat.java:283-287; README.rst:225-230)."""
+    t = Tables(spark, sf)
+    return t.documents.filter(F.col("text").rlike("vector (table|row)")).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+# ===========================================================================
+# Aggregations  (reference A1-A2 counters; §2.8 hash-agg family)
+# ===========================================================================
+
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DECIMAL(38,2)) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DECIMAL(38,2)) AS sum_base_price,
+           CAST(SUM({SQL_DISC_PRICE}) AS DECIMAL(38,4)) AS sum_disc_price,
+           CAST(SUM({SQL_DISC_PRICE} * (CAST(1 AS DECIMAL(9,2)) + CAST(l_tax AS DECIMAL(9,2)))) AS DECIMAL(38,6)) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(9,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical partial+final hash aggregate."""
+    t = Tables(spark, sf)
+    return (
+        t.lineitem.filter(
+            F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz")
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec2("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
+            F.sum(dec2("l_extendedprice")).cast("decimal(38,2)").alias("sum_base_price"),
+            F.sum(disc_price()).cast("decimal(38,4)").alias("sum_disc_price"),
+            F.sum(disc_price() * (ONE() + pct2("l_tax")))
+            .cast("decimal(38,6)")
+            .alias("sum_charge"),
+            (F.sum(dec2("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(dec2("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_price"
+            ),
+            (F.sum(pct2("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_supp,
+           COUNT(DISTINCT l_partkey) AS n_part,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    t = Tables(spark, sf)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DECIMAL(38,2)) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    t = Tables(spark, sf)
+    return t.lineitem.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(dec2("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DECIMAL(38,2)) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf: str) -> DataFrame:
+    t = Tables(spark, sf)
+    return t.lineitem.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(dec2("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(38,2)) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    t = Tables(spark, sf)
+    t.register_views(("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(38,2)) AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT l_linestatus,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DECIMAL(38,2)) AS sum_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           ROUND(SQRT((CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE)
+                 - CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) / COUNT(*))
+                / (COUNT(*) - 1)), 4) AS stddev_price,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def agg_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """min/max/avg/stddev — stddev via the sum-of-squares identity over
+    exact decimal sums so both engines compute the same double."""
+    t = Tables(spark, sf)
+    p = dec2("l_extendedprice")
+    sum_p = F.sum(p).cast("double")
+    sum_sq = F.sum(p * p).cast("double")
+    n = F.count(F.lit(1))
+    return t.lineitem.groupBy("l_linestatus").agg(
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.sum(p).cast("decimal(38,2)").alias("sum_price"),
+        (sum_p / n).alias("avg_price"),
+        F.round(F.sqrt((sum_sq - sum_p * sum_p / n) / (n - F.lit(1))), 4).alias(
+            "stddev_price"
+        ),
+        n.alias("n"),
+    )
+
+
+@query("agg_approx_distinct")  # no oracle: HLL sketches are engine-specific
+def agg_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    t = Tables(spark, sf)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
+
+
+# ===========================================================================
+# Joins  (§2.8; the namespace broadcast-lookup analog is X3)
+# ===========================================================================
+
+
+@query(
+    "join_inner_agg",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(15,2))) AS DECIMAL(38,2)) AS sum_total
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def join_inner_agg(spark: SparkSession, sf: str) -> DataFrame:
+    t = Tables(spark, sf)
+    return (
+        t.customer.join(t.orders, F.col("c_custkey") == F.col("o_custkey"), "inner")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec2("o_totalprice")).cast("decimal(38,2)").alias("sum_total"),
+        )
+    )
+
+
+@query(
+    "join_left_agg",
+    oracle="""
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def join_left_agg(spark: SparkSession, sf: str) -> DataFrame:
+    t = Tables(spark, sf)
+    return (
+        t.customer.join(t.orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "join_right_agg",
+    oracle="""
+    SELECT n.n_name, COUNT(s.s_suppkey) AS n_supp
+    FROM supplier s RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def join_right_agg(spark: SparkSession, sf: str) -> DataFrame:
+    t = Tables(spark, sf)
+    return (
+        t.supplier.join(t.nation, F.col("s_nationkey") == F.col("n_nationkey"), "right")
+        .groupBy("n_name")
+        .agg(F.count("s_suppkey").alias("n_supp"))
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT cn.nk AS cust_nation, sn.nk AS supp_nation,
+           COALESCE(cn.n_cust, 0) AS n_cust, COALESCE(sn.n_supp, 0) AS n_supp
+    FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1) cn
+    FULL OUTER JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1) sn
+    ON cn.nk = sn.nk
+    """,
+)
+def join_full_outer(spark: SparkSession, sf: str) -> DataFrame:
+    t = Tables(spark, sf)
+    cn = t.customer.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    sn = t.supplier.groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    return cn.join(sn, cn["nk"] == sn["nk"], "full").select(
+        cn["nk"].alias("cust_nation"),
+        sn["nk"].alias("supp_nation"),
+        F.coalesce(cn["n_cust"], F.lit(0)).alias("n_cust"),
+        F.coalesce(sn["n_supp"], F.lit(0)).alias("n_supp"),
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_semi(spark: SparkSession, sf: str) -> DataFrame:
+    t = Tables(spark, sf)
+    return t.customer.join(
+        t.orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf: str) -> DataFrame:
+    t = Tables(spark, sf)
+    return t.customer.join(
+        t.orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross(spark: SparkSession, sf: str) -> DataFrame:
+    t = Tables(spark, sf)
+    return t.region.crossJoin(t.nation).select("r_name", "n_name")
+
+
+@query(
+    "join_theta",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, COUNT(*) AS n_richer_cust
+    FROM supplier s JOIN customer c
+      ON s.s_nationkey = c.c_nationkey AND c.c_acctbal > s.s_acctbal
+    GROUP BY s.s_suppkey, s.s_name
+    """,
+)
+def join_theta(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi + theta condition: Catalyst plans the equi part as the join
+    key and the inequality as a post-join filter."""
+    t = Tables(spark, sf)
+    return (
+        t.supplier.join(
+            t.customer,
+            (F.col("s_nationkey") == F.col("c_nationkey"))
+            & (F.col("c_acctbal") > F.col("s_acctbal")),
+            "inner",
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_richer_cust"))
+    )
+
+
+@query(
+    "q3_top_revenue",
+    oracle=f"""
+    SELECT o.o_orderkey, o.o_orderdate,
+           CAST(SUM({SQL_DISC_PRICE}) AS DECIMAL(38,4)) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + global top-k."""
+    t = Tables(spark, sf)
+    return (
+        t.customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(t.orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(t.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(disc_price()).cast("decimal(38,4)").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_revenue_by_nation",
+    oracle=f"""
+    SELECT n.n_name,
+           CAST(SUM({SQL_DISC_PRICE}) AS DECIMAL(38,4)) AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY n.n_name
+    """,
+)
+def q5_revenue_by_nation(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape: star join — small dims broadcast, single shuffle
+    on the fact table."""
+    t = Tables(spark, sf)
+    return (
+        t.lineitem.join(
+            F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("n_name")
+        .agg(F.sum(disc_price()).cast("decimal(38,4)").alias("revenue"))
+    )
+
+
+# ===========================================================================
+# Windows  (reference P1 lag is the one window op it has; §2.8 rest)
+# ===========================================================================
+
+
+@query(
+    "window_lag_pairs",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           lag(value) OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           (lag(value) OVER w IS NULL) AS is_first,
+           value - COALESCE(lag(value) OVER w, 0.0) AS delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lag_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's consecutive-revision pairing (P1) on relational
+    data: lag/lead over (key, time); is_first == beginningofpage
+    (reference: StreamWikiDumpInputFormat.java:298-429)."""
+    t = Tables(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return t.events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.lag("value").over(w).isNull().alias("is_first"),
+        (F.col("value") - F.coalesce(F.lag("value").over(w), F.lit(0.0))).alias(
+            "delta"
+        ),
+    )
+
+
+@query(
+    "window_rank_topk",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER w AS rn,
+             rank() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS status_rank,
+             dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS status_dense,
+             ntile(4) OVER w AS quartile
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    ) WHERE rn <= 3
+    """,
+)
+def window_rank_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Ranking family + top-k per group (WindowGroupLimit pushes rn<=3
+    below the sort)."""
+    t = Tables(spark, sf)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    ws = Window.partitionBy("o_custkey").orderBy("o_orderstatus")
+    return (
+        t.orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(ws).alias("status_rank"),
+            F.dense_rank().over(ws).alias("status_dense"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "window_running",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           COUNT(*) OVER w AS n_so_far,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) OVER w AS DECIMAL(38,2)) AS spend_so_far
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_running(spark: SparkSession, sf: str) -> DataFrame:
+    t = Tables(spark, sf)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return t.orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.count(F.lit(1)).over(w).alias("n_so_far"),
+        F.sum(dec2("o_totalprice")).over(w).cast("decimal(38,2)").alias("spend_so_far"),
+    )
+
+
+@query(
+    "window_moving",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) OVER w AS DOUBLE)
+             / COUNT(*) OVER w AS moving_avg_3
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_moving(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding row frame: decimal sum / frame count — engine-exact."""
+    t = Tables(spark, sf)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    return t.orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            F.sum(dec2("o_totalprice")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("moving_avg_3"),
+    )
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH brk AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS is_break
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM brk
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (30 min), lag + running-sum — one
+    shuffle; the streaming twin uses session_window."""
+    t = Tables(spark, sf)
+    s = sessionize(
+        t.events, key=["user_id"], ts="ts", gap_seconds=1800, order_tiebreak=["event_id"]
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# ===========================================================================
+# Sorts / limits / set ops  (reference O1-O3)
+# ===========================================================================
+
+
+@query(
+    "sort_topk_global",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+)
+def sort_topk_global(spark: SparkSession, sf: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — per-partition
+    heap + driver merge, no full sort (reference O2's external sort is
+    the degenerate case)."""
+    t = Tables(spark, sf)
+    return (
+        t.orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "dedup_exact_rows",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, l_shipmode_like AS l_ship_bucket, COUNT(*) AS n
+    FROM (SELECT l_returnflag, l_linestatus,
+                 CAST(l_linenumber % 3 AS INTEGER) AS l_shipmode_like
+          FROM lineitem)
+    GROUP BY 1, 2, 3
+    """,
+)
+def dedup_exact_rows(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup as hash-agg with duplicate counts (reference O3:
+    `sort -u`; our engine counts instead of dropping silently)."""
+    t = Tables(spark, sf)
+    return (
+        t.lineitem.select(
+            "l_returnflag",
+            "l_linestatus",
+            (F.col("l_linenumber") % 3).cast("int").alias("l_ship_bucket"),
+        )
+        .groupBy("l_returnflag", "l_linestatus", "l_ship_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "set_union_all",
+    oracle="""
+    SELECT id, src FROM (
+      SELECT c_custkey AS id, 'customer' AS src FROM customer
+      UNION ALL
+      SELECT s_suppkey AS id, 'supplier' AS src FROM supplier
+    )
+    """,
+)
+def set_union_all(spark: SparkSession, sf: str) -> DataFrame:
+    t = Tables(spark, sf)
+    a = t.customer.select(F.col("c_custkey").alias("id"), F.lit("customer").alias("src"))
+    b = t.supplier.select(F.col("s_suppkey").alias("id"), F.lit("supplier").alias("src"))
+    return a.unionByName(b)
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    t = Tables(spark, sf)
+    return t.customer.select(F.col("c_nationkey").alias("nk")).intersect(
+        t.supplier.select(F.col("s_nationkey").alias("nk"))
+    )
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT n_nationkey AS nk FROM nation
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_except(spark: SparkSession, sf: str) -> DataFrame:
+    t = Tables(spark, sf)
+    return t.nation.select(F.col("n_nationkey").alias("nk")).exceptAll(
+        t.supplier.select(F.col("s_nationkey").alias("nk"))
+    ).distinct()
+
+
+# ===========================================================================
+# Scalar function surface  (reference X1-X6 + §2.8 string/date/math lib)
+# ===========================================================================
+
+
+@query(
+    "scalar_string",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           lower(p_brand) AS brand_lower,
+           length(p_name) AS name_len,
+           substr(p_type, 1, 5) AS type_prefix,
+           replace(p_brand, 'Brand', 'B') AS brand_short,
+           concat_ws('|', p_brand, p_type) AS brand_type,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           split_part(p_type, ' ', 1) AS type_first_word,
+           (p_name LIKE '%a%') AS has_a,
+           regexp_extract(p_type, '([a-z]+)', 1) AS first_lower_run
+    FROM part
+    """,
+)
+def scalar_string(spark: SparkSession, sf: str) -> DataFrame:
+    t = Tables(spark, sf)
+    return t.part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.replace(F.col("p_brand"), F.lit("Brand"), F.lit("B")).alias("brand_short"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_first_word"),
+        F.col("p_name").like("%a%").alias("has_a"),
+        F.regexp_extract("p_type", "([a-z]+)", 1).alias("first_lower_run"),
+    )
+
+
+@query(
+    "scalar_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(month(o_orderdate) AS INTEGER) AS order_month,
+           CAST(day(o_orderdate) AS INTEGER) AS order_day,
+           CAST(quarter(o_orderdate) AS INTEGER) AS order_quarter,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
+           o_orderdate + INTERVAL 30 DAY AS due_date,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end
+    FROM orders
+    """,
+)
+def scalar_date(spark: SparkSession, sf: str) -> DataFrame:
+    t = Tables(spark, sf)
+    return t.orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("int").alias("order_day"),
+        F.quarter("o_orderdate").cast("int").alias("order_quarter"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_start"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("bigint")
+        .alias("days_since"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+    )
+
+
+@query(
+    "scalar_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_quantity - 25.0) AS qty_dev,
+           CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * CAST(l_discount AS DECIMAL(9,2)) AS DECIMAL(38,4)) AS discount_amt,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+           sqrt(l_quantity) AS qty_sqrt,
+           round(ln(l_extendedprice + 1.0), 6) AS price_ln,
+           l_quantity * l_quantity AS qty_sq,
+           CAST(l_partkey % 7 AS BIGINT) AS part_mod,
+           CAST(sign(l_discount - 0.05) AS INTEGER) AS disc_sign
+    FROM lineitem
+    """,
+)
+def scalar_math(spark: SparkSession, sf: str) -> DataFrame:
+    """Single-op double arithmetic is IEEE-deterministic; only ln gets a
+    rounding guard (libm vs JVM last-ulp)."""
+    t = Tables(spark, sf)
+    return t.lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_quantity") - 25.0).alias("qty_dev"),
+        (dec2("l_extendedprice") * pct2("l_discount")).cast("decimal(38,4)").alias("discount_amt"),
+        F.ceil("l_extendedprice").cast("bigint").alias("price_ceil"),
+        F.floor("l_extendedprice").cast("bigint").alias("price_floor"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1.0), 6).alias("price_ln"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+        (F.col("l_partkey") % 7).cast("bigint").alias("part_mod"),
+        F.signum(F.col("l_discount") - 0.05).cast("int").alias("disc_sign"),
+    )
+
+
+@query(
+    "scalar_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'finished' ELSE 'partial' END AS status_label,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'was_open') AS status_coalesced,
+           (CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END) AS size_class
+    FROM orders
+    """,
+)
+def scalar_conditional(spark: SparkSession, sf: str) -> DataFrame:
+    t = Tables(spark, sf)
+    return t.orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "O", "open")
+        .when(F.col("o_orderstatus") == "F", "finished")
+        .otherwise("partial")
+        .alias("status_label"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("was_open")).alias(
+            "status_coalesced"
+        ),
+        F.when(F.col("o_totalprice") > 200000, "big").otherwise("small").alias(
+            "size_class"
+        ),
+    )
+
+
+@query(
+    "scalar_hash",
+    oracle="""
+    SELECT c_custkey,
+           md5(c_name) AS name_md5,
+           sha256(c_name) AS name_sha256,
+           ('0x' || substr(md5(c_name), 1, 15))::BIGINT AS name_hash64
+    FROM customer
+    """,
+)
+def scalar_hash(spark: SparkSession, sf: str) -> DataFrame:
+    """Portable hashing (used by minhash dedup): md5/sha256 hex plus the
+    md5-prefix bigint that both engines compute identically."""
+    from .operators.dedup import hash64
+
+    t = Tables(spark, sf)
+    return t.customer.select(
+        "c_custkey",
+        F.md5("c_name").alias("name_md5"),
+        F.sha2("c_name", 256).alias("name_sha256"),
+        hash64(F.col("c_name")).alias("name_hash64"),
+    )
+
+
+@query(
+    "scalar_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+    FROM events
+    """,
+)
+def scalar_json(spark: SparkSession, sf: str) -> DataFrame:
+    t = Tables(spark, sf)
+    return t.events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+    )
+
+
+@query(
+    "scalar_array",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+           len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS n_distinct,
+           regexp_extract_all(lower(text), '[a-z0-9]+')[1] AS first_token,
+           array_to_string(list_slice(list_sort(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))), 1, 5), ',') AS first5_sorted
+    FROM documents
+    """,
+)
+def scalar_array(spark: SparkSession, sf: str) -> DataFrame:
+    """Array ops family (X1 tokenizer analog): regexp token extraction,
+    distinct, sort, slice — all JVM-side built-ins."""
+    t = Tables(spark, sf)
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+    return t.documents.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.concat_ws(",", F.slice(F.array_sort(F.array_distinct(toks)), 1, 5)).alias(
+            "first5_sorted"
+        ),
+    )
+
+
+# ===========================================================================
+# Text analysis / LLM-pipeline ops  (documents table)
+# ===========================================================================
+
+_SQL_TOKENS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+_EN_STOP = ("the", "a", "of", "and", "is", "in", "to")
+_ES_STOP = ("el", "la", "los", "y", "en", "que", "es")
+_DE_STOP = ("der", "die", "das", "und", "ist", "ein")
+_FR_STOP = ("le", "les", "et", "est", "un", "une")
+
+
+def _sql_stop_count(words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({_SQL_TOKENS}, x -> x IN ({lst})))"
+
+
+def _spark_stop_count(toks, words: tuple[str, ...]):
+    return F.size(F.filter(toks, lambda x: x.isin(*words)))
+
+
+@query(
+    "text_tokens",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars_actual,
+           len({_SQL_TOKENS}) AS n_tokens,
+           len(list_distinct({_SQL_TOKENS})) AS n_types,
+           CAST(len(list_distinct({_SQL_TOKENS})) AS DOUBLE)
+             / len({_SQL_TOKENS}) AS type_token_ratio
+    FROM documents
+    """,
+)
+def text_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting (whitespace/alnum tokenizer — the X1 analog)."""
+    t = Tables(spark, sf)
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+    return t.documents.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_types"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "type_token_ratio"
+        ),
+    )
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+             / length(text) AS alpha_ratio,
+           CAST({_sql_stop_count(_EN_STOP)} AS DOUBLE) / len({_SQL_TOKENS}) AS stopword_ratio,
+           CAST(length(array_to_string({_SQL_TOKENS}, '')) AS DOUBLE)
+             / len({_SQL_TOKENS}) AS avg_token_len,
+           (length(text) >= 100 AND len({_SQL_TOKENS}) >= 20) AS passes_length_gate
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality scoring: alpha ratio, stopword ratio, mean token length,
+    length gate — the usual pretraining-corpus filters."""
+    t = Tables(spark, sf)
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+    return t.documents.select(
+        "doc_id",
+        (
+            F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")).cast("double")
+            / F.length("text")
+        ).alias("alpha_ratio"),
+        (_spark_stop_count(toks, _EN_STOP).cast("double") / F.size(toks)).alias(
+            "stopword_ratio"
+        ),
+        (F.length(F.concat_ws("", toks)).cast("double") / F.size(toks)).alias(
+            "avg_token_len"
+        ),
+        ((F.length("text") >= 100) & (F.size(toks) >= 20)).alias("passes_length_gate"),
+    )
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE
+             WHEN {_sql_stop_count(_EN_STOP)} >= {_sql_stop_count(_ES_STOP)}
+              AND {_sql_stop_count(_EN_STOP)} >= {_sql_stop_count(_DE_STOP)}
+              AND {_sql_stop_count(_EN_STOP)} >= {_sql_stop_count(_FR_STOP)} THEN 'en'
+             WHEN {_sql_stop_count(_ES_STOP)} >= {_sql_stop_count(_DE_STOP)}
+              AND {_sql_stop_count(_ES_STOP)} >= {_sql_stop_count(_FR_STOP)} THEN 'es'
+             WHEN {_sql_stop_count(_DE_STOP)} >= {_sql_stop_count(_FR_STOP)} THEN 'de'
+             ELSE 'fr'
+           END AS predicted_lang
+    FROM documents
+    """,
+)
+def text_langid(spark: SparkSession, sf: str) -> DataFrame:
+    """Stopword-vote language ID (n-gram heuristic family) with a fixed
+    tie-break priority so both engines agree."""
+    t = Tables(spark, sf)
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+    c_en = _spark_stop_count(toks, _EN_STOP)
+    c_es = _spark_stop_count(toks, _ES_STOP)
+    c_de = _spark_stop_count(toks, _DE_STOP)
+    c_fr = _spark_stop_count(toks, _FR_STOP)
+    return t.documents.select(
+        "doc_id",
+        "lang",
+        F.when((c_en >= c_es) & (c_en >= c_de) & (c_en >= c_fr), "en")
+        .when((c_es >= c_de) & (c_es >= c_fr), "es")
+        .when(c_de >= c_fr, "de")
+        .otherwise("fr")
+        .alias("predicted_lang"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT fingerprint, MIN(doc_id) AS doc_id, COUNT(*) AS n_dupes
+    FROM (SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
+          FROM documents)
+    GROUP BY fingerprint
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Content fingerprint (normalize → md5) + exact-dedup grouping —
+    the canonical exact-dedup pipeline at corpus scale."""
+    t = Tables(spark, sf)
+    fp = t.documents.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "")).alias(
+            "fingerprint"
+        ),
+    )
+    return exact_dedup(fp, ["fingerprint"], "doc_id")
+
+
+# ===========================================================================
+# Near-duplicate detection: MinHash + LSH  (engine-portable hashing)
+# ===========================================================================
+
+_N_MINHASH = 16
+_LSH_BANDS = 4
+_SQL_SHINGLES = (
+    "CASE WHEN len(t) >= 3 THEN "
+    "list_transform(range(1, len(t) - 1), i -> array_to_string(list_slice(t, i, i + 2), ' ')) "
+    "ELSE [lt] END"
+)
+
+
+def _sql_minhash_sig() -> str:
+    mins = ",\n      ".join(
+        f"MIN(({MINHASH_A[i]} * x + {MINHASH_B[i]}) % {MERSENNE31}) AS s{i}"
+        for i in range(_N_MINHASH)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKENS} AS t, lower(text) AS lt FROM documents
+    ), sh AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM toks
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), hx AS (
+      SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % {MERSENNE31} AS x FROM ex
+    )
+    SELECT doc_id,
+      {mins}
+    FROM hx GROUP BY doc_id
+    """
+
+
+@query("minhash_signatures", oracle=_sql_minhash_sig())
+def minhash_signatures_q(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash signatures: explode shingles → portable hash → n mins.
+    One shuffle with map-side partial min (SURVEY §2.8 LLM-pipeline ops)."""
+    t = Tables(spark, sf)
+    return minhash_signatures(
+        t.documents, id_col="doc_id", text_col="text", n_hashes=_N_MINHASH, shingle_k=3
+    )
+
+
+def _sql_lsh_pairs() -> str:
+    rows = _N_MINHASH // _LSH_BANDS
+    bands = []
+    for b in range(_LSH_BANDS):
+        conds = " AND ".join(
+            f"a.s{b * rows + r} = b.s{b * rows + r}" for r in range(rows)
+        )
+        bands.append(
+            f"SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b"
+            f" ON a.doc_id < b.doc_id AND {conds}"
+        )
+    band_union = "\n      UNION\n      ".join(bands)
+    matches = " + ".join(
+        f"CAST(a.s{i} = b.s{i} AS INT)" for i in range(_N_MINHASH)
+    )
+    return f"""
+    WITH sig AS ({_sql_minhash_sig()}),
+    pairs AS (
+      {band_union}
+    )
+    SELECT p.id_a, p.id_b,
+           CAST({matches} AS DOUBLE) / {_N_MINHASH}.0 AS est_jaccard
+    FROM pairs p
+    JOIN sig a ON a.doc_id = p.id_a
+    JOIN sig b ON b.doc_id = p.id_b
+    """
+
+
+@query("minhash_lsh_pairs", oracle=_sql_lsh_pairs())
+def minhash_lsh_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH banding: candidate pairs via 4 band equi-joins + estimated
+    Jaccard — never an all-pairs comparison."""
+    t = Tables(spark, sf)
+    sig = minhash_signatures(
+        t.documents, id_col="doc_id", text_col="text", n_hashes=_N_MINHASH, shingle_k=3
+    )
+    return lsh_candidate_pairs(sig, id_col="doc_id", n_hashes=_N_MINHASH, bands=_LSH_BANDS)
+
+
+@query(
+    "ngram_jaccard_block",
+    oracle=f"""
+    WITH sets AS (
+      SELECT doc_id, source, list_distinct({_SQL_TOKENS}) AS toks FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
+    FROM sets a JOIN sets b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    """,
+)
+def ngram_jaccard_block(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact token-set Jaccard within a blocking key (source) — the
+    verify pass of blocked dedup; blocking keeps it off all-pairs."""
+    t = Tables(spark, sf)
+    toks = F.array_distinct(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+    )
+    sets = t.documents.select("doc_id", "source", toks.alias("toks"))
+    a = sets.select(
+        F.col("source"), F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a")
+    )
+    b = sets.select(
+        F.col("source"), F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b")
+    )
+    joined = a.join(b, "source").filter(F.col("id_a") < F.col("id_b"))
+    n_int = F.size(F.array_intersect("toks_a", "toks_b"))
+    return joined.select(
+        "id_a",
+        "id_b",
+        (
+            n_int.cast("double")
+            / (F.size("toks_a") + F.size("toks_b") - n_int)
+        ).alias("jaccard"),
+    )
+
+
+# ===========================================================================
+# Similarity search over embeddings
+# ===========================================================================
+
+
+@query(
+    "similarity_topk",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             round(list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 9) AS cosine_sim
+      FROM q CROSS JOIN c WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def similarity_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-k (broadcast queries, one corpus pass).
+    Similarity rounded to 9 dp before ranking so both engines rank the
+    same values; ties broken by neighbor id."""
+    from .operators.similarity import cosine
+
+    t = Tables(spark, sf)
+    q = t.embeddings.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    c = t.embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    scored = (
+        c.join(F.broadcast(q), how="cross")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine_sim", F.round(cosine(F.col("qv"), F.col("cv")), 9))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+@query("similarity_topk_lsh")  # no oracle: approximate by construction
+def similarity_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Hyperplane-LSH pruned ANN — the 100 TB path (bucketed equi-join
+    instead of cross product).  Approximate: no SQL oracle."""
+    from .operators.similarity import cosine_topk_lsh
+
+    t = Tables(spark, sf)
+    # deterministic pseudo-random hyperplanes (8 planes over 64 dims)
+    planes = [
+        [(((i * 64 + j) * 2654435761 + 1013904223) % 1000003) / 1000003.0 - 0.5 for j in range(64)]
+        for i in range(8)
+    ]
+    q = t.embeddings.filter(F.col("vec_id") < 10)
+    return cosine_topk_lsh(t.embeddings, q, planes, id_col="vec_id", vec_col="embedding", k=10)
+
+
+# ===========================================================================
+# Events: tumbling/sliding windows, pivot  (batch analog of streaming)
+# ===========================================================================
+
+
+@query(
+    "events_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling 1h windows (batch analog of streaming groupBy window)."""
+    t = Tables(spark, sf)
+    return (
+        t.events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(38,6)")
+            .alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "events_sliding",
+    oracle="""
+    SELECT wstart, event_type, COUNT(*) AS n_events
+    FROM (
+      SELECT unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS wstart,
+             event_type
+      FROM events
+    )
+    GROUP BY wstart, event_type
+    """,
+)
+def events_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding 2h/1h windows via window-start explode — each event lands
+    in exactly the two windows covering it."""
+    t = Tables(spark, sf)
+    trunc = F.date_trunc("hour", F.col("ts"))
+    return (
+        t.events.select(
+            F.explode(
+                F.array(trunc, trunc - F.expr("INTERVAL 1 HOUR"))
+            ).alias("wstart"),
+            "event_type",
+        )
+        .groupBy("wstart", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@query(
+    "events_pivot",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def events_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    t = Tables(spark, sf)
+    return (
+        t.events.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "view", "purchase", "signup", "error"])
+    )
+
+
+# ===========================================================================
+# As-of + range joins  (time-series ops Spark lacks natively)
+# ===========================================================================
+
+
+@query(
+    "asof_join_events_orders",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+      FROM orders
+    ), oc AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM ranked WHERE rn = 1
+    )
+    SELECT e.user_id, e.event_id, e.ts, oc.o_orderkey, oc.o_totalprice, oc.o_orderdate
+    FROM events e ASOF LEFT JOIN oc
+      ON e.user_id = oc.o_custkey AND e.ts >= oc.o_orderdate
+    """,
+)
+def asof_join_events_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: each event matched to the customer's latest order at
+    or before the event.  Union-window implementation — one shuffle,
+    no per-group pandas (operators/asof.py)."""
+    t = Tables(spark, sf)
+    oc = top_k_per_group(
+        t.orders,
+        partition_by=["o_custkey", "o_orderdate"],
+        order_by=[F.col("o_orderkey").desc()],
+        k=1,
+    ).select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    left = t.events.select("user_id", "event_id", "ts")
+    return asof_join(
+        left,
+        oc,
+        by=["user_id"],
+        left_on="ts",
+        right_on="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice", "o_orderdate"],
+    )
+
+
+@query(
+    "range_join_near_orders",
+    oracle="""
+    SELECT a.o_orderkey, COUNT(b.o_orderkey) AS n_near
+    FROM orders a LEFT JOIN orders b
+      ON b.o_orderkey <> a.o_orderkey
+     AND b.o_orderdate >= a.o_orderdate - INTERVAL 2 DAY
+     AND b.o_orderdate <= a.o_orderdate + INTERVAL 2 DAY
+    GROUP BY a.o_orderkey
+    """,
+)
+def range_join_near_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Range (interval) join via day-bucketing: equi-join on bucket id
+    with ±1 bucket probes, then exact filter — turns an O(n²) theta
+    join into a shuffled hash join (operators/range_join.py)."""
+    from .operators.range_join import range_count
+
+    t = Tables(spark, sf)
+    return range_count(
+        t.orders,
+        key_col="o_orderkey",
+        time_col="o_orderdate",
+        width_seconds=2 * 86400,
+        count_col="n_near",
+    )

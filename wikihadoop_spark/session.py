@@ -1,0 +1,62 @@
+"""SparkSession factory and session configuration.
+
+Local testing runs on ``local[N]`` but every config choice is made for a
+multi-executor cluster: AQE on (runtime re-plan, skew-join splitting,
+partition coalescing), shuffle partitions sized to the environment, Arrow
+enabled for the Pandas-UDF slow path, UTC session timezone so timestamp
+semantics are stable across engines (the DuckDB oracle reads parquet
+timestamps as naive UTC).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_cpus() -> int:
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return max(1, int(env))
+    return os.cpu_count() or 4
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Idempotent runtime conf needed for correctness on the testdata.
+
+    Safe to call on a session we did not create (the driver passes its
+    own): only runtime-settable confs are touched.
+    """
+    # Oracle parity: DuckDB treats parquet timestamps as naive UTC.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
+    # rejects; read the raw int64 and convert in catalog.load_table.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Runtime re-planning: coalesce tiny shuffle partitions, split skewed
+    # ones — the 100 TB posture (harmless locally).
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    return spark
+
+
+def get_spark(
+    app_name: str = "wikihadoop-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = cpus or default_cpus()
+    shuffle = shuffle_partitions or max(cpus, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return configure_session(spark)
