@@ -49,9 +49,10 @@ def main() -> None:
     spark = get_spark("wikihadoop-bench", cpus=cpus, shuffle_partitions=2 * cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warmup: exercise codegen/Arrow paths on the tiny sf so the timed
-    # runs measure the engine, not JVM warm-up.
-    for name in HEADLINE[:3]:
+    # Warmup: run every headline query once at the tiny sf so whole-stage
+    # codegen compilation (seconds for the wide minhash/window exprs) is
+    # paid before timing — the timed runs then measure the engine.
+    for name in HEADLINE:
         QUERIES[name](spark, "/root/testdata/sf0.001").count()
 
     timings: dict[str, float] = {}

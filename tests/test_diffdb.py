@@ -1,0 +1,108 @@
+"""End-to-end diffdb pipeline tests (SURVEY §7.1's minimum slice):
+wikidump scan -> pairing -> filter -> diff -> project -> sink."""
+
+from __future__ import annotations
+
+import glob
+import gzip
+
+from wikihadoop_spark.functions.diffs import apply_diff
+from wikihadoop_spark.plans.diffdb import build_diffdb, write_diffdb_tsv
+from wikihadoop_spark.sources.wikidump import read_wikidump
+
+from dump_fixtures import standard_dump, write_dump
+
+
+def _diffdb(spark, tmp_path, **kwargs):
+    path = write_dump(tmp_path, standard_dump())
+    revisions = read_wikidump(spark, path)
+    return build_diffdb(revisions, **kwargs)
+
+
+def test_diffdb_schema_and_rows(spark, tmp_path):
+    df = _diffdb(spark, tmp_path)
+    rows = {r.rev_id: r for r in df.collect()}
+    assert len(rows) == 8
+    r = rows[101]
+    assert r.page_id == 10 and r.namespace == 0 and r.title == "Fox Article"
+    # epoch seconds (fileformat.rst:17): 2021-01-01T00:00:00Z
+    assert r.timestamp == 1609459200
+    assert r.beginningofpage is True
+    # first revision diffs against the empty dummy -> one big insert
+    assert len(r.ops) == 1 and r.ops[0].action == 1 and r.ops[0].position == 0
+
+    # namespace-normalized title for Talk page (reference X3)
+    assert rows[301].namespace == 1 and rows[301].title == "Fox Article"
+
+
+def test_diffdb_reconstruction(spark, tmp_path):
+    """apply(prev, ops) == curr across every revision chain — the D3
+    invariant run through the full Spark pipeline."""
+    path = write_dump(tmp_path, standard_dump())
+    revisions = read_wikidump(spark, path)
+    texts = {r.rev_id: (r.page_id, r.rev_seq, r.text) for r in revisions.collect()}
+    df = build_diffdb(revisions)
+    by_page: dict[int, list] = {}
+    for r in df.collect():
+        by_page.setdefault(r.page_id, []).append(r)
+    for page_id, revs in by_page.items():
+        revs.sort(key=lambda r: texts[r.rev_id][1])
+        prev = ""
+        for r in revs:
+            ops = [(o.position, o.action, o.content) for o in r.ops]
+            rebuilt = apply_diff(prev, ops)
+            assert rebuilt == texts[r.rev_id][2], (page_id, r.rev_id)
+            prev = rebuilt
+
+
+def test_diffdb_exclude_filter(spark, tmp_path):
+    df = _diffdb(spark, tmp_path, exclude_pages_with="^Talk:")
+    ids = sorted(r.rev_id for r in df.collect())
+    assert ids == [101, 102, 103, 104, 105, 201]
+
+
+def test_diffdb_source_side_pairing_equivalent(spark, tmp_path):
+    """Window pairing and source-streaming pairing produce identical
+    diffdb rows (SURVEY §7.4.1's two pairing strategies)."""
+    path = write_dump(tmp_path, standard_dump())
+    via_window = build_diffdb(read_wikidump(spark, path))
+    via_source = build_diffdb(
+        read_wikidump(spark, path, pair_revisions="true"), paired=True
+    )
+    a = sorted(
+        (r.rev_id, r.beginningofpage, [(o.position, o.action, o.content) for o in r.ops])
+        for r in via_window.collect()
+    )
+    b = sorted(
+        (r.rev_id, r.beginningofpage, [(o.position, o.action, o.content) for o in r.ops])
+        for r in via_source.collect()
+    )
+    assert a == b
+
+
+def test_tsv_sink_py2_repr(spark, tmp_path):
+    """S7/X5/X6: compat TSV lines — 9 repr-escaped metadata fields then
+    colon-joined op triples (fileformat.rst:6-27)."""
+    df = _diffdb(spark, tmp_path)
+    out = str(tmp_path / "out")
+    write_diffdb_tsv(df, out, compression="gzip")
+    lines = []
+    for part in sorted(glob.glob(out + "/part-*.txt.gz")):
+        with gzip.open(part, "rt") as fh:
+            lines.extend(fh.read().splitlines())
+    assert len(lines) == 8
+    first = lines[0].split("\t")
+    # rev_id, page_id, namespace, title, timestamp, comment, minor,
+    # user_id, user_text, then ops
+    assert first[0] == "101" and first[1] == "10" and first[2] == "0"
+    assert first[3] == "u'Fox Article'"
+    assert first[4] == "1609459200"
+    assert first[5] == "u'create'" and first[6] == "False"
+    assert first[7] == "7" and first[8] == "u'Editor'"
+    assert first[9].startswith("0:1:u'The quick brown fox")
+    # deleted comment -> None (fileformat.rst:8); deleted contributor
+    # -> None user fields (row 104)
+    row105 = next(l for l in lines if l.startswith("105\t")).split("\t")
+    assert row105[5] == "None"
+    row104 = next(l for l in lines if l.startswith("104\t")).split("\t")
+    assert row104[7] == "None" and row104[8] == "None"

@@ -1,0 +1,89 @@
+"""Diff operator tests: reconstruction property (reference D3,
+example.py:67-95), tokenizer conformance (X1 quirk), failure handling
+(D2), py2-repr encoding (X5)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from wikihadoop_spark.functions.compat import py2_repr_str, py2_repr_value
+from wikihadoop_spark.functions.diffs import (
+    DELETE,
+    INSERT,
+    apply_diff,
+    diff_with_fallback,
+    token_diff,
+)
+from wikihadoop_spark.functions.tokenize import tokenize_wikitext
+
+
+def roundtrip(prev: str, curr: str):
+    ops = list(token_diff(prev, curr))
+    assert apply_diff(prev, ops) == curr, (prev, curr, ops)
+    return ops
+
+
+def test_basic_cases():
+    assert roundtrip("", "") == []
+    assert roundtrip("same text", "same text") == []
+    ops = roundtrip("", "new page text")
+    assert ops == [(0, INSERT, "new page text")]
+    ops = roundtrip("old", "")
+    assert ops == [(0, DELETE, "old")]
+
+
+def test_report_positions_advance_over_inserts():
+    ops = roundtrip("a b c", "a x b c y")
+    # position is a char offset in the NEW text
+    for pos, action, content in ops:
+        assert action in (DELETE, INSERT)
+        assert pos >= 0
+
+
+def test_tokenizer_conformance_quirk():
+    """The reference's alternation order makes {{{ tokenize as {{ + {
+    (revision_differ.py:34-38; SURVEY §7.4.5) — preserved, with a
+    fixed-order opt-in."""
+    assert tokenize_wikitext("{{{v}}}") == ["{{", "{", "v", "}}", "}"]
+    assert tokenize_wikitext("{{{v}}}", fixed_order=True) == ["{{{", "v", "}}}"]
+    assert tokenize_wikitext("[[a]] ''b'' === &nbsp;") == [
+        "[[", "a", "]]", " ", "''", "b", "''", " ", "===", " ", "&nbsp;",
+    ]
+    assert tokenize_wikitext("{|\n|-\n|}") == ["{|", "\n", "|-", "\n", "|}"]
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.text(alphabet="ab [{}]'=\n&;xyz", max_size=120),
+    st.text(alphabet="ab [{}]'=\n&;xyz", max_size=120),
+)
+def test_roundtrip_property(prev, curr):
+    roundtrip(prev, curr)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=80), st.text(max_size=80))
+def test_roundtrip_unicode(prev, curr):
+    roundtrip(prev, curr)
+
+
+def test_diff_with_fallback_never_raises():
+    ops, err = diff_with_fallback("a b", "a c b")
+    assert err is None and ops
+    ops, err = diff_with_fallback(None, None)  # type: ignore[arg-type]
+    assert err is None
+
+
+def test_py2_repr():
+    # byte-compatible with python2 repr (validated against py2 output
+    # shapes in fileformat.rst:7-9)
+    assert py2_repr_str("plain") == "u'plain'"
+    assert py2_repr_str("it's") == 'u"it\'s"'
+    assert py2_repr_str("a\nb\tc") == "u'a\\nb\\tc'"
+    assert py2_repr_str("café") == "u'caf\\xe9'"
+    assert py2_repr_str("寿") == "u'\\u5bff'"
+    assert py2_repr_str("\U0001f600") == "u'\\U0001f600'"
+    assert py2_repr_value(None) == "None"
+    assert py2_repr_value(True) == "True"
+    assert py2_repr_value(42) == "42"

@@ -1,0 +1,121 @@
+"""Structured Streaming tests: windowed aggs with watermarks driven to
+completion over a bounded parquet source, cross-checked against the
+batch equivalents on the same rows."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikihadoop_spark.catalog import load_table
+from wikihadoop_spark.operators.sessionize import sessionize
+from wikihadoop_spark.streaming.windows import (
+    run_stream_to_memory,
+    session_counts,
+    sliding_counts,
+    streaming_dedup,
+    tumbling_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """events re-materialized with micro timestamps (the raw parquet's
+    TIMESTAMP(NANOS) is unreadable by Spark's reader) + cast to tz
+    timestamp, which streaming watermarks require."""
+    path = str(tmp_path_factory.mktemp("stream") / "events")
+    (
+        load_table(spark, SF, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .coalesce(2)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
+def _stream(spark, events_dir):
+    schema = spark.read.parquet(events_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(events_dir)
+    )
+
+
+def test_tumbling_matches_batch(spark, events_dir):
+    out = run_stream_to_memory(
+        tumbling_counts(_stream(spark, events_dir)), "t_tumbling"
+    )
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    got = {
+        (r.window_start, r.event_type): r.n_events for r in out.collect()
+    }
+    exp = {(r.w.start, r.event_type): r.n_events for r in batch.collect()}
+    # append mode emits only watermark-closed windows: subset match, and
+    # the bulk of windows must have closed
+    assert got
+    assert len(got) >= len(exp) * 0.8
+    for k, v in got.items():
+        assert exp[k] == v, k
+
+
+def test_sliding_each_event_in_two_windows(spark, events_dir):
+    out = run_stream_to_memory(
+        sliding_counts(_stream(spark, events_dir)), "t_sliding"
+    )
+    rows = out.collect()
+    assert rows
+    total_events = spark.read.parquet(events_dir).count()
+    emitted = sum(r.n_events for r in rows)
+    # 2h window sliding 1h: every event belongs to exactly 2 windows
+    assert emitted <= 2 * total_events
+    assert emitted >= 2 * total_events * 0.8
+
+
+def test_session_window_matches_batch_sessionize(spark, events_dir):
+    """Native streaming session_window == the batch lag/cumsum
+    sessionization (same gap) for closed sessions."""
+    out = run_stream_to_memory(
+        session_counts(_stream(spark, events_dir), gap="30 minutes"),
+        "t_sessions",
+    )
+    batch = (
+        sessionize(
+            spark.read.parquet(events_dir),
+            key=["user_id"],
+            ts="ts",
+            gap_seconds=1800,
+            order_tiebreak=["event_id"],
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    got = {(r.user_id, r.session_start): r.n_events for r in out.collect()}
+    exp = {(r.user_id, r.session_start): r.n_events for r in batch.collect()}
+    assert got and len(got) >= len(exp) * 0.8
+    for k, v in got.items():
+        assert exp[k] == v, k
+
+
+def test_streaming_dedup(spark, events_dir, tmp_path):
+    """Watermarked dropDuplicates: re-delivered rows collapse to one."""
+    dup_dir = str(tmp_path / "dups")
+    src = spark.read.parquet(events_dir)
+    src.union(src).coalesce(1).write.mode("overwrite").parquet(dup_dir)
+    schema = src.schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(dup_dir)
+    )
+    out = run_stream_to_memory(streaming_dedup(stream), "t_dedup")
+    n = out.count()
+    assert n == src.count()

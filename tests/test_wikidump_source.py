@@ -1,0 +1,149 @@
+"""wikidump DataSource conformance tests.
+
+Ports the reference's test invariants (SURVEY §5): golden record
+content, exclude-filter semantics, split invariance across partition
+sizes, bz2 input, contributor/comment null semantics.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from wikihadoop_spark.sources.wikidump import read_wikidump
+
+from dump_fixtures import (
+    EXPECTED_REV_IDS,
+    big_dump,
+    standard_dump,
+    write_dump,
+)
+
+
+def _read(spark, path, **opts):
+    return read_wikidump(spark, path, **opts)
+
+
+def test_golden_parse(spark, tmp_path):
+    path = write_dump(tmp_path, standard_dump())
+    rows = {r.rev_id: r for r in _read(spark, path).collect()}
+    assert sorted(rows) == EXPECTED_REV_IDS
+
+    r101 = rows[101]
+    assert (r101.page_id, r101.title, r101.ns) == (10, "Fox Article", 0)
+    assert r101.rev_seq == 1 and r101.comment == "create"
+    assert r101.user_id == 7 and r101.user_text == "Editor"
+    assert r101.text.startswith("The quick brown fox")
+    assert str(r101.ts) == "2021-01-01 00:00:00"
+
+    # anonymous contributor: ip carried, no user_id (fileformat.rst:20-21)
+    r102 = rows[102]
+    assert r102.user_id is None and r102.user_ip == "10.0.0.1"
+    assert r102.user_text == "10.0.0.1" and r102.parent_id == 101
+
+    # minor flag presence (page_sample-style <minor/>)
+    assert rows[103].minor is True and rows[101].minor is False
+
+    # deleted contributor -> all three null (revision_differ.py:143-148)
+    r104 = rows[104]
+    assert r104.user_id is None and r104.user_text is None and r104.user_ip is None
+
+    # deleted comment -> null comment
+    assert rows[105].comment is None
+    # entity unescape in text
+    assert "&" in rows[105].text and "&amp;" not in rows[105].text
+
+    # single-revision page
+    assert rows[201].rev_seq == 1 and rows[201].title == "Lonely Page"
+    # namespace page
+    assert rows[301].ns == 1 and rows[301].title == "Talk:Fox Article"
+
+
+def test_exclude_pages_regex(spark, tmp_path):
+    """Reference F1: excludePagesWith drops whole pages before parsing
+    (StreamWikiDumpInputFormat.java:387-393; golden test :87-117)."""
+    path = write_dump(tmp_path, standard_dump())
+    rows = _read(spark, path, excludePagesWith="<title>Talk:").collect()
+    assert sorted(r.rev_id for r in rows) == [101, 102, 103, 104, 105, 201]
+
+
+def test_split_invariance(spark, tmp_path):
+    """Partitioning must never change results (reference's most
+    important invariant, TestStreamWikiDumpInputFormat.java:346-379).
+    Exactly-once by the owner rule: no dupes, no gaps, any split size."""
+    content = big_dump()
+    path = write_dump(tmp_path, content, "big.xml")
+    baseline = sorted(
+        (r.page_id, r.rev_id, r.rev_seq, r.text) for r in _read(spark, path).collect()
+    )
+    assert len(baseline) == 40 * 6
+    for split_size in (500, 1777, 10_000, 100_000):
+        got = sorted(
+            (r.page_id, r.rev_id, r.rev_seq, r.text)
+            for r in _read(spark, path, splitSize=str(split_size)).collect()
+        )
+        assert got == baseline, f"splitSize={split_size}"
+
+
+def test_partition_count(spark, tmp_path):
+    path = write_dump(tmp_path, big_dump(), "big.xml")
+    df = _read(spark, path, splitSize="2000")
+    assert df.rdd.getNumPartitions() > 4
+
+
+def test_bz2(spark, tmp_path):
+    """Compressed dump: same rows as plain (reference golden test
+    TestStreamWikiDumpInputFormat.java:164-194)."""
+    plain = write_dump(tmp_path, standard_dump())
+    compressed = write_dump(tmp_path, standard_dump(), "dump2.xml", compress="bz2")
+    a = sorted((r.rev_id, r.text) for r in _read(spark, plain).collect())
+    b = sorted((r.rev_id, r.text) for r in _read(spark, compressed).collect())
+    assert a == b
+
+
+def test_source_side_pairing(spark, tmp_path):
+    """pair_revisions option: streaming in-source pairing (the
+    reference record reader's prevRevision buffer,
+    StreamWikiDumpInputFormat.java:298-429)."""
+    path = write_dump(tmp_path, standard_dump())
+    rows = {
+        r.rev_id: r
+        for r in _read(spark, path, pair_revisions="true").collect()
+    }
+    assert rows[101].beginningofpage is True and rows[101].prev_text == ""
+    assert rows[102].beginningofpage is False
+    assert rows[102].prev_text == rows[101].text
+    assert rows[102].prev_rev_id == 101
+    assert rows[105].prev_rev_id == 104
+    assert rows[201].beginningofpage is True
+
+
+def test_pruned_schema_skips_text(spark, tmp_path):
+    """Metadata-only read with an explicit pruned schema — the lazy
+    text-parse strategy (README.rst:264-271 as engine behavior)."""
+    from wikihadoop_spark.sources.wikidump import register_wikidump
+
+    path = write_dump(tmp_path, standard_dump())
+    register_wikidump(spark)
+    df = (
+        spark.read.format("wikidump")
+        .schema("page_id long, title string, rev_id long, rev_seq int")
+        .option("path", path)
+        .load()
+    )
+    rows = df.collect()
+    assert sorted(r.rev_id for r in rows) == EXPECTED_REV_IDS
+    assert df.columns == ["page_id", "title", "rev_id", "rev_seq"]
+
+
+def test_leading_garbage_and_truncated_tail(spark, tmp_path):
+    """Robustness: bytes before the first page and a truncated trailing
+    page (reference golden test :119-150) — partial page yields its
+    complete revisions only."""
+    content = standard_dump()
+    # truncate inside page 30's second revision
+    cut = content.find("<id>302</id>")
+    truncated = "garbage preamble " + content[:cut] + "    <revision>\n      <id>302"
+    path = write_dump(tmp_path, truncated, "trunc.xml")
+    rows = _read(spark, path).collect()
+    ids = sorted(r.rev_id for r in rows)
+    assert ids == [101, 102, 103, 104, 105, 201, 301]

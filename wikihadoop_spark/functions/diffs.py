@@ -1,0 +1,231 @@
+"""Token-level text diff (reference operator D1/D2/D3).
+
+Pipeline per the reference contract (revision_differ.py:68-84):
+tokenize both texts -> dictionary-encode tokens to ints (the diff runs
+over short int sequences, not raw text — reference X2's unichr trick,
+done here with plain int lists) -> Myers O(ND) middle-snake diff ->
+decode -> emit (position, action, content) ops where action is -1
+(delete) / +1 (insert), content is the joined token run, and position
+is the character offset in the NEW text (it advances over kept and
+inserted content only).
+
+The Myers implementation below is written from the published
+algorithm (E. Myers, "An O(ND) Difference Algorithm and Its
+Variations", Algorithmica 1986): linear-space divide & conquer on the
+middle snake.  The reference vendors google-diff-match-patch for the
+same job; none of that code is used here.
+
+The reconstruction property ``apply_diff(prev, token_diff(prev, curr))
+== curr`` is the operator's invariant (reference example.py:67-95) and
+is property-tested in tests/test_diffs.py.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+from .tokenize import tokenize_wikitext
+
+DELETE = -1
+EQUAL = 0
+INSERT = 1
+
+
+def _encode(
+    a_toks: list[str], b_toks: list[str]
+) -> tuple[list[int], list[int]]:
+    """Shared dictionary-encode: identical tokens -> identical ints, so
+    the diff compares ints (reference X2, revision_differ.py:52-63)."""
+    table: dict[str, int] = {}
+    out: list[list[int]] = []
+    for toks in (a_toks, b_toks):
+        enc = []
+        for t in toks:
+            code = table.get(t)
+            if code is None:
+                code = len(table)
+                table[t] = code
+            enc.append(code)
+        out.append(enc)
+    return out[0], out[1]
+
+
+def _middle_snake(
+    a: list[int], a0: int, a1: int, b: list[int], b0: int, b1: int
+) -> tuple[int, int]:
+    """Myers bidirectional search: returns (x, y) on the middle snake.
+    Linear space: two V arrays of size O(n+m)."""
+    n, m = a1 - a0, b1 - b0
+    max_d = (n + m + 1) // 2
+    delta = n - m
+    size = 2 * max_d + 2
+    vf = [0] * size  # forward best-x per diagonal k
+    vb = [0] * size  # backward best-x per diagonal k (in reversed coords)
+    odd = delta % 2 != 0
+    for d in range(max_d + 1):
+        for k in range(-d, d + 1, 2):
+            if k == -d or (k != d and vf[(k - 1) % size] < vf[(k + 1) % size]):
+                x = vf[(k + 1) % size]
+            else:
+                x = vf[(k - 1) % size] + 1
+            y = x - k
+            while x < n and y < m and a[a0 + x] == b[b0 + y]:
+                x += 1
+                y += 1
+            vf[k % size] = x
+            # forward diagonal k meets backward diagonal delta-k
+            if odd and -(d - 1) <= k - delta <= d - 1:
+                if x + vb[(delta - k) % size] >= n:
+                    return a0 + x, b0 + y
+        for k in range(-d, d + 1, 2):
+            if k == -d or (k != d and vb[(k - 1) % size] < vb[(k + 1) % size]):
+                x = vb[(k + 1) % size]
+            else:
+                x = vb[(k - 1) % size] + 1
+            y = x - k
+            while x < n and y < m and a[a1 - 1 - x] == b[b1 - 1 - y]:
+                x += 1
+                y += 1
+            vb[k % size] = x
+            if not odd and -d <= delta - k <= d:
+                if x + vf[(delta - k) % size] >= n:
+                    return a1 - x, b1 - y
+    # unreachable for well-formed inputs
+    raise AssertionError("middle snake not found")
+
+
+def _diff_ints(
+    a: list[int], a0: int, a1: int, b: list[int], b0: int, b1: int, out: list
+) -> None:
+    # strip common prefix/suffix first — the dominant case for
+    # consecutive revisions is a tiny edit in a large page
+    while a0 < a1 and b0 < b1 and a[a0] == b[b0]:
+        out.append((EQUAL, a0, a0 + 1))
+        a0 += 1
+        b0 += 1
+    suffix = []
+    while a1 > a0 and b1 > b0 and a[a1 - 1] == b[b1 - 1]:
+        suffix.append((EQUAL, a1 - 1, a1))
+        a1 -= 1
+        b1 -= 1
+    if a0 == a1:
+        if b0 != b1:
+            out.append((INSERT, b0, b1))
+    elif b0 == b1:
+        out.append((DELETE, a0, a1))
+    else:
+        x, y = _middle_snake(a, a0, a1, b, b0, b1)
+        if (x, y) in ((a0, b0), (a1, b1)):
+            # degenerate split (no common tokens found): delete + insert
+            out.append((DELETE, a0, a1))
+            out.append((INSERT, b0, b1))
+        else:
+            _diff_ints(a, a0, x, b, b0, y, out)
+            _diff_ints(a, x, a1, b, y, b1, out)
+    out.extend(reversed(suffix))
+
+
+def token_diff(
+    prev: str,
+    curr: str,
+    tokenize: Callable[[str], list[str]] = tokenize_wikitext,
+    report: tuple[int, ...] = (DELETE, INSERT),
+) -> Iterator[tuple[int, int, str]]:
+    """Yield (position, action, content) ops turning ``prev`` into
+    ``curr`` (reference simpleDiff semantics, revision_differ.py:68-84):
+    position is the char offset in the new text and advances over
+    kept/inserted content only."""
+    a_toks = tokenize(prev or "")
+    b_toks = tokenize(curr or "")
+    a, b = _encode(a_toks, b_toks)
+    raw: list[tuple[int, int, int]] = []
+    _diff_ints(a, 0, len(a), b, 0, len(b), raw)
+
+    report_set = set(report)
+    position = 0
+    # merge adjacent same-action ranges as we emit
+    pending: tuple[int, list[str]] | None = None  # (action, tokens)
+
+    def flush():
+        nonlocal pending, position
+        if pending is None:
+            return None
+        action, toks = pending
+        content = "".join(toks)
+        pending = None
+        item = (position, action, content) if action in report_set else None
+        if action != DELETE:
+            position += len(content)
+        return item
+
+    for action, i0, i1 in raw:
+        toks = a_toks[i0:i1] if action != INSERT else b_toks[i0:i1]
+        if pending is not None and pending[0] == action:
+            pending[1].extend(toks)
+            continue
+        item = flush()
+        if item is not None:
+            yield item
+        pending = (action, list(toks))
+    item = flush()
+    if item is not None:
+        yield item
+
+
+def apply_diff(prev: str, ops: list[tuple[int, int, str]]) -> str:
+    """Reconstruct the new text from prev + ops (reference D3,
+    example.py:67-95): between ops, copy untouched prev content; a
+    delete consumes prev, an insert emits diff content."""
+    out: list[str] = []
+    old_pos = 0
+    new_pos = 0
+    for position, action, content in ops:
+        keep = position - new_pos
+        if keep:
+            out.append(prev[old_pos : old_pos + keep])
+            old_pos += keep
+            new_pos += keep
+        if action == INSERT:
+            out.append(content)
+            new_pos += len(content)
+        elif action == DELETE:
+            old_pos += len(content)
+    out.append(prev[old_pos:])
+    return "".join(out)
+
+
+def diff_with_fallback(prev: str, curr: str) -> tuple[list[tuple[int, int, str]], str | None]:
+    """D2 semantics: never kill the job on a bad diff — return
+    (ops, error) with error set and ops empty on failure
+    (reference revision_differ.py:161-175)."""
+    try:
+        return list(token_diff(prev, curr)), None
+    except Exception as exc:  # noqa: BLE001 — the contract is total
+        return [], f"diff_fail: {exc!r}"
+
+
+def diff_ops_udf():
+    """Arrow-vectorized pandas UDF: (prev_text, text) ->
+    array<struct<position:bigint, action:int, content:string>>.
+
+    The diff itself is inherently sequential Python per pair; the win
+    over row-at-a-time UDFs is Arrow batch transfer + no per-row
+    pickling (SURVEY §4 strategy #9's pypy JIT replaced by
+    vectorized transport)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def _diff(prev, curr):
+        return pd.Series(
+            [
+                list(token_diff(p or "", c or ""))
+                for p, c in zip(prev.tolist(), curr.tolist())
+            ]
+        )
+
+    # real class objects (PEP-563 string hints break pandas-UDF
+    # signature inference under `from __future__ import annotations`)
+    _diff.__annotations__ = {"prev": pd.Series, "curr": pd.Series, "return": pd.Series}
+    return F.pandas_udf(
+        _diff, "array<struct<position:bigint, action:int, content:string>>"
+    )

@@ -85,8 +85,26 @@ def minhash_signatures(
     """
     if n_hashes > len(MINHASH_A):
         raise ValueError(f"at most {len(MINHASH_A)} hash functions available")
-    sh = df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_k)).alias("__shingle")
+    # materialize the token array once per doc — inlining `shingles(text)`
+    # would re-run the tokenizer regexp 3x per row (no CSE across the
+    # when/size/transform branches)
+    k = shingle_k
+    toks = df.select(
+        F.col(id_col),
+        tokens(F.col(text_col)).alias("__t"),
+        F.lower(F.col(text_col)).alias("__lt"),
+    )
+    windows = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("__t")) - F.lit(k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(F.col("__t"), i, k)),
+    )
+    sh = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.when(F.size(F.col("__t")) >= k, windows).otherwise(
+                F.array(F.col("__lt"))
+            )
+        ).alias("__shingle"),
     ).withColumn("__x", hash31(F.col("__shingle")))
     aggs = [
         F.min((F.lit(MINHASH_A[i]) * F.col("__x") + F.lit(MINHASH_B[i])) % F.lit(MERSENNE31)).alias(f"s{i}")
@@ -106,36 +124,68 @@ def lsh_candidate_pairs(
     DataFrame, with the estimated Jaccard (fraction of matching
     minhashes).  Pairs are (a < b), distinct across bands.
 
-    Each band is an equi-join on a band-key struct — a plain shuffled
-    hash join, no cross product.
+    Plan shape: one explode (×bands) -> one shuffle (groupBy band key)
+    -> in-bucket pair generation with higher-order array functions ->
+    pair dedup.  The signature input is computed exactly once — a
+    band-wise self-join would recompute it per band per side.  Bucket
+    pair-fanout is O(k²) in bucket size, which is inherent to LSH
+    (a hot bucket IS a near-duplicate cluster).
     """
     rows = n_hashes // bands
-    a, b = sig.alias("a"), sig.alias("b")
-    per_band = []
-    for band in range(bands):
-        cols = [f"s{band * rows + r}" for r in range(rows)]
-        cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        for c in cols:
-            cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-        per_band.append(
-            a.join(b, on=cond, how="inner").select(
-                F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
-                *[F.col(f"a.s{i}").alias(f"a_s{i}") for i in range(n_hashes)],
-                *[F.col(f"b.s{i}").alias(f"b_s{i}") for i in range(n_hashes)],
-            )
-        )
-    cands = per_band[0]
-    for p in per_band[1:]:
-        cands = cands.unionByName(p)
-    cands = cands.dropDuplicates(["id_a", "id_b"])
-    matches = sum(
-        (F.col(f"a_s{i}") == F.col(f"b_s{i}")).cast("int") for i in range(n_hashes)
+    sig_struct = F.struct(
+        F.col(id_col).alias("id"), *[F.col(f"s{i}") for i in range(n_hashes)]
     )
-    return cands.select(
-        "id_a",
-        "id_b",
-        (matches.cast("double") / F.lit(float(n_hashes))).alias("est_jaccard"),
+    band_entries = sig.select(
+        sig_struct.alias("m"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        *[
+                            F.col(f"s{band * rows + r}").alias(f"k{r}")
+                            for r in range(rows)
+                        ],
+                    )
+                    for band in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    )
+    buckets = (
+        band_entries.groupBy("bk")
+        .agg(F.sort_array(F.collect_list("m")).alias("members"))
+        .filter(F.size("members") > 1)
+    )
+    # all (i < j) member pairs, ids already ascending via sort_array
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("members"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("members"),
+                            i + F.lit(2),
+                            F.size(F.col("members")),
+                        ),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    matches = sum(
+        (F.col(f"p.a.s{i}") == F.col(f"p.b.s{i}")).cast("int")
+        for i in range(n_hashes)
+    )
+    return (
+        pairs.select(
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.b.id").alias("id_b"),
+            (matches.cast("double") / F.lit(float(n_hashes))).alias("est_jaccard"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

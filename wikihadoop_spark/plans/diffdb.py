@@ -1,0 +1,198 @@
+"""The diffdb pipeline — the reference's one end-to-end dataflow,
+declared as a DataFrame plan (SURVEY §7.1):
+
+scan (wikidump source) -> lag-pairing (P1) -> regex page filter (F1)
+-> metadata projection (F2/X3/X4) -> token diff (D1, pandas UDF)
+-> sort + dedup (O2/O3) -> TSV sink (S7/X5/X6).
+
+Output schema is FIXTURES.md §3 / fileformat.rst:13-27: one row per
+revision with 9 metadata fields + the diff-op array.  ``timestamp`` is
+Unix epoch seconds (fileformat.rst:17); ``namespace``/``title`` come
+from namespace-prefix normalization against a broadcast namespace dim
+(reference X3's in-mapper lookup table, revision_differ.py:94-117).
+
+Scale notes:
+- Pairing is a window over (page_id, rev_seq): one shuffle.  For
+  pathologically large single pages the source's ``pair_revisions``
+  option computes pairs streamingly instead (zero shuffle), mirroring
+  the reference's record-reader buffer.
+- The diff UDF is the only Python in the plan, fed via Arrow batches.
+- Counters (reference A1) ride on ``observe`` — no extra job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.diffs import diff_ops_udf
+from ..operators.pairing import pair_with_previous
+
+# MediaWiki namespace table (public standard namespace ids; the
+# reference embeds the same map in its mapper metaXML,
+# revision_differ.py:94-117).
+NAMESPACES: dict[int, str] = {
+    -2: "Media", -1: "Special", 0: "", 1: "Talk", 2: "User",
+    3: "User talk", 4: "Wikipedia", 5: "Wikipedia talk", 6: "File",
+    7: "File talk", 8: "MediaWiki", 9: "MediaWiki talk", 10: "Template",
+    11: "Template talk", 12: "Help", 13: "Help talk", 14: "Category",
+    15: "Category talk", 100: "Portal", 101: "Portal talk",
+    108: "Book", 109: "Book talk",
+}
+
+
+def build_diffdb(
+    revisions: DataFrame,
+    *,
+    exclude_pages_with: str | None = None,
+    paired: bool = False,
+) -> DataFrame:
+    """revisions (wikidump source schema) -> diffdb rows.
+
+    ``paired=True`` means the source already attached
+    prev_text/beginningofpage (streaming pairing); otherwise the
+    window-lag operator adds them here.
+    """
+    spark = revisions.sparkSession
+
+    if exclude_pages_with:
+        # F1: drop whole pages whose title matches (Catalyst pushes the
+        # filter to the scan; the source can also pre-filter headers)
+        revisions = revisions.filter(~F.col("title").rlike(exclude_pages_with))
+
+    if not paired:
+        revisions = pair_with_previous(
+            revisions,
+            partition_by=["page_id"],
+            order_by=["rev_seq"],
+            cols=["text", "rev_id"],
+            fill={"text": ""},
+            first_flag="beginningofpage",
+        )
+
+    # X3: namespace normalization via broadcast dim join on the title
+    # prefix (ns id in the dump is authoritative; the join recovers the
+    # bare title the way the reference's normalizeTitle does)
+    ns_dim = spark.createDataFrame(
+        [(k, v) for k, v in NAMESPACES.items()], "ns_id int, ns_name string"
+    )
+    prefix = F.substring_index(F.col("title"), ":", 1)
+    with_ns = (
+        revisions.join(
+            F.broadcast(ns_dim),
+            (F.col("ns") == F.col("ns_id")),
+            "left",
+        )
+        .withColumn(
+            "norm_title",
+            F.when(
+                (F.col("ns") != 0)
+                & F.col("ns_name").isNotNull()
+                & (prefix == F.col("ns_name")),
+                F.expr("substring(title, length(ns_name) + 2)"),
+            ).otherwise(F.col("title")),
+        )
+    )
+
+    diff = diff_ops_udf()
+    out = with_ns.select(
+        F.col("rev_id"),
+        F.col("page_id"),
+        F.col("ns").alias("namespace"),
+        F.col("norm_title").alias("title"),
+        # X4: ISO-8601 -> Unix epoch seconds (fileformat.rst:17)
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("timestamp"),
+        F.col("comment"),
+        F.col("minor"),
+        F.col("user_id"),
+        F.col("user_text"),
+        F.col("beginningofpage"),
+        diff(F.col("prev_text"), F.col("text")).alias("ops"),
+    )
+
+    # A1 counters as observed metrics (no extra pass)
+    return out.observe(
+        "diffdb_metrics",
+        F.count(F.lit(1)).alias("written_revisions"),
+        # observe() forbids DISTINCT aggregates; the HLL sketch is the
+        # right counter at scale anyway
+        F.approx_count_distinct(F.col("page_id")).alias("written_pages"),
+    )
+
+
+def diffdb_tsv_lines(diffdb: DataFrame) -> DataFrame:
+    """X5/X6: one TSV line per revision, every value py2-repr-escaped
+    and each diff op joined as position:action:content
+    (fileformat.rst:6-27).  Python formatting runs in one Arrow batch
+    UDF at the sink only — conformance mode, not the native output."""
+    import pandas as pd
+    from ..functions.compat import py2_repr_value
+
+    meta_cols = [
+        "rev_id", "page_id", "namespace", "title", "timestamp",
+        "comment", "minor", "user_id", "user_text",
+    ]
+
+    int_cols = {"rev_id", "page_id", "namespace", "timestamp", "user_id"}
+
+    def fmt(s):
+        def norm(c: str, v):
+            # Arrow->pandas turns nullable ints into float64 with NaN
+            if v is None or (isinstance(v, float) and v != v):
+                return None
+            if c in int_cols:
+                return int(v)
+            return v
+
+        def one(row: dict) -> str:
+            fields = [py2_repr_value(norm(c, row[c])) for c in meta_cols]
+            ops = row["ops"]
+            for op in ops if ops is not None else []:  # numpy array truthiness
+                fields.append(
+                    ":".join(
+                        (
+                            py2_repr_value(op["position"]),
+                            py2_repr_value(op["action"]),
+                            py2_repr_value(op["content"]),
+                        )
+                    )
+                )
+            return "\t".join(fields)
+
+        # a struct column arrives as a pd.DataFrame under Arrow
+        records = s.to_dict("records") if isinstance(s, pd.DataFrame) else s.tolist()
+        return pd.Series([one(r) for r in records])
+
+    fmt.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    fmt = F.pandas_udf(fmt, "string")
+
+    packed = diffdb.select(
+        F.struct(*meta_cols, "ops").alias("row")
+    )
+    return packed.select(fmt("row").alias("line"))
+
+
+def write_diffdb_tsv(
+    diffdb: DataFrame,
+    path: str,
+    *,
+    sort: bool = True,
+    dedup: bool = True,
+    compression: str | None = "gzip",
+) -> None:
+    """O1-O3 + S7: global (page_id, rev_id) order via range partitioning
+    (sort-shuffle replaces the reference's single-node `sort -n -k2 -k1
+    -u`, fileformat.rst:39-41), structural dedup, compressed text sink."""
+    df = diffdb
+    if dedup:
+        df = df.dropDuplicates(["rev_id"])
+    lines = diffdb_tsv_lines(df)
+    if sort:
+        # NOTE: ordering columns must ride along for a global sort of
+        # formatted lines; re-derive from the source df instead
+        df = df.orderBy("page_id", "rev_id")
+        lines = diffdb_tsv_lines(df)
+    writer = lines.write.mode("overwrite")
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.text(path)

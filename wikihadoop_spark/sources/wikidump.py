@@ -1,0 +1,396 @@
+"""wikidump — Spark Python DataSource for MediaWiki full-history XML dumps.
+
+The reference (whym/wikihadoop) solves this with a Hadoop InputFormat:
+a driver-side full-file scan plans page-aligned splits
+(StreamWikiDumpInputFormat.java:183-272), a per-split page-offset
+pre-scan builds a boundary index (:515-554), and a record reader
+re-emits one synthesized XML record per revision (:360-432), pairing
+each revision with its predecessor in a one-revision buffer (:427-429).
+Known defects: duplicated rows across bz2 splits (<0.02%, Issue #1)
+and missing rows (<0.003%, Issue #2).
+
+This source keeps the reference's two good ideas — byte-level 4-tag
+scanning (only ``<page>``, ``</page>``, ``<revision``, ``</revision>``
+are ever searched for, README.rst:264-271) and bounded per-record
+memory — and replaces the physical strategy with Spark-native design:
+
+- **No driver-side data scan.**  Partitions are fixed byte ranges
+  planned from file sizes only (the reference's planning scan could
+  take >6000 s, README.rst:246-250).  Each task re-syncs to the first
+  ``<page>`` tag at-or-after its range start.
+- **Exactly-once by the owner rule.**  A page belongs to the partition
+  in whose [start, end) range its ``<page>`` tag begins; a partition
+  reads past its end to finish its last owned page.  Duplicates and
+  gaps are structurally impossible (vs the reference's statistical
+  bounds above).
+- **Flat typed rows, not XML blobs.**  Revisions come out as columns
+  (FIXTURES.md §1); downstream pairing is a window ``lag`` — or
+  source-side streaming pairing (``pair_revisions`` option) for
+  pathological multi-GB page histories, the analog of the reference's
+  prevRevision buffer.
+- **Column pruning.**  The reader receives the pruned schema and
+  skips wikitext extraction when ``text``/``prev_text`` are not
+  selected — the lazy-parse strategy the reference documents
+  (README.rst:264-271) done through the engine instead of by hand.
+
+Compressed dumps (.bz2/.gz) read as one partition per file via
+streaming decompression; uncompressed files split.  (Block-aligned
+bz2 splitting — reference SeekableInputStream.java:50-57 — needs a
+block-boundary index; planned follow-up: a sidecar index file, since
+pure-Python bz2 exposes no block seeks.)
+"""
+
+from __future__ import annotations
+
+import bz2
+import gzip
+import io
+import os
+import re
+from dataclasses import dataclass
+from datetime import datetime
+from glob import glob
+from typing import TYPE_CHECKING, Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame, SparkSession
+
+PAGE_OPEN = b"<page>"
+PAGE_CLOSE = b"</page>"
+REV_OPEN = b"<revision"
+REV_CLOSE = b"</revision>"
+
+BASE_SCHEMA_DDL = (
+    "page_id long, title string, ns int, redirect string, "
+    "rev_id long, rev_seq int, parent_id long, ts timestamp_ntz, "
+    "comment string, minor boolean, model string, format string, "
+    "user_id long, user_text string, user_ip string, "
+    "sha1 string, text_bytes long, text string"
+)
+PAIRED_EXTRA_DDL = "prev_rev_id long, prev_text string, beginningofpage boolean"
+
+
+class _TagScanner:
+    """Incremental multi-tag search over a byte stream with bounded
+    buffering (the only state is the current chunk + a small carry)."""
+
+    def __init__(self, stream: io.RawIOBase, base_offset: int = 0, chunk: int = 1 << 20):
+        self._stream = stream
+        self._chunk = chunk
+        self._buf = b""
+        self._buf_start = base_offset  # absolute offset of _buf[0]
+        self._eof = False
+
+    def _fill(self) -> bool:
+        data = self._stream.read(self._chunk)
+        if not data:
+            self._eof = True
+            return False
+        self._buf += data
+        return True
+
+    def find_first(
+        self, tags: list[bytes], capture: bool = True
+    ) -> tuple[int, int, bytes] | None:
+        """Find the earliest occurrence of any tag.  Returns
+        (tag_index, absolute_offset_of_tag, bytes_before_tag) and
+        consumes through the end of the tag.  None at EOF.
+
+        With ``capture`` the pre-tag bytes accumulate in the buffer
+        (bounded by one record, like the reference's per-record
+        buffers); without it the buffer is trimmed to a tag-prefix
+        tail while skipping — constant memory over arbitrarily long
+        skipped regions."""
+        longest = max(len(t) for t in tags)
+        search_from = 0
+        while True:
+            best: tuple[int, int] | None = None  # (pos, tag_idx)
+            for i, tag in enumerate(tags):
+                pos = self._buf.find(tag, search_from)
+                if pos != -1 and (best is None or pos < best[0]):
+                    best = (pos, i)
+            if best is not None:
+                pos, i = best
+                before = self._buf[:pos] if capture else b""
+                abs_pos = self._buf_start + pos
+                consumed = pos + len(tags[i])
+                self._buf_start += consumed
+                self._buf = self._buf[consumed:]
+                return i, abs_pos, before
+            # no match in the searched region: anything before the last
+            # longest-1 bytes can never start a tag
+            search_from = max(0, len(self._buf) - (longest - 1))
+            if not capture and search_from > 0:
+                self._buf_start += search_from
+                self._buf = self._buf[search_from:]
+                search_from = 0
+            if self._eof or not self._fill():
+                return None
+
+    def skip_to(self, tag: bytes) -> int | None:
+        """Consume until after `tag`; return its absolute offset."""
+        found = self.find_first([tag], capture=False)
+        return None if found is None else found[1]
+
+
+_TAG_TEXT = re.compile(rb"<text[^>]*>(.*?)</text>", re.DOTALL)
+_SELF_CLOSED_TEXT = re.compile(rb"<text[^>]*/>")
+
+
+def _extract(fragment: bytes, tag: str) -> bytes | None:
+    """First <tag>...</tag> content in an XML fragment, or None.  The
+    4-tag outer grammar guarantees fragments are small; inner fields
+    are extracted with targeted scans, not a DOM parse."""
+    open_pat = ("<" + tag).encode()
+    start = fragment.find(open_pat)
+    if start == -1:
+        return None
+    gt = fragment.find(b">", start)
+    if gt == -1:
+        return None
+    if fragment[gt - 1 : gt] == b"/":  # self-closed
+        return b""
+    close_pat = ("</" + tag + ">").encode()
+    end = fragment.find(close_pat, gt + 1)
+    if end == -1:
+        return None
+    return fragment[gt + 1 : end]
+
+
+_ENTITIES = {b"&lt;": b"<", b"&gt;": b">", b"&quot;": b'"', b"&#039;": b"'", b"&amp;": b"&"}
+
+
+def _unescape(raw: bytes | None) -> str | None:
+    if raw is None:
+        return None
+    # &amp; last so double-escapes decode correctly
+    for ent, ch in _ENTITIES.items():
+        if ent in raw:
+            raw = raw.replace(ent, ch)
+    return raw.decode("utf-8", errors="replace")
+
+
+def _parse_ts(raw: str | None) -> datetime | None:
+    if not raw:
+        return None
+    return datetime.fromisoformat(raw.rstrip("Z"))
+
+
+@dataclass
+class _PageHeader:
+    page_id: int | None
+    title: str | None
+    ns: int | None
+    redirect: str | None
+
+
+def _parse_header(header: bytes) -> _PageHeader:
+    title = _unescape(_extract(header, "title"))
+    ns_raw = _extract(header, "ns")
+    ns = int(ns_raw) if ns_raw not in (None, b"") else None
+    pid_raw = _extract(header, "id")
+    page_id = int(pid_raw) if pid_raw not in (None, b"") else None
+    redirect = None
+    rm = re.search(rb'<redirect title="([^"]*)"', header)
+    if rm:
+        redirect = _unescape(rm.group(1))
+    return _PageHeader(page_id, title, ns, redirect)
+
+
+def _parse_revision(frag: bytes, want_text: bool) -> dict:
+    """Parse one <revision> fragment body (without the outer tags).
+
+    Contributor semantics mirror the reference's output contract
+    (fileformat.rst:13-25, revision_differ.py:143-148): registered ->
+    (user_id, user_text); anonymous -> user_ip only; deleted -> all
+    null.  Absent/deleted comment -> null.  Missing text -> ''.
+    """
+    rev_id_raw = _extract(frag, "id")
+    parent_raw = _extract(frag, "parentid")
+    row: dict = {
+        "rev_id": int(rev_id_raw) if rev_id_raw else None,
+        "parent_id": int(parent_raw) if parent_raw else None,
+        "ts": _parse_ts(_unescape(_extract(frag, "timestamp"))),
+        "minor": b"<minor" in frag,
+        "model": _unescape(_extract(frag, "model")),
+        "format": _unescape(_extract(frag, "format")),
+        "sha1": _unescape(_extract(frag, "sha1")),
+        "user_id": None,
+        "user_text": None,
+        "user_ip": None,
+        "comment": None,
+        "text": None,
+        "text_bytes": None,
+    }
+    comment = _extract(frag, "comment")
+    if comment is not None and b'deleted="deleted"' not in frag[: frag.find(b"<comment") + 60]:
+        row["comment"] = _unescape(comment)
+    contrib = _extract(frag, "contributor")
+    if contrib:  # empty bytes == deleted contributor (self-closed)
+        uid = _extract(contrib, "id")
+        row["user_id"] = int(uid) if uid not in (None, b"") else None
+        row["user_text"] = _unescape(_extract(contrib, "username"))
+        row["user_ip"] = _unescape(_extract(contrib, "ip"))
+        if row["user_text"] is None and row["user_ip"] is not None:
+            row["user_text"] = row["user_ip"]
+    tm = _TAG_TEXT.search(frag)
+    if tm:
+        body = tm.group(1)
+        row["text_bytes"] = len(body)
+        if want_text:
+            row["text"] = _unescape(body) or ""
+    elif _SELF_CLOSED_TEXT.search(frag) is not None:
+        row["text_bytes"] = 0
+        if want_text:
+            row["text"] = ""
+    elif want_text:
+        row["text"] = ""
+    return row
+
+
+@dataclass
+class WikidumpPartition(InputPartition):
+    path: str
+    start: int
+    end: int  # ownership range end; reading may continue past it
+    codec: str  # "plain" | "bz2" | "gz"
+
+
+class WikidumpReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self._full_schema = schema
+        self._options = options
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("wikidump source requires a path")
+        self._split_size = int(options.get("splitsize", 32 * 1024 * 1024))
+        self._exclude = options.get("excludepageswith")
+        self._paired = str(options.get("pair_revisions", "false")).lower() == "true"
+
+    # -- planning: metadata only, no data scan (vs reference getSplits) --
+
+    def partitions(self) -> list[WikidumpPartition]:
+        paths = sorted(glob(self._path)) if any(c in self._path for c in "*?[") else [
+            self._path
+        ]
+        if not paths:
+            raise FileNotFoundError(self._path)
+        parts: list[WikidumpPartition] = []
+        for p in paths:
+            size = os.path.getsize(p)
+            if p.endswith(".bz2"):
+                parts.append(WikidumpPartition(p, 0, 1 << 62, "bz2"))
+            elif p.endswith(".gz"):
+                parts.append(WikidumpPartition(p, 0, 1 << 62, "gz"))
+            else:
+                n = max(1, (size + self._split_size - 1) // self._split_size)
+                step = (size + n - 1) // n
+                for i in range(n):
+                    start = i * step
+                    end = min(size, start + step) if i < n - 1 else 1 << 62
+                    parts.append(WikidumpPartition(p, start, end, "plain"))
+        return parts
+
+    # -- execution ----------------------------------------------------------
+
+    def read(self, partition: WikidumpPartition) -> Iterator[tuple]:
+        fields = [f.name for f in self._full_schema.fields]
+        want_text = "text" in fields or "prev_text" in fields
+        exclude = re.compile(self._exclude.encode()) if self._exclude else None
+
+        if partition.codec == "plain":
+            f = open(partition.path, "rb")
+            f.seek(partition.start)
+            scanner = _TagScanner(f, base_offset=partition.start)
+        elif partition.codec == "bz2":
+            f = bz2.open(partition.path, "rb")
+            scanner = _TagScanner(f, base_offset=0)
+        else:
+            f = gzip.open(partition.path, "rb")
+            scanner = _TagScanner(f, base_offset=0)
+
+        try:
+            yield from self._read_pages(scanner, partition, fields, want_text, exclude)
+        finally:
+            f.close()
+
+    def _read_pages(self, scanner, partition, fields, want_text, exclude):
+        while True:
+            # Owner rule: only pages whose <page> tag starts inside
+            # [start, end) belong to this partition.
+            page_pos = scanner.skip_to(PAGE_OPEN)
+            if page_pos is None or page_pos >= partition.end:
+                return
+            # header = bytes until the first <revision or </page>
+            # (a page may legitimately carry zero revisions)
+            found = scanner.find_first([REV_OPEN, PAGE_CLOSE])
+            if found is None:
+                return
+            tag_idx, _, header = found
+            if exclude is not None and exclude.search(header):
+                # reference F1: skip the whole page before parsing any
+                # revision (StreamWikiDumpInputFormat.java:387-393)
+                if tag_idx == 0:
+                    scanner.skip_to(PAGE_CLOSE)
+                continue
+            hdr = _parse_header(header)
+            rev_seq = 0
+            prev_text = ""
+            prev_rev_id = None
+            while tag_idx == 0:  # at a <revision
+                found = scanner.find_first([REV_CLOSE])
+                if found is None:
+                    return
+                frag = found[2]
+                rev_seq += 1
+                row = _parse_revision(frag, want_text)
+                base = {
+                    "page_id": hdr.page_id,
+                    "title": hdr.title,
+                    "ns": hdr.ns,
+                    "redirect": hdr.redirect,
+                    "rev_seq": rev_seq,
+                    **row,
+                }
+                if self._paired:
+                    base["prev_rev_id"] = prev_rev_id
+                    base["prev_text"] = prev_text if want_text else None
+                    base["beginningofpage"] = rev_seq == 1
+                    prev_rev_id = base["rev_id"]
+                    prev_text = base["text"] if want_text else ""
+                yield tuple(base.get(c) for c in fields)
+                nxt = scanner.find_first([REV_OPEN, PAGE_CLOSE])
+                if nxt is None:
+                    return
+                tag_idx = nxt[0]
+
+
+class WikidumpDataSource(DataSource):
+    """spark.read.format("wikidump").option("path", ...).load()"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "wikidump"
+
+    def schema(self) -> str:
+        if str(self.options.get("pair_revisions", "false")).lower() == "true":
+            return f"{BASE_SCHEMA_DDL}, {PAIRED_EXTRA_DDL}"
+        return BASE_SCHEMA_DDL
+
+    def reader(self, schema: StructType) -> WikidumpReader:
+        return WikidumpReader(schema, dict(self.options))
+
+
+def register_wikidump(spark: "SparkSession") -> None:
+    spark.dataSource.register(WikidumpDataSource)
+
+
+def read_wikidump(spark: "SparkSession", path: str, **options) -> "DataFrame":
+    register_wikidump(spark)
+    reader = spark.read.format("wikidump").option("path", path)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
