@@ -1,0 +1,71 @@
+"""Multimodal plumbing tests: schemas, Arrow batch shapes, determinism
+across repartitioning, and the real-backend gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from wikihadoop_spark.multimodal.media import (
+    audio_features,
+    image_metadata,
+    image_resize,
+    synthetic_media,
+    video_frame_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return synthetic_media(spark, n=40)
+
+
+def test_image_metadata(spark, media):
+    rows = {r.media_id: r for r in image_metadata(media).collect()}
+    assert len(rows) == 40
+    r = rows[0]
+    assert r.width > 0 and r.height > 0 and r.channels == 3
+    assert len(r.content_hash) == 16
+
+
+def test_determinism_across_partitioning(spark, media):
+    a = sorted(map(tuple, image_metadata(media).collect()))
+    b = sorted(map(tuple, image_metadata(media.repartition(7)).collect()))
+    assert a == b
+
+
+def test_image_resize_bytes(spark, media):
+    rows = image_resize(media, width=64, height=64).collect()
+    assert all(isinstance(bytes(r.thumb), bytes) and len(r.thumb) >= 16 for r in rows)
+    assert all(r.thumb_width == 64 for r in rows)
+
+
+def test_audio_features_vector(spark, media):
+    rows = audio_features(media, n_features=8).collect()
+    assert all(len(r.features) == 8 for r in rows)
+    assert all(-1.0 <= v <= 1.0 for r in rows for v in r.features)
+
+
+def test_video_frame_fanout(spark, media):
+    frames = video_frame_sample(media, max_frames=4).collect()
+    by_id: dict[int, list] = {}
+    for r in frames:
+        by_id.setdefault(r.media_id, []).append(r.frame_idx)
+    assert len(by_id) == 40
+    assert all(1 <= len(v) <= 4 for v in by_id.values())
+    # frame_idx strides by every_n_frames
+    assert all(sorted(v) == [i * 30 for i in range(len(v))] for v in by_id.values())
+
+
+def test_real_backend_gated(spark, media):
+    with pytest.raises(NotImplementedError, match="backend='fake'"):
+        image_metadata(media, backend="real")
+
+
+def test_metadata_only_projection_skips_payload(spark, media, tmp_path):
+    """meta-only reads must not touch payload chunks: verify the scan's
+    ReadSchema excludes the binary column."""
+    p = str(tmp_path / "media")
+    media.write.parquet(p)
+    df = spark.read.parquet(p).select("media_id", "kind", "meta.mime")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "payload" not in plan

@@ -1,0 +1,176 @@
+"""Binary-column media operators over mapInPandas.
+
+Data model: one row per media object —
+  ``media_id long, kind string, payload binary, meta struct<...>``
+(the metadata struct travels WITH the row so downstream filters prune
+without touching payload bytes; Parquet stores binary columns in their
+own chunks, so a metadata-only projection never reads them).
+
+Execution model: every operator is ``mapInPandas`` over Arrow batches —
+payload bytes cross into Python once per batch, not per row, and the
+operator streams batch-by-batch (constant memory per task regardless
+of partition size).  Partitioning guidance for 100 TB: media tables
+should be written with payloads bucketed by media_id and a row-group
+size tuned so one Arrow batch of payloads fits executor memory
+(spark.sql.parquet.columnarReaderBatchSize / maxRecordsPerBatch).
+
+The codec itself is environment-dependent and stubbed here:
+- backend="fake": deterministic pseudo-decode derived from the payload
+  hash — stable across runs/partitionings, so tests exercise the full
+  plumbing.
+- backend="real": gated behind import of the optional libs (PIL etc.,
+  absent in this container) — raises NotImplementedError with a clear
+  message.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, "
+    "meta struct<source:string, created_ts:timestamp_ntz, mime:string>"
+)
+
+
+def _require_real_backend(feature: str):
+    try:
+        import PIL  # noqa: F401
+
+        return
+    except ImportError:
+        raise NotImplementedError(
+            f"{feature}: real media decoding needs optional libraries "
+            "(PIL/torchaudio/av) that are not installed in this "
+            "environment; use backend='fake' for pipeline testing"
+        )
+
+
+def _h(payload: bytes, salt: bytes = b"") -> bytes:
+    return hashlib.sha256(salt + (payload or b"")).digest()
+
+
+def _fake_dims(payload: bytes) -> tuple[int, int, int]:
+    d = _h(payload, b"dims")
+    return 64 + d[0] % 192 * 16, 64 + d[1] % 108 * 16, 3
+
+
+def image_metadata(df: DataFrame, *, backend: str = "fake") -> DataFrame:
+    """payload -> (width, height, channels, content_hash): the decode/
+    inspect step of an image pipeline."""
+    if backend != "fake":
+        _require_real_backend("image_metadata")
+    import pandas as pd
+
+    out_schema = (
+        "media_id long, width int, height int, channels int, content_hash string"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, c = _fake_dims(payload)
+                rows.append(
+                    (media_id, w, h, c, _h(payload).hex()[:16])
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "channels", "content_hash"]
+            )
+
+    return df.select("media_id", "payload").mapInPandas(op, out_schema)
+
+
+def image_resize(
+    df: DataFrame, *, width: int, height: int, backend: str = "fake"
+) -> DataFrame:
+    """payload -> resized payload (thumbnailing).  Fake backend emits a
+    deterministic pseudo-thumbnail (hash-derived bytes of the right
+    nominal size class) so downstream byte-handling code is exercised."""
+    if backend != "fake":
+        _require_real_backend("image_resize")
+    import pandas as pd
+
+    out_schema = "media_id long, thumb binary, thumb_width int, thumb_height int"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                seed = _h(payload, b"resize")
+                nominal = max(16, (width * height) // 128)
+                thumb = (seed * (nominal // len(seed) + 1))[:nominal]
+                rows.append((media_id, thumb, width, height))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "thumb", "thumb_width", "thumb_height"]
+            )
+
+    return df.select("media_id", "payload").mapInPandas(op, out_schema)
+
+
+def audio_features(
+    df: DataFrame, *, n_features: int = 16, backend: str = "fake"
+) -> DataFrame:
+    """payload -> fixed-size feature vector (the MFCC-extraction shape:
+    binary in, array<float> out)."""
+    if backend != "fake":
+        _require_real_backend("audio_features")
+    import pandas as pd
+
+    out_schema = "media_id long, features array<float>, duration_ms int"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                seed = _h(payload, b"audio")
+                feats = [
+                    (seed[i % len(seed)] - 128) / 128.0 for i in range(n_features)
+                ]
+                rows.append((media_id, feats, 1000 + seed[0] * 37))
+            yield pd.DataFrame(rows, columns=["media_id", "features", "duration_ms"])
+
+    return df.select("media_id", "payload").mapInPandas(op, out_schema)
+
+
+def video_frame_sample(
+    df: DataFrame, *, every_n_frames: int = 30, max_frames: int = 8,
+    backend: str = "fake",
+) -> DataFrame:
+    """payload -> exploded frame rows (media_id, frame_idx, frame
+    payload): the one-to-many UDTF shape of frame sampling.  One input
+    batch yields a variable number of output rows — mapInPandas handles
+    the fan-out without a separate explode."""
+    if backend != "fake":
+        _require_real_backend("video_frame_sample")
+    import pandas as pd
+
+    out_schema = "media_id long, frame_idx int, frame binary"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                seed = _h(payload, b"video")
+                n = 1 + seed[0] % max_frames
+                for i in range(n):
+                    rows.append(
+                        (media_id, i * every_n_frames, _h(payload, bytes([i])))
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
+
+    return df.select("media_id", "payload").mapInPandas(op, out_schema)
+
+
+def synthetic_media(spark, n: int = 50, kind: str = "image") -> DataFrame:
+    """Deterministic synthetic media table for tests (payload bytes are
+    hash-derived; no media libraries involved)."""
+    rows = []
+    for i in range(n):
+        payload = (_h(str(i).encode(), b"gen") * 8)[: 64 + (i * 13) % 512]
+        rows.append((i, kind, payload, (f"src{i % 5}", None, f"{kind}/x-fake")))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

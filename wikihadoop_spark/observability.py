@@ -1,0 +1,42 @@
+"""Job counters / observed metrics (reference operators A1-A3).
+
+The reference counts FOUND_PAGES / WRITTEN_PAGES / WRITTEN_REVISIONS /
+SKIPPED_PAGES through Hadoop counters
+(StreamWikiDumpInputFormat.java:589-591) and a stderr protocol from the
+streaming mapper (revision_differ.py:166).  Spark-first, the same
+surface is ``df.observe`` + ``pyspark.sql.Observation``: metrics ride
+the existing action (no extra job), aggregate across tasks like
+accumulators, and are exact for counts.  Progress (A3) is the Spark UI
+/ task metrics — free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+
+def observed_counts(
+    df: DataFrame, **named_conditions
+) -> tuple[DataFrame, Observation]:
+    """Attach counter metrics to a DataFrame without an extra pass.
+
+    ``named_conditions`` maps counter name -> boolean Column (or None
+    for a plain row count).  After any action on the returned
+    DataFrame, ``observation.get`` yields the counts.
+
+        df, obs = observed_counts(rows, total=None,
+                                  skipped=F.col("ns") != 0)
+        df.write...   # runs the job
+        obs.get       # {'total': ..., 'skipped': ...}
+    """
+    obs = Observation()
+    metrics = []
+    for name, cond in named_conditions.items():
+        if cond is None:
+            metrics.append(F.count(F.lit(1)).alias(name))
+        else:
+            metrics.append(F.sum(cond.cast("long")).alias(name))
+    if not metrics:
+        metrics = [F.count(F.lit(1)).alias("rows")]
+    return df.observe(obs, *metrics), obs

@@ -1438,3 +1438,214 @@ def range_join_near_orders(spark: SparkSession, sf: str) -> DataFrame:
         width_seconds=2 * 86400,
         count_col="n_near",
     )
+
+
+# ===========================================================================
+# SimHash near-dup + embedding-cosine dedup + subqueries  (batch 2)
+# ===========================================================================
+
+_SIMHASH_BITS = 16
+
+
+def _sql_simhash_sig() -> str:
+    bits = ",\n      ".join(
+        f"CASE WHEN SUM(CASE WHEN (x >> {b}) & 1 = 1 THEN 1 ELSE -1 END) >= 0"
+        f" THEN {1 << b} ELSE 0 END AS bit{b}"
+        for b in range(_SIMHASH_BITS)
+    )
+    total = " + ".join(f"bit{b}" for b in range(_SIMHASH_BITS))
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS tk FROM documents
+    ), hx AS (
+      SELECT doc_id, ('0x' || substr(md5(tk), 1, 15))::BIGINT % {MERSENNE31} AS x FROM tok
+    ), votes AS (
+      SELECT doc_id, {bits} FROM hx GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM votes
+    """
+
+
+@query("simhash_signatures", oracle=_sql_simhash_sig())
+def simhash_signatures_q(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash: per-bit weighted votes over token hashes -> one shuffle
+    with map-side partial sums; near-dup distance is then hamming on a
+    single bigint (the classic Charikar sketch)."""
+    from .operators.dedup import hash31, tokens
+
+    t = Tables(spark, sf)
+    tok = t.documents.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tk")
+    ).withColumn("x", hash31(F.col("tk")))
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.when(
+                F.sum(
+                    F.when(F.shiftright(F.col("x"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+                )
+                >= 0,
+                F.lit(1 << b),
+            )
+            .otherwise(0)
+            .alias(f"bit{b}")
+            for b in range(_SIMHASH_BITS)
+        ]
+    )
+    total = sum(F.col(f"bit{b}") for b in range(_SIMHASH_BITS))
+    return votes.select("doc_id", total.cast("bigint").alias("simhash"))
+
+
+@query(
+    "simhash_near_pairs",
+    oracle=f"""
+    WITH sig AS ({_sql_simhash_sig()}),
+    src AS (SELECT d.doc_id, d.source, s.simhash FROM documents d JOIN sig s ON d.doc_id = s.doc_id)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS INTEGER) AS hamming
+    FROM src a JOIN src b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= 6
+    """,
+)
+def simhash_near_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup candidates: hamming distance over simhash within a
+    blocking key.  (At scale the block is a band of simhash prefix
+    bits, making this an equi-join; source is the demo block here.)"""
+    sig = simhash_signatures_q(spark, sf)
+    t = Tables(spark, sf)
+    src = t.documents.select("doc_id", "source").join(sig, "doc_id")
+    a = src.select(
+        F.col("source"),
+        F.col("doc_id").alias("id_a"),
+        F.col("simhash").alias("sh_a"),
+    )
+    b = src.select(
+        F.col("source"),
+        F.col("doc_id").alias("id_b"),
+        F.col("simhash").alias("sh_b"),
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
+    return (
+        a.join(b, "source")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 6)
+    )
+
+
+@query(
+    "embedding_cosine_dedup",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 9) AS cosine_sim
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 9) >= 0.35
+    """,
+)
+def embedding_cosine_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within a blocking key
+    (label stands in for an LSH bucket): the semantic-dedup pass of a
+    training-data pipeline."""
+    from .operators.similarity import cosine
+
+    t = Tables(spark, sf)
+    v = t.embeddings.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    a = v.select(
+        F.col("label"), F.col("vec_id").alias("id_a"), F.col("e").alias("ea")
+    )
+    b = v.select(
+        F.col("label"), F.col("vec_id").alias("id_b"), F.col("e").alias("eb")
+    )
+    sim = F.round(cosine(F.col("ea"), F.col("eb")), 9)
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= 0.35)
+    )
+
+
+@query(
+    "scalar_subquery",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+    """,
+)
+def scalar_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """Uncorrelated scalar subquery (Catalyst plans a broadcast of the
+    1-row aggregate).  avg over doubles is order-dependent but only
+    feeds a > predicate — values in the output are raw column data, so
+    cross-engine comparison is still exact unless a customer sits
+    within float-noise of the mean (not the case in this data)."""
+    t = Tables(spark, sf)
+    t.register_views(("customer",))
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+        """
+    )
+
+
+@query(
+    "correlated_exists",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45
+    )
+    """,
+)
+def correlated_exists(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated EXISTS — decorrelated by Catalyst into a left-semi
+    join on the pushed-down predicate."""
+    t = Tables(spark, sf)
+    t.register_views(("orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders o
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45
+        )
+        """
+    )
+
+
+@query("text_diff_adjacent")  # no oracle: Myers diff is not SQL-expressible
+def text_diff_adjacent(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's diff operator (D1) through the driver harness:
+    token-diff each document against the previous one from the same
+    source (lag pairing P1 + diff UDF D1 on relational data).  Driver
+    records a rows-only check."""
+    from .functions.diffs import diff_ops_udf
+    from .operators.pairing import pair_with_previous
+
+    t = Tables(spark, sf)
+    paired = pair_with_previous(
+        t.documents,
+        partition_by=["source"],
+        order_by=["doc_id"],
+        cols=["text"],
+        fill={"text": ""},
+        first_flag="is_first",
+    )
+    diff = diff_ops_udf()
+    return paired.select(
+        "doc_id",
+        "source",
+        "is_first",
+        F.size(diff(F.col("prev_text"), F.col("text"))).alias("n_ops"),
+    )
