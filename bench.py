@@ -61,6 +61,8 @@ def main() -> None:
         QUERIES[name](spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    wikidump = _bench_wikidump(spark)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -70,10 +72,89 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "wikidump": wikidump,
             }
         )
     )
     spark.stop()
+
+
+def _bench_wikidump(spark) -> dict:
+    """Full diffdb pipeline over a deterministic synthetic dump —
+    comparable to BASELINE.md's GB(raw XML)/core-hour full-pipeline
+    rate (~1.3 derived from fileformat.rst:37-41).  The dump (~60 MB,
+    3-8 KB wikitext bodies, small consecutive edits) is generated once
+    and cached in /tmp."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from wikihadoop_spark.plans.diffdb import build_diffdb
+    from wikihadoop_spark.sources.wikidump import read_wikidump
+
+    path = "/tmp/wikihadoop_bench_dump.xml"
+    target = 60_000_000
+    if not (os.path.exists(path) and os.path.getsize(path) >= target):
+        rng = random.Random(7)
+        words = (
+            "the quick brown fox jumps over lazy dog wiki article section "
+            "reference citation template category"
+        ).split()
+        out = ["<mediawiki>\n<siteinfo><sitename>B</sitename></siteinfo>\n"]
+        rid, pid, size = 1, 0, 0
+        while size < target:
+            pid += 1
+            body = " ".join(rng.choice(words) for _ in range(rng.randrange(400, 1200)))
+            revs = []
+            for r in range(rng.randrange(2, 8)):
+                rid += 1
+                body += " " + " ".join(rng.choice(words) for _ in range(10))
+                revs.append(
+                    f"    <revision>\n      <id>{rid}</id>\n"
+                    f"      <timestamp>2022-05-{r + 1:02d}T00:00:00Z</timestamp>\n"
+                    f"      <contributor><username>U</username><id>1</id></contributor>\n"
+                    f'      <text xml:space="preserve">{body}</text>\n    </revision>\n'
+                )
+            pg = (
+                f"  <page>\n    <title>Article {pid}</title>\n    <ns>0</ns>\n"
+                f"    <id>{pid}</id>\n" + "".join(revs) + "  </page>\n"
+            )
+            out.append(pg)
+            size += len(pg)
+        out.append("</mediawiki>\n")
+        with open(path, "w") as fh:
+            fh.write("".join(out))
+
+    size = os.path.getsize(path)
+    size_gb = size / 1e9
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # split so every core gets work (floor 2 MB to keep task overhead sane)
+    split = max(2 * 1024 * 1024, size // cpus)
+
+    def run() -> float:
+        # source-side streaming pairing: zero shuffle of text bodies
+        # (the window variant shuffles 2x the corpus; equivalence of
+        # the two is asserted in tests/test_diffdb.py)
+        revs = read_wikidump(
+            spark, path, splitSize=str(split), pair_revisions="true"
+        )
+        t0 = time.perf_counter()
+        (
+            build_diffdb(revs, paired=True)
+            .select(F.sum(F.size("ops")).alias("ops"), F.count(F.lit(1)).alias("rows"))
+            .collect()
+        )
+        return time.perf_counter() - t0
+
+    run()  # warm python workers + codegen for this pipeline shape
+    dt = run()
+    busy_cores = min(cpus, max(1, size // split))
+    return {
+        "input_gb": round(size_gb, 3),
+        "sec": round(dt, 2),
+        "cores": busy_cores,
+        "gb_per_core_hour": round(size_gb / (dt / 3600) / busy_cores, 2),
+    }
 
 
 if __name__ == "__main__":

@@ -1,0 +1,103 @@
+"""Physical-plan assertions: the engine must not just be correct, it
+must produce the plans you'd want at 100 TB — filters pushed to the
+scan, columns pruned, small dims broadcast, top-k limits pushed below
+sorts, aggregates partial+final.  These tests pin those properties so
+a regression in plan shape fails CI, not a cluster run."""
+
+from __future__ import annotations
+
+import pytest
+
+from wikihadoop_spark.relational import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    return QUERIES[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(spark, name: str) -> str:
+    return QUERIES[name](spark, SF)._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_and_projection_pushed_to_scan(spark):
+    plan = plan_of(spark, "scan_filter_project")
+    # predicate reaches the parquet reader
+    assert "PushedFilters: [" in plan and "l_discount" in plan.split("PushedFilters")[1][:200]
+    # column pruning: text-heavy columns are absent from ReadSchema
+    read_schema = plan.split("ReadSchema:")[1]
+    assert "l_comment" not in read_schema and "l_tax" not in read_schema
+
+
+def test_star_join_broadcasts_dims(spark):
+    plan = plan_of(spark, "q5_revenue_by_nation")
+    assert plan.count("BroadcastHashJoin") >= 3
+    # the fact table must not be exchanged for the dim joins
+    assert "SortMergeJoin" not in plan.split("lineitem")[0]
+
+
+def test_topk_pushes_limit_below_sort(spark):
+    plan = plan_of(spark, "sort_topk_global")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_window_group_limit(spark):
+    """The top-k operator (single ranking window + filter) must plan a
+    WindowGroupLimit — per-partition top-k before the exchange.  (The
+    window_rank_topk catalog query stacks a second window, which
+    legitimately blocks the pushdown.)"""
+    from pyspark.sql import functions as F
+
+    from wikihadoop_spark.catalog import load_table
+    from wikihadoop_spark.operators.topk import top_k_per_group
+
+    orders = load_table(spark, SF, "orders")
+    df = top_k_per_group(
+        orders,
+        partition_by=["o_custkey"],
+        order_by=[F.col("o_totalprice").desc(), "o_orderkey"],
+        k=3,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_q1_partial_final_aggregate(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    # map-side combine: two HashAggregate levels around one Exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan
+
+
+def test_asof_join_single_shuffle(spark):
+    """The union-window as-of join must not degenerate into a join —
+    one hash-partition exchange on the key, then window."""
+    plan = plan_of(spark, "asof_join_events_orders")
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_is_equi_join(spark):
+    """Bucketed range join plans as a hash join on the bucket id, never
+    a nested-loop over the cross product."""
+    plan = plan_of(spark, "range_join_near_orders")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semi_anti_decorrelation(spark):
+    for name in ("join_semi", "correlated_exists"):
+        plan = plan_of(spark, name)
+        assert "LeftSemi" in plan, name
+    assert "LeftAnti" in plan_of(spark, "join_anti")
+
+
+def test_minhash_single_shuffle_signature(spark):
+    """Signature aggregation must do map-side partial mins."""
+    plan = plan_of(spark, "minhash_signatures")
+    assert "partial_min" in plan
+
+
+def test_similarity_broadcasts_queries(spark):
+    plan = plan_of(spark, "similarity_topk")
+    assert "Broadcast" in plan

@@ -119,3 +119,42 @@ def test_streaming_dedup(spark, events_dir, tmp_path):
     out = run_stream_to_memory(streaming_dedup(stream), "t_dedup")
     n = out.count()
     assert n == src.count()
+
+
+def test_stateful_anomaly_detector(spark, events_dir):
+    """applyInPandasWithState: per-key Welford state persists across
+    micro-batches (maxFilesPerTrigger=1 forces multiple batches) and
+    flags the same anomalies a batch computation would."""
+    from wikihadoop_spark.streaming.stateful import streaming_anomalies
+
+    out = run_stream_to_memory(
+        streaming_anomalies(_stream(spark, events_dir)), "t_anom"
+    )
+    rows = out.collect()
+    # batch replication of the same running z-score logic
+    import math
+
+    events = (
+        spark.read.parquet(events_dir)
+        .select("user_id", "event_id", "ts", "value")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in sorted(events, key=lambda r: (r.ts, r.event_id)):
+        by_user.setdefault(r.user_id, []).append(r)
+    expected = set()
+    for uid, rs in by_user.items():
+        count, mean, m2 = 0, 0.0, 0.0
+        for r in rs:
+            v = float(r.value)
+            if count >= 5:
+                var = m2 / (count - 1)
+                if var > 0 and abs((v - mean) / math.sqrt(var)) > 3.0:
+                    expected.add((uid, r.event_id))
+            count += 1
+            d = v - mean
+            mean += d / count
+            m2 += d * (v - mean)
+    got = {(r.user_id, r.event_id) for r in rows}
+    assert got == expected
+    assert expected, "fixture should contain at least one anomaly"

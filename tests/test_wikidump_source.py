@@ -147,3 +147,16 @@ def test_leading_garbage_and_truncated_tail(spark, tmp_path):
     rows = _read(spark, path).collect()
     ids = sorted(r.rev_id for r in rows)
     assert ids == [101, 102, 103, 104, 105, 201, 301]
+
+
+def test_filter_pushdown_ns(spark, tmp_path):
+    """Spark pushes ns = 0 into the source (pushFilters); excluded
+    pages are skipped at the header, and the plan shows the pushed
+    filter handled by the scan."""
+    path = write_dump(tmp_path, standard_dump())
+    df = _read(spark, path).filter("ns = 0")
+    rows = df.collect()
+    assert sorted(r.rev_id for r in rows) == [101, 102, 103, 104, 105, 201]
+    # equality on title too
+    df2 = _read(spark, path).filter("title = 'Lonely Page'")
+    assert [r.rev_id for r in df2.collect()] == [201]

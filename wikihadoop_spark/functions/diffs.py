@@ -135,8 +135,24 @@ def token_diff(
     ``curr`` (reference simpleDiff semantics, revision_differ.py:68-84):
     position is the char offset in the new text and advances over
     kept/inserted content only."""
-    a_toks = tokenize(prev or "")
-    b_toks = tokenize(curr or "")
+    prev, curr = prev or "", curr or ""
+    # fast paths — exact under the op semantics because the tokenizer
+    # partitions the string (token concatenation == original text):
+    # identical texts, first revision (empty dummy prev), blanked page.
+    # Only valid when EQUAL runs aren't reported.
+    if EQUAL not in report:
+        if prev == curr:
+            return
+        if not prev:
+            if INSERT in report:
+                yield (0, INSERT, curr)
+            return
+        if not curr:
+            if DELETE in report:
+                yield (0, DELETE, prev)
+            return
+    a_toks = tokenize(prev)
+    b_toks = tokenize(curr)
     a, b = _encode(a_toks, b_toks)
     raw: list[tuple[int, int, int]] = []
     _diff_ints(a, 0, len(a), b, 0, len(b), raw)

@@ -38,6 +38,9 @@ def configure_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    # the wikidump source implements pushFilters(); Spark errors if the
+    # reader defines it while pushdown is disabled
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     return spark
 
 
