@@ -1649,3 +1649,128 @@ def text_diff_adjacent(spark: SparkSession, sf: str) -> DataFrame:
         "is_first",
         F.size(diff(F.col("prev_text"), F.col("text"))).alias("n_ops"),
     )
+
+
+# ===========================================================================
+# Batch 3: percentiles, unpivot, retention, value-window functions
+# ===========================================================================
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+    SELECT o_orderstatus,
+           quantile_cont(o_totalprice, 0.5) AS median_price,
+           quantile_cont(o_totalprice, 0.9) AS p90_price,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles (sort-based, engine-exact — both
+    engines use linear interpolation over the sorted values; verified
+    bit-identical).  The approximate twin is percentile_approx /
+    approx sketches, covered by agg_approx_distinct's rows-only path."""
+    t = Tables(spark, sf)
+    return t.orders.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", 0.5).alias("median_price"),
+        F.percentile("o_totalprice", 0.9).alias("p90_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@query(
+    "unpivot_lineitem",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, metric, val FROM (
+      SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
+    )
+    """,
+)
+def unpivot_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Unpivot (wide -> long) via the native melt/unpivot operator —
+    one pass, no self-union of three scans."""
+    t = Tables(spark, sf)
+    return t.lineitem.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    ).withColumn(
+        "metric",
+        F.when(F.col("metric") == "l_quantity", "quantity")
+        .when(F.col("metric") == "l_discount", "discount")
+        .otherwise("tax"),
+    )
+
+
+@query(
+    "events_retention",
+    oracle="""
+    WITH daily AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+    )
+    SELECT a.day AS day, COUNT(a.user_id) AS active,
+           COUNT(b.user_id) AS retained_next_day
+    FROM daily a LEFT JOIN daily b
+      ON a.user_id = b.user_id AND b.day = a.day + INTERVAL 1 DAY
+    GROUP BY a.day
+    """,
+)
+def events_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Day-over-day retention: distinct daily actives self-joined on
+    (user, day+1) — the classic cohort primitive."""
+    t = Tables(spark, sf)
+    daily = t.events.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).distinct()
+    nxt = daily.select(
+        F.col("user_id").alias("b_user"), F.col("day").alias("b_day")
+    )
+    return (
+        daily.join(
+            nxt,
+            (F.col("user_id") == F.col("b_user"))
+            & (F.col("b_day") == F.date_add(F.col("day"), 1)),
+            "left",
+        )
+        .groupBy("day")
+        .agg(
+            F.count("user_id").alias("active"),
+            F.count("b_user").alias("retained_next_day"),
+        )
+    )
+
+
+@query(
+    "window_value_functions",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice) OVER w AS latest_price,
+           nth_value(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_value_functions(spark: SparkSession, sf: str) -> DataFrame:
+    t = Tables(spark, sf)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return t.orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("latest_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
