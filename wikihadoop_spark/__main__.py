@@ -38,7 +38,28 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("revisions", parents=[common], help="typed revisions -> parquet")
 
+    s = sub.add_parser(
+        "shard",
+        help="split a (bz2/gz/plain) dump into page-aligned shards for parallel reads",
+    )
+    s.add_argument("--input", required=True)
+    s.add_argument("--output", required=True)
+    s.add_argument("--shard-size", type=int, default=64 * 1024 * 1024)
+    s.add_argument("--compress", choices=["bz2", "gz"], default=None)
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "shard":
+        from .sources.shard import shard_dump
+
+        paths = shard_dump(
+            args.input,
+            args.output,
+            shard_bytes=args.shard_size,
+            compress=args.compress,
+        )
+        print(f"{len(paths)} shards -> {args.output}")
+        return 0
 
     from .observability import observed_counts
     from .plans.diffdb import build_diffdb, write_diffdb_tsv
