@@ -232,9 +232,24 @@ def diff_ops_udf():
     from pyspark.sql import functions as F
 
     def _diff(prev, curr):
+        # batch-local tokenize memo: for consecutive revisions the
+        # current text of row i IS the previous text of row i+1, so
+        # every text would otherwise be tokenized twice (~25% of the
+        # diff cost on revision chains)
+        memo: dict[str, list[str]] = {}
+
+        def tok(t: str) -> list[str]:
+            r = memo.get(t)
+            if r is None:
+                r = tokenize_wikitext(t)
+                if len(memo) > 4096:
+                    memo.clear()
+                memo[t] = r
+            return r
+
         return pd.Series(
             [
-                list(token_diff(p or "", c or ""))
+                list(token_diff(p or "", c or "", tokenize=tok))
                 for p, c in zip(prev.tolist(), curr.tolist())
             ]
         )
