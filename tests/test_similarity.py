@@ -1,0 +1,45 @@
+"""Similarity-search tests: IVF build/search recall vs brute force."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wikihadoop_spark.catalog import load_table
+from wikihadoop_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_ivf,
+    ivf_build,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, queries, k=10)
+    tagged, centroids = ivf_build(emb, k=8, iterations=2)
+    assert len(centroids) == 8
+    approx = cosine_topk_ivf(tagged, centroids, queries, k=10, nprobe=4)
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got_sets = {}
+    for r in approx.collect():
+        got_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact_sets[q] & got_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    # probing half the clusters should recover well over half the true
+    # neighbors on this data
+    assert mean_recall >= 0.5, recalls
+
+
+def test_ivf_clusters_partition_corpus(spark):
+    emb = load_table(spark, SF, "embeddings")
+    tagged, centroids = ivf_build(emb, k=8, iterations=1)
+    counts = tagged.groupBy("cluster").count().collect()
+    assert sum(r["count"] for r in counts) == emb.count()
+    assert all(0 <= r.cluster < 8 for r in counts)

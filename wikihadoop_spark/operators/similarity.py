@@ -120,3 +120,132 @@ def cosine_topk_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def ivf_build(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    iterations: int = 3,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: k-means centroids via Lloyd iterations
+    expressed as DataFrame plans (assignment = broadcast-centroid
+    argmin; update = per-dimension mean), then the corpus tagged with
+    its nearest-centroid cluster id.
+
+    The centroid table is K×D floats — driver-side between iterations
+    by design (it is broadcast state, not data).  Returns (tagged
+    corpus, centroids).  Deterministic: seeds are the first k vectors
+    by id.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    seeds = c.orderBy("__id").limit(k).collect()
+    centroids = [list(r["__v"]) for r in seeds]
+
+    for _ in range(iterations):
+        assigned = _assign(c, centroids)
+        dim = len(centroids[0])
+        new_rows = (
+            assigned.select(
+                "__cluster", F.posexplode("__v").alias("__d", "__x")
+            )
+            .groupBy("__cluster", "__d")
+            .agg(F.avg("__x").alias("__m"))
+            .collect()
+        )
+        upd: dict[int, list[float]] = {}
+        for r in new_rows:
+            upd.setdefault(r["__cluster"], [0.0] * dim)[r["__d"]] = r["__m"]
+        centroids = [upd.get(i, centroids[i]) for i in range(k)]
+
+    tagged = _assign(c, centroids).select(
+        F.col("__id").alias(id_col),
+        F.col("__v").alias(vec_col),
+        F.col("__cluster").alias("cluster"),
+    )
+    return tagged, centroids
+
+
+def _assign(c: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Nearest centroid by squared L2, as one vectorized expression."""
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("__v"),
+                    F.array(*[F.lit(float(x)) for x in cen]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for cen in centroids
+        ]
+    )
+    return c.withColumn(
+        "__cluster",
+        F.array_position(dists, F.array_min(dists)).cast("int") - 1,
+    )
+
+
+def cosine_topk_ivf(
+    tagged_corpus: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ANN search against an IVF-tagged corpus: each query probes its
+    ``nprobe`` nearest clusters only — an equi-join on cluster id that
+    scans ~nprobe/K of the corpus instead of all of it."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("__qv"),
+                    F.array(*[F.lit(float(x)) for x in cen]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for cen in centroids
+        ]
+    )
+    idx = F.array_sort(
+        F.zip_with(dists, F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                   lambda d, i: F.struct(d.alias("d"), i.alias("i")))
+    )
+    q = q.withColumn(
+        "cluster", F.explode(F.transform(F.slice(idx, 1, nprobe), lambda s: s["i"]))
+    )
+    c = tagged_corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+        "cluster",
+    )
+    scored = (
+        c.join(F.broadcast(q), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine_sim", cosine(F.col("__qv"), F.col("__cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )

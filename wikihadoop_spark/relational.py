@@ -1774,3 +1774,16 @@ def window_value_functions(spark: SparkSession, sf: str) -> DataFrame:
         F.last("o_totalprice").over(w).alias("latest_price"),
         F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
     )
+
+
+@query("similarity_topk_ivf")  # no oracle: iterative k-means is not SQL
+def similarity_topk_ivf_q(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN: k-means coarse quantizer (Lloyd iterations as DataFrame
+    plans) + nprobe cluster probing — the second approximate
+    similarity path next to hyperplane LSH.  Driver records rows-only."""
+    from .operators.similarity import cosine_topk_ivf, ivf_build
+
+    t = Tables(spark, sf)
+    tagged, centroids = ivf_build(t.embeddings, k=8, iterations=2)
+    q = t.embeddings.filter(F.col("vec_id") < 10)
+    return cosine_topk_ivf(tagged, centroids, q, k=10, nprobe=4)
