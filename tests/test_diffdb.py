@@ -106,3 +106,28 @@ def test_tsv_sink_py2_repr(spark, tmp_path):
     assert row105[5] == "None"
     row104 = next(l for l in lines if l.startswith("104\t")).split("\t")
     assert row104[7] == "None" and row104[8] == "None"
+
+
+def test_grouped_pandas_formulation_equivalent(spark, tmp_path):
+    """window-lag, source-side, and per-page applyInPandas pairing all
+    produce the same diff rows (title normalization aside, which the
+    grouped form skips by design)."""
+    from wikihadoop_spark.plans.diffdb import build_diffdb_grouped
+
+    path = write_dump(tmp_path, standard_dump())
+    revs = read_wikidump(spark, path)
+
+    def key(rows):
+        return sorted(
+            (
+                r.rev_id,
+                r.timestamp,
+                r.beginningofpage,
+                [(o.position, o.action, o.content) for o in r.ops],
+            )
+            for r in rows
+        )
+
+    a = key(build_diffdb(revs).collect())
+    b = key(build_diffdb_grouped(revs).collect())
+    assert a == b

@@ -196,3 +196,58 @@ def write_diffdb_tsv(
     if compression:
         writer = writer.option("compression", compression)
     writer.text(path)
+
+
+def build_diffdb_grouped(revisions: DataFrame) -> DataFrame:
+    """Alternative diffdb formulation: per-page applyInPandas — the
+    direct analog of the reference's streaming mapper (one process
+    sees one page's revisions in order and emits diffdb rows,
+    revision_differ.py:131-165).
+
+    Three pairing strategies now exist (window lag, source-side
+    streaming, grouped-pandas); tests assert they agree.  This one
+    shuffles each page's rows to one task like the window does, but
+    runs the whole pair+diff loop in Python — simplest to extend when
+    the per-page logic outgrows SQL (the reference's extension story),
+    at the cost of moving pairing out of the JVM.
+    """
+    import pandas as pd
+
+    from ..functions.diffs import token_diff
+
+    out_schema = (
+        "rev_id long, page_id long, namespace int, title string, "
+        "timestamp long, comment string, minor boolean, user_id long, "
+        "user_text string, beginningofpage boolean, "
+        "ops array<struct<position:bigint, action:int, content:string>>"
+    )
+
+    def per_page(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("rev_seq")
+        rows = []
+        prev_text = ""
+        first = True
+        for _, r in pdf.iterrows():
+            text = r["text"] or ""
+            ts = r["ts"]
+            epoch = int(ts.timestamp()) if ts is not None else None
+            rows.append(
+                {
+                    "rev_id": r["rev_id"],
+                    "page_id": r["page_id"],
+                    "namespace": r["ns"],
+                    "title": r["title"],
+                    "timestamp": epoch,
+                    "comment": r["comment"],
+                    "minor": bool(r["minor"]),
+                    "user_id": r["user_id"],
+                    "user_text": r["user_text"],
+                    "beginningofpage": first,
+                    "ops": list(token_diff(prev_text, text)),
+                }
+            )
+            prev_text = text
+            first = False
+        return pd.DataFrame(rows)
+
+    return revisions.groupBy("page_id").applyInPandas(per_page, out_schema)
