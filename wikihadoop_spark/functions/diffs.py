@@ -37,17 +37,12 @@ def _encode(
     """Shared dictionary-encode: identical tokens -> identical ints, so
     the diff compares ints (reference X2, revision_differ.py:52-63)."""
     table: dict[str, int] = {}
-    out: list[list[int]] = []
-    for toks in (a_toks, b_toks):
-        enc = []
-        for t in toks:
-            code = table.get(t)
-            if code is None:
-                code = len(table)
-                table[t] = code
-            enc.append(code)
-        out.append(enc)
-    return out[0], out[1]
+    setdefault = table.setdefault
+    # setdefault(t, len(table)) assigns the next id exactly when t is
+    # new — the arguments are evaluated before the (possible) insert
+    a = [setdefault(t, len(table)) for t in a_toks]
+    b = [setdefault(t, len(table)) for t in b_toks]
+    return a, b
 
 
 def _middle_snake(
@@ -98,16 +93,19 @@ def _diff_ints(
     a: list[int], a0: int, a1: int, b: list[int], b0: int, b1: int, out: list
 ) -> None:
     # strip common prefix/suffix first — the dominant case for
-    # consecutive revisions is a tiny edit in a large page
+    # consecutive revisions is a tiny edit in a large page; emit each
+    # run as ONE range, not per-token tuples
+    p0 = a0
     while a0 < a1 and b0 < b1 and a[a0] == b[b0]:
-        out.append((EQUAL, a0, a0 + 1))
         a0 += 1
         b0 += 1
-    suffix = []
+    if a0 > p0:
+        out.append((EQUAL, p0, a0))
+    s1 = a1
     while a1 > a0 and b1 > b0 and a[a1 - 1] == b[b1 - 1]:
-        suffix.append((EQUAL, a1 - 1, a1))
         a1 -= 1
         b1 -= 1
+    suffix = [(EQUAL, a1, s1)] if s1 > a1 else []
     if a0 == a1:
         if b0 != b1:
             out.append((INSERT, b0, b1))
