@@ -1,0 +1,104 @@
+"""Edge-case tests for operator paths not covered by the catalog
+queries: strict as-of joins, and the full fuzzy-dedup pipeline
+(minhash -> LSH candidates -> exact-Jaccard verification)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from wikihadoop_spark.catalog import load_table
+from wikihadoop_spark.operators.asof import asof_join
+from wikihadoop_spark.operators.dedup import (
+    exact_jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def test_asof_strict_vs_inclusive(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), "e1"), (1, _ts("2024-01-01T11:00:00"), "e2")],
+        "k int, t timestamp_ntz, ev string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), 100.0), (1, _ts("2024-01-01T10:30:00"), 200.0)],
+        "k int, rt timestamp_ntz, val double",
+    )
+    inc = {
+        r.ev: r.val
+        for r in asof_join(
+            left, right, by=["k"], left_on="t", right_on="rt", right_cols=["val"]
+        ).collect()
+    }
+    # inclusive: the 10:00 event matches the 10:00 right row
+    assert inc == {"e1": 100.0, "e2": 200.0}
+    strict = {
+        r.ev: r.val
+        for r in asof_join(
+            left, right, by=["k"], left_on="t", right_on="rt",
+            right_cols=["val"], strict=True,
+        ).collect()
+    }
+    # strict: the 10:00 event has NO earlier right row
+    assert strict == {"e1": None, "e2": 200.0}
+
+
+def test_asof_no_prior_row_keeps_nulls(spark):
+    left = spark.createDataFrame(
+        [(7, _ts("2024-01-01T00:00:00"), "early")],
+        "k int, t timestamp_ntz, ev string",
+    )
+    right = spark.createDataFrame(
+        [(7, _ts("2024-06-01T00:00:00"), 1.0)], "k int, rt timestamp_ntz, val double"
+    )
+    rows = asof_join(
+        left, right, by=["k"], left_on="t", right_on="rt", right_cols=["val"]
+    ).collect()
+    assert rows[0].val is None
+
+
+def test_asof_null_right_value_carried(spark):
+    """A legitimately NULL right column must not be skipped in favor of
+    an older non-null row (the struct-payload design guarantee)."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-03T00:00:00"), "e")], "k int, t timestamp_ntz, ev string"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T00:00:00"), 5.0), (1, _ts("2024-01-02T00:00:00"), None)],
+        "k int, rt timestamp_ntz, val double",
+    )
+    rows = asof_join(
+        left, right, by=["k"], left_on="t", right_on="rt", right_cols=["val"]
+    ).collect()
+    assert rows[0].val is None  # latest row's null, not the older 5.0
+
+
+def test_fuzzy_dedup_pipeline_end_to_end(spark):
+    """The canonical corpus-dedup pipeline: signatures -> LSH candidate
+    pairs -> exact-Jaccard verification, with planted near-duplicates."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    # plant near-dups: copies of doc 0-4 with a tiny edit, ids 10000+
+    planted = docs.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tiny appended edit")).alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+    sig = minhash_signatures(corpus, id_col="doc_id", text_col="text", n_hashes=16)
+    cands = lsh_candidate_pairs(sig, id_col="doc_id", n_hashes=16, bands=4)
+    verified = exact_jaccard_pairs(
+        corpus, cands.select("id_a", "id_b"), id_col="doc_id", text_col="text"
+    )
+    strong = {
+        (r.id_a, r.id_b) for r in verified.filter(F.col("jaccard") > 0.8).collect()
+    }
+    # every planted pair must be found with high exact similarity
+    for i in range(5):
+        assert (i, i + 10000) in strong, (i, sorted(strong))
