@@ -1787,3 +1787,47 @@ def similarity_topk_ivf_q(spark: SparkSession, sf: str) -> DataFrame:
     tagged, centroids = ivf_build(t.embeddings, k=8, iterations=2)
     q = t.embeddings.filter(F.col("vec_id") < 10)
     return cosine_topk_ivf(tagged, centroids, q, k=10, nprobe=4)
+
+
+@query(
+    "window_distribution",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice)
+    """,
+)
+def window_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution window functions (tie-stable by definition)."""
+    t = Tables(spark, sf)
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice")
+    return t.orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@query(
+    "agg_argmax",
+    oracle="""
+    SELECT o_custkey,
+           arg_max(o_orderkey, o_totalprice) AS biggest_order,
+           arg_min(o_orderkey, o_totalprice) AS smallest_order,
+           MAX(o_totalprice) AS max_total
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def agg_argmax(spark: SparkSession, sf: str) -> DataFrame:
+    """arg_max/arg_min (max_by/min_by).  (o_custkey, o_totalprice) is
+    unique in the testdata, so the arg choice is tie-free — verified
+    before this query was added."""
+    t = Tables(spark, sf)
+    return t.orders.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+        F.max("o_totalprice").alias("max_total"),
+    )
