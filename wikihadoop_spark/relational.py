@@ -283,6 +283,9 @@ def agg_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 @query("agg_approx_distinct")  # no oracle: HLL sketches are engine-specific
 def agg_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate distinct counts (HyperLogLog++).  No SQL oracle:
+    DuckDB's approx sketch differs by construction; the driver records
+    a rows-only check and agg_distinct covers the exact twin."""
     t = Tables(spark, sf)
     return t.lineitem.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
