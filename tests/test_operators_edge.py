@@ -102,3 +102,42 @@ def test_fuzzy_dedup_pipeline_end_to_end(spark):
     # every planted pair must be found with high exact similarity
     for i in range(5):
         assert (i, i + 10000) in strong, (i, sorted(strong))
+
+
+def test_join_pairing_equals_window_pairing(spark):
+    """Dense-sequence join pairing == window-lag pairing (the
+    skew-resistant formulation for giant pages, SURVEY §7.4.1)."""
+    from wikihadoop_spark.operators.pairing import (
+        pair_with_previous,
+        pair_with_previous_join,
+    )
+
+    ev = load_table(spark, SF, "events")
+    # synthesize a dense seq per user from event order
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dense = ev.withColumn("seq", F.row_number().over(w)).select(
+        "user_id", "seq", "event_id", "value"
+    )
+    via_window = pair_with_previous(
+        dense, ["user_id"], ["seq"], ["value", "event_id"], fill={"value": 0.0}
+    )
+    via_join = pair_with_previous_join(
+        dense, ["user_id"], "seq", ["value", "event_id"], fill={"value": 0.0}
+    )
+    key = lambda rows: sorted(
+        (r.user_id, r.seq, r.prev_value, r.prev_event_id, r.is_first) for r in rows
+    )
+    assert key(via_window.collect()) == key(via_join.collect())
+
+
+def test_join_pairing_plan_has_no_window(spark):
+    from wikihadoop_spark.operators.pairing import pair_with_previous_join
+
+    ev = load_table(spark, SF, "events").select(
+        "user_id", F.col("event_id").alias("seq"), "value"
+    )
+    df = pair_with_previous_join(ev, ["user_id"], "seq", ["value"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # hash join only — no per-key sort task

@@ -49,3 +49,43 @@ def pair_with_previous(
         out = out.withColumn(prefix + c, lagged)
     marker = F.lag(F.lit(1)).over(w)
     return out.withColumn(first_flag, marker.isNull())
+
+
+def pair_with_previous_join(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    seq_col: str,
+    cols: Sequence[str],
+    *,
+    fill: dict[str, object] | None = None,
+    first_flag: str = "is_first",
+    prefix: str = "prev_",
+) -> DataFrame:
+    """Join-based pairing for DENSE sequences (seq = 1..n per key,
+    which the wikidump source guarantees for rev_seq).
+
+    ``Window.partitionBy(page)`` puts a page's entire history in one
+    task — the giant-page hazard (SURVEY §7.4.1).  Joining row (key,
+    seq) against row (key, seq-1) instead hash-partitions on BOTH key
+    and sequence, so a multi-gigabyte page history spreads across the
+    cluster like any other join.  Costs a second shuffle of the paired
+    columns; wins unbounded skew-resistance.  Equivalence with the
+    window variant is asserted in tests.
+    """
+    fill = fill or {}
+    keys = list(partition_by)
+    prev = df.select(
+        *[F.col(k) for k in keys],
+        (F.col(seq_col) + 1).alias(seq_col),
+        *[F.col(c).alias(prefix + c) for c in cols],
+        F.lit(1).alias("__has_prev"),
+    )
+    joined = df.join(prev, on=[*keys, seq_col], how="left")
+    out = joined.withColumn(first_flag, F.col("__has_prev").isNull()).drop(
+        "__has_prev"
+    )
+    for c, v in fill.items():
+        out = out.withColumn(
+            prefix + c, F.coalesce(F.col(prefix + c), F.lit(v))
+        )
+    return out
