@@ -9,6 +9,17 @@ Engine-parity conventions (why the code looks the way it does):
   money/quantity aggregates cast to fixed-scale DECIMAL first — decimal
   addition is exact and order-free, making Spark and DuckDB bit-equal.
   Scales are chosen so no intermediate or final cast ever rounds.
+- **Final outputs never expose DECIMAL or DuckDB HUGEINT** (round-2
+  rule): the driver renders the DuckDB side through a pandas path
+  where DECIMAL and HUGEINT become float64 while Spark keeps exact
+  objects — Decimal('506627.00') renders '506627.0' vs '506627.00'
+  and hash-fails even though values are equal (this was all 11
+  round-1 hash failures).  So exact decimal aggregates get one final
+  CAST(... AS DOUBLE) on BOTH sides (exact sum → one correctly-rounded
+  conversion → bit-equal float64, as long as scaled magnitude stays
+  within 2^53 at the sf0.01 gate), and any DuckDB SUM over integers is
+  CAST(... AS BIGINT).  Safe output types: BIGINT/INT, DOUBLE,
+  VARCHAR, BOOLEAN, DATE, µs-grain TIMESTAMP, lists thereof.
 - Single floating-point ops (one multiply, one divide) on identical
   inputs are IEEE-deterministic — those stay double.
 - Every computed column is aliased identically on both sides (the
@@ -133,10 +144,10 @@ def filter_regex(spark: SparkSession, sf: str) -> DataFrame:
     "q1_pricing_summary",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DECIMAL(38,2)) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DECIMAL(38,2)) AS sum_base_price,
-           CAST(SUM({SQL_DISC_PRICE}) AS DECIMAL(38,4)) AS sum_disc_price,
-           CAST(SUM({SQL_DISC_PRICE} * (CAST(1 AS DECIMAL(9,2)) + CAST(l_tax AS DECIMAL(9,2)))) AS DECIMAL(38,6)) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM({SQL_DISC_PRICE} * (CAST(1 AS DECIMAL(9,2)) + CAST(l_tax AS DECIMAL(9,2)))) AS DOUBLE) AS sum_charge,
            CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) / COUNT(*) AS avg_price,
            CAST(SUM(CAST(l_discount AS DECIMAL(9,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
@@ -155,11 +166,11 @@ def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
         )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec2("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
-            F.sum(dec2("l_extendedprice")).cast("decimal(38,2)").alias("sum_base_price"),
-            F.sum(disc_price()).cast("decimal(38,4)").alias("sum_disc_price"),
+            F.sum(dec2("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec2("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price()).cast("double").alias("sum_disc_price"),
             F.sum(disc_price() * (ONE() + pct2("l_tax")))
-            .cast("decimal(38,6)")
+            .cast("double")
             .alias("sum_charge"),
             (F.sum(dec2("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
             (F.sum(dec2("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias(
@@ -194,7 +205,7 @@ def agg_distinct(spark: SparkSession, sf: str) -> DataFrame:
     "agg_rollup",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DECIMAL(38,2)) AS sum_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS sum_qty,
            COUNT(*) AS n
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -202,7 +213,7 @@ def agg_distinct(spark: SparkSession, sf: str) -> DataFrame:
 def agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
     t = Tables(spark, sf)
     return t.lineitem.rollup("l_returnflag", "l_linestatus").agg(
-        F.sum(dec2("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
+        F.sum(dec2("l_quantity")).cast("double").alias("sum_qty"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -211,7 +222,7 @@ def agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
     "agg_cube",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DECIMAL(38,2)) AS sum_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS sum_qty,
            COUNT(*) AS n
     FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
@@ -219,7 +230,7 @@ def agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
 def agg_cube(spark: SparkSession, sf: str) -> DataFrame:
     t = Tables(spark, sf)
     return t.lineitem.cube("l_returnflag", "l_linestatus").agg(
-        F.sum(dec2("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
+        F.sum(dec2("l_quantity")).cast("double").alias("sum_qty"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -228,7 +239,7 @@ def agg_cube(spark: SparkSession, sf: str) -> DataFrame:
     "agg_grouping_sets",
     oracle="""
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(38,2)) AS sum_price
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_price
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
@@ -239,7 +250,7 @@ def agg_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(38,2)) AS sum_price
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_price
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
@@ -252,7 +263,7 @@ def agg_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
     SELECT l_linestatus,
            MIN(l_extendedprice) AS min_price,
            MAX(l_extendedprice) AS max_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DECIMAL(38,2)) AS sum_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_price,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) / COUNT(*) AS avg_price,
            ROUND(SQRT((CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE)
                  - CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) / COUNT(*))
@@ -272,7 +283,7 @@ def agg_stats(spark: SparkSession, sf: str) -> DataFrame:
     return t.lineitem.groupBy("l_linestatus").agg(
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
-        F.sum(p).cast("decimal(38,2)").alias("sum_price"),
+        F.sum(p).cast("double").alias("sum_price"),
         (sum_p / n).alias("avg_price"),
         F.round(F.sqrt((sum_sq - sum_p * sum_p / n) / (n - F.lit(1))), 4).alias(
             "stddev_price"
@@ -302,7 +313,7 @@ def agg_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
     "join_inner_agg",
     oracle="""
     SELECT c.c_custkey, c.c_name, COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(15,2))) AS DECIMAL(38,2)) AS sum_total
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_total
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
     GROUP BY c.c_custkey, c.c_name
     """,
@@ -314,7 +325,7 @@ def join_inner_agg(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("c_custkey", "c_name")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(dec2("o_totalprice")).cast("decimal(38,2)").alias("sum_total"),
+            F.sum(dec2("o_totalprice")).cast("double").alias("sum_total"),
         )
     )
 
@@ -447,7 +458,7 @@ def join_theta(spark: SparkSession, sf: str) -> DataFrame:
     "q3_top_revenue",
     oracle=f"""
     SELECT o.o_orderkey, o.o_orderdate,
-           CAST(SUM({SQL_DISC_PRICE}) AS DECIMAL(38,4)) AS revenue
+           CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -465,7 +476,7 @@ def q3_top_revenue(spark: SparkSession, sf: str) -> DataFrame:
         .join(t.orders, F.col("c_custkey") == F.col("o_custkey"))
         .join(t.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(F.sum(disc_price()).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
     )
@@ -475,7 +486,7 @@ def q3_top_revenue(spark: SparkSession, sf: str) -> DataFrame:
     "q5_revenue_by_nation",
     oracle=f"""
     SELECT n.n_name,
-           CAST(SUM({SQL_DISC_PRICE}) AS DECIMAL(38,4)) AS revenue
+           CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue
     FROM region r
     JOIN nation n ON n.n_regionkey = r.r_regionkey
     JOIN supplier s ON s.s_nationkey = n.n_nationkey
@@ -496,7 +507,7 @@ def q5_revenue_by_nation(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
         .join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("n_name")
-        .agg(F.sum(disc_price()).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
     )
 
 
@@ -578,7 +589,7 @@ def window_rank_topk(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT o_custkey, o_orderkey, o_orderdate,
            COUNT(*) OVER w AS n_so_far,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) OVER w AS DECIMAL(38,2)) AS spend_so_far
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) OVER w AS DOUBLE) AS spend_so_far
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -596,7 +607,7 @@ def window_running(spark: SparkSession, sf: str) -> DataFrame:
         "o_orderkey",
         "o_orderdate",
         F.count(F.lit(1)).over(w).alias("n_so_far"),
-        F.sum(dec2("o_totalprice")).over(w).cast("decimal(38,2)").alias("spend_so_far"),
+        F.sum(dec2("o_totalprice")).over(w).cast("double").alias("spend_so_far"),
     )
 
 
@@ -641,8 +652,8 @@ def window_moving(spark: SparkSession, sf: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
       SELECT user_id, ts,
-             SUM(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             CAST(SUM(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM brk
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -836,7 +847,7 @@ def scalar_date(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            abs(l_quantity - 25.0) AS qty_dev,
-           CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * CAST(l_discount AS DECIMAL(9,2)) AS DECIMAL(38,4)) AS discount_amt,
+           CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * CAST(l_discount AS DECIMAL(9,2)) AS DOUBLE) AS discount_amt,
            CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
            CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
            sqrt(l_quantity) AS qty_sqrt,
@@ -855,7 +866,7 @@ def scalar_math(spark: SparkSession, sf: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         F.abs(F.col("l_quantity") - 25.0).alias("qty_dev"),
-        (dec2("l_extendedprice") * pct2("l_discount")).cast("decimal(38,4)").alias("discount_amt"),
+        (dec2("l_extendedprice") * pct2("l_discount")).cast("double").alias("discount_amt"),
         F.ceil("l_extendedprice").cast("bigint").alias("price_ceil"),
         F.floor("l_extendedprice").cast("bigint").alias("price_floor"),
         F.sqrt("l_quantity").alias("qty_sqrt"),
@@ -1301,7 +1312,7 @@ def similarity_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT date_trunc('hour', ts) AS window_start, event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -1315,7 +1326,7 @@ def events_tumbling(spark: SparkSession, sf: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,6)"))
-            .cast("decimal(38,6)")
+            .cast("double")
             .alias("sum_value"),
         )
     )
