@@ -58,6 +58,30 @@ def test_golden_parse(spark, tmp_path):
     assert rows[301].ns == 1 and rows[301].title == "Talk:Fox Article"
 
 
+def test_deleted_contributor_keeps_visible_comment():
+    """<contributor deleted="deleted"/> precedes <comment> in dump order
+    and must null the user fields ONLY — a visible comment survives
+    (regression: the deleted marker was matched against bytes before
+    the <comment> tag)."""
+    from wikihadoop_spark.sources.wikidump import _parse_revision
+
+    frag = (
+        b"<id>42</id>\n<timestamp>2021-01-01T00:00:00Z</timestamp>\n"
+        b'<contributor deleted="deleted" />\n'
+        b"<comment>still visible</comment>\n"
+        b'<text xml:space="preserve">body</text>\n'
+    )
+    row = _parse_revision(frag, want_text=True)
+    assert row["user_id"] is None and row["user_text"] is None
+    assert row["comment"] == "still visible"
+
+    # and a genuinely deleted comment still nulls
+    frag2 = frag.replace(
+        b"<comment>still visible</comment>", b'<comment deleted="deleted" />'
+    )
+    assert _parse_revision(frag2, want_text=True)["comment"] is None
+
+
 def test_exclude_pages_regex(spark, tmp_path):
     """Reference F1: excludePagesWith drops whole pages before parsing
     (StreamWikiDumpInputFormat.java:387-393; golden test :87-117)."""

@@ -235,8 +235,14 @@ def _parse_revision(frag: bytes, want_text: bool) -> dict:
         "text_bytes": None,
     }
     comment = _extract(frag, "comment")
-    if comment is not None and b'deleted="deleted"' not in frag[: frag.find(b"<comment") + 60]:
-        row["comment"] = _unescape(comment)
+    if comment is not None:
+        # deleted="deleted" only counts inside the <comment ...> open tag
+        # itself: <contributor deleted="deleted"/> precedes <comment> in
+        # dump order and must null user fields only, not the comment.
+        ci = frag.find(b"<comment")
+        open_tag = frag[ci : frag.find(b">", ci) + 1]
+        if b'deleted="deleted"' not in open_tag:
+            row["comment"] = _unescape(comment)
     contrib = _extract(frag, "contributor")
     if contrib:  # empty bytes == deleted contributor (self-closed)
         uid = _extract(contrib, "id")
