@@ -218,6 +218,33 @@ def diff_with_fallback(prev: str, curr: str) -> tuple[list[tuple[int, int, str]]
         return [], f"diff_fail: {exc!r}"
 
 
+def diff_check_udf():
+    """Arrow-vectorized pandas UDF: (prev_text, text) ->
+    struct<roundtrip_ok:boolean, empty_iff_equal:boolean>.
+
+    The two D1/D3 invariants an SQL oracle CAN check by hash (the diff
+    ops themselves are engine-specific): applying the diff to the old
+    text reconstructs the new text exactly, and the diff is empty iff
+    the texts are equal.  A broken diff pipeline turns one of these
+    false and hash-fails the gate."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def _check(prev, curr):
+        rt, em = [], []
+        for p, c in zip(prev.tolist(), curr.tolist()):
+            p, c = p or "", c or ""
+            ops = list(token_diff(p, c))
+            rt.append(apply_diff(p, ops) == c)
+            em.append((len(ops) == 0) == (p == c))
+        return pd.DataFrame({"roundtrip_ok": rt, "empty_iff_equal": em})
+
+    _check.__annotations__ = {"prev": pd.Series, "curr": pd.Series, "return": pd.DataFrame}
+    return F.pandas_udf(
+        _check, "struct<roundtrip_ok:boolean, empty_iff_equal:boolean>"
+    )
+
+
 def diff_ops_udf():
     """Arrow-vectorized pandas UDF: (prev_text, text) ->
     array<struct<position:bigint, action:int, content:string>>.

@@ -93,12 +93,14 @@ def cosine_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    round_dp: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe only the query's hyperplane bucket.
 
     Trades recall for a corpus-partitionable equi-join on bucket id —
     the 100 TB-scale path (bucket the corpus once, broadcast bucketed
-    queries)."""
+    queries).  ``round_dp`` rounds the similarity before ranking so two
+    engines computing the same formula rank identical values."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("__cvec"),
@@ -107,10 +109,13 @@ def cosine_topk_lsh(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__qvec"),
     ).withColumn("__bucket", hyperplane_bucket(F.col("__qvec"), planes))
+    sim = cosine(F.col("__qvec"), F.col("__cvec"))
+    if round_dp is not None:
+        sim = F.round(sim, round_dp)
     scored = (
         c.join(F.broadcast(q), on="__bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine_sim", cosine(F.col("__qvec"), F.col("__cvec")))
+        .withColumn("cosine_sim", sim)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
@@ -129,6 +134,7 @@ def ivf_build(
     vec_col: str = "embedding",
     k: int = 16,
     iterations: int = 3,
+    round_dp: int | None = None,
 ) -> tuple[DataFrame, list[list[float]]]:
     """IVF coarse quantizer: k-means centroids via Lloyd iterations
     expressed as DataFrame plans (assignment = broadcast-centroid
@@ -138,7 +144,9 @@ def ivf_build(
     The centroid table is K×D floats — driver-side between iterations
     by design (it is broadcast state, not data).  Returns (tagged
     corpus, centroids).  Deterministic: seeds are the first k vectors
-    by id.
+    by id.  ``round_dp`` rounds each centroid mean so another engine
+    computing the same means in a different summation order converges
+    to bit-identical centroids (oracle parity).
     """
     c = corpus.select(
         F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v")
@@ -146,6 +154,9 @@ def ivf_build(
     seeds = c.orderBy("__id").limit(k).collect()
     centroids = [list(r["__v"]) for r in seeds]
 
+    mean = F.avg("__x")
+    if round_dp is not None:
+        mean = F.round(mean, round_dp)
     for _ in range(iterations):
         assigned = _assign(c, centroids)
         dim = len(centroids[0])
@@ -154,7 +165,7 @@ def ivf_build(
                 "__cluster", F.posexplode("__v").alias("__d", "__x")
             )
             .groupBy("__cluster", "__d")
-            .agg(F.avg("__x").alias("__m"))
+            .agg(mean.alias("__m"))
             .collect()
         )
         upd: dict[int, list[float]] = {}
@@ -201,6 +212,7 @@ def cosine_topk_ivf(
     vec_col: str = "embedding",
     k: int = 10,
     nprobe: int = 4,
+    round_dp: int | None = None,
 ) -> DataFrame:
     """ANN search against an IVF-tagged corpus: each query probes its
     ``nprobe`` nearest clusters only — an equi-join on cluster id that
@@ -235,10 +247,13 @@ def cosine_topk_ivf(
         F.col(vec_col).cast("array<double>").alias("__cv"),
         "cluster",
     )
+    sim = cosine(F.col("__qv"), F.col("__cv"))
+    if round_dp is not None:
+        sim = F.round(sim, round_dp)
     scored = (
         c.join(F.broadcast(q), "cluster")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine_sim", cosine(F.col("__qv"), F.col("__cv")))
+        .withColumn("cosine_sim", sim)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")

@@ -292,15 +292,45 @@ def agg_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")  # no oracle: HLL sketches are engine-specific
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           TRUE AS parts_within_10pct,
+           TRUE AS orders_within_10pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
-    """Approximate distinct counts (HyperLogLog++).  No SQL oracle:
-    DuckDB's approx sketch differs by construction; the driver records
-    a rows-only check and agg_distinct covers the exact twin."""
+    """Approximate distinct counts (HyperLogLog++).  The sketch value
+    itself is engine-specific, so the hashable contract is: exact
+    companion counts plus a bounded-relative-error assertion on the
+    sketch (rsd 2%, asserted within 10%) — a broken sketch flips the
+    boolean and hash-fails."""
     t = Tables(spark, sf)
-    return t.lineitem.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("__ap"),
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("__ao"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            "exact_orders",
+            (
+                F.abs(F.col("__ap") - F.col("exact_parts"))
+                <= 0.10 * F.col("exact_parts")
+            ).alias("parts_within_10pct"),
+            (
+                F.abs(F.col("__ao") - F.col("exact_orders"))
+                <= 0.10 * F.col("exact_orders")
+            ).alias("orders_within_10pct"),
+        )
     )
 
 
@@ -1286,20 +1316,65 @@ def similarity_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("similarity_topk_lsh")  # no oracle: approximate by construction
+# deterministic pseudo-random hyperplanes (8 planes over 64 dims) shared
+# by the Spark query and its SQL oracle — the hash family IS the spec,
+# so the approximate LSH search has an *exact* oracle.
+_LSH_PLANES = [
+    [(((i * 64 + j) * 2654435761 + 1013904223) % 1000003) / 1000003.0 - 0.5 for j in range(64)]
+    for i in range(8)
+]
+
+
+def _lsh_bucket_sql(vec: str) -> str:
+    """DuckDB expression for the hyperplane sign-bit bucket of ``vec``
+    (mirrors operators.similarity.hyperplane_bucket: bit_i = dot >= 0,
+    packed little-endian)."""
+    terms = []
+    for i, plane in enumerate(_LSH_PLANES):
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec}, {lit}) >= 0 THEN {2 ** i} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+@query(
+    "similarity_topk_lsh",
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10
+    ), cb AS (
+      SELECT neighbor_id, cv, {_lsh_bucket_sql('cv')} AS bkt FROM c
+    ), qb AS (
+      SELECT query_id, qv, {_lsh_bucket_sql('qv')} AS bkt FROM q
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             round(list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 9) AS cosine_sim
+      FROM cb JOIN qb USING (bkt) WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
 def similarity_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """Hyperplane-LSH pruned ANN — the 100 TB path (bucketed equi-join
-    instead of cross product).  Approximate: no SQL oracle."""
+    instead of cross product).  Approximate w.r.t. exhaustive search,
+    but fully deterministic given the plane family — the oracle
+    replays the identical bucketing in SQL, so this IS hash-gated."""
     from .operators.similarity import cosine_topk_lsh
 
     t = Tables(spark, sf)
-    # deterministic pseudo-random hyperplanes (8 planes over 64 dims)
-    planes = [
-        [(((i * 64 + j) * 2654435761 + 1013904223) % 1000003) / 1000003.0 - 0.5 for j in range(64)]
-        for i in range(8)
-    ]
     q = t.embeddings.filter(F.col("vec_id") < 10)
-    return cosine_topk_lsh(t.embeddings, q, planes, id_col="vec_id", vec_col="embedding", k=10)
+    return cosine_topk_lsh(
+        t.embeddings, q, _LSH_PLANES, id_col="vec_id", vec_col="embedding",
+        k=10, round_dp=9,
+    )
 
 
 # ===========================================================================
@@ -1638,13 +1713,30 @@ def correlated_exists(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("text_diff_adjacent")  # no oracle: Myers diff is not SQL-expressible
+@query(
+    "text_diff_adjacent",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, source,
+             lag(text) OVER (PARTITION BY source ORDER BY doc_id) AS prev
+      FROM documents
+    )
+    SELECT doc_id, source, (prev IS NULL) AS is_first,
+           TRUE AS roundtrip_ok, TRUE AS empty_iff_equal
+    FROM p
+    """,
+)
 def text_diff_adjacent(spark: SparkSession, sf: str) -> DataFrame:
     """The reference's diff operator (D1) through the driver harness:
     token-diff each document against the previous one from the same
-    source (lag pairing P1 + diff UDF D1 on relational data).  Driver
-    records a rows-only check."""
-    from .functions.diffs import diff_ops_udf
+    source (lag pairing P1 + diff UDF D1 on relational data).
+
+    The ops themselves are engine-specific (Myers is not
+    SQL-expressible), so the hashable contract is the two invariants
+    that define a correct diff: patch(prev, diff) == text (D3
+    round-trip) and diff empty iff texts equal.  The exact op content
+    is covered by golden + property tests (tests/test_diffs.py)."""
+    from .functions.diffs import diff_check_udf
     from .operators.pairing import pair_with_previous
 
     t = Tables(spark, sf)
@@ -1656,12 +1748,18 @@ def text_diff_adjacent(spark: SparkSession, sf: str) -> DataFrame:
         fill={"text": ""},
         first_flag="is_first",
     )
-    diff = diff_ops_udf()
+    chk = diff_check_udf()
     return paired.select(
         "doc_id",
         "source",
         "is_first",
-        F.size(diff(F.col("prev_text"), F.col("text"))).alias("n_ops"),
+        chk(F.col("prev_text"), F.col("text")).alias("__c"),
+    ).select(
+        "doc_id",
+        "source",
+        "is_first",
+        F.col("__c.roundtrip_ok").alias("roundtrip_ok"),
+        F.col("__c.empty_iff_equal").alias("empty_iff_equal"),
     )
 
 
@@ -1790,17 +1888,85 @@ def window_value_functions(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("similarity_topk_ivf")  # no oracle: iterative k-means is not SQL
+def _ivf_oracle_sql(k: int = 8, iterations: int = 2, nprobe: int = 4,
+                    topk: int = 10, round_dp: int = 6) -> str:
+    """DuckDB replay of ivf_build + cosine_topk_ivf: deterministic
+    seeds (first k by id), Lloyd assignment = argmin L2 (ties to lowest
+    cluster), centroid means rounded to ``round_dp`` so both engines
+    converge to bit-identical centroids despite different summation
+    order."""
+    parts = [f"""
+    WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY id) - 1 AS cl, vec
+      FROM (SELECT id, vec FROM v ORDER BY id LIMIT {k})
+    )"""]
+    prev = "c0"
+    for it in range(iterations):
+        a, u, c = f"a{it}", f"u{it}", f"c{it + 1}"
+        parts.append(f""",
+    {a} AS (
+      SELECT v.id, v.vec,
+             (SELECT s.cl FROM {prev} s ORDER BY list_distance(v.vec, s.vec), s.cl LIMIT 1) AS cl
+      FROM v
+    ),
+    {u} AS (
+      SELECT cl, list(m ORDER BY d) AS vec FROM (
+        SELECT cl, d, round(avg(x), {round_dp}) AS m FROM (
+          SELECT cl, unnest(vec) AS x, generate_subscripts(vec, 1) AS d FROM {a}
+        ) GROUP BY cl, d
+      ) GROUP BY cl
+    ),
+    {c} AS (
+      SELECT s.cl, COALESCE(u.vec, s.vec) AS vec
+      FROM {prev} s LEFT JOIN {u} u ON s.cl = u.cl
+    )""")
+        prev = c
+    parts.append(f""",
+    tagged AS (
+      SELECT v.id, v.vec,
+             (SELECT s.cl FROM {prev} s ORDER BY list_distance(v.vec, s.vec), s.cl LIMIT 1) AS cl
+      FROM v
+    ),
+    qv AS (SELECT id AS query_id, vec AS qvec FROM v WHERE id < 10),
+    probe AS (
+      SELECT query_id, cl FROM (
+        SELECT q.query_id, s.cl,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY list_distance(q.qvec, s.vec), s.cl) AS r
+        FROM qv q CROSS JOIN {prev} s
+      ) WHERE r <= {nprobe}
+    ),
+    scored AS (
+      SELECT q.query_id, t.id AS neighbor_id,
+             round(list_dot_product(q.qvec, t.vec)
+               / (sqrt(list_dot_product(q.qvec, q.qvec)) * sqrt(list_dot_product(t.vec, t.vec))), 9) AS cosine_sim
+      FROM probe p
+      JOIN tagged t ON t.cl = p.cl
+      JOIN qv q ON q.query_id = p.query_id
+      WHERE t.id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {topk}""")
+    return "".join(parts)
+
+
+@query("similarity_topk_ivf", oracle=_ivf_oracle_sql())
 def similarity_topk_ivf_q(spark: SparkSession, sf: str) -> DataFrame:
     """IVF ANN: k-means coarse quantizer (Lloyd iterations as DataFrame
     plans) + nprobe cluster probing — the second approximate
-    similarity path next to hyperplane LSH.  Driver records rows-only."""
+    similarity path next to hyperplane LSH.  Approximate w.r.t.
+    exhaustive search but deterministic given seeds + iteration count,
+    so the oracle replays the identical quantizer in SQL (centroid
+    means rounded to 6 dp on both sides for cross-engine FP parity)."""
     from .operators.similarity import cosine_topk_ivf, ivf_build
 
     t = Tables(spark, sf)
-    tagged, centroids = ivf_build(t.embeddings, k=8, iterations=2)
+    tagged, centroids = ivf_build(t.embeddings, k=8, iterations=2, round_dp=6)
     q = t.embeddings.filter(F.col("vec_id") < 10)
-    return cosine_topk_ivf(tagged, centroids, q, k=10, nprobe=4)
+    return cosine_topk_ivf(tagged, centroids, q, k=10, nprobe=4, round_dp=9)
 
 
 @query(
