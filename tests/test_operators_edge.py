@@ -104,6 +104,38 @@ def test_fuzzy_dedup_pipeline_end_to_end(spark):
         assert (i, i + 10000) in strong, (i, sorted(strong))
 
 
+def test_lsh_hot_bucket_cap(spark):
+    """A mega near-duplicate cluster (identical signatures) must not
+    blow up into one giant bucket row / O(n²) pairs: only the lowest
+    ``bucket_cap`` ids per bucket pair up, deterministically, and the
+    observation counts the truncated members."""
+    from pyspark.sql import Observation
+
+    n_cluster, cap, n_hashes, bands = 5000, 50, 16, 4
+    rows = [
+        # one hot cluster: every signature value identical
+        tuple([i] + [7] * n_hashes)
+        for i in range(n_cluster)
+    ] + [
+        # a couple of singletons with unique signatures
+        tuple([100000 + j] + [1000 + 17 * j + h for h in range(n_hashes)])
+        for j in range(5)
+    ]
+    sig = spark.createDataFrame(
+        rows, ["doc_id"] + [f"s{i}" for i in range(n_hashes)]
+    )
+    obs = Observation()
+    pairs = lsh_candidate_pairs(
+        sig, id_col="doc_id", n_hashes=n_hashes, bands=bands,
+        bucket_cap=cap, observation=obs,
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    expected = {(a, b) for a in range(cap) for b in range(a + 1, cap)}
+    assert got == expected  # lowest-cap ids only, all cross pairs, est 1.0
+    assert all(r.est_jaccard == 1.0 for r in pairs)
+    assert obs.get["lsh_dropped_members"] == (n_cluster - cap) * bands
+
+
 def test_join_pairing_equals_window_pairing(spark):
     """Dense-sequence join pairing == window-lag pairing (the
     skew-resistant formulation for giant pages, SURVEY §7.4.1)."""

@@ -119,18 +119,32 @@ def lsh_candidate_pairs(
     id_col: str,
     n_hashes: int = 16,
     bands: int = 4,
+    bucket_cap: int = 1000,
+    observation=None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs from LSH banding over a signature
     DataFrame, with the estimated Jaccard (fraction of matching
     minhashes).  Pairs are (a < b), distinct across bands.
 
-    Plan shape: one explode (×bands) -> one shuffle (groupBy band key)
-    -> in-bucket pair generation with higher-order array functions ->
-    pair dedup.  The signature input is computed exactly once — a
-    band-wise self-join would recompute it per band per side.  Bucket
-    pair-fanout is O(k²) in bucket size, which is inherent to LSH
-    (a hot bucket IS a near-duplicate cluster).
+    Plan shape: one explode (×bands) -> one shuffle (window rank +
+    groupBy band key, same partitioning so one exchange) -> in-bucket
+    pair generation with higher-order array functions -> pair dedup.
+    The signature input is computed exactly once — a band-wise
+    self-join would recompute it per band per side.
+
+    ``bucket_cap`` bounds hot buckets: a mega near-duplicate cluster
+    (templated boilerplate at 100 TB) would otherwise put the whole
+    cluster into one collect_list row and O(k²) pairs into one task.
+    Deterministic truncation — the lowest ``bucket_cap`` ids per bucket
+    survive — keeps results reproducible and bounds the worst row at
+    cap×sig_width bytes and the worst task at cap² pairs; members of a
+    truncated bucket still pair with the kept representatives, so
+    cluster connectivity survives for the downstream verify pass.
+    Pass an ``Observation`` as ``observation`` to count truncated
+    members (``lsh_dropped_members``) on the same job.
     """
+    from pyspark.sql import Window
+
     rows = n_hashes // bands
     sig_struct = F.struct(
         F.col(id_col).alias("id"), *[F.col(f"s{i}") for i in range(n_hashes)]
@@ -152,8 +166,20 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     )
+    ranked = band_entries.withColumn(
+        "__rn",
+        F.row_number().over(Window.partitionBy("bk").orderBy(F.col("m.id"))),
+    )
+    if observation is not None:
+        ranked = ranked.observe(
+            observation,
+            F.sum((F.col("__rn") > bucket_cap).cast("long")).alias(
+                "lsh_dropped_members"
+            ),
+        )
     buckets = (
-        band_entries.groupBy("bk")
+        ranked.filter(F.col("__rn") <= bucket_cap)
+        .groupBy("bk")
         .agg(F.sort_array(F.collect_list("m")).alias("members"))
         .filter(F.size("members") > 1)
     )

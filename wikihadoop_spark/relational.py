@@ -1185,23 +1185,35 @@ def minhash_signatures_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _sql_lsh_pairs() -> str:
+def _sql_lsh_pairs(bucket_cap: int = 1000) -> str:
+    """Band self-joins mirroring lsh_candidate_pairs, including the
+    deterministic hot-bucket cap: per band bucket only the lowest
+    ``bucket_cap`` doc ids participate in pair generation."""
     rows = _N_MINHASH // _LSH_BANDS
+    ranked = []
     bands = []
     for b in range(_LSH_BANDS):
+        keys = ", ".join(f"s{b * rows + r}" for r in range(rows))
+        ranked.append(
+            f"r{b} AS (SELECT doc_id, {', '.join(f's{i}' for i in range(_N_MINHASH))},"
+            f" row_number() OVER (PARTITION BY {keys} ORDER BY doc_id) AS rn FROM sig)"
+        )
         conds = " AND ".join(
             f"a.s{b * rows + r} = b.s{b * rows + r}" for r in range(rows)
         )
         bands.append(
-            f"SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b"
+            f"SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM r{b} a JOIN r{b} b"
             f" ON a.doc_id < b.doc_id AND {conds}"
+            f" WHERE a.rn <= {bucket_cap} AND b.rn <= {bucket_cap}"
         )
+    ranked_ctes = ",\n    ".join(ranked)
     band_union = "\n      UNION\n      ".join(bands)
     matches = " + ".join(
         f"CAST(a.s{i} = b.s{i} AS INT)" for i in range(_N_MINHASH)
     )
     return f"""
     WITH sig AS ({_sql_minhash_sig()}),
+    {ranked_ctes},
     pairs AS (
       {band_union}
     )
