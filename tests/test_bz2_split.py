@@ -1,0 +1,170 @@
+"""Block-aligned splittable bz2 reads (reference S2:
+SeekableInputStream.java:50-57, StreamWikiDumpInputFormat.java:195-203;
+randomized layout/blocksize matrix modeled on
+TestStreamWikiDumpInputFormat.java:272-344)."""
+
+from __future__ import annotations
+
+import bz2
+
+import pytest
+
+from tests.dump_fixtures import big_dump, standard_dump, write_dump
+from wikihadoop_spark.sources.bz2blocks import (
+    Bz2BlockStream,
+    decode_block,
+    iter_magics,
+)
+from wikihadoop_spark.sources.wikidump import read_wikidump
+
+
+def _write_bz2(tmp_path, payload: bytes, name="d.xml.bz2", level=1) -> str:
+    p = tmp_path / name
+    p.write_bytes(bz2.compress(payload, level))
+    return str(p)
+
+
+# -- container-level primitives ------------------------------------------
+
+
+def test_magic_scan_finds_all_blocks(tmp_path):
+    # bzip2 blocks split on pre-BWT (post-RLE) input, so repetitive XML
+    # packs many bytes per block; incompressible payload forces blocks
+    import random
+
+    rng = random.Random(11)
+    raw = b"".join(
+        (f"row {i} {rng.random()} {rng.getrandbits(64):x}\n").encode()
+        for i in range(30_000)
+    )
+    path = _write_bz2(tmp_path, raw, level=1)  # 100k blocks
+    magics = list(iter_magics(path))
+    blocks = [m for m in magics if not m[1]]
+    footers = [m for m in magics if m[1]]
+    assert magics[0] == (32, False)  # first block right after BZh header
+    assert len(blocks) >= 3  # level 1 on a multi-100k input
+    assert len(footers) == 1 and footers[-1] == magics[-1]
+    assert [m[0] for m in magics] == sorted(m[0] for m in magics)
+
+
+def test_scan_start_byte_partitions_magics(tmp_path):
+    raw = big_dump(60, 8).encode()
+    path = _write_bz2(tmp_path, raw, level=1)
+    all_bits = [m[0] for m in iter_magics(path)]
+    mid = (all_bits[len(all_bits) // 2] // 8) + 1  # mid-file byte
+    tail = [m[0] for m in iter_magics(path, start_byte=mid)]
+    assert tail == [b for b in all_bits if b >= mid * 8]
+
+
+def test_per_block_decode_reassembles(tmp_path):
+    raw = big_dump(60, 8).encode()
+    path = _write_bz2(tmp_path, raw, level=1)
+    magics = list(iter_magics(path))
+    import os
+
+    file_end_bit = os.path.getsize(path) * 8
+    ends = [m[0] for m in magics][1:] + [file_end_bit]
+    with open(path, "rb") as f:
+        out = b"".join(
+            decode_block(f, m[0], e)
+            for m, e in zip(magics, ends)
+            if not m[1]
+        )
+    assert out == raw
+
+
+def test_decode_block_rejects_garbage_span(tmp_path):
+    raw = big_dump(10, 4).encode()
+    path = _write_bz2(tmp_path, raw, level=9)
+    magics = list(iter_magics(path))
+    with open(path, "rb") as f:
+        with pytest.raises(ValueError):
+            # a span starting 3 bits late is not a block
+            decode_block(f, magics[0][0] + 3, magics[1][0] + 3)
+
+
+def test_block_stream_split_ownership_is_exact(tmp_path):
+    raw = big_dump(60, 8).encode()
+    path = _write_bz2(tmp_path, raw, level=1)
+    size = len(bz2.compress(raw, 1))
+    for n_splits in (2, 3, 5):
+        step = size // n_splits + 1
+        owned = []
+        for i in range(n_splits):
+            s = Bz2BlockStream(path, i * step, (i + 1) * step if i < n_splits - 1 else 1 << 62)
+            got = b""
+            while chunk := s.read():
+                got += chunk
+            end = s.owned_end if s.owned_end is not None else len(got)
+            owned.append(got[:end])
+            s.close()
+        assert b"".join(owned) == raw, f"n_splits={n_splits}"
+
+
+def test_multistream_file_splits(tmp_path):
+    # pbzip2 / Wikimedia-multistream layout: concatenated full streams
+    # with different levels
+    raw = big_dump(50, 6).encode()
+    cut1, cut2 = len(raw) // 3, 2 * len(raw) // 3
+    comp = (
+        bz2.compress(raw[:cut1], 9)
+        + bz2.compress(raw[cut1:cut2], 1)
+        + bz2.compress(raw[cut2:], 5)
+    )
+    path = tmp_path / "multi.xml.bz2"
+    path.write_bytes(comp)
+    mid = len(comp) // 2
+    a = Bz2BlockStream(str(path), 0, mid)
+    b = Bz2BlockStream(str(path), mid, 1 << 62)
+    ga = b""
+    while chunk := a.read():
+        ga += chunk
+    gb = b""
+    while chunk := b.read():
+        gb += chunk
+    assert ga[: a.owned_end] + gb[: b.owned_end] == raw
+
+
+# -- source-level split invariance ---------------------------------------
+
+
+def _rows(df):
+    return sorted(
+        (r.page_id, r.rev_id, r.rev_seq, r.title, r.text) for r in df.collect()
+    )
+
+
+def test_bz2_split_matches_plain_read(spark, tmp_path):
+    content = big_dump(40, 6)
+    plain = write_dump(tmp_path, content, "ref.xml")
+    packed = _write_bz2(tmp_path, content.encode(), "ref.xml.bz2", level=1)
+    expected = _rows(read_wikidump(spark, plain))
+
+    comp_size = (tmp_path / "ref.xml.bz2").stat().st_size
+    # several split sizes incl. smaller than one compressed block
+    for splitsize in (max(1, comp_size // 7), 50_000, 120_000, 1 << 22):
+        df = read_wikidump(spark, packed, splitsize=str(splitsize))
+        n_parts = df.rdd.getNumPartitions()
+        assert _rows(df) == expected, f"splitsize={splitsize}"
+        if splitsize < comp_size:
+            assert n_parts > 1, f"splitsize={splitsize} planned one partition"
+
+
+def test_bz2_split_standard_dump_semantics(spark, tmp_path):
+    # the full parser-branch fixture through the block-split path
+    packed = _write_bz2(
+        tmp_path, standard_dump().encode(), "std.xml.bz2", level=1
+    )
+    df = read_wikidump(spark, packed, splitsize="300")
+    rows = {r.rev_id: r for r in df.collect()}
+    assert sorted(rows) == [101, 102, 103, 104, 105, 201, 301, 302]
+    assert rows[104].user_text is None  # deleted contributor
+    assert rows[105].comment is None  # deleted comment
+    assert rows[102].user_ip == "10.0.0.1"
+
+
+def test_bz2_split_disabled_falls_back(spark, tmp_path):
+    packed = _write_bz2(tmp_path, standard_dump().encode(), "s2.xml.bz2")
+    df = read_wikidump(spark, packed, bz2_split="false")
+    assert df.rdd.getNumPartitions() == 1
+    assert df.count() == 8

@@ -33,11 +33,15 @@ memory — and replaces the physical strategy with Spark-native design:
   selected — the lazy-parse strategy the reference documents
   (README.rst:264-271) done through the engine instead of by hand.
 
-Compressed dumps (.bz2/.gz) read as one partition per file via
-streaming decompression; uncompressed files split.  (Block-aligned
-bz2 splitting — reference SeekableInputStream.java:50-57 — needs a
-block-boundary index; planned follow-up: a sidecar index file, since
-pure-Python bz2 exposes no block seeks.)
+Compressed dumps: ``.bz2`` files SPLIT like uncompressed ones — the
+block-aligned strategy of the reference (SeekableInputStream.java:50-57,
+StreamWikiDumpInputFormat.java:195-203) rebuilt on the bzip2 container
+itself (see ``bz2blocks.py``): each partition scans its compressed
+byte range for block magics, decodes its blocks in isolation, and owns
+the pages whose ``<page>`` tag starts in its blocks' decompressed
+output — the same exactly-once owner rule, lifted to two levels.
+Multi-stream files (pbzip2, Wikimedia "multistream" dumps) split the
+same way.  ``.gz`` is a non-splittable codec: one partition per file.
 """
 
 from __future__ import annotations
@@ -271,7 +275,7 @@ class WikidumpPartition(InputPartition):
     path: str
     start: int
     end: int  # ownership range end; reading may continue past it
-    codec: str  # "plain" | "bz2" | "gz"
+    codec: str  # "plain" | "bz2block" | "bz2" | "gz"
 
 
 class WikidumpReader(DataSourceReader):
@@ -315,21 +319,32 @@ class WikidumpReader(DataSourceReader):
         ]
         if not paths:
             raise FileNotFoundError(self._path)
+        bz2_split = str(self._options.get("bz2_split", "true")).lower() == "true"
         parts: list[WikidumpPartition] = []
         for p in paths:
             size = os.path.getsize(p)
             if p.endswith(".bz2"):
-                parts.append(WikidumpPartition(p, 0, 1 << 62, "bz2"))
+                if bz2_split:
+                    # ranges over COMPRESSED bytes; each partition owns
+                    # the bzip2 blocks whose magic starts in its range
+                    for start, end in self._ranges(size):
+                        parts.append(WikidumpPartition(p, start, end, "bz2block"))
+                else:
+                    parts.append(WikidumpPartition(p, 0, 1 << 62, "bz2"))
             elif p.endswith(".gz"):
                 parts.append(WikidumpPartition(p, 0, 1 << 62, "gz"))
             else:
-                n = max(1, (size + self._split_size - 1) // self._split_size)
-                step = (size + n - 1) // n
-                for i in range(n):
-                    start = i * step
-                    end = min(size, start + step) if i < n - 1 else 1 << 62
+                for start, end in self._ranges(size):
                     parts.append(WikidumpPartition(p, start, end, "plain"))
         return parts
+
+    def _ranges(self, size: int) -> list[tuple[int, int]]:
+        n = max(1, (size + self._split_size - 1) // self._split_size)
+        step = (size + n - 1) // n
+        return [
+            (i * step, min(size, (i + 1) * step) if i < n - 1 else 1 << 62)
+            for i in range(n)
+        ]
 
     # -- execution ----------------------------------------------------------
 
@@ -347,12 +362,26 @@ class WikidumpReader(DataSourceReader):
             f = open(partition.path, "rb")
             f.seek(partition.start)
             scanner = _TagScanner(f, base_offset=partition.start)
+            end_fn = lambda: partition.end  # noqa: E731
+        elif partition.codec == "bz2block":
+            from wikihadoop_spark.sources.bz2blocks import Bz2BlockStream
+
+            f = Bz2BlockStream(partition.path, partition.start, partition.end)
+            # scanner offsets are decompressed-local; ownership ends at
+            # the decompressed extent of this range's blocks, known by
+            # the time any offset could exceed it
+            scanner = _TagScanner(f, base_offset=0)
+            end_fn = lambda: (  # noqa: E731
+                f.owned_end if f.owned_end is not None else 1 << 62
+            )
         elif partition.codec == "bz2":
             f = bz2.open(partition.path, "rb")
             scanner = _TagScanner(f, base_offset=0)
+            end_fn = lambda: partition.end  # noqa: E731
         else:
             f = gzip.open(partition.path, "rb")
             scanner = _TagScanner(f, base_offset=0)
+            end_fn = lambda: partition.end  # noqa: E731
 
         arrow_type = {
             "page_id": pa.int64(), "title": pa.string(), "ns": pa.int32(),
@@ -370,7 +399,7 @@ class WikidumpReader(DataSourceReader):
         max_rows, max_bytes = 2048, 32 << 20
 
         try:
-            for row in self._read_pages(scanner, partition, fields, want_text, exclude):
+            for row in self._read_pages(scanner, end_fn, fields, want_text, exclude):
                 batch_rows.append(row)
                 t = row.get("text")
                 batch_bytes += len(t) if t else 64
@@ -388,12 +417,13 @@ class WikidumpReader(DataSourceReader):
         finally:
             f.close()
 
-    def _read_pages(self, scanner, partition, fields, want_text, exclude):
+    def _read_pages(self, scanner, end_fn, fields, want_text, exclude):
         while True:
             # Owner rule: only pages whose <page> tag starts inside
-            # [start, end) belong to this partition.
+            # the partition's ownership range (byte range for plain
+            # files, its blocks' decompressed extent for bz2).
             page_pos = scanner.skip_to(PAGE_OPEN)
-            if page_pos is None or page_pos >= partition.end:
+            if page_pos is None or page_pos >= end_fn():
                 return
             # header = bytes until the first <revision or </page>
             # (a page may legitimately carry zero revisions)
