@@ -95,7 +95,8 @@ def test_tsv_sink_py2_repr(spark, tmp_path):
     # rev_id, page_id, namespace, title, timestamp, comment, minor,
     # user_id, user_text, then ops
     assert first[0] == "101" and first[1] == "10" and first[2] == "0"
-    assert first[3] == "u'Fox Article'"
+    # title is py2 BYTES repr (no u prefix) — fileformat.rst:7-9
+    assert first[3] == "'Fox Article'"
     assert first[4] == "1609459200"
     assert first[5] == "u'create'" and first[6] == "False"
     assert first[7] == "7" and first[8] == "u'Editor'"
@@ -131,3 +132,78 @@ def test_grouped_pandas_formulation_equivalent(spark, tmp_path):
     a = key(build_diffdb(revs).collect())
     b = key(build_diffdb_grouped(revs).collect())
     assert a == b
+
+
+def test_golden_bytes_vs_published_rows(spark, tmp_path):
+    """Byte-for-byte conformance with the reference's PUBLISHED diffdb
+    rows (fileformat.rst:7-9): reconstruct the three revisions from the
+    published diffs, run them through the full pipeline, and require the
+    emitted TSV lines to equal the published bytes exactly — py2 bytes
+    repr for title, u-repr for comment/user, epoch seconds, canonical
+    delete-before-insert op runs."""
+    import datetime
+
+    from wikihadoop_spark.plans.diffdb import diffdb_tsv_lines
+
+    from dump_fixtures import page, rev
+
+    def xml_escape(t: str) -> str:
+        return t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+    ref = "/root/reference/fileformat.rst"
+    raw_lines = open(ref, "rb").read().split(b"\n")
+    # the published block has CRLF endings; the payload is the CR-less line
+    published = [raw_lines[i].rstrip(b"\r").decode() for i in (6, 7, 8)]
+
+    def parse(row):
+        f = row.split("\t")
+        ops = [
+            (int(p), int(a), eval(c))  # published rows are py2 repr by contract
+            for p, a, c in (op.split(":", 2) for op in f[9:])
+        ]
+        return f[:9], ops
+
+    meta1, ops1 = parse(published[0])
+    _, ops2 = parse(published[1])
+    _, ops3 = parse(published[2])
+
+    # reconstruct the revision texts by applying the published ops
+    rev1 = ops1[0][2]
+    rev2 = rev1[: ops2[0][0]] + ops2[0][2] + rev1[ops2[0][0] :]
+    rm, ins = ops3[0], ops3[1]
+    rev3 = rev2[: rm[0]] + ins[2] + rev2[rm[0] + len(rm[2]) :]
+
+    def iso(epoch):
+        return (
+            datetime.datetime.fromtimestamp(epoch, datetime.timezone.utc)
+            .strftime("%Y-%m-%dT%H:%M:%SZ")
+        )
+
+    title = eval(meta1[3])  # py3 eval of the bytes-repr yields str here
+    user = eval(published[0].split("\t")[8])
+    uid = int(meta1[7])
+    page_id = int(meta1[1])
+    rev_ids = [int(r.split("\t")[0]) for r in published]
+    epochs = [int(r.split("\t")[4]) for r in published]
+    comments = [eval(r.split("\t")[5]) for r in published]
+
+    revs = []
+    for rid, ep, cm, text, parent in zip(
+        rev_ids, epochs, comments, [rev1, rev2, rev3], [None] + rev_ids[:2]
+    ):
+        revs.append(
+            rev(rid, iso(ep), xml_escape(text), user=user, uid=uid,
+                comment=cm, parent=parent)
+        )
+    content = (
+        "<mediawiki>\n  <siteinfo><sitename>W</sitename></siteinfo>\n"
+        + page(page_id, title, 0, revs)
+        + "</mediawiki>\n"
+    )
+    path = write_dump(tmp_path, content, "golden.xml")
+    df = build_diffdb(read_wikidump(spark, path))
+    lines = [
+        r.line
+        for r in diffdb_tsv_lines(df.orderBy("rev_id")).collect()
+    ]
+    assert lines == published

@@ -47,6 +47,39 @@ def py2_repr_str(s: str) -> str:
     return "".join(out)
 
 
+def py2_repr_bytes(s: str) -> str:
+    """Python-2 ``repr('...')`` of a BYTE string holding UTF-8 text.
+
+    The reference's title field goes through py2 ``repr`` as a byte
+    string — the published rows show ``'National security and homeland
+    security presidential directive'`` with no ``u`` prefix
+    (fileformat.rst:7-9, revision_differ.py:154) — while comment /
+    user_text repr as unicode.  Non-ascii text appears as per-UTF-8-byte
+    ``\\xNN`` escapes; quote choice and control escapes match py2 str
+    repr."""
+    data = s.encode("utf-8")
+    quote = b"'"
+    if b"'" in data and b'"' not in data:
+        quote = b'"'
+    out = [quote.decode()]
+    q = quote[0]
+    for b in data:
+        if b == 0x5C or b == q:  # backslash or the chosen quote
+            out.append("\\" + chr(b))
+        elif b == 0x0A:
+            out.append("\\n")
+        elif b == 0x0D:
+            out.append("\\r")
+        elif b == 0x09:
+            out.append("\\t")
+        elif b < 0x20 or b >= 0x7F:
+            out.append(f"\\x{b:02x}")
+        else:
+            out.append(chr(b))
+    out.append(quote.decode())
+    return "".join(out)
+
+
 def py2_repr_value(v) -> str:
     """repr() for the scalar types the diffdb row contains."""
     if v is None:

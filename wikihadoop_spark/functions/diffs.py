@@ -157,33 +157,40 @@ def token_diff(
 
     report_set = set(report)
     position = 0
-    # merge adjacent same-action ranges as we emit
-    pending: tuple[int, list[str]] | None = None  # (action, tokens)
+    # Between two equalities all edits form one run, emitted as ONE
+    # merged delete then ONE merged insert — the canonical shape
+    # diff_match_patch's cleanupMerge produces and the published diffdb
+    # rows exhibit (fileformat.rst:9: `613:-1:u'signed'` before
+    # `613:1:u'a U.S. federal law passed'`).
+    del_toks: list[str] = []
+    ins_toks: list[str] = []
 
-    def flush():
-        nonlocal pending, position
-        if pending is None:
-            return None
-        action, toks = pending
-        content = "".join(toks)
-        pending = None
-        item = (position, action, content) if action in report_set else None
-        if action != DELETE:
-            position += len(content)
-        return item
+    def run_items():
+        nonlocal position
+        if del_toks:
+            c = "".join(del_toks)
+            del_toks.clear()
+            if DELETE in report_set:
+                yield (position, DELETE, c)
+        if ins_toks:
+            c = "".join(ins_toks)
+            ins_toks.clear()
+            if INSERT in report_set:
+                yield (position, INSERT, c)
+            position += len(c)
 
     for action, i0, i1 in raw:
-        toks = a_toks[i0:i1] if action != INSERT else b_toks[i0:i1]
-        if pending is not None and pending[0] == action:
-            pending[1].extend(toks)
-            continue
-        item = flush()
-        if item is not None:
-            yield item
-        pending = (action, list(toks))
-    item = flush()
-    if item is not None:
-        yield item
+        if action == DELETE:
+            del_toks.extend(a_toks[i0:i1])
+        elif action == INSERT:
+            ins_toks.extend(b_toks[i0:i1])
+        else:
+            yield from run_items()
+            eq = "".join(a_toks[i0:i1])
+            if EQUAL in report_set:
+                yield (position, EQUAL, eq)
+            position += len(eq)
+    yield from run_items()
 
 
 def apply_diff(prev: str, ops: list[tuple[int, int, str]]) -> str:

@@ -126,7 +126,7 @@ def diffdb_tsv_lines(diffdb: DataFrame) -> DataFrame:
     (fileformat.rst:6-27).  Python formatting runs in one Arrow batch
     UDF at the sink only — conformance mode, not the native output."""
     import pandas as pd
-    from ..functions.compat import py2_repr_value
+    from ..functions.compat import py2_repr_bytes, py2_repr_value
 
     meta_cols = [
         "rev_id", "page_id", "namespace", "title", "timestamp",
@@ -145,7 +145,15 @@ def diffdb_tsv_lines(diffdb: DataFrame) -> DataFrame:
             return v
 
         def one(row: dict) -> str:
-            fields = [py2_repr_value(norm(c, row[c])) for c in meta_cols]
+            # title reprs as a py2 BYTE string — no u prefix — exactly
+            # as the published rows show (fileformat.rst:7-9); all other
+            # strings repr as py2 unicode
+            fields = [
+                py2_repr_bytes(t)
+                if c == "title" and (t := norm(c, row[c])) is not None
+                else py2_repr_value(norm(c, row[c]))
+                for c in meta_cols
+            ]
             ops = row["ops"]
             for op in ops if ops is not None else []:  # numpy array truthiness
                 fields.append(
