@@ -45,6 +45,41 @@ def _encode(
     return a, b
 
 
+def _common_prefix_len(a: list, b: list) -> int:
+    """Length of the common prefix, via doubling/halving slice
+    compares — list == list runs element compares in C, so the dominant
+    small-edit-in-big-page case never loops per token in Python."""
+    n = min(len(a), len(b))
+    i, step = 0, 1024
+    while i < n:
+        j = min(n, i + step)
+        if a[i:j] == b[i:j]:
+            i = j
+            step *= 2
+        elif step > 1:
+            step = max(1, step // 8)
+        else:
+            break
+    return i
+
+
+def _common_suffix_len(a: list, b: list, limit: int) -> int:
+    """Length of the common suffix, capped at ``limit`` so it never
+    overlaps the already-matched prefix."""
+    n = min(len(a), len(b), limit)
+    s, step = 0, 1024
+    while s < n:
+        t = min(n, s + step)
+        if a[len(a) - t : len(a) - s] == b[len(b) - t : len(b) - s]:
+            s = t
+            step *= 2
+        elif step > 1:
+            step = max(1, step // 8)
+        else:
+            break
+    return s
+
+
 def _middle_snake(
     a: list[int], a0: int, a1: int, b: list[int], b0: int, b1: int
 ) -> tuple[int, int]:
@@ -151,9 +186,23 @@ def token_diff(
             return
     a_toks = tokenize(prev)
     b_toks = tokenize(curr)
-    a, b = _encode(a_toks, b_toks)
+    # strip common token prefix/suffix BEFORE dictionary-encoding:
+    # encoding was the hot loop (two dict-setdefault passes over every
+    # token of both texts); consecutive revisions share almost all of
+    # it, and slice equality runs in C
+    na, nb = len(a_toks), len(b_toks)
+    lo = _common_prefix_len(a_toks, b_toks)
+    suf = _common_suffix_len(a_toks, b_toks, min(na, nb) - lo)
+    a, b = _encode(a_toks[lo : na - suf], b_toks[lo : nb - suf])
     raw: list[tuple[int, int, int]] = []
-    _diff_ints(a, 0, len(a), b, 0, len(b), raw)
+    if lo:
+        raw.append((EQUAL, 0, lo))
+    mid: list[tuple[int, int, int]] = []
+    _diff_ints(a, 0, len(a), b, 0, len(b), mid)
+    # middle indices are slice-local on both sides; shift back by lo
+    raw.extend((act, i0 + lo, i1 + lo) for act, i0, i1 in mid)
+    if suf:
+        raw.append((EQUAL, na - suf, na))
 
     report_set = set(report)
     position = 0
