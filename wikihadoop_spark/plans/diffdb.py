@@ -194,12 +194,11 @@ def write_diffdb_tsv(
     df = diffdb
     if dedup:
         df = df.dropDuplicates(["rev_id"])
-    lines = diffdb_tsv_lines(df)
     if sort:
-        # NOTE: ordering columns must ride along for a global sort of
-        # formatted lines; re-derive from the source df instead
+        # ordering columns must ride along under the formatted lines,
+        # so sort the typed rows and format after
         df = df.orderBy("page_id", "rev_id")
-        lines = diffdb_tsv_lines(df)
+    lines = diffdb_tsv_lines(df)
     writer = lines.write.mode("overwrite")
     if compression:
         writer = writer.option("compression", compression)
@@ -235,21 +234,22 @@ def build_diffdb_grouped(revisions: DataFrame) -> DataFrame:
         rows = []
         prev_text = ""
         first = True
-        for _, r in pdf.iterrows():
-            text = r["text"] or ""
-            ts = r["ts"]
+        # itertuples, not iterrows: no per-row Series construction
+        for r in pdf.itertuples(index=False):
+            text = r.text or ""
+            ts = r.ts
             epoch = int(ts.timestamp()) if ts is not None else None
             rows.append(
                 {
-                    "rev_id": r["rev_id"],
-                    "page_id": r["page_id"],
-                    "namespace": r["ns"],
-                    "title": r["title"],
+                    "rev_id": r.rev_id,
+                    "page_id": r.page_id,
+                    "namespace": r.ns,
+                    "title": r.title,
                     "timestamp": epoch,
-                    "comment": r["comment"],
-                    "minor": bool(r["minor"]),
-                    "user_id": r["user_id"],
-                    "user_text": r["user_text"],
+                    "comment": r.comment,
+                    "minor": bool(r.minor),
+                    "user_id": r.user_id,
+                    "user_text": r.user_text,
                     "beginningofpage": first,
                     "ops": list(token_diff(prev_text, text)),
                 }
