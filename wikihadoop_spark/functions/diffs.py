@@ -313,6 +313,14 @@ def diff_ops_udf():
     from pyspark.sql import functions as F
 
     def _diff(prev, curr):
+        # cyclic GC off for the batch: tokenization allocates millions
+        # of acyclic objects (strings/lists/tuples), and gen2 sweeps
+        # triggered mid-batch showed up as multi-second stalls on some
+        # runs; refcounting frees everything here
+        import gc
+
+        gc_was_enabled = gc.isenabled()
+        gc.disable()
         # batch-local tokenize memo: for consecutive revisions the
         # current text of row i IS the previous text of row i+1, so
         # every text would otherwise be tokenized twice (~25% of the
@@ -328,12 +336,16 @@ def diff_ops_udf():
                 memo[t] = r
             return r
 
-        return pd.Series(
-            [
-                list(token_diff(p or "", c or "", tokenize=tok))
-                for p, c in zip(prev.tolist(), curr.tolist())
-            ]
-        )
+        try:
+            return pd.Series(
+                [
+                    list(token_diff(p or "", c or "", tokenize=tok))
+                    for p, c in zip(prev.tolist(), curr.tolist())
+                ]
+            )
+        finally:
+            if gc_was_enabled:
+                gc.enable()
 
     # real class objects (PEP-563 string hints break pandas-UDF
     # signature inference under `from __future__ import annotations`)

@@ -136,6 +136,98 @@ def filter_regex(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ===========================================================================
+# Wikidump source gate  (reference S1-S4, R1/R2, P1, X4, D1/D3 under the
+# driver's value-hash: the dump content is a pure function of the
+# documents table, so the oracle reproduces every output from SQL alone)
+# ===========================================================================
+
+_WIKIDUMP_GATE_SQL = """
+    SELECT doc_id * 10 + 1 AS rev_id, doc_id AS page_id, 1 AS rev_seq,
+           'Doc ' || doc_id AS title,
+           1600000000 + doc_id AS epoch,
+           CAST(NULL AS VARCHAR) AS comment,
+           false AS minor,
+           doc_id AS user_id, 'U' || doc_id AS user_text,
+           true AS beginningofpage,
+           true AS text_ok, true AS roundtrip_ok, true AS empty_iff_equal
+    FROM documents
+    UNION ALL
+    SELECT doc_id * 10 + 2, doc_id, 2, 'Doc ' || doc_id,
+           1600000000 + doc_id + 60,
+           CASE WHEN doc_id % 2 = 1 THEN 'edit ' || doc_id END,
+           doc_id % 3 = 0,
+           CAST(NULL AS BIGINT), '10.0.0.' || (doc_id % 256),
+           false, true, true, true
+    FROM documents
+"""
+
+
+def _wikidump_gate(spark: SparkSession, sf: str, *, use_bz2: bool) -> DataFrame:
+    """Materialize the deterministic gate dump from documents.parquet,
+    read it back through the real wikidump source (multi-partition:
+    page-owner rule for plain XML, block-owner rule through bz2), join
+    to the parquet table, and emit metadata + parser/pairing/diff
+    invariants the oracle states in closed form."""
+    from .functions.diffs import diff_check_udf
+    from .sources.gatedump import TRAILER, ensure_gate_dump
+    from .sources.wikidump import read_wikidump
+
+    xml_path, bz2_path = ensure_gate_dump(sf)
+    if use_bz2:
+        # small splits force several block-split partitions (S2)
+        revs = read_wikidump(
+            spark, bz2_path, splitsize="16384", pair_revisions="true"
+        )
+    else:
+        revs = read_wikidump(
+            spark, xml_path, splitsize="65536", pair_revisions="true"
+        )
+    docs = Tables(spark, sf).documents.select(
+        "doc_id", F.col("text").alias("doc_text")
+    )
+    expected = F.when(F.col("rev_seq") == 1, F.col("doc_text")).otherwise(
+        F.concat(F.col("doc_text"), F.lit(TRAILER))
+    )
+    chk = diff_check_udf()
+    return (
+        revs.join(docs, revs.page_id == F.col("doc_id"))
+        .withColumn("c", chk(F.coalesce(F.col("prev_text"), F.lit("")), F.col("text")))
+        .select(
+            F.col("rev_id"),
+            F.col("page_id"),
+            F.col("rev_seq").cast("int").alias("rev_seq"),
+            F.col("title"),
+            F.unix_timestamp(F.col("ts").cast("timestamp")).alias("epoch"),
+            F.col("comment"),
+            F.col("minor"),
+            F.col("user_id"),
+            F.col("user_text"),
+            F.col("beginningofpage"),
+            (F.col("text") == expected).alias("text_ok"),
+            F.col("c.roundtrip_ok").alias("roundtrip_ok"),
+            F.col("c.empty_iff_equal").alias("empty_iff_equal"),
+        )
+    )
+
+
+@query("wikidump_roundtrip", oracle=_WIKIDUMP_GATE_SQL)
+def wikidump_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom-source gate, plain XML path: page-aligned owner-rule
+    splits (S1/S4/S5), revision explode + header capture (R1/R2),
+    source-side pairing (P1), entity unescape + ts->epoch (X4), diff
+    round-trip invariants (D1/D3)."""
+    return _wikidump_gate(spark, sf, use_bz2=False)
+
+
+@query("wikidump_roundtrip_bz2", oracle=_WIKIDUMP_GATE_SQL)
+def wikidump_roundtrip_bz2(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom-source gate through block-aligned splittable bz2 (S2,
+    sources/bz2blocks.py): same rows as wikidump_roundtrip, read from a
+    multi-block compressed file across several byte-range partitions."""
+    return _wikidump_gate(spark, sf, use_bz2=True)
+
+
+# ===========================================================================
 # Aggregations  (reference A1-A2 counters; §2.8 hash-agg family)
 # ===========================================================================
 

@@ -398,6 +398,14 @@ class WikidumpReader(DataSourceReader):
         # flush on row count or accumulated text size — bounds task memory
         max_rows, max_bytes = 2048, 32 << 20
 
+        # cyclic GC off while parsing: the scanner allocates millions of
+        # acyclic objects (fragments, field strings, row dicts) and
+        # mid-task gen2 sweeps showed up as multi-second stalls; all of
+        # it is freed by refcounting
+        import gc
+
+        gc_was_enabled = gc.isenabled()
+        gc.disable()
         try:
             for row in self._read_pages(scanner, end_fn, fields, want_text, exclude):
                 batch_rows.append(row)
@@ -415,6 +423,8 @@ class WikidumpReader(DataSourceReader):
                     schema=schema,
                 )
         finally:
+            if gc_was_enabled:
+                gc.enable()
             f.close()
 
     def _read_pages(self, scanner, end_fn, fields, want_text, exclude):
