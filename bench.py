@@ -152,11 +152,13 @@ def _bench_wikidump(spark) -> dict:
     split = max(2 * 1024 * 1024, size // cpus)
 
     def run() -> float:
-        # source-side streaming pairing: zero shuffle of text bodies
-        # (the window variant shuffles 2x the corpus; equivalence of
-        # the two is asserted in tests/test_diffdb.py)
+        # compute_diffs: pairing AND the token diff run inside the
+        # source partition (the reference's in-mapper shape) — zero
+        # shuffle of text bodies and no second Arrow round-trip
+        # (equivalence vs the declarative UDF plan is asserted in
+        # tests/test_diffdb.py)
         revs = read_wikidump(
-            spark, path, splitSize=str(split), pair_revisions="true"
+            spark, path, splitSize=str(split), compute_diffs="true"
         )
         t0 = time.perf_counter()
         (
@@ -221,7 +223,7 @@ def _bench_wikidump_bz2(spark, xml_path: str, size_gb: float, cpus: int) -> dict
 
     def run() -> float:
         revs = read_wikidump(
-            spark, bz2_path, splitsize=str(split), pair_revisions="true"
+            spark, bz2_path, splitsize=str(split), compute_diffs="true"
         )
         t0 = time.perf_counter()
         (

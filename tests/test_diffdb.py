@@ -207,3 +207,25 @@ def test_golden_bytes_vs_published_rows(spark, tmp_path):
         for r in diffdb_tsv_lines(df.orderBy("rev_id")).collect()
     ]
     assert lines == published
+
+
+def test_in_source_diff_equivalent(spark, tmp_path):
+    """compute_diffs=true (the reference's in-mapper shape: ops computed
+    inside the source partition, texts never cross the Arrow boundary)
+    produces exactly the rows of the declarative UDF plan."""
+    path = write_dump(tmp_path, standard_dump())
+
+    def key(df):
+        return sorted(
+            (r.rev_id, r.timestamp, r.beginningofpage,
+             [(o.position, o.action, o.content) for o in r.ops])
+            for r in df.collect()
+        )
+
+    via_udf = build_diffdb(
+        read_wikidump(spark, path, pair_revisions="true"), paired=True
+    )
+    via_source = build_diffdb(
+        read_wikidump(spark, path, compute_diffs="true"), paired=True
+    )
+    assert key(via_udf) == key(via_source)

@@ -94,7 +94,14 @@ def build_diffdb(
         )
     )
 
-    diff = diff_ops_udf()
+    if "ops" in revisions.columns:
+        # source computed the diffs in-partition (compute_diffs=true —
+        # the reference's in-mapper shape): the texts never cross the
+        # Arrow boundary, the ops column comes straight off the scan
+        diff_col = F.col("ops")
+    else:
+        diff = diff_ops_udf()
+        diff_col = diff(F.col("prev_text"), F.col("text"))
     out = with_ns.select(
         F.col("rev_id"),
         F.col("page_id"),
@@ -107,7 +114,7 @@ def build_diffdb(
         F.col("user_id"),
         F.col("user_text"),
         F.col("beginningofpage"),
-        diff(F.col("prev_text"), F.col("text")).alias("ops"),
+        diff_col.alias("ops"),
     )
 
     # A1 counters as observed metrics (no extra pass)

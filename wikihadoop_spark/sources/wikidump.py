@@ -75,6 +75,7 @@ BASE_SCHEMA_DDL = (
     "sha1 string, text_bytes long, text string"
 )
 PAIRED_EXTRA_DDL = "prev_rev_id long, prev_text string, beginningofpage boolean"
+OPS_EXTRA_DDL = "ops array<struct<position:bigint,action:int,content:string>>"
 
 
 class _TagScanner:
@@ -288,6 +289,13 @@ class WikidumpReader(DataSourceReader):
         self._split_size = int(options.get("splitsize", 32 * 1024 * 1024))
         self._exclude = options.get("excludepageswith")
         self._paired = str(options.get("pair_revisions", "false")).lower() == "true"
+        # compute_diffs: run the token diff INSIDE the source partition
+        # (the reference's in-mapper architecture) — the ops column
+        # comes out of the scan and the two texts never cross the
+        # Python->JVM->Python Arrow boundary unless selected
+        self._diffs = str(options.get("compute_diffs", "false")).lower() == "true"
+        if self._diffs:
+            self._paired = True  # diffing implies pairing
         self._pushed: dict[str, object] = {}  # page-level equality filters
 
     def pushFilters(self, filters):
@@ -355,7 +363,8 @@ class WikidumpReader(DataSourceReader):
         import pyarrow as pa
 
         fields = [f.name for f in self._full_schema.fields]
-        want_text = "text" in fields or "prev_text" in fields
+        # diffs need the texts internally even when neither is selected
+        want_text = "text" in fields or "prev_text" in fields or self._diffs
         exclude = re.compile(self._exclude.encode()) if self._exclude else None
 
         if partition.codec == "plain":
@@ -392,6 +401,15 @@ class WikidumpReader(DataSourceReader):
             "user_ip": pa.string(), "sha1": pa.string(), "text_bytes": pa.int64(),
             "text": pa.string(), "prev_rev_id": pa.int64(),
             "prev_text": pa.string(), "beginningofpage": pa.bool_(),
+            "ops": pa.list_(
+                pa.struct(
+                    [
+                        ("position", pa.int64()),
+                        ("action", pa.int32()),
+                        ("content", pa.string()),
+                    ]
+                )
+            ),
         }
         schema = pa.schema([(c, arrow_type[c]) for c in fields])
         batch_rows, batch_bytes = [], 0
@@ -406,8 +424,33 @@ class WikidumpReader(DataSourceReader):
 
         gc_was_enabled = gc.isenabled()
         gc.disable()
+        if self._diffs:
+            from wikihadoop_spark.functions.diffs import token_diff
+            from wikihadoop_spark.functions.tokenize import tokenize_wikitext
+
+            # partition-level tokenize memo: within a page chain, row
+            # i's text IS row i+1's prev_text
+            memo: dict[str, list[str]] = {}
+
+            def tok(t: str) -> list[str]:
+                r = memo.get(t)
+                if r is None:
+                    r = tokenize_wikitext(t)
+                    if len(memo) > 4096:
+                        memo.clear()
+                    memo[t] = r
+                return r
+
         try:
             for row in self._read_pages(scanner, end_fn, fields, want_text, exclude):
+                if self._diffs:
+                    row["ops"] = list(
+                        token_diff(
+                            row.get("prev_text") or "",
+                            row.get("text") or "",
+                            tokenize=tok,
+                        )
+                    )
                 batch_rows.append(row)
                 t = row.get("text")
                 batch_bytes += len(t) if t else 64
@@ -494,9 +537,16 @@ class WikidumpDataSource(DataSource):
         return "wikidump"
 
     def schema(self) -> str:
-        if str(self.options.get("pair_revisions", "false")).lower() == "true":
-            return f"{BASE_SCHEMA_DDL}, {PAIRED_EXTRA_DDL}"
-        return BASE_SCHEMA_DDL
+        diffs = str(self.options.get("compute_diffs", "false")).lower() == "true"
+        paired = diffs or (
+            str(self.options.get("pair_revisions", "false")).lower() == "true"
+        )
+        ddl = BASE_SCHEMA_DDL
+        if paired:
+            ddl += f", {PAIRED_EXTRA_DDL}"
+        if diffs:
+            ddl += f", {OPS_EXTRA_DDL}"
+        return ddl
 
     def reader(self, schema: StructType) -> WikidumpReader:
         return WikidumpReader(schema, dict(self.options))
