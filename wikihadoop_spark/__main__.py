@@ -32,6 +32,9 @@ def main(argv: list[str] | None = None) -> int:
     d = sub.add_parser("diffdb", parents=[common], help="full diff pipeline -> TSV")
     d.add_argument("--source-pairing", action="store_true",
                    help="pair revisions inside the source (no text shuffle)")
+    d.add_argument("--source-diff", action="store_true",
+                   help="compute diffs inside the source partition too "
+                        "(the reference's in-mapper shape; fastest)")
     d.add_argument("--no-sort", action="store_true")
     d.add_argument("--no-dedup", action="store_true")
     d.add_argument("--compression", default="gzip")
@@ -69,7 +72,9 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("wikihadoop-cli", cpus=args.cores)
     try:
         opts = {"splitSize": str(args.split_size)}
-        if args.cmd == "diffdb" and args.source_pairing:
+        if args.cmd == "diffdb" and getattr(args, "source_diff", False):
+            opts["compute_diffs"] = "true"
+        elif args.cmd == "diffdb" and args.source_pairing:
             opts["pair_revisions"] = "true"
         revs = read_wikidump(spark, args.input, **opts)
 
@@ -86,7 +91,7 @@ def main(argv: list[str] | None = None) -> int:
         diff = build_diffdb(
             revs,
             exclude_pages_with=args.exclude_pages_with,
-            paired=args.source_pairing,
+            paired=args.source_pairing or getattr(args, "source_diff", False),
         )
         write_diffdb_tsv(
             diff,
