@@ -168,3 +168,76 @@ def test_bz2_split_disabled_falls_back(spark, tmp_path):
     df = read_wikidump(spark, packed, bz2_split="false")
     assert df.rdd.getNumPartitions() == 1
     assert df.count() == 8
+
+
+def test_page_spanning_many_blocks(spark, tmp_path):
+    """A single page larger than several compressed blocks: the owning
+    partition must tail-read across block boundaries (and past its own
+    range) to finish the page; later partitions must skip it entirely."""
+    import random
+
+    rng = random.Random(3)
+    words = "alpha beta gamma delta epsilon zeta".split()
+    # ~600 KB of low-compressibility body -> many level-1 blocks
+    big_body = " ".join(
+        f"{rng.choice(words)}{rng.getrandbits(32):x}" for _ in range(60_000)
+    )
+    from tests.dump_fixtures import page, rev
+
+    content = (
+        "<mediawiki><siteinfo><sitename>S</sitename></siteinfo>\n"
+        + page(1, "Small A", 0, [rev(11, "2022-01-01T00:00:00Z", "tiny a")])
+        + page(2, "Huge", 0, [rev(21, "2022-01-02T00:00:00Z", big_body)])
+        + page(3, "Small B", 0, [rev(31, "2022-01-03T00:00:00Z", "tiny b")])
+        + "</mediawiki>\n"
+    )
+    packed = tmp_path / "span.xml.bz2"
+    packed.write_bytes(bz2.compress(content.encode(), 1))
+    blocks = [m for m in iter_magics(str(packed)) if not m[1]]
+    assert len(blocks) >= 4, "fixture must span several blocks"
+
+    for splitsize in (20_000, 60_000, 150_000):
+        df = read_wikidump(spark, str(packed), splitsize=str(splitsize))
+        rows = {r.rev_id: r.text for r in df.collect()}
+        assert sorted(rows) == [11, 21, 31], f"splitsize={splitsize}"
+        assert rows[21] == big_body, f"splitsize={splitsize}: big page corrupted"
+
+
+def test_truncated_bz2_yields_complete_blocks_only(tmp_path):
+    """A truncated .bz2 (mid-block EOF) decodes every complete block
+    and drops the torn tail instead of raising."""
+    import random
+
+    rng = random.Random(5)
+    raw = b"".join(
+        (f"line {i} {rng.getrandbits(64):x}\n").encode() for i in range(30_000)
+    )
+    comp = bz2.compress(raw, 1)
+    magics = [m for m in iter_magics_bytes(comp)]
+    blocks = [m for m in magics if not m[1]]
+    assert len(blocks) >= 2
+    # cut in the middle of the last block
+    cut = (blocks[-1][0] // 8) + 40
+    path = tmp_path / "trunc.xml.bz2"
+    path.write_bytes(comp[:cut])
+    s = Bz2BlockStream(str(path), 0, 1 << 62)
+    got = b""
+    while chunk := s.read():
+        got += chunk
+    s.close()
+    assert 0 < len(got) < len(raw)
+    assert raw.startswith(got)
+
+
+def iter_magics_bytes(data: bytes):
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".bz2", delete=False) as f:
+        f.write(data)
+        name = f.name
+    try:
+        yield from iter_magics(name)
+    finally:
+        import os
+
+        os.unlink(name)
