@@ -2115,3 +2115,94 @@ def agg_argmax(spark: SparkSession, sf: str) -> DataFrame:
         F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
         F.max("o_totalprice").alias("max_total"),
     )
+
+
+# ===========================================================================
+# Multimodal gate  (binary payload columns + mapInPandas operators —
+# payloads derived from documents so the fake-codec outputs are a
+# closed-form function of doc_id that the oracle states in SQL;
+# multimodal/media.py)
+# ===========================================================================
+
+
+def _media_from_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic media table: payload = UTF-8 bytes of the document
+    text (an opaque binary column as far as the operators care)."""
+    return Tables(spark, sf).documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+
+
+@query(
+    "media_image_metadata",
+    oracle="""
+    SELECT doc_id AS media_id,
+           64 + ('0x' || substr(sha256('dims' || text), 1, 2))::INT % 192 * 16 AS width,
+           64 + ('0x' || substr(sha256('dims' || text), 3, 2))::INT % 108 * 16 AS height,
+           3 AS channels,
+           substr(sha256(text), 1, 16) AS content_hash
+    FROM documents
+    """,
+)
+def media_image_metadata_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary-column decode/inspect step through the real mapInPandas
+    plumbing (multimodal/media.py:image_metadata, fake backend): the
+    sha256-derived pseudo-dims and content hash are reproduced by the
+    oracle from the document text alone."""
+    from .multimodal.media import image_metadata
+
+    return image_metadata(_media_from_docs(spark, sf))
+
+
+@query(
+    "media_audio_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           [(('0x' || substr(sha256('audio' || text), 2*i+1, 2))::INT - 128) / 128.0
+            for i in range(0, 16)] AS features,
+           1000 + ('0x' || substr(sha256('audio' || text), 1, 2))::INT * 37 AS duration_ms
+    FROM documents
+    """,
+)
+def media_audio_features_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary -> fixed-size feature vector (the MFCC shape) through
+    mapInPandas; features are exact multiples of 1/128 so the
+    float32->double widening is bit-stable across engines."""
+    from .multimodal.media import audio_features
+
+    af = audio_features(_media_from_docs(spark, sf), n_features=16)
+    return af.select(
+        "media_id",
+        F.col("features").cast("array<double>").alias("features"),
+        "duration_ms",
+    )
+
+
+@query(
+    "media_frame_fanout",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(1 + ('0x' || substr(sha256('video' || text), 1, 2))::INT % 8 AS BIGINT)
+               AS n_frames,
+           true AS all_frames_distinct,
+           30 * (('0x' || substr(sha256('video' || text), 1, 2))::INT % 8) AS max_frame_idx
+    FROM documents
+    """,
+)
+def media_frame_fanout_q(spark: SparkSession, sf: str) -> DataFrame:
+    """One-to-many frame sampling (mapInPandas UDTF fan-out): per-media
+    frame count, index spacing, and frame distinctness are closed-form
+    in the oracle; any fan-out or batching defect changes a count."""
+    from .multimodal.media import video_frame_sample
+
+    fr = video_frame_sample(
+        _media_from_docs(spark, sf), every_n_frames=30, max_frames=8
+    )
+    return fr.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        (F.count_distinct(F.col("frame")) == F.count(F.lit(1))).alias(
+            "all_frames_distinct"
+        ),
+        F.max("frame_idx").alias("max_frame_idx"),
+    )

@@ -22,12 +22,52 @@ def default_cpus() -> int:
     return os.cpu_count() or 4
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``wikihadoop_spark`` importable in executor Python workers.
+
+    Cloudpickle serializes the DataSource class and the UDF closures'
+    module-level references BY NAME, so workers must import this
+    package — but the driver's session may have been created without
+    the repo on PYTHONPATH (driver-side imports then work via sys.path
+    manipulation while workers fail with ModuleNotFoundError).  Zip the
+    package once and addPyFile it; Spark inserts it into every worker's
+    sys.path per task.  Idempotent per SparkContext."""
+    sc = spark.sparkContext
+    if getattr(sc, "_wikihadoop_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_root = os.path.dirname(os.path.abspath(__file__))
+    sources = []
+    for dirpath, _dirnames, filenames in os.walk(pkg_root):
+        for fn in filenames:
+            if fn.endswith(".py"):
+                sources.append(os.path.join(dirpath, fn))
+    newest = max(os.path.getmtime(p) for p in sources)
+    zpath = os.path.join(tempfile.gettempdir(), "wikihadoop_spark_pkg.zip")
+    if not os.path.exists(zpath) or os.path.getmtime(zpath) < newest:
+        tmp = zpath + f".tmp{os.getpid()}"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for p in sources:
+                zf.write(
+                    p,
+                    os.path.join(
+                        "wikihadoop_spark", os.path.relpath(p, pkg_root)
+                    ),
+                )
+        os.replace(tmp, zpath)
+    sc.addPyFile(zpath)
+    sc._wikihadoop_pkg_shipped = True
+
+
 def configure_session(spark: SparkSession) -> SparkSession:
     """Idempotent runtime conf needed for correctness on the testdata.
 
     Safe to call on a session we did not create (the driver passes its
     own): only runtime-settable confs are touched.
     """
+    _ship_package(spark)
     # Oracle parity: DuckDB treats parquet timestamps as naive UTC.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
