@@ -59,3 +59,26 @@ def test_random_dump_roundtrip(spark, tmp_path_factory, dump):
         rows = read_wikidump(spark, str(path), splitSize=str(split)).collect()
         got = sorted((r.page_id, r.rev_id, r.rev_seq, r.text) for r in rows)
         assert got == sorted(expected), f"split={split}"
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(dumps(), st.sampled_from([1, 5, 9]))
+def test_random_dump_roundtrip_bz2_blocks(spark, tmp_path_factory, dump, level):
+    """Same invariance through the block-aligned bz2 splitter, across
+    compression levels (block sizes) and split sizes smaller than the
+    compressed file."""
+    import bz2
+
+    xml, expected = dump
+    d = tmp_path_factory.mktemp("propbz")
+    path = d / "dump.xml.bz2"
+    comp = bz2.compress(xml.encode(), level)
+    path.write_bytes(comp)
+    for split in (max(1, len(comp) // 5), 300, 1 << 20):
+        rows = read_wikidump(spark, str(path), splitsize=str(split)).collect()
+        got = sorted((r.page_id, r.rev_id, r.rev_seq, r.text) for r in rows)
+        assert got == sorted(expected), f"level={level} split={split}"
