@@ -101,3 +101,37 @@ def test_minhash_single_shuffle_signature(spark):
 def test_similarity_broadcasts_queries(spark):
     plan = plan_of(spark, "similarity_topk")
     assert "Broadcast" in plan
+
+
+def test_media_metadata_prunes_documents_scan(spark):
+    """The media gate derives payloads from documents: only doc_id+text
+    may reach the parquet reader, and exactly one Python stage runs."""
+    plan = plan_of(spark, "media_image_metadata")
+    read_schema = plan.split("ReadSchema:")[1]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "lang" not in read_schema and "n_chars" not in read_schema
+    assert plan.count("MapInPandas") == 1
+
+
+def test_in_source_diff_no_second_python_stage(spark, tmp_path):
+    """compute_diffs=true moves the diff into the scan: the plan must
+    contain NO Python eval stage (vs the declarative plan, which has
+    the Arrow UDF stage)."""
+    from wikihadoop_spark.plans.diffdb import build_diffdb
+    from wikihadoop_spark.sources.wikidump import read_wikidump
+
+    from dump_fixtures import standard_dump, write_dump
+
+    path = write_dump(tmp_path, standard_dump())
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    in_source = build_diffdb(
+        read_wikidump(spark, path, compute_diffs="true"), paired=True
+    )
+    assert "EvalPython" not in plan(in_source)
+    declarative = build_diffdb(
+        read_wikidump(spark, path, pair_revisions="true"), paired=True
+    )
+    assert "EvalPython" in plan(declarative)
