@@ -210,14 +210,23 @@ def _bench_wikidump_bz2(spark, xml_path: str, size_gb: float, cpus: int) -> dict
     from wikihadoop_spark.sources.wikidump import read_wikidump
 
     bz2_path = xml_path + ".bz2"
-    if not os.path.exists(bz2_path):
+    # regenerate when missing OR stale vs the xml (e.g. a larger
+    # SPARK_GRAFT_BENCH_BYTES rebuilt the xml); write atomically so a
+    # crash mid-compress can't leave a torn file that silently benches
+    # the wrong input
+    if not (
+        os.path.exists(bz2_path)
+        and os.path.getmtime(bz2_path) >= os.path.getmtime(xml_path)
+    ):
         # level 1: fast one-time compress, 100k-sized blocks -> good
         # split granularity
         comp = bz2.BZ2Compressor(1)
-        with open(xml_path, "rb") as f, open(bz2_path, "wb") as o:
+        tmp = bz2_path + f".tmp{os.getpid()}"
+        with open(xml_path, "rb") as f, open(tmp, "wb") as o:
             while chunk := f.read(1 << 22):
                 o.write(comp.compress(chunk))
             o.write(comp.flush())
+        os.replace(tmp, bz2_path)
     comp_size = os.path.getsize(bz2_path)
     split = max(256 * 1024, comp_size // cpus)
 

@@ -137,11 +137,13 @@ def lsh_candidate_pairs(
     cluster into one collect_list row and O(k²) pairs into one task.
     Deterministic truncation — the lowest ``bucket_cap`` ids per bucket
     survive — keeps results reproducible and bounds the worst row at
-    cap×sig_width bytes and the worst task at cap² pairs; members of a
-    truncated bucket still pair with the kept representatives, so
-    cluster connectivity survives for the downstream verify pass.
-    Pass an ``Observation`` as ``observation`` to count truncated
-    members (``lsh_dropped_members``) on the same job.
+    cap×sig_width bytes and the worst task at cap² pairs.  Members
+    beyond the cap appear in NO pairs from that bucket (near-identical
+    docs usually share several band keys, so they often still surface
+    via a less-crowded band); use the ``lsh_dropped_members`` counter
+    (pass an ``Observation``) to detect truncation, and raise the cap
+    or add bands when it is nonzero and full cluster connectivity
+    matters.
     """
     from pyspark.sql import Window
 

@@ -35,18 +35,29 @@ def _ship_package(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if getattr(sc, "_wikihadoop_pkg_shipped", False):
         return
+    import hashlib
     import tempfile
     import zipfile
 
     pkg_root = os.path.dirname(os.path.abspath(__file__))
     sources = []
     for dirpath, _dirnames, filenames in os.walk(pkg_root):
-        for fn in filenames:
+        for fn in sorted(filenames):
             if fn.endswith(".py"):
                 sources.append(os.path.join(dirpath, fn))
-    newest = max(os.path.getmtime(p) for p in sources)
-    zpath = os.path.join(tempfile.gettempdir(), "wikihadoop_spark_pkg.zip")
-    if not os.path.exists(zpath) or os.path.getmtime(zpath) < newest:
+    sources.sort()
+    # content-hash the cache key: an mtime check would let a different
+    # checkout (or a rolled-back one with older mtimes) reuse another
+    # tree's zip and ship diverging code to the executors
+    h = hashlib.sha256()
+    for p in sources:
+        h.update(os.path.relpath(p, pkg_root).encode())
+        with open(p, "rb") as fh:
+            h.update(fh.read())
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"wikihadoop_spark_pkg_{h.hexdigest()[:16]}.zip"
+    )
+    if not os.path.exists(zpath):
         tmp = zpath + f".tmp{os.getpid()}"
         with zipfile.ZipFile(tmp, "w") as zf:
             for p in sources:

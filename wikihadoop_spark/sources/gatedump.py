@@ -31,7 +31,17 @@ TRAILER = " trailer"
 
 
 def gate_dump_paths(sf_dir: str) -> tuple[str, str]:
+    """Cache paths keyed by sf dir AND the parquet's identity (mtime +
+    size): if documents.parquet is ever regenerated, the key changes
+    and the fixture rebuilds instead of silently hash-failing every
+    wikidump gate query against stale content."""
     tag = re.sub(r"\W+", "_", sf_dir.rstrip("/"))
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        tag += f"_{int(st.st_mtime)}_{st.st_size}"
+    except OSError:
+        pass
     xml = f"/tmp/wikidump_gate_{tag}.xml"
     return xml, xml + ".bz2"
 

@@ -363,8 +363,10 @@ class WikidumpReader(DataSourceReader):
         import pyarrow as pa
 
         fields = [f.name for f in self._full_schema.fields]
-        # diffs need the texts internally even when neither is selected
-        want_text = "text" in fields or "prev_text" in fields or self._diffs
+        # diff only when the ops column survives pruning; diffs need
+        # the texts internally even when neither text column is selected
+        compute_ops = self._diffs and "ops" in fields
+        want_text = "text" in fields or "prev_text" in fields or compute_ops
         exclude = re.compile(self._exclude.encode()) if self._exclude else None
 
         if partition.codec == "plain":
@@ -416,15 +418,7 @@ class WikidumpReader(DataSourceReader):
         # flush on row count or accumulated text size — bounds task memory
         max_rows, max_bytes = 2048, 32 << 20
 
-        # cyclic GC off while parsing: the scanner allocates millions of
-        # acyclic objects (fragments, field strings, row dicts) and
-        # mid-task gen2 sweeps showed up as multi-second stalls; all of
-        # it is freed by refcounting
-        import gc
-
-        gc_was_enabled = gc.isenabled()
-        gc.disable()
-        if self._diffs:
+        if compute_ops:
             from wikihadoop_spark.functions.diffs import token_diff
             from wikihadoop_spark.functions.tokenize import tokenize_wikitext
 
@@ -441,9 +435,18 @@ class WikidumpReader(DataSourceReader):
                     memo[t] = r
                 return r
 
+        # cyclic GC off while parsing: the scanner allocates millions of
+        # acyclic objects (fragments, field strings, row dicts) and
+        # mid-task gen2 sweeps showed up as multi-second stalls; all of
+        # it is freed by refcounting.  Disabled immediately before the
+        # try so the finally always restores it (workers are reused).
+        import gc
+
+        gc_was_enabled = gc.isenabled()
+        gc.disable()
         try:
             for row in self._read_pages(scanner, end_fn, fields, want_text, exclude):
-                if self._diffs:
+                if compute_ops:
                     row["ops"] = list(
                         token_diff(
                             row.get("prev_text") or "",
