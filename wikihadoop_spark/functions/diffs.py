@@ -353,3 +353,34 @@ def diff_ops_udf():
     return F.pandas_udf(
         _diff, "array<struct<position:bigint, action:int, content:string>>"
     )
+
+
+def ops_check_udf():
+    """Arrow-vectorized pandas UDF: (prev_text, text, ops) ->
+    struct<roundtrip_ok:boolean, empty_iff_equal:boolean>.
+
+    Like diff_check_udf but verifies PROVIDED ops (e.g. computed
+    in-source via compute_diffs=true) instead of re-diffing — the gate
+    for the in-scan diff path: patch(prev, ops) must reconstruct text
+    exactly, and ops must be empty iff the texts are equal."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def _check(prev, curr, ops):
+        rt, em = [], []
+        for p, c, o in zip(prev.tolist(), curr.tolist(), ops.tolist()):
+            p, c = p or "", c or ""
+            triples = [
+                (d["position"], d["action"], d["content"]) for d in (o or [])
+            ]
+            rt.append(apply_diff(p, triples) == c)
+            em.append((len(triples) == 0) == (p == c))
+        return pd.DataFrame({"roundtrip_ok": rt, "empty_iff_equal": em})
+
+    _check.__annotations__ = {
+        "prev": pd.Series, "curr": pd.Series, "ops": pd.Series,
+        "return": pd.DataFrame,
+    }
+    return F.pandas_udf(
+        _check, "struct<roundtrip_ok:boolean, empty_iff_equal:boolean>"
+    )

@@ -168,19 +168,29 @@ def _wikidump_gate(spark: SparkSession, sf: str, *, use_bz2: bool) -> DataFrame:
     page-owner rule for plain XML, block-owner rule through bz2), join
     to the parquet table, and emit metadata + parser/pairing/diff
     invariants the oracle states in closed form."""
-    from .functions.diffs import diff_check_udf
+    from .functions.diffs import diff_check_udf, ops_check_udf
     from .sources.gatedump import TRAILER, ensure_gate_dump
     from .sources.wikidump import read_wikidump
 
     xml_path, bz2_path = ensure_gate_dump(sf)
     if use_bz2:
-        # small splits force several block-split partitions (S2)
+        # small splits force several block-split partitions (S2), and
+        # compute_diffs exercises the in-scan diff path (the bench
+        # configuration) — its ops are verified by reconstruction
         revs = read_wikidump(
-            spark, bz2_path, splitsize="16384", pair_revisions="true"
+            spark, bz2_path, splitsize="16384", compute_diffs="true"
+        )
+        chk_col = ops_check_udf()(
+            F.coalesce(F.col("prev_text"), F.lit("")),
+            F.col("text"),
+            F.col("ops"),
         )
     else:
         revs = read_wikidump(
             spark, xml_path, splitsize="65536", pair_revisions="true"
+        )
+        chk_col = diff_check_udf()(
+            F.coalesce(F.col("prev_text"), F.lit("")), F.col("text")
         )
     docs = Tables(spark, sf).documents.select(
         "doc_id", F.col("text").alias("doc_text")
@@ -188,10 +198,9 @@ def _wikidump_gate(spark: SparkSession, sf: str, *, use_bz2: bool) -> DataFrame:
     expected = F.when(F.col("rev_seq") == 1, F.col("doc_text")).otherwise(
         F.concat(F.col("doc_text"), F.lit(TRAILER))
     )
-    chk = diff_check_udf()
     return (
         revs.join(docs, revs.page_id == F.col("doc_id"))
-        .withColumn("c", chk(F.coalesce(F.col("prev_text"), F.lit("")), F.col("text")))
+        .withColumn("c", chk_col)
         .select(
             F.col("rev_id"),
             F.col("page_id"),
