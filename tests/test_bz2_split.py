@@ -241,3 +241,37 @@ def iter_magics_bytes(data: bytes):
         import os
 
         os.unlink(name)
+
+
+def test_false_positive_magic_handling(tmp_path, monkeypatch):
+    """A 48-bit magic pattern occurring by chance inside compressed
+    data (p≈2^-48/bit — injected here) must not lose or duplicate any
+    block: a false END candidate is merged over; a false START
+    candidate is skipped."""
+    import wikihadoop_spark.sources.bz2blocks as bb
+
+    raw = big_dump(60, 8).encode()
+    path = _write_bz2(tmp_path, raw, level=1)
+    real = list(bb.iter_magics(path))
+    blocks = [m for m in real if not m[1]]
+    assert len(blocks) >= 2
+
+    # inject a bogus candidate in the middle of the first block's span
+    fake_bit = (blocks[0][0] + blocks[1][0]) // 2
+    injected = sorted(real + [(fake_bit, False)])
+
+    orig = bb.iter_magics
+
+    def patched(p, start_byte=0):
+        for m in injected:
+            if m[0] >= start_byte * 8:
+                yield m
+
+    monkeypatch.setattr(bb, "iter_magics", patched)
+    s = bb.Bz2BlockStream(path, 0, 1 << 62)
+    got = b""
+    while chunk := s.read():
+        got += chunk
+    s.close()
+    monkeypatch.setattr(bb, "iter_magics", orig)
+    assert got == raw, "false-positive candidate corrupted the stream"
