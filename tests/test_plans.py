@@ -135,3 +135,36 @@ def test_in_source_diff_no_second_python_stage(spark, tmp_path):
         read_wikidump(spark, path, pair_revisions="true"), paired=True
     )
     assert "EvalPython" in plan(declarative)
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    """Co-located joins (operators/colocate.py): two tables bucketed +
+    sorted on the key join with NO Exchange and NO Sort — the shuffle
+    was paid once at write time."""
+    from pyspark.sql import functions as F
+
+    from wikihadoop_spark.operators.colocate import bucketed_join, write_bucketed
+
+    orders = spark.createDataFrame(
+        [(i, i % 97, float(i)) for i in range(5000)],
+        "o_id long, cust long, total double",
+    )
+    custs = spark.createDataFrame(
+        [(i % 97, f"c{i % 97}") for i in range(97)],
+        "cust long, name string",
+    ).dropDuplicates(["cust"])
+    write_bucketed(orders, "t_orders_b", key="cust", buckets=8)
+    write_bucketed(custs, "t_custs_b", key="cust", buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed_join(spark, "t_orders_b", "t_custs_b", "cust")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        n = j.count()
+        assert n == 5000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_custs_b")
