@@ -324,16 +324,22 @@ def diff_ops_udf():
         # batch-local tokenize memo: for consecutive revisions the
         # current text of row i IS the previous text of row i+1, so
         # every text would otherwise be tokenized twice (~25% of the
-        # diff cost on revision chains)
+        # diff cost on revision chains).  Capped by TOTAL cached tokens,
+        # not entry count — a chain of giant pages must not pin
+        # gigabytes of token lists in a worker.
         memo: dict[str, list[str]] = {}
+        memo_tokens = 0
 
         def tok(t: str) -> list[str]:
+            nonlocal memo_tokens
             r = memo.get(t)
             if r is None:
                 r = tokenize_wikitext(t)
-                if len(memo) > 4096:
+                if memo_tokens > 4_000_000 or len(memo) > 4096:
                     memo.clear()
+                    memo_tokens = 0
                 memo[t] = r
+                memo_tokens += len(r)
             return r
 
         try:

@@ -423,16 +423,21 @@ class WikidumpReader(DataSourceReader):
             from wikihadoop_spark.functions.tokenize import tokenize_wikitext
 
             # partition-level tokenize memo: within a page chain, row
-            # i's text IS row i+1's prev_text
+            # i's text IS row i+1's prev_text.  Capped by total cached
+            # tokens so chains of giant pages cannot pin gigabytes.
             memo: dict[str, list[str]] = {}
+            memo_tokens = 0
 
             def tok(t: str) -> list[str]:
+                nonlocal memo_tokens
                 r = memo.get(t)
                 if r is None:
                     r = tokenize_wikitext(t)
-                    if len(memo) > 4096:
+                    if memo_tokens > 4_000_000 or len(memo) > 4096:
                         memo.clear()
+                        memo_tokens = 0
                     memo[t] = r
+                    memo_tokens += len(r)
                 return r
 
         # cyclic GC off while parsing: the scanner allocates millions of
