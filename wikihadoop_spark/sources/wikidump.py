@@ -56,7 +56,12 @@ from datetime import datetime
 from glob import glob
 from typing import TYPE_CHECKING, Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import StructType
 
 if TYPE_CHECKING:
@@ -537,8 +542,71 @@ class WikidumpReader(DataSourceReader):
                 tag_idx = nxt[0]
 
 
+class WikidumpStreamReader(DataSourceStreamReader):
+    """Incremental ingest of ARRIVING dump files (shards land in a
+    directory; each microbatch reads the new ones).
+
+    Offsets are JSON dicts ``{"files": {path: size}}``; a file is
+    consumed exactly once, in its entirety, when first observed (dump
+    shards are immutable once written — writers should move complete
+    files in, e.g. via rename).  Batch partitions reuse the batch
+    reader's planning (byte ranges, bz2 block splitting, owner rule),
+    so a single huge arriving shard still parallelizes."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self._batch = WikidumpReader(schema, options)
+        self._path = options.get("path")
+
+    def _current_files(self) -> dict[str, int]:
+        paths = (
+            sorted(glob(self._path))
+            if any(c in self._path for c in "*?[")
+            else [self._path]
+            if os.path.exists(self._path)
+            else []
+        )
+        if len(paths) == 1 and os.path.isdir(paths[0]):
+            base = paths[0]
+            paths = sorted(
+                os.path.join(base, f)
+                for f in os.listdir(base)
+                if not f.startswith(".") and not f.endswith(".tmp")
+            )
+        return {p: os.path.getsize(p) for p in paths}
+
+    def initialOffset(self) -> dict:
+        return {"files": {}}
+
+    def latestOffset(self) -> dict:
+        return {"files": self._current_files()}
+
+    def partitions(self, start: dict, end: dict):
+        seen = start.get("files", {})
+        new = [p for p in end.get("files", {}) if p not in seen]
+        parts: list[WikidumpPartition] = []
+        for p in sorted(new):
+            size = os.path.getsize(p)
+            if p.endswith(".bz2"):
+                for s, e in self._batch._ranges(size):
+                    parts.append(WikidumpPartition(p, s, e, "bz2block"))
+            elif p.endswith(".gz"):
+                parts.append(WikidumpPartition(p, 0, 1 << 62, "gz"))
+            else:
+                for s, e in self._batch._ranges(size):
+                    parts.append(WikidumpPartition(p, s, e, "plain"))
+        return parts
+
+    def read(self, partition: WikidumpPartition):
+        return self._batch.read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class WikidumpDataSource(DataSource):
-    """spark.read.format("wikidump").option("path", ...).load()"""
+    """spark.read.format("wikidump").option("path", ...).load() — or
+    ``spark.readStream`` with the same options for incremental ingest
+    of arriving dump shards."""
 
     @classmethod
     def name(cls) -> str:
@@ -558,6 +626,9 @@ class WikidumpDataSource(DataSource):
 
     def reader(self, schema: StructType) -> WikidumpReader:
         return WikidumpReader(schema, dict(self.options))
+
+    def streamReader(self, schema: StructType) -> WikidumpStreamReader:
+        return WikidumpStreamReader(schema, dict(self.options))
 
 
 def register_wikidump(spark: "SparkSession") -> None:
