@@ -5,7 +5,12 @@ from __future__ import annotations
 
 import os
 
-from wikihadoop_spark.relational import ORACLE, QUERIES
+from wikihadoop_spark.relational import (
+    GATE_WINDOW,
+    ORACLE,
+    QUERIES,
+    ROTATION_SET_R3,
+)
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -29,6 +34,20 @@ def test_coverage_doc_mentions_every_query():
     doc = open(os.path.join(REPO, "COVERAGE.md")).read()
     missing = [n for n in QUERIES if f"`{n}`" not in doc]
     assert not missing, f"queries absent from COVERAGE.md: {missing}"
+
+
+def test_gate_window_contains_rotation_set():
+    """The driver gates the first GATE_WINDOW registered queries; the
+    round-3 rotation set (every query without a prior driver CORRECTNESS
+    row, plus the two r01-only carry-overs) must sit inside that prefix
+    and the wikidump anchors must stay gated every round."""
+    first = list(QUERIES)[:GATE_WINDOW]
+    missing = ROTATION_SET_R3 - set(first)
+    assert not missing, f"rotation set outside gate window: {sorted(missing)}"
+    assert "wikidump_roundtrip" in first
+    assert "wikidump_roundtrip_bz2" in first
+    # every gated query must be oracle-checked (hash gate, not rows-only)
+    assert all(n in ORACLE for n in first)
 
 
 def test_all_queries_have_docstrings_or_oracle():
