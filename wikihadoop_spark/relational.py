@@ -2168,22 +2168,35 @@ def media_image_metadata_q(spark: SparkSession, sf: str) -> DataFrame:
     "media_audio_features",
     oracle="""
     SELECT doc_id AS media_id,
-           [(('0x' || substr(sha256('audio' || text), 2*i+1, 2))::INT - 128) / 128.0
-            for i in range(0, 16)] AS features,
+           array_to_string(
+               [((('0x' || substr(sha256('audio' || text), 2*i+1, 2))::INT - 128))::VARCHAR
+                for i in range(0, 16)], ',') AS features_q128,
            1000 + ('0x' || substr(sha256('audio' || text), 1, 2))::INT * 37 AS duration_ms
     FROM documents
     """,
 )
 def media_audio_features_q(spark: SparkSession, sf: str) -> DataFrame:
     """Binary -> fixed-size feature vector (the MFCC shape) through
-    mapInPandas; features are exact multiples of 1/128 so the
-    float32->double widening is bit-stable across engines."""
+    mapInPandas.  The driver's pandas canonicalizer cannot hash an
+    ``array<double>`` column (``TypeError: unhashable type: 'list'`` in
+    ``sort_values``), so the gate output renders the vector as a scalar:
+    each feature is an exact multiple of 1/128 (float32 ``k/128`` with
+    ``k in [-128, 127]`` is exactly representable, and the double
+    widening and ``*128`` are IEEE-exact), so ``round(f*128)`` recovers
+    the integer ``k`` bit-stably and the 16 ints join into one string
+    the oracle states in closed form."""
     from .multimodal.media import audio_features
 
     af = audio_features(_media_from_docs(spark, sf), n_features=16)
     return af.select(
         "media_id",
-        F.col("features").cast("array<double>").alias("features"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("features").cast("array<double>"),
+                lambda x: F.round(x * 128).cast("int").cast("string"),
+            ),
+        ).alias("features_q128"),
         "duration_ms",
     )
 
