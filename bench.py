@@ -64,16 +64,26 @@ def main() -> None:
     # thrash the virtio disk — we measure the engine, not the disk
     import glob as _glob
 
-    for p in _glob.glob(os.path.join(sf_dir, "*.parquet")):
-        with open(p, "rb") as fh:
-            while fh.read(1 << 24):
-                pass
+    def prewarm_parquet() -> None:
+        for p in _glob.glob(os.path.join(sf_dir, "*.parquet")):
+            with open(p, "rb") as fh:
+                while fh.read(1 << 24):
+                    pass
 
+    # per-query min-of-3 with a cache prewarm before each pass — the
+    # same policy as _bench_wikidump: the host throttles bursts 2-3x,
+    # so single-shot timings swing ±25% on identical code; the min is
+    # the engine's steady-state number
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _ in range(3):
+        prewarm_parquet()
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            if dt < timings.get(name, float("inf")):
+                timings[name] = dt
+    timings = {name: round(dt, 3) for name, dt in timings.items()}
 
     wikidump = _bench_wikidump(spark)
 
