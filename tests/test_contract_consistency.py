@@ -50,6 +50,55 @@ def test_gate_window_contains_rotation_set():
     assert all(n in ORACLE for n in first)
 
 
+# Rotation hygiene (round-4 verdict): the 18 queries demoted from the
+# gate window in the r3 rotation carry their r02-green driver evidence
+# ONLY while their code (decorator + oracle SQL + body, via
+# inspect.getsource) is unchanged.  These pins are the enforcement: any
+# edit to a demoted query fails here until the query is rotated back
+# into _GATE_ORDER for the next round (then re-pin the survivors).
+_DEMOTED_SOURCE_PINS = {
+    "agg_rollup": "4302c99ab1c8ecf4",
+    "agg_cube": "734e8e961bba8096",
+    "join_left_agg": "16b29ffd5458f4c0",
+    "join_right_agg": "8c9d8995b1bab41a",
+    "join_semi": "051f79cdd64d54e2",
+    "join_anti": "4ee8ad81a9ae5a5b",
+    "join_cross": "8e28519e77a707ad",
+    "window_running": "56a88253d1ea3ce3",
+    "window_moving": "0bd9d62107a76cee",
+    "set_intersect": "d7ff616bcca89fcf",
+    "set_except": "3d8cbe4130707d5d",
+    "scalar_date": "88782a77498e0ab7",
+    "scalar_conditional": "d8381006df2721db",
+    "scalar_hash": "b146a2df0ad01a41",
+    "text_langid": "a98512ee2d3f1b78",
+    "text_fingerprint": "f4a767a9d53374dd",
+    "events_sliding": "005b2a1c572097de",
+    "events_pivot": "75e80b732e4758b0",
+}
+
+
+def test_demoted_queries_unchanged_or_regated():
+    """Carry-over evidence is valid only for unchanged code: a demoted
+    query whose source hash drifts from its pin must re-enter the gate
+    window (move it into _GATE_ORDER) before the change ships."""
+    import hashlib
+    import inspect
+
+    gated = set(list(QUERIES)[:GATE_WINDOW])
+    stale = []
+    for name, pin in _DEMOTED_SOURCE_PINS.items():
+        if name in gated:
+            continue  # re-gated: driver will re-verify it
+        src = inspect.getsource(QUERIES[name])
+        if hashlib.sha256(src.encode()).hexdigest()[:16] != pin:
+            stale.append(name)
+    assert not stale, (
+        f"demoted queries edited without re-gating: {stale} — rotate "
+        "them into _GATE_ORDER (relational.py) so the driver re-verifies"
+    )
+
+
 def test_all_queries_have_docstrings_or_oracle():
     """Each query is either oracle-checked or documents why not."""
     for name, fn in QUERIES.items():

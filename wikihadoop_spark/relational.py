@@ -2343,11 +2343,23 @@ _GATE_ORDER: tuple[str, ...] = (
 
 
 def _rotate_gate_window() -> None:
-    assert len(_GATE_ORDER) == GATE_WINDOW, len(_GATE_ORDER)
-    assert len(set(_GATE_ORDER)) == GATE_WINDOW
+    # explicit raises, not assert: this validation must survive
+    # ``python -O`` — a duplicate name would silently shrink the
+    # 50-slot window and shift gate membership
+    if len(_GATE_ORDER) != GATE_WINDOW:
+        raise ValueError(
+            f"_GATE_ORDER has {len(_GATE_ORDER)} entries, want {GATE_WINDOW}"
+        )
+    if len(set(_GATE_ORDER)) != GATE_WINDOW:
+        dupes = sorted({n for n in _GATE_ORDER if _GATE_ORDER.count(n) > 1})
+        raise ValueError(f"_GATE_ORDER has duplicate names: {dupes}")
     unknown = [n for n in _GATE_ORDER if n not in QUERIES]
-    assert not unknown, f"gate order names unregistered queries: {unknown}"
-    assert ROTATION_SET_R3 <= set(_GATE_ORDER)
+    if unknown:
+        raise ValueError(f"gate order names unregistered queries: {unknown}")
+    if not ROTATION_SET_R3 <= set(_GATE_ORDER):
+        raise ValueError(
+            f"rotation set missing from gate: {sorted(ROTATION_SET_R3 - set(_GATE_ORDER))}"
+        )
     ordered: dict[str, QueryFn] = {n: QUERIES[n] for n in _GATE_ORDER}
     for n, fn in QUERIES.items():
         ordered.setdefault(n, fn)
