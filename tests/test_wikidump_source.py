@@ -82,6 +82,33 @@ def test_deleted_contributor_keeps_visible_comment():
     assert _parse_revision(frag2, want_text=True)["comment"] is None
 
 
+def test_numeric_character_references(spark, tmp_path):
+    """&#NNN; / &#xHH; decode in title and text; '&amp;#160;' (a literal
+    '&#160;' in the wikitext) must survive as the six literal chars."""
+    from wikihadoop_spark.sources.wikidump import _unescape
+
+    assert _unescape(b"A&#160;B") == "A B"
+    assert _unescape(b"em&#x2014;dash") == "em—dash"
+    assert _unescape(b"lit &amp;#160; eral") == "lit &#160; eral"
+    assert _unescape(b"bad &#xDFFF; ref") == "bad &#xDFFF; ref"
+    assert _unescape(b"bad &#0; &#1114112; refs") == "bad &#0; &#1114112; refs"
+
+    dump = (
+        "<mediawiki>\n<siteinfo><sitename>T</sitename></siteinfo>\n"
+        "  <page>\n    <title>NBSP&#160;Title</title>\n    <ns>0</ns>\n"
+        "    <id>1</id>\n"
+        "    <revision>\n      <id>11</id>\n"
+        "      <timestamp>2021-01-01T00:00:00Z</timestamp>\n"
+        "      <contributor><username>E</username><id>1</id></contributor>\n"
+        '      <text xml:space="preserve">a&#160;b &#x2014; c &amp;#160;</text>\n'
+        "    </revision>\n  </page>\n</mediawiki>\n"
+    )
+    path = write_dump(tmp_path, dump)
+    (row,) = _read(spark, path).collect()
+    assert row.title == "NBSP Title"
+    assert row.text == "a b — c &#160;"
+
+
 def test_exclude_pages_regex(spark, tmp_path):
     """Reference F1: excludePagesWith drops whole pages before parsing
     (StreamWikiDumpInputFormat.java:387-393; golden test :87-117)."""
