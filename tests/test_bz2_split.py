@@ -125,6 +125,34 @@ def test_multistream_file_splits(tmp_path):
     assert ga[: a.owned_end] + gb[: b.owned_end] == raw
 
 
+def test_read_honors_n(tmp_path):
+    """Bz2BlockStream.read is a real file-like read: returns at most n
+    bytes, buffers block remainders, b'' only at end of stream, and
+    n=-1 drains everything remaining."""
+    raw = big_dump(30, 4).encode()
+    path = tmp_path / "n.xml.bz2"
+    path.write_bytes(bz2.compress(raw, 1))
+
+    s = Bz2BlockStream(str(path), 0, 1 << 62)
+    assert s.read(0) == b""
+    first = s.read(5)
+    assert first == raw[:5]
+    got = first
+    while chunk := s.read(7919):  # prime-sized reads cross block edges
+        assert len(chunk) <= 7919
+        got += chunk
+    assert got == raw
+    assert s.read(1024) == b"" and s.read() == b""
+    s.close()
+
+    # n=-1 drains the stream in one call
+    s2 = Bz2BlockStream(str(path), 0, 1 << 62)
+    head = s2.read(3)
+    assert head + s2.read() == raw
+    assert s2.read() == b""
+    s2.close()
+
+
 # -- source-level split invariance ---------------------------------------
 
 

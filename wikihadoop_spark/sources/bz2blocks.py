@@ -200,6 +200,8 @@ class Bz2BlockStream:
         self._file_end_bit = self._f.tell() * 8
         self.owned_end: int | None = None
         self._gen = self._decode_blocks(path, start, end)
+        self._pending: list[bytes] = []
+        self._pending_len = 0
 
     def _decode_blocks(self, path: str, start: int, end: int):
         magics = _PeekableMagics(iter_magics(path, start))
@@ -242,9 +244,33 @@ class Bz2BlockStream:
             self.owned_end = produced
 
     def read(self, n: int = -1) -> bytes:
-        # returns one decoded block per call regardless of n — the
-        # consuming _TagScanner appends whatever it gets
-        return next(self._gen, b"")
+        """File-like contract: up to ``n`` decompressed bytes (all
+        remaining bytes when ``n`` < 0), ``b""`` only at end of stream.
+        Decoded blocks are buffered so a short read never discards the
+        rest of a block.
+
+        The owner-rule invariant survives the buffering: ``owned_end``
+        is set by the generator before the first non-owned block is
+        yielded, so by the time a caller has consumed bytes past the
+        owned region the value is final."""
+        if n is None or n < 0:
+            parts = self._pending
+            parts.extend(self._gen)
+            self._pending, self._pending_len = [], 0
+            return b"".join(parts)
+        while self._pending_len < n:
+            blk = next(self._gen, None)
+            if blk is None:
+                break
+            self._pending.append(blk)
+            self._pending_len += len(blk)
+        if not self._pending:
+            return b""
+        buf = b"".join(self._pending)
+        out, rest = buf[:n], buf[n:]
+        self._pending = [rest] if rest else []
+        self._pending_len = len(rest)
+        return out
 
     def close(self) -> None:
         self._f.close()
