@@ -37,6 +37,28 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert mean_recall >= 0.5, recalls
 
 
+def test_gated_ivf_query_recall_vs_exact(spark):
+    """Catalog-level recall: the driver-gated similarity_topk_ivf query
+    must recover >= 0.6 of the exact similarity_topk neighbors per
+    query on the gate data (the gate's own hash check already proves
+    determinism; this pins the quality floor the approximation claims)."""
+    from wikihadoop_spark.relational import QUERIES
+
+    exact = QUERIES["similarity_topk"](spark, SF).collect()
+    approx = QUERIES["similarity_topk_ivf"](spark, SF).collect()
+    exact_sets: dict = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got_sets: dict = {}
+    for r in approx:
+        got_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact_sets[q] & got_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
 def test_ivf_clusters_partition_corpus(spark):
     emb = load_table(spark, SF, "embeddings")
     tagged, centroids = ivf_build(emb, k=8, iterations=1)
