@@ -9,7 +9,7 @@ from wikihadoop_spark.operators.skew import salted_agg
 from wikihadoop_spark.sources.shard import shard_dump
 from wikihadoop_spark.sources.wikidump import read_wikidump
 
-from dump_fixtures import big_dump, standard_dump, write_dump
+from dump_fixtures import big_dump, page, rev, standard_dump, write_dump
 
 SF = "/root/testdata/sf0.001"
 
@@ -48,6 +48,70 @@ def test_shards_are_page_aligned(spark, tmp_path):
     for p in shard_dump(path, out, shard_bytes=20_000):
         content = open(p, "rb").read()
         assert content.count(b"<page>") == content.count(b"</page>")
+
+
+def test_giant_page_in_scan_diff_skew_drill(spark, tmp_path):
+    """Giant-page skew drill: one page's revision chain spans ~30 split
+    ranges, so dozens of partitions see its bytes but ONLY the partition
+    owning its <page> tag may emit rows (tailing far past its range),
+    and compute_diffs=true serializes the whole chain through that one
+    task's Python loop. Owner-rule exactly-once, pairing, and patch
+    reconstruction must all survive; the crossover to dense-seq join
+    pairing when such a chain dominates a stage is documented in
+    SCALING.md."""
+    import random
+
+    from wikihadoop_spark.functions.diffs import apply_diff
+
+    rng = random.Random(11)
+    words = "alpha beta gamma delta epsilon zeta eta theta".split()
+
+    pages = [page(1, "Before", 0, [rev(10, "2021-01-01T00:00:00Z", "tiny")])]
+    body = [rng.choice(words) for _ in range(30_000)]  # ~180 KB / revision
+    revs, expected = [], {}
+    rid = 100
+    for s in range(40):
+        rid += 1
+        # mid-page edits (not append-only): replace / insert / delete a
+        # random slice, defeating the prefix/suffix fast path
+        i = rng.randrange(0, len(body))
+        n = rng.randrange(1, 50)
+        roll = rng.random()
+        if roll < 0.4:
+            body[i : i + n] = [rng.choice(words) for _ in range(n)]
+        elif roll < 0.7:
+            body[i:i] = [rng.choice(words) for _ in range(n)]
+        else:
+            del body[i : i + n]
+        text = " ".join(body)
+        revs.append(rev(rid, f"2021-02-{(s % 27) + 1:02d}T00:00:00Z", text))
+        expected[rid] = (s + 1, text)
+    pages.append(page(2, "Giant", 0, revs))
+    pages.append(page(3, "After", 0, [rev(900, "2021-03-01T00:00:00Z", "tail")]))
+
+    xml = "<mediawiki>\n" + "".join(pages) + "</mediawiki>\n"
+    path = write_dump(tmp_path, xml, "giant.xml")
+    split = max(64 * 1024, len(xml) // 30)
+
+    df = read_wikidump(spark, path, splitSize=str(split), compute_diffs="true")
+    assert df.rdd.getNumPartitions() >= 20  # the page truly spans splits
+    rows = df.collect()
+
+    # exactly-once across every partition boundary inside the page
+    got_ids = sorted(r.rev_id for r in rows)
+    assert got_ids == [10] + sorted(expected) + [900]
+
+    by_id = {r.rev_id: r for r in rows}
+    prev_text = ""
+    for seq, rid in enumerate(sorted(expected), start=1):
+        r = by_id[rid]
+        exp_seq, exp_text = expected[rid]
+        assert (r.rev_seq, r.text) == (exp_seq, exp_text)
+        assert r.beginningofpage is (seq == 1)
+        assert (r.prev_text or "") == prev_text
+        # in-scan diff ops reconstruct the revision (reference D3)
+        assert apply_diff(prev_text, r.ops) == exp_text
+        prev_text = exp_text
 
 
 def test_salted_agg_matches_plain(spark):
