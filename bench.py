@@ -203,7 +203,149 @@ def _bench_wikidump(spark) -> dict:
         "gb_per_core_hour": round(size_gb / (dt / 3600) / cpus, 2),
     }
     result["bz2"] = _bench_wikidump_bz2(spark, path, size_gb, cpus)
+    result["markup"] = _bench_wikidump_markup(spark, cpus)
     return result
+
+
+def _gen_markup_corpus(path: str, target: int) -> None:
+    """Markup-dense synthetic dump: wikitext with link/template/table/
+    entity density shaped like the reference's page_sample.xml (infobox
+    table up top, [[target|display]] links, {{template|arg}} calls,
+    &lt;br&gt;-style escaped markup, numeric character references) and
+    MID-PAGE edits — the adversarial corpus for both the tokenizer
+    (punctuation-dense short tokens) and the diff (mid edits defeat the
+    common-prefix/suffix fast path)."""
+    import random
+
+    rng = random.Random(13)
+    words = (
+        "campaign empire peninsula commander brigade infantry division "
+        "regiment railway canal desert offensive armistice treaty mandate "
+        "protectorate battle theatre victory advance defence garrison "
+        "supply column cavalry corps front flank assault siege"
+    ).split()
+
+    def sentence() -> str:
+        parts = []
+        for _ in range(rng.randrange(6, 14)):
+            r = rng.random()
+            w = rng.choice(words)
+            if r < 0.12:
+                tgt = f"{rng.choice(words).capitalize()} {rng.choice(words)}"
+                parts.append(
+                    f"[[{tgt}|{w}]]" if rng.random() < 0.4 else f"[[{tgt}]]"
+                )
+            elif r < 0.20:
+                tpl = rng.choice(("flagicon", "cite web", "convert", "flag"))
+                parts.append(f"{{{{{tpl}|{w}}}}}")
+            elif r < 0.25:
+                parts.append(
+                    rng.choice(
+                        ("&lt;br&gt;", "&amp;ndash;", "&#8211;", f"&quot;{w}&quot;")
+                    )
+                )
+            elif r < 0.30:
+                parts.append(f"'''{w}'''" if rng.random() < 0.5 else f"''{w}''")
+            else:
+                parts.append(w)
+        return " ".join(parts) + rng.choice((". ", ".\n", "; "))
+
+    def infobox() -> str:
+        lines = ["{| style=&quot;float: right; clear: right&quot;", "| {{Infobox Conflict"]
+        for _ in range(rng.randrange(4, 10)):
+            lines.append(
+                f"|{rng.choice(words)}=[[{rng.choice(words).capitalize()}]]"
+                f" {{{{flag|{rng.choice(words)}}}}}&lt;br&gt;"
+            )
+        lines += ["}}", "|}"]
+        return "\n".join(lines) + "\n"
+
+    rid, pid, size = 1, 0, 0
+    tmp = path + f".tmp{os.getpid()}"
+    with open(tmp, "w") as fh:
+        fh.write("<mediawiki>\n<siteinfo><sitename>M</sitename></siteinfo>\n")
+        while size < target:
+            pid += 1
+            body = [infobox()] + [sentence() for _ in range(rng.randrange(80, 200))]
+            revs = []
+            for r in range(rng.randrange(2, 8)):
+                rid += 1
+                # 1-3 mid-page edits per revision: replace / insert /
+                # delete a slice, never just append
+                for _ in range(rng.randrange(1, 4)):
+                    i = rng.randrange(1, len(body))
+                    n = rng.randrange(1, 6)
+                    roll = rng.random()
+                    if roll < 0.45:
+                        body[i : i + n] = [sentence() for _ in range(n)]
+                    elif roll < 0.8:
+                        body[i:i] = [sentence() for _ in range(n)]
+                    elif len(body) > n + 2:
+                        del body[i : i + n]
+                revs.append(
+                    f"    <revision>\n      <id>{rid}</id>\n"
+                    f"      <timestamp>2022-06-{r + 1:02d}T00:00:00Z</timestamp>\n"
+                    f"      <contributor><username>M</username><id>2</id></contributor>\n"
+                    f'      <text xml:space="preserve">{"".join(body)}</text>\n'
+                    f"    </revision>\n"
+                )
+            pg = (
+                f"  <page>\n    <title>Conflict {pid}</title>\n    <ns>0</ns>\n"
+                f"    <id>{pid}</id>\n" + "".join(revs) + "  </page>\n"
+            )
+            fh.write(pg)
+            size += len(pg)
+        fh.write("</mediawiki>\n")
+    os.replace(tmp, path)
+
+
+def _bench_wikidump_markup(spark, cpus: int) -> dict:
+    """Full diffdb pipeline over the markup-dense corpus — reported
+    separately so the friendly append-mostly corpus can't flatter the
+    headline rate."""
+    from pyspark.sql import functions as F
+
+    from wikihadoop_spark.plans.diffdb import build_diffdb
+    from wikihadoop_spark.sources.wikidump import read_wikidump
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    path = os.path.join(base, "wikihadoop_bench_markup.xml")
+    target = int(os.environ.get("SPARK_GRAFT_BENCH_MARKUP_BYTES", 250_000_000))
+    if not (os.path.exists(path) and os.path.getsize(path) >= target):
+        _gen_markup_corpus(path, target)
+    size = os.path.getsize(path)
+    size_gb = size / 1e9
+    split = max(2 * 1024 * 1024, size // cpus)
+
+    def run() -> float:
+        revs = read_wikidump(
+            spark, path, splitSize=str(split), compute_diffs="true"
+        )
+        t0 = time.perf_counter()
+        (
+            build_diffdb(revs, paired=True)
+            .select(F.sum(F.size("ops")).alias("ops"), F.count(F.lit(1)).alias("rows"))
+            .collect()
+        )
+        return time.perf_counter() - t0
+
+    def prewarm() -> None:
+        with open(path, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
+
+    prewarm()
+    run()
+    dts = []
+    for _ in range(3):
+        prewarm()
+        dts.append(run())
+    dt = min(dts)
+    return {
+        "input_gb": round(size_gb, 3),
+        "sec": round(dt, 2),
+        "gb_per_core_hour": round(size_gb / (dt / 3600) / cpus, 2),
+    }
 
 
 def _bench_wikidump_bz2(spark, xml_path: str, size_gb: float, cpus: int) -> dict:

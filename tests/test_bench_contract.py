@@ -21,7 +21,7 @@ def test_bench_prints_one_json_line():
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True,
         text=True,
-        timeout=900,
+        timeout=1200,
         env=env,
         cwd=REPO,
     )
@@ -33,3 +33,5 @@ def test_bench_prints_one_json_line():
     assert d["unit"] == "sec" and d["sf"] == 0.001
     assert d["queries"] and all(isinstance(v, float) for v in d["queries"].values())
     assert "wikidump" in d and d["wikidump"]["gb_per_core_hour"] > 0
+    assert d["wikidump"]["bz2"]["raw_gb_per_core_hour"] > 0
+    assert d["wikidump"]["markup"]["gb_per_core_hour"] > 0
