@@ -68,6 +68,51 @@ def test_roundtrip_unicode(prev, curr):
     roundtrip(prev, curr)
 
 
+def _unstripped_ops(prev: str, curr: str):
+    """Reference path for the char-strip equivalence check: reporting
+    EQUAL disables the char-level pre-strip, and filtering the EQUAL
+    rows leaves identically-merged DELETE/INSERT ops with identical
+    positions."""
+    from wikihadoop_spark.functions.diffs import EQUAL
+
+    return [
+        op
+        for op in token_diff(prev, curr, report=(DELETE, EQUAL, INSERT))
+        if op[1] != EQUAL
+    ]
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.text(alphabet="ab [{}]'=\n&;xyz", max_size=200),
+    st.text(alphabet="ab [{}]'=\n&;xyz", max_size=200),
+)
+def test_char_strip_identical_to_full(prev, curr):
+    """The char-level pre-strip must be output-invisible: byte-identical
+    ops (content AND positions) vs the unstripped computation."""
+    assert list(token_diff(prev, curr)) == _unstripped_ops(prev, curr)
+
+
+def test_char_strip_on_shared_affixes():
+    """Deterministic shapes that exercise every cut path: mid-page
+    edit, whitespace-run growth, edit at page start/end, no-whitespace
+    pages (cut falls back to full tokenize)."""
+    big = ("lorem [[Link|word]] {{tpl|a}} ipsum '''bold''' " * 400).strip()
+    cases = [
+        (big, big[:5000] + " EDIT " + big[5000:]),             # mid insert
+        (big, big[:5000] + big[5200:]),                        # mid delete
+        (big[:9000], big[:9000] + " tail added"),              # append
+        ("start " + big[:9000], "changed " + big[:9000]),      # head edit
+        ("a  b " + big[:2000], "a   b " + big[:2000]),         # run growth
+        ("x" * 9000 + "a", "x" * 9000 + "b"),                  # no whitespace
+        ("x" * 9000, "x" * 9000 + "y" * 100),                  # no ws, append
+    ]
+    for prev, curr in cases:
+        ops = list(token_diff(prev, curr))
+        assert ops == _unstripped_ops(prev, curr), (prev[:40], curr[:40])
+        assert apply_diff(prev, ops) == curr
+
+
 def test_diff_with_fallback_never_raises():
     ops, err = diff_with_fallback("a b", "a c b")
     assert err is None and ops

@@ -22,6 +22,7 @@ is property-tested in tests/test_diffs.py.
 
 from __future__ import annotations
 
+import re
 from typing import Callable, Iterator
 
 from .tokenize import tokenize_wikitext
@@ -29,6 +30,90 @@ from .tokenize import tokenize_wikitext
 DELETE = -1
 EQUAL = 0
 INSERT = 1
+
+# --- char-level pre-strip ---------------------------------------------------
+# Consecutive revisions share almost the whole page at CHAR level; slice
+# equality runs at memcmp speed while tokenization is a regex scan an
+# order of magnitude slower.  Stripping the shared char prefix/suffix
+# BEFORE tokenizing makes per-revision cost O(edit region), not O(page).
+#
+# Output-identity argument: cuts happen only at whitespace-adjacent
+# positions strictly inside the shared regions.  In the token alphabet
+# (tokenize.py) no token contains a space/newline except the whitespace
+# runs themselves, so a position whose left neighbor is whitespace and
+# whose own char is not (prefix cut), or vice versa (suffix cut), is a
+# token boundary in the FULL tokenization of BOTH strings, and every
+# removed token is part of an identical head/tail run that token-level
+# prefix/suffix stripping would discard as EQUAL anyway.  The fuzz test
+# in tests/test_diffs.py asserts byte-identical ops vs the unstripped
+# path.
+
+_BOUND_PRE = re.compile(r"[ \n][^ \n]")
+_BOUND_SUF = re.compile(r"[^ \n][ \n]")
+_STRIP_CHUNK = 1 << 16
+_BOUND_WINDOW = 4096
+
+
+def _common_prefix_chars(a: str, b: str, n: int) -> int:
+    cp = 0
+    while cp < n:
+        step = min(_STRIP_CHUNK, n - cp)
+        if a[cp : cp + step] == b[cp : cp + step]:
+            cp += step
+            continue
+        lo, hi = 0, step - 1
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            if a[cp : cp + mid] == b[cp : cp + mid]:
+                lo = mid
+            else:
+                hi = mid - 1
+        return cp + lo
+    return cp
+
+
+def _common_suffix_chars(a: str, b: str, n: int) -> int:
+    la, lb = len(a), len(b)
+    cs = 0
+    while cs < n:
+        step = min(_STRIP_CHUNK, n - cs)
+        if a[la - cs - step : la - cs] == b[lb - cs - step : lb - cs]:
+            cs += step
+            continue
+        lo, hi = 0, step - 1
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            if a[la - cs - mid : la - cs] == b[lb - cs - mid : lb - cs]:
+                lo = mid
+            else:
+                hi = mid - 1
+        return cs + lo
+    return cs
+
+
+def _char_strip_bounds(a: str, b: str) -> tuple[int, int, int]:
+    """(start, end_a, end_b): shared char prefix/suffix pulled back to
+    whitespace-adjacent token boundaries, so ``tokenize(x[start:end])``
+    is a contiguous slice of ``tokenize(x)`` for both strings."""
+    la, lb = len(a), len(b)
+    n = min(la, lb)
+    cp = _common_prefix_chars(a, b, n)
+    cs = _common_suffix_chars(a, b, n - cp)
+    q = 0
+    if cp:
+        last = None
+        for m in _BOUND_PRE.finditer(a, max(0, cp - _BOUND_WINDOW), cp):
+            last = m
+        if last is not None:
+            q = last.start() + 1
+    end_a, end_b = la, lb
+    if cs:
+        s0 = la - cs
+        m = _BOUND_SUF.search(a, s0, min(la, s0 + _BOUND_WINDOW))
+        if m is not None:
+            cut = m.start() + 1 - s0
+            end_a, end_b = s0 + cut, lb - cs + cut
+    return q, end_a, end_b
 
 
 def _encode(
@@ -173,6 +258,7 @@ def token_diff(
     # partitions the string (token concatenation == original text):
     # identical texts, first revision (empty dummy prev), blanked page.
     # Only valid when EQUAL runs aren't reported.
+    offset = 0
     if EQUAL not in report:
         if prev == curr:
             return
@@ -184,6 +270,16 @@ def token_diff(
             if DELETE in report:
                 yield (0, DELETE, prev)
             return
+        # char-level pre-strip (see module section above): tokenize and
+        # diff only the edit region; the skipped prefix re-enters via
+        # the position offset, the skipped suffix contributes nothing.
+        # Skipped when EQUAL is reported — the equal runs' content would
+        # be truncated.
+        q, end_a, end_b = _char_strip_bounds(prev, curr)
+        if q or end_a < len(prev) or end_b < len(curr):
+            offset = q
+            prev = prev[q:end_a]
+            curr = curr[q:end_b]
     a_toks = tokenize(prev)
     b_toks = tokenize(curr)
     # strip common token prefix/suffix BEFORE dictionary-encoding:
@@ -205,7 +301,7 @@ def token_diff(
         raw.append((EQUAL, na - suf, na))
 
     report_set = set(report)
-    position = 0
+    position = offset
     # Between two equalities all edits form one run, emitted as ONE
     # merged delete then ONE merged insert — the canonical shape
     # diff_match_patch's cleanupMerge produces and the published diffdb
@@ -235,10 +331,14 @@ def token_diff(
             ins_toks.extend(b_toks[i0:i1])
         else:
             yield from run_items()
-            eq = "".join(a_toks[i0:i1])
             if EQUAL in report_set:
+                eq = "".join(a_toks[i0:i1])
                 yield (position, EQUAL, eq)
-            position += len(eq)
+                position += len(eq)
+            else:
+                # position advance needs only the length — skip the
+                # O(run) string build for the huge shared runs
+                position += sum(map(len, a_toks[i0:i1]))
     yield from run_items()
 
 
