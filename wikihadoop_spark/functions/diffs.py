@@ -165,11 +165,48 @@ def _common_suffix_len(a: list, b: list, limit: int) -> int:
     return s
 
 
+def _run_fwd(a: list, i: int, b: list, j: int, n: int) -> int:
+    """Longest s <= n with a[i:i+s] == b[j:j+s] — doubling/halving slice
+    compares, same technique as _common_prefix_len."""
+    s, step = 0, 16
+    while s < n:
+        t = min(n, s + step)
+        if a[i + s : i + t] == b[j + s : j + t]:
+            s = t
+            step *= 2
+        elif step > 1:
+            step = max(1, step // 8)
+        else:
+            break
+    return s
+
+
+def _run_back(a: list, i: int, b: list, j: int, n: int) -> int:
+    """Longest s <= n with a[i-s:i] == b[j-s:j]."""
+    s, step = 0, 16
+    while s < n:
+        t = min(n, s + step)
+        if a[i - t : i - s] == b[j - t : j - s]:
+            s = t
+            step *= 2
+        elif step > 1:
+            step = max(1, step // 8)
+        else:
+            break
+    return s
+
+
 def _middle_snake(
     a: list[int], a0: int, a1: int, b: list[int], b0: int, b1: int
 ) -> tuple[int, int]:
     """Myers bidirectional search: returns (x, y) on the middle snake.
-    Linear space: two V arrays of size O(n+m)."""
+    Linear space: two V arrays of size O(n+m).  Snake extension runs
+    through chunked slice compares (C element compares) instead of a
+    per-token Python loop — identical snake lengths, so the diff output
+    is byte-identical; long equal interiors (the dominant cost when a
+    revision has several scattered edits) walk at memcmp speed.  The
+    single-element guard keeps the common 0/1-token snake on the fast
+    inline path."""
     n, m = a1 - a0, b1 - b0
     max_d = (n + m + 1) // 2
     delta = n - m
@@ -184,9 +221,12 @@ def _middle_snake(
             else:
                 x = vf[(k - 1) % size] + 1
             y = x - k
-            while x < n and y < m and a[a0 + x] == b[b0 + y]:
-                x += 1
-                y += 1
+            if x < n and y < m and a[a0 + x] == b[b0 + y]:
+                run = 1 + _run_fwd(
+                    a, a0 + x + 1, b, b0 + y + 1, min(n - x, m - y) - 1
+                )
+                x += run
+                y += run
             vf[k % size] = x
             # forward diagonal k meets backward diagonal delta-k
             if odd and -(d - 1) <= k - delta <= d - 1:
@@ -198,9 +238,12 @@ def _middle_snake(
             else:
                 x = vb[(k - 1) % size] + 1
             y = x - k
-            while x < n and y < m and a[a1 - 1 - x] == b[b1 - 1 - y]:
-                x += 1
-                y += 1
+            if x < n and y < m and a[a1 - 1 - x] == b[b1 - 1 - y]:
+                run = 1 + _run_back(
+                    a, a1 - 1 - x, b, b1 - 1 - y, min(n - x, m - y) - 1
+                )
+                x += run
+                y += run
             vb[k % size] = x
             if not odd and -d <= delta - k <= d:
                 if x + vf[(delta - k) % size] >= n:
