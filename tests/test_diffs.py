@@ -113,6 +113,41 @@ def test_char_strip_on_shared_affixes():
         assert apply_diff(prev, ops) == curr
 
 
+def test_effort_cap_on_pathological_rewrite():
+    """A full rewrite of a huge page (edit distance >> _MAX_D) must
+    complete quickly via the deterministic delete+insert fallback — the
+    reference's Diff_Timeout analog (revision_differ.py:76 runs dmp
+    with the 1.0 s default; diff_match_patch.py:352-354 degrades to
+    [(DELETE, text1), (INSERT, text2)] on expiry) — and still satisfy
+    the roundtrip invariant."""
+    import time
+
+    prev = " ".join(f"a{i}" for i in range(60_000))
+    curr = " ".join(f"b{i}" for i in range(60_000))
+    t0 = time.perf_counter()
+    ops = list(token_diff(prev, curr))
+    dt = time.perf_counter() - t0
+    assert dt < 30, f"capped diff took {dt:.1f}s"
+    assert apply_diff(prev, ops) == curr
+    # merged-run shape: one delete then one insert
+    assert [a for _, a, _ in ops] == [DELETE, INSERT]
+
+    # determinism: identical inputs give identical ops
+    assert list(token_diff(prev, curr)) == ops
+
+
+def test_effort_cap_leaves_small_edits_minimal():
+    """Edits below the cap keep exact Myers output: a one-token change
+    in a large page still produces a minimal two-op diff."""
+    base = " ".join(f"w{i}" for i in range(50_000))
+    edited = base.replace(" w25000 ", " CHANGED ")
+    ops = list(token_diff(base, edited))
+    assert apply_diff(base, ops) == edited
+    assert len(ops) == 2
+    assert {a for _, a, _ in ops} == {DELETE, INSERT}
+    assert ops[0][2] == "w25000" and ops[1][2] == "CHANGED"
+
+
 def test_diff_with_fallback_never_raises():
     ops, err = diff_with_fallback("a b", "a c b")
     assert err is None and ops

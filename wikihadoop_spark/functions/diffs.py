@@ -196,19 +196,37 @@ def _run_back(a: list, i: int, b: list, j: int, n: int) -> int:
     return s
 
 
+# Deterministic effort cap: Myers is O((N+M)·D); one adversarial
+# revision pair (a full rewrite of a multi-MB page) makes D ~ N and the
+# diff quadratic — hours inside one task at 100 TB.  The reference has
+# the same safety valve, as wall-clock: revision_differ.py:76 runs dmp
+# with the default Diff_Timeout=1.0 s, and on expiry diff_bisect
+# returns plain [(DELETE, text1), (INSERT, text2)]
+# (diff_match_patch.py:45,352-354).  A time cap is nondeterministic
+# across hosts and partitionings (poison for retries and the oracle
+# gate), so the cap here is on D itself: diffs stay minimal whenever
+# the edit distance of a (sub)problem is <= _MAX_D tokens, and degrade
+# to the same delete+insert fallback beyond it.
+_MAX_D = 1024
+
+
 def _middle_snake(
     a: list[int], a0: int, a1: int, b: list[int], b0: int, b1: int
-) -> tuple[int, int]:
-    """Myers bidirectional search: returns (x, y) on the middle snake.
-    Linear space: two V arrays of size O(n+m).  Snake extension runs
-    through chunked slice compares (C element compares) instead of a
-    per-token Python loop — identical snake lengths, so the diff output
-    is byte-identical; long equal interiors (the dominant cost when a
-    revision has several scattered edits) walk at memcmp speed.  The
-    single-element guard keeps the common 0/1-token snake on the fast
-    inline path."""
+) -> tuple[int, int] | None:
+    """Myers bidirectional search: returns (x, y) on the middle snake,
+    or None when the edit distance exceeds _MAX_D (caller falls back to
+    delete+insert, the dmp-timeout analog).  Linear space: two V arrays
+    of size O(n+m).  Snake extension runs through chunked slice
+    compares (C element compares) instead of a per-token Python loop —
+    identical snake lengths, so the diff output is byte-identical; long
+    equal interiors (the dominant cost when a revision has several
+    scattered edits) walk at memcmp speed.  The single-element guard
+    keeps the common 0/1-token snake on the fast inline path."""
     n, m = a1 - a0, b1 - b0
     max_d = (n + m + 1) // 2
+    capped = max_d > _MAX_D
+    if capped:
+        max_d = _MAX_D
     delta = n - m
     size = 2 * max_d + 2
     vf = [0] * size  # forward best-x per diagonal k
@@ -248,6 +266,8 @@ def _middle_snake(
             if not odd and -d <= delta - k <= d:
                 if x + vf[(delta - k) % size] >= n:
                     return a1 - x, b1 - y
+    if capped:
+        return None  # edit distance > _MAX_D: caller degrades
     # unreachable for well-formed inputs
     raise AssertionError("middle snake not found")
 
@@ -257,17 +277,17 @@ def _diff_ints(
 ) -> None:
     # strip common prefix/suffix first — the dominant case for
     # consecutive revisions is a tiny edit in a large page; emit each
-    # run as ONE range, not per-token tuples
+    # run as ONE range, not per-token tuples (chunked compares, C speed)
     p0 = a0
-    while a0 < a1 and b0 < b1 and a[a0] == b[b0]:
-        a0 += 1
-        b0 += 1
+    run = _run_fwd(a, a0, b, b0, min(a1 - a0, b1 - b0))
+    a0 += run
+    b0 += run
     if a0 > p0:
         out.append((EQUAL, p0, a0))
     s1 = a1
-    while a1 > a0 and b1 > b0 and a[a1 - 1] == b[b1 - 1]:
-        a1 -= 1
-        b1 -= 1
+    run = _run_back(a, a1, b, b1, min(a1 - a0, b1 - b0))
+    a1 -= run
+    b1 -= run
     suffix = [(EQUAL, a1, s1)] if s1 > a1 else []
     if a0 == a1:
         if b0 != b1:
@@ -275,12 +295,14 @@ def _diff_ints(
     elif b0 == b1:
         out.append((DELETE, a0, a1))
     else:
-        x, y = _middle_snake(a, a0, a1, b, b0, b1)
-        if (x, y) in ((a0, b0), (a1, b1)):
-            # degenerate split (no common tokens found): delete + insert
+        snake = _middle_snake(a, a0, a1, b, b0, b1)
+        if snake is None or snake in ((a0, b0), (a1, b1)):
+            # no common tokens found, or effort cap hit (_MAX_D — the
+            # reference's dmp-timeout analog): delete + insert
             out.append((DELETE, a0, a1))
             out.append((INSERT, b0, b1))
         else:
+            x, y = snake
             _diff_ints(a, a0, x, b, b0, y, out)
             _diff_ints(a, x, a1, b, y, b1, out)
     out.extend(reversed(suffix))
