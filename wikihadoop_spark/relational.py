@@ -2249,6 +2249,11 @@ def media_frame_fanout_q(spark: SparkSession, sf: str) -> DataFrame:
 # window_moving, set_intersect, set_except, scalar_date/conditional/hash,
 # text_langid, text_fingerprint, events_sliding, events_pivot.
 
+# Round-6 plan: once CORRECTNESS_r05 lands the media_audio_features
+# green row (completing the r01-r05 union at 68/68), rotate the 18
+# r02-green demoted queries (listed below) back into the window to
+# refresh their evidence, and re-pin _DEMOTED_SOURCE_PINS in
+# tests/test_contract_consistency.py for whichever set rotates out.
 GATE_WINDOW = 50
 
 ROTATION_SET_R3: frozenset[str] = frozenset(
