@@ -229,15 +229,17 @@ def _middle_snake(
         max_d = _MAX_D
     delta = n - m
     size = 2 * max_d + 2
+    off = max_d  # diagonal k lives at index k + off — no modulo in the loop
     vf = [0] * size  # forward best-x per diagonal k
     vb = [0] * size  # backward best-x per diagonal k (in reversed coords)
     odd = delta % 2 != 0
     for d in range(max_d + 1):
         for k in range(-d, d + 1, 2):
-            if k == -d or (k != d and vf[(k - 1) % size] < vf[(k + 1) % size]):
-                x = vf[(k + 1) % size]
+            ko = k + off
+            if k == -d or (k != d and vf[ko - 1] < vf[ko + 1]):
+                x = vf[ko + 1]
             else:
-                x = vf[(k - 1) % size] + 1
+                x = vf[ko - 1] + 1
             y = x - k
             if x < n and y < m and a[a0 + x] == b[b0 + y]:
                 run = 1 + _run_fwd(
@@ -245,16 +247,17 @@ def _middle_snake(
                 )
                 x += run
                 y += run
-            vf[k % size] = x
+            vf[ko] = x
             # forward diagonal k meets backward diagonal delta-k
             if odd and -(d - 1) <= k - delta <= d - 1:
-                if x + vb[(delta - k) % size] >= n:
+                if x + vb[delta - k + off] >= n:
                     return a0 + x, b0 + y
         for k in range(-d, d + 1, 2):
-            if k == -d or (k != d and vb[(k - 1) % size] < vb[(k + 1) % size]):
-                x = vb[(k + 1) % size]
+            ko = k + off
+            if k == -d or (k != d and vb[ko - 1] < vb[ko + 1]):
+                x = vb[ko + 1]
             else:
-                x = vb[(k - 1) % size] + 1
+                x = vb[ko - 1] + 1
             y = x - k
             if x < n and y < m and a[a1 - 1 - x] == b[b1 - 1 - y]:
                 run = 1 + _run_back(
@@ -262,9 +265,9 @@ def _middle_snake(
                 )
                 x += run
                 y += run
-            vb[k % size] = x
+            vb[ko] = x
             if not odd and -d <= delta - k <= d:
-                if x + vf[(delta - k) % size] >= n:
+                if x + vf[delta - k + off] >= n:
                     return a1 - x, b1 - y
     if capped:
         return None  # edit distance > _MAX_D: caller degrades
