@@ -23,6 +23,18 @@ if REPO_ROOT not in sys.path:
 from wikihadoop_spark.relational import QUERIES
 from wikihadoop_spark.session import get_spark
 
+def _corpus_base() -> str:
+    """Directory for the cached bench corpora.  RAM-backed by default
+    (page cache on this host is unreliable); ``SPARK_GRAFT_BENCH_DIR``
+    overrides so tests can use a private path instead of reusing a
+    full-size corpus a prior real bench run left behind."""
+    override = os.environ.get("SPARK_GRAFT_BENCH_DIR")
+    if override:
+        os.makedirs(override, exist_ok=True)
+        return override
+    return "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+
+
 HEADLINE = [
     "q1_pricing_summary",
     "q3_top_revenue",
@@ -120,8 +132,7 @@ def _bench_wikidump(spark) -> dict:
     # cold readers collapse the virtio disk to a fraction of its
     # sequential rate (observed 3-6x run-to-run swings); RAM-backed
     # input makes the bench measure the engine
-    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
-    path = os.path.join(base, "wikihadoop_bench_dump.xml")
+    path = os.path.join(_corpus_base(), "wikihadoop_bench_dump.xml")
     # >=500 MB so steady-state throughput dominates worker spin-up and
     # codegen (at 60 MB fixed overhead flattened the rate ~10x)
     target = int(os.environ.get("SPARK_GRAFT_BENCH_BYTES", 500_000_000))
@@ -308,8 +319,7 @@ def _bench_wikidump_markup(spark, cpus: int) -> dict:
     from wikihadoop_spark.plans.diffdb import build_diffdb
     from wikihadoop_spark.sources.wikidump import read_wikidump
 
-    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
-    path = os.path.join(base, "wikihadoop_bench_markup.xml")
+    path = os.path.join(_corpus_base(), "wikihadoop_bench_markup.xml")
     target = int(os.environ.get("SPARK_GRAFT_BENCH_MARKUP_BYTES", 250_000_000))
     if not (os.path.exists(path) and os.path.getsize(path) >= target):
         _gen_markup_corpus(path, target)

@@ -11,17 +11,19 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_bench_prints_one_json_line():
+def test_bench_prints_one_json_line(tmp_path):
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
         SPARK_GRAFT_CPUS="8",
         # contract test verifies output shape, not throughput: small
-        # corpus targets so a fresh environment doesn't generate the
-        # full 500+250 MB bench corpora inside pytest (a cached larger
-        # corpus still satisfies the >= target check and is reused)
+        # corpus targets, generated under a private dir so a full-size
+        # 500/250 MB corpus cached in /dev/shm by a prior real bench
+        # run is never reused here (it would run the full pipeline and
+        # risk the timeout)
         SPARK_GRAFT_BENCH_BYTES="60000000",
         SPARK_GRAFT_BENCH_MARKUP_BYTES="30000000",
+        SPARK_GRAFT_BENCH_DIR=str(tmp_path / "bench_corpora"),
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],

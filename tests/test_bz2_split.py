@@ -152,6 +152,19 @@ def test_read_honors_n(tmp_path):
     assert s2.read() == b""
     s2.close()
 
+    # many tiny reads against multi-MB decoded blocks: the head-chunk
+    # offset keeps each read O(returned bytes), and a mixed small/large
+    # sequence still reassembles the stream byte-exactly
+    s3 = Bz2BlockStream(str(path), 0, 1 << 62)
+    got = bytearray()
+    sizes = [1, 2, 3, 64, 1, 100_000, 5, 1, 999_983]
+    i = 0
+    while chunk := s3.read(sizes[i % len(sizes)]):
+        got += chunk
+        i += 1
+    assert bytes(got) == raw
+    s3.close()
+
 
 # -- source-level split invariance ---------------------------------------
 

@@ -92,6 +92,11 @@ def test_numeric_character_references(spark, tmp_path):
     assert _unescape(b"lit &amp;#160; eral") == "lit &#160; eral"
     assert _unescape(b"bad &#xDFFF; ref") == "bad &#xDFFF; ref"
     assert _unescape(b"bad &#0; &#1114112; refs") == "bad &#0; &#1114112; refs"
+    # single-pass: decoded output is never rescanned — &#38; is a
+    # literal '&', so '&#38;lt;' is the literal text '&lt;', NOT '<'
+    assert _unescape(b"&#38;lt;") == "&lt;"
+    assert _unescape(b"&amp;lt;") == "&lt;"
+    assert _unescape(b"a &lt;b&gt; &quot;c&quot; &#039;d&#039; &amp;") == "a <b> \"c\" 'd' &"
 
     dump = (
         "<mediawiki>\n<siteinfo><sitename>T</sitename></siteinfo>\n"

@@ -39,6 +39,7 @@ positions, not on the partition doing the probing.
 from __future__ import annotations
 
 import bz2
+from collections import deque
 from typing import Iterator
 
 BLOCK_MAGIC = 0x314159265359
@@ -200,8 +201,9 @@ class Bz2BlockStream:
         self._file_end_bit = self._f.tell() * 8
         self.owned_end: int | None = None
         self._gen = self._decode_blocks(path, start, end)
-        self._pending: list[bytes] = []
-        self._pending_len = 0
+        self._pending: deque[bytes] = deque()
+        self._off = 0  # consumed bytes of the head chunk
+        self._pending_len = 0  # unconsumed bytes across the deque
 
     def _decode_blocks(self, path: str, start: int, end: int):
         magics = _PeekableMagics(iter_magics(path, start))
@@ -254,9 +256,13 @@ class Bz2BlockStream:
         yielded, so by the time a caller has consumed bytes past the
         owned region the value is final."""
         if n is None or n < 0:
-            parts = self._pending
+            if self._off:
+                self._pending[0] = self._pending[0][self._off :]
+                self._off = 0
+            parts = list(self._pending)
             parts.extend(self._gen)
-            self._pending, self._pending_len = [], 0
+            self._pending.clear()
+            self._pending_len = 0
             return b"".join(parts)
         while self._pending_len < n:
             blk = next(self._gen, None)
@@ -264,13 +270,25 @@ class Bz2BlockStream:
                 break
             self._pending.append(blk)
             self._pending_len += len(blk)
-        if not self._pending:
-            return b""
-        buf = b"".join(self._pending)
-        out, rest = buf[:n], buf[n:]
-        self._pending = [rest] if rest else []
-        self._pending_len = len(rest)
-        return out
+        # consume from the head chunk via an offset — never re-join the
+        # whole buffer, so many small reads stay O(returned bytes)
+        parts = []
+        need = n
+        while need > 0 and self._pending:
+            head = self._pending[0]
+            avail = len(head) - self._off
+            if avail <= need:
+                parts.append(head[self._off :] if self._off else head)
+                self._pending.popleft()
+                self._off = 0
+                self._pending_len -= avail
+                need -= avail
+            else:
+                parts.append(head[self._off : self._off + need])
+                self._off += need
+                self._pending_len -= need
+                need = 0
+        return b"".join(parts)
 
     def close(self) -> None:
         self._f.close()

@@ -179,12 +179,20 @@ def _extract(fragment: bytes, tag: str) -> bytes | None:
     return fragment[gt + 1 : end]
 
 
-_ENTITIES = {b"&lt;": b"<", b"&gt;": b">", b"&quot;": b'"', b"&#039;": b"'", b"&amp;": b"&"}
+_NAMED_REFS = {b"lt": b"<", b"gt": b">", b"quot": b'"', b"amp": b"&"}
 
-_NUMERIC_REF = re.compile(rb"&#(?:x([0-9a-fA-F]{1,6})|([0-9]{1,7}));")
+# One combined pattern, one left-to-right pass: decoded output is never
+# rescanned, so &#38;lt; decodes to the literal '&lt;' the XML encodes
+# (a sequential numeric-then-named scheme would double-decode it to '<')
+# and &amp;#160; stays the literal wikitext '&#160;'.
+_CHAR_REF = re.compile(
+    rb"&(?:#x([0-9a-fA-F]{1,6})|#([0-9]{1,7})|(lt|gt|quot|amp));"
+)
 
 
-def _decode_numeric_ref(m: re.Match) -> bytes:
+def _decode_char_ref(m: re.Match) -> bytes:
+    if m.group(3):
+        return _NAMED_REFS[m.group(3)]
     cp = int(m.group(1), 16) if m.group(1) else int(m.group(2))
     if 0 < cp <= 0x10FFFF and not 0xD800 <= cp <= 0xDFFF:
         return chr(cp).encode("utf-8")
@@ -194,17 +202,8 @@ def _decode_numeric_ref(m: re.Match) -> bytes:
 def _unescape(raw: bytes | None) -> str | None:
     if raw is None:
         return None
-    # numeric character references (&#160; / &#x2014;) BEFORE the named
-    # table: the export escapes a literal '&' as '&amp;', so wikitext
-    # containing the six characters '&#160;' arrives as '&amp;#160;' —
-    # numeric-first never sees '&#' there and correctly leaves it for
-    # the &amp; pass to restore as literal text
-    if b"&#" in raw:
-        raw = _NUMERIC_REF.sub(_decode_numeric_ref, raw)
-    # &amp; last so double-escapes decode correctly
-    for ent, ch in _ENTITIES.items():
-        if ent in raw:
-            raw = raw.replace(ent, ch)
+    if b"&" in raw:
+        raw = _CHAR_REF.sub(_decode_char_ref, raw)
     return raw.decode("utf-8", errors="replace")
 
 
