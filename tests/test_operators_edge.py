@@ -6,14 +6,17 @@ from __future__ import annotations
 
 from datetime import datetime
 
+import pytest
 from pyspark.sql import functions as F
 
 from wikihadoop_spark.catalog import load_table
 from wikihadoop_spark.operators.asof import asof_join
 from wikihadoop_spark.operators.dedup import (
+    capped_block_pairs,
     exact_jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
+    simhash_band_pairs,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -134,6 +137,72 @@ def test_lsh_hot_bucket_cap(spark):
     assert got == expected  # lowest-cap ids only, all cross pairs, est 1.0
     assert all(r.est_jaccard == 1.0 for r in pairs)
     assert obs.get["lsh_dropped_members"] == (n_cluster - cap) * bands
+
+
+def test_capped_block_pairs_bounds_hot_block(spark):
+    """One hot block key must never go quadratic: only the lowest
+    ``cap`` ids participate (deterministically), the worst block emits
+    exactly C(cap, 2) pairs, and the observation counts the dropped
+    members."""
+    from pyspark.sql import Observation
+
+    n_hot, cap = 200, 10
+    rows = [(i, "hot", i * 1.5) for i in range(n_hot)] + [
+        (1000 + j, f"cold{j}", 0.0) for j in range(3)
+    ]
+    df = spark.createDataFrame(rows, ["id", "blk", "payload"])
+    obs = Observation()
+    pairs = capped_block_pairs(
+        df,
+        block_cols=["blk"],
+        id_col="id",
+        payload_cols=["payload"],
+        cap=cap,
+        observation=obs,
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    expected = {(a, b) for a in range(cap) for b in range(a + 1, cap)}
+    assert got == expected  # lowest-cap ids, all cross pairs, cold blocks size-1
+    assert all(r.payload_a == r.id_a * 1.5 and r.payload_b == r.id_b * 1.5 for r in pairs)
+    assert obs.get["block_dropped_members"] == n_hot - cap
+
+
+def test_simhash_band_pairs_lossless_below_cap(spark):
+    """Prefix-band blocking must find EVERY pair within max_hamming
+    (pigeonhole: 3 differing bits can touch at most 3 of 4 bands) —
+    compare against brute-force all-pairs hamming."""
+    import itertools
+    import random
+
+    rng = random.Random(20260813)
+    base = [rng.getrandbits(60) for _ in range(40)]
+    # plant near-dup clusters: flips of 1-3 random bits
+    vals = list(base)
+    for v in base[:10]:
+        flipped = v
+        for _ in range(rng.randrange(1, 4)):
+            flipped ^= 1 << rng.randrange(60)
+        vals.append(flipped)
+    sig = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], ["doc_id", "simhash"]
+    )
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_band_pairs(
+            sig, id_col="doc_id", bits=60, bands=4, max_hamming=3
+        ).collect()
+    }
+    want = set()
+    for (i, a), (j, b) in itertools.combinations(enumerate(vals), 2):
+        h = bin(a ^ b).count("1")
+        if h <= 3:
+            want.add((i, j, h))
+    assert got == want and want  # lossless, and the fixture is non-trivial
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_band_pairs(sig, id_col="doc_id", bands=4, max_hamming=4)
+    with pytest.raises(ValueError, match="divide"):
+        simhash_band_pairs(sig, id_col="doc_id", bits=60, bands=7)
 
 
 def test_join_pairing_equals_window_pairing(spark):

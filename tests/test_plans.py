@@ -103,6 +103,23 @@ def test_similarity_broadcasts_queries(spark):
     assert "Broadcast" in plan
 
 
+def test_pair_queries_cap_block_participation(spark):
+    """Every block-pair query must bound per-block participation: a
+    row_number rank over the block key filtered to <= cap sits upstream
+    of the pair join, so the worst task is capped at cap² pairs no
+    matter how hot a key gets at 100 TB — never an uncapped self-join
+    on a data column."""
+    for name in (
+        "ngram_jaccard_block",
+        "simhash_near_pairs",
+        "embedding_cosine_dedup",
+        "minhash_lsh_pairs",
+    ):
+        plan = optimized_of(spark, name)
+        assert "row_number" in plan, name
+        assert "<= 1000" in plan, name
+
+
 def test_media_metadata_prunes_documents_scan(spark):
     """The media gate derives payloads from documents: only doc_id+text
     may reach the parquet reader, and exactly one Python stage runs."""

@@ -217,6 +217,114 @@ def lsh_candidate_pairs(
     )
 
 
+def capped_block_pairs(
+    df: DataFrame,
+    *,
+    block_cols: list[str],
+    id_col: str,
+    payload_cols: list[str],
+    cap: int = 1000,
+    observation=None,
+    counter: str = "block_dropped_members",
+) -> DataFrame:
+    """All (id_a < id_b) pairs within each block, with deterministic
+    hot-block truncation: only the lowest ``cap`` ids per block
+    participate in pair generation, so the worst block contributes at
+    most cap² pairs to one task no matter how skewed the key gets at
+    100 TB (same contract as ``lsh_candidate_pairs``'s bucket_cap).
+
+    Returns ``block_cols + [id_a, id_b] + [<p>_a, <p>_b ...]``.  Pass
+    an ``Observation`` to count members dropped by the cap (nonzero ⇒
+    raise the cap or choose a finer block key if full connectivity
+    matters).  Plan shape: one window rank on the block key, then a
+    block-key equi-join of the capped sides — never an uncapped
+    self-join.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*block_cols).orderBy(id_col)
+    ranked = df.withColumn("__rn", F.row_number().over(w))
+    if observation is not None:
+        ranked = ranked.observe(
+            observation,
+            F.sum((F.col("__rn") > cap).cast("long")).alias(counter),
+        )
+    kept = ranked.filter(F.col("__rn") <= cap).drop("__rn")
+    a = kept.select(
+        *block_cols,
+        F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"{c}_a") for c in payload_cols],
+    )
+    b = kept.select(
+        *block_cols,
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in payload_cols],
+    )
+    return a.join(b, list(block_cols)).filter(F.col("id_a") < F.col("id_b"))
+
+
+def simhash_band_pairs(
+    sig: DataFrame,
+    *,
+    id_col: str,
+    sim_col: str = "simhash",
+    bits: int = 60,
+    bands: int = 4,
+    max_hamming: int = 3,
+    bucket_cap: int = 1000,
+    observation=None,
+) -> DataFrame:
+    """Hamming-near pairs over a simhash column via prefix-band
+    blocking — the Manku/Jain/Sarma WWW'07 design: split the ``bits``-
+    bit fingerprint into ``bands`` disjoint slices; a pair differing in
+    at most ``max_hamming`` bits must match exactly on at least one
+    slice whenever ``max_hamming < bands`` (pigeonhole), so the banded
+    equi-join finds EVERY such pair — lossless below the bucket cap,
+    never an all-pairs comparison.  Returns (id_a, id_b, hamming).
+    """
+    if max_hamming >= bands:
+        raise ValueError(
+            f"pigeonhole guarantee needs max_hamming < bands "
+            f"(got {max_hamming} >= {bands})"
+        )
+    if bits % bands:
+        raise ValueError(f"bands must divide bits (got {bits} % {bands})")
+    width = bits // bands
+    mask = (1 << width) - 1
+    flat = sig.select(
+        F.col(id_col).alias("__id"),
+        F.col(sim_col).alias("__sh"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.shiftright(F.col(sim_col), band * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for band in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("__id", "__sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    pairs = capped_block_pairs(
+        flat,
+        block_cols=["band", "key"],
+        id_col="__id",
+        payload_cols=["__sh"],
+        cap=bucket_cap,
+        observation=observation,
+        counter="simhash_dropped_members",
+    )
+    hamming = F.bit_count(F.col("__sh_a").bitwiseXOR(F.col("__sh_b"))).cast("int")
+    return (
+        pairs.select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def exact_jaccard_pairs(
     docs: DataFrame,
     pairs: DataFrame,

@@ -1339,32 +1339,42 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "ngram_jaccard_block",
+    # row_number cap mirrored on both sides: per block only the lowest
+    # 1000 doc ids participate, so one hot block key at 100 TB bounds
+    # the worst task at cap² pairs (same contract as _sql_lsh_pairs)
     oracle=f"""
     WITH sets AS (
       SELECT doc_id, source, list_distinct({_SQL_TOKENS}) AS toks FROM documents
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn FROM sets
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
              / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
-    FROM sets a JOIN sets b
+    FROM r a JOIN r b
       ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE a.rn <= 1000 AND b.rn <= 1000
     """,
 )
 def ngram_jaccard_block(spark: SparkSession, sf: str) -> DataFrame:
     """Exact token-set Jaccard within a blocking key (source) — the
-    verify pass of blocked dedup; blocking keeps it off all-pairs."""
+    verify pass of blocked dedup.  Participation per block is capped
+    (deterministically, lowest ids win) so a hot key can't go
+    quadratic: operators/dedup.py:capped_block_pairs."""
+    from .operators.dedup import capped_block_pairs
+
     t = Tables(spark, sf)
     toks = F.array_distinct(
         F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
     )
     sets = t.documents.select("doc_id", "source", toks.alias("toks"))
-    a = sets.select(
-        F.col("source"), F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a")
+    joined = capped_block_pairs(
+        sets,
+        block_cols=["source"],
+        id_col="doc_id",
+        payload_cols=["toks"],
+        cap=1000,
     )
-    b = sets.select(
-        F.col("source"), F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b")
-    )
-    joined = a.join(b, "source").filter(F.col("id_a") < F.col("id_b"))
     n_int = F.size(F.array_intersect("toks_a", "toks_b"))
     return joined.select(
         "id_a",
@@ -1646,13 +1656,20 @@ def range_join_near_orders(spark: SparkSession, sf: str) -> DataFrame:
 # SimHash near-dup + embedding-cosine dedup + subqueries  (batch 2)
 # ===========================================================================
 
-_SIMHASH_BITS = 16
+# 60-bit fingerprint (the full width of the portable md5-prefix hash64;
+# hash31 would leave bits 31+ permanently zero) so prefix-band blocking
+# has usable key cardinality: 4 bands × 15 bits ⇒ 32k-value band keys,
+# and hamming ≤ 3 < 4 bands gives the pigeonhole recall guarantee
+# (Manku/Jain/Sarma, WWW'07 — the classic near-dup configuration).
+_SIMHASH_BITS = 60
+_SIMHASH_BANDS = 4
+_SIMHASH_MAX_HAMMING = 3
 
 
 def _sql_simhash_sig() -> str:
     bits = ",\n      ".join(
         f"CASE WHEN SUM(CASE WHEN (x >> {b}) & 1 = 1 THEN 1 ELSE -1 END) >= 0"
-        f" THEN {1 << b} ELSE 0 END AS bit{b}"
+        f" THEN CAST({1 << b} AS BIGINT) ELSE 0 END AS bit{b}"
         for b in range(_SIMHASH_BITS)
     )
     total = " + ".join(f"bit{b}" for b in range(_SIMHASH_BITS))
@@ -1660,7 +1677,7 @@ def _sql_simhash_sig() -> str:
     WITH tok AS (
       SELECT doc_id, unnest({_SQL_TOKENS}) AS tk FROM documents
     ), hx AS (
-      SELECT doc_id, ('0x' || substr(md5(tk), 1, 15))::BIGINT % {MERSENNE31} AS x FROM tok
+      SELECT doc_id, ('0x' || substr(md5(tk), 1, 15))::BIGINT AS x FROM tok
     ), votes AS (
       SELECT doc_id, {bits} FROM hx GROUP BY doc_id
     )
@@ -1672,13 +1689,15 @@ def _sql_simhash_sig() -> str:
 def simhash_signatures_q(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash: per-bit weighted votes over token hashes -> one shuffle
     with map-side partial sums; near-dup distance is then hamming on a
-    single bigint (the classic Charikar sketch)."""
-    from .operators.dedup import hash31, tokens
+    single bigint (the classic Charikar sketch).  Votes run over the
+    full 60-bit hash64 so every fingerprint bit carries entropy — the
+    prefix bands of ``simhash_near_pairs`` depend on it."""
+    from .operators.dedup import hash64, tokens
 
     t = Tables(spark, sf)
     tok = t.documents.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("tk")
-    ).withColumn("x", hash31(F.col("tk")))
+    ).withColumn("x", hash64(F.col("tk")))
     votes = tok.groupBy("doc_id").agg(
         *[
             F.when(
@@ -1699,76 +1718,90 @@ def simhash_signatures_q(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "simhash_near_pairs",
+    # The oracle is the STRONGER all-pairs form: every pair within
+    # max_hamming, no blocking.  Matching it proves the Spark-side
+    # prefix-band equi-join loses nothing — the pigeonhole guarantee
+    # (hamming ≤ 3 < 4 bands ⇒ some 15-bit band matches exactly) is
+    # exact whenever no band bucket exceeds bucket_cap, which holds by
+    # construction at gate scale (500 docs < cap 1000).
     oracle=f"""
-    WITH sig AS ({_sql_simhash_sig()}),
-    src AS (SELECT d.doc_id, d.source, s.simhash FROM documents d JOIN sig s ON d.doc_id = s.doc_id)
+    WITH sig AS ({_sql_simhash_sig()})
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS INTEGER) AS hamming
-    FROM src a JOIN src b ON a.source = b.source AND a.doc_id < b.doc_id
-    WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= 6
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) <= {_SIMHASH_MAX_HAMMING}
     """,
 )
 def simhash_near_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """Near-dup candidates: hamming distance over simhash within a
-    blocking key.  (At scale the block is a band of simhash prefix
-    bits, making this an equi-join; source is the demo block here.)"""
+    """Near-dup candidates: hamming ≤ 3 over the 60-bit simhash via
+    prefix-band blocking (4 bands × 15 bits, Manku WWW'07) — an
+    engineered bounded key with a deterministic hot-bucket cap, never
+    an all-pairs or data-keyed self-join (operators/dedup.py:
+    simhash_band_pairs)."""
+    from .operators.dedup import simhash_band_pairs
+
     sig = simhash_signatures_q(spark, sf)
-    t = Tables(spark, sf)
-    src = t.documents.select("doc_id", "source").join(sig, "doc_id")
-    a = src.select(
-        F.col("source"),
-        F.col("doc_id").alias("id_a"),
-        F.col("simhash").alias("sh_a"),
-    )
-    b = src.select(
-        F.col("source"),
-        F.col("doc_id").alias("id_b"),
-        F.col("simhash").alias("sh_b"),
-    )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
-    return (
-        a.join(b, "source")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= 6)
+    return simhash_band_pairs(
+        sig,
+        id_col="doc_id",
+        sim_col="simhash",
+        bits=_SIMHASH_BITS,
+        bands=_SIMHASH_BANDS,
+        max_hamming=_SIMHASH_MAX_HAMMING,
+        bucket_cap=1000,
     )
 
 
 @query(
     "embedding_cosine_dedup",
-    oracle="""
+    # blocked on the hyperplane-LSH bucket (engineered key, 256 values
+    # spreading by vector direction, not a data column) with the same
+    # row_number participation cap as the other pair queries — the
+    # oracle replays the identical bucketing, so the approximate
+    # (same-bucket-only) semantics are still hash-gated exactly
+    oracle=f"""
     WITH v AS (
-      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), vb AS (
+      SELECT vec_id, e, {_lsh_bucket_sql('e')} AS bkt FROM v
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY bkt ORDER BY vec_id) AS rn FROM vb
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_dot_product(a.e, b.e)
              / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 9) AS cosine_sim
-    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE round(list_dot_product(a.e, b.e)
+    FROM r a JOIN r b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+    WHERE a.rn <= 1000 AND b.rn <= 1000
+      AND round(list_dot_product(a.e, b.e)
              / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 9) >= 0.35
     """,
 )
 def embedding_cosine_dedup(spark: SparkSession, sf: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs within a blocking key
-    (label stands in for an LSH bucket): the semantic-dedup pass of a
-    training-data pipeline."""
-    from .operators.similarity import cosine
+    """Embedding-cosine near-duplicate pairs within a hyperplane-LSH
+    bucket — the semantic-dedup pass of a training-data pipeline.
+    The bucket is an engineered key (random-hyperplane sign bits, the
+    same ``_LSH_PLANES`` family the ANN search uses), so block sizes
+    track vector-space density, not a low-cardinality data column; a
+    deterministic per-bucket cap bounds the worst task regardless.
+    Approximate by design (pairs split across buckets are missed —
+    recall/cost trade documented in SCALING.md)."""
+    from .operators.dedup import capped_block_pairs
+    from .operators.similarity import cosine, hyperplane_bucket
 
     t = Tables(spark, sf)
     v = t.embeddings.select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    ).withColumn("bkt", hyperplane_bucket(F.col("e"), _LSH_PLANES))
+    pairs = capped_block_pairs(
+        v,
+        block_cols=["bkt"],
+        id_col="vec_id",
+        payload_cols=["e"],
+        cap=1000,
     )
-    a = v.select(
-        F.col("label"), F.col("vec_id").alias("id_a"), F.col("e").alias("ea")
-    )
-    b = v.select(
-        F.col("label"), F.col("vec_id").alias("id_b"), F.col("e").alias("eb")
-    )
-    sim = F.round(cosine(F.col("ea"), F.col("eb")), 9)
+    sim = F.round(cosine(F.col("e_a"), F.col("e_b")), 9)
     return (
-        a.join(b, "label")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim.alias("cosine_sim"))
+        pairs.select("id_a", "id_b", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= 0.35)
     )
 
