@@ -9,7 +9,7 @@ from wikihadoop_spark.relational import (
     GATE_WINDOW,
     ORACLE,
     QUERIES,
-    ROTATION_SET_R3,
+    ROTATION_SET,
 )
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -38,11 +38,11 @@ def test_coverage_doc_mentions_every_query():
 
 def test_gate_window_contains_rotation_set():
     """The driver gates the first GATE_WINDOW registered queries; the
-    round-3 rotation set (every query without a prior driver CORRECTNESS
-    row, plus the two r01-only carry-overs) must sit inside that prefix
-    and the wikidump anchors must stay gated every round."""
+    current rotation set (round 6: the 18 r02-pinned queries returning
+    for an evidence refresh) must sit inside that prefix and the
+    wikidump anchors must stay gated every round."""
     first = list(QUERIES)[:GATE_WINDOW]
-    missing = ROTATION_SET_R3 - set(first)
+    missing = ROTATION_SET - set(first)
     assert not missing, f"rotation set outside gate window: {sorted(missing)}"
     assert "wikidump_roundtrip" in first
     assert "wikidump_roundtrip_bz2" in first
@@ -50,31 +50,35 @@ def test_gate_window_contains_rotation_set():
     assert all(n in ORACLE for n in first)
 
 
-# Rotation hygiene (round-4 verdict): the 18 queries demoted from the
-# gate window in the r3 rotation carry their r02-green driver evidence
-# ONLY while their code (decorator + oracle SQL + body, via
-# inspect.getsource) is unchanged.  These pins are the enforcement: any
-# edit to a demoted query fails here until the query is rotated back
-# into _GATE_ORDER for the next round (then re-pin the survivors).
+# Rotation hygiene (round-4 verdict): queries demoted from the gate
+# window carry their last driver-green evidence ONLY while their code
+# (decorator + oracle SQL + body, via inspect.getsource) is unchanged.
+# These pins are the enforcement: any edit to a demoted query fails
+# here until the query is rotated back into _GATE_ORDER for the next
+# round (then re-pin the survivors).
+#
+# Round-6 set: the 18 queries demoted to make room for the r02-pinned
+# evidence refresh — every one of them is r05-green
+# (CORRECTNESS_r05.json), so the carried evidence is 1 round old.
 _DEMOTED_SOURCE_PINS = {
-    "agg_rollup": "4302c99ab1c8ecf4",
-    "agg_cube": "734e8e961bba8096",
-    "join_left_agg": "16b29ffd5458f4c0",
-    "join_right_agg": "8c9d8995b1bab41a",
-    "join_semi": "051f79cdd64d54e2",
-    "join_anti": "4ee8ad81a9ae5a5b",
-    "join_cross": "8e28519e77a707ad",
-    "window_running": "56a88253d1ea3ce3",
-    "window_moving": "0bd9d62107a76cee",
-    "set_intersect": "d7ff616bcca89fcf",
-    "set_except": "3d8cbe4130707d5d",
-    "scalar_date": "88782a77498e0ab7",
-    "scalar_conditional": "d8381006df2721db",
-    "scalar_hash": "b146a2df0ad01a41",
-    "text_langid": "a98512ee2d3f1b78",
-    "text_fingerprint": "f4a767a9d53374dd",
-    "events_sliding": "005b2a1c572097de",
-    "events_pivot": "75e80b732e4758b0",
+    "agg_distinct": "3cbde80dbf72ea87",
+    "agg_grouping_sets": "f685188aa1b82d0b",
+    "agg_stats": "35b21489747f25ae",
+    "agg_approx_distinct": "6532e5a0c72c2a9f",
+    "agg_percentile": "da7e078703af57f1",
+    "agg_argmax": "3f03274d0f9f2f82",
+    "join_inner_agg": "fe54374f33db6a0d",
+    "join_full_outer": "68f92d4e4cf403e9",
+    "join_theta": "0ca20c452a95bd6b",
+    "window_value_functions": "338debe3795fa35c",
+    "window_distribution": "fdb6a74d11cb3944",
+    "set_union_all": "44ca1532854c55e6",
+    "scalar_string": "38a2e51423fc738b",
+    "scalar_math": "684488204dc95feb",
+    "scalar_json": "66eb99cf08eecad7",
+    "scalar_subquery": "f9165f6bdfb772ca",
+    "correlated_exists": "2180da0486b759ec",
+    "unpivot_lineitem": "391003271fd11185",
 }
 
 

@@ -2282,38 +2282,48 @@ def media_frame_fanout_q(spark: SparkSession, sf: str) -> DataFrame:
 # window_moving, set_intersect, set_except, scalar_date/conditional/hash,
 # text_langid, text_fingerprint, events_sliding, events_pivot.
 
-# Round-6 plan: once CORRECTNESS_r05 lands the media_audio_features
-# green row (completing the r01-r05 union at 68/68), rotate the 18
-# r02-green demoted queries (listed below) back into the window to
-# refresh their evidence, and re-pin _DEMOTED_SOURCE_PINS in
-# tests/test_contract_consistency.py for whichever set rotates out.
+# Round-6 rotation (executed): CORRECTNESS_r05 went 50/50 green, so the
+# r01-r05 union covers all 68 catalog queries.  This round the 18
+# r02-green queries demoted by the r3 rotation come back into the
+# window to refresh their evidence to r06; the 18 demoted in exchange
+# all carry fresh r05-green rows and are source-hash-pinned in
+# tests/test_contract_consistency.py::_DEMOTED_SOURCE_PINS.  Queries
+# whose implementation changed this round (simhash_*, ngram_jaccard,
+# embedding_cosine_dedup, plus everything downstream of the tokenizer
+# and wikidump source work: text_*, wikidump anchors) stay in-window so
+# the driver re-verifies the new code.
 GATE_WINDOW = 50
 
-ROTATION_SET_R3: frozenset[str] = frozenset(
+# The must-gate set for THIS round: every query re-entering the window
+# after a demotion (evidence refresh) — validated to sit inside the
+# gate prefix alongside the wikidump anchors.
+ROTATION_SET: frozenset[str] = frozenset(
     {
-        "asof_join_events_orders",
-        "range_join_near_orders",
-        "simhash_signatures",
-        "simhash_near_pairs",
-        "embedding_cosine_dedup",
-        "scalar_subquery",
-        "correlated_exists",
-        "text_diff_adjacent",
-        "agg_percentile",
-        "agg_argmax",
-        "unpivot_lineitem",
-        "events_retention",
-        "window_value_functions",
-        "window_distribution",
-        "similarity_topk_ivf",
-        "media_image_metadata",
-        "media_audio_features",
-        "media_frame_fanout",
+        "agg_rollup",
+        "agg_cube",
+        "join_left_agg",
+        "join_right_agg",
+        "join_semi",
+        "join_anti",
+        "join_cross",
+        "window_running",
+        "window_moving",
+        "set_intersect",
+        "set_except",
+        "scalar_date",
+        "scalar_conditional",
+        "scalar_hash",
+        "text_langid",
+        "text_fingerprint",
+        "events_sliding",
+        "events_pivot",
     }
 )
 
 _GATE_ORDER: tuple[str, ...] = (
-    # wikidump source gate anchors (S1-S5, R1/R2, P1, D1/D3)
+    # wikidump source gate anchors (S1-S5, R1/R2, P1, D1/D3) — gated
+    # every round; this round they also re-verify the single-pass
+    # entity decode and the bounded bz2 read
     "wikidump_roundtrip",
     "wikidump_roundtrip_bz2",
     # scan / filter representatives
@@ -2323,41 +2333,41 @@ _GATE_ORDER: tuple[str, ...] = (
     "q1_pricing_summary",
     "q3_top_revenue",
     "q5_revenue_by_nation",
-    # aggregation family (grouping_sets represents rollup/cube too)
-    "agg_grouping_sets",
-    "agg_distinct",
-    "agg_stats",
-    "agg_approx_distinct",
-    "agg_percentile",
-    "agg_argmax",
-    # join family (inner/full-outer/theta represent all 10 r02-green kinds)
-    "join_inner_agg",
-    "join_full_outer",
-    "join_theta",
+    # aggregation family: rollup/cube rotate back in (r02 evidence)
+    "agg_rollup",
+    "agg_cube",
+    # join family: the five r02-pinned kinds rotate back in
+    "join_left_agg",
+    "join_right_agg",
+    "join_semi",
+    "join_anti",
+    "join_cross",
     "asof_join_events_orders",
     "range_join_near_orders",
-    # window family
+    # window family: running/moving rotate back in
     "window_lag_pairs",
     "window_rank_topk",
-    "window_value_functions",
-    "window_distribution",
+    "window_running",
+    "window_moving",
     "sessionize_events",
-    # sort / dedup / set
+    # sort / dedup / set: intersect/except rotate back in
     "sort_topk_global",
     "dedup_exact_rows",
-    "set_union_all",
-    # scalar library + subqueries
-    "scalar_string",
-    "scalar_math",
+    "set_intersect",
+    "set_except",
+    # scalar library: date/conditional/hash rotate back in; array stays
+    # (it exercises the tokenizer this round's perf work touches)
+    "scalar_date",
+    "scalar_conditional",
+    "scalar_hash",
     "scalar_array",
-    "scalar_json",
-    "scalar_subquery",
-    "correlated_exists",
-    # text analysis + diff
+    # text analysis + diff: all in-window (tokenizer + diff-path work)
     "text_tokens",
     "text_quality",
+    "text_langid",
+    "text_fingerprint",
     "text_diff_adjacent",
-    # dedup sketch pipelines
+    # dedup sketch pipelines: pair queries reworked this round
     "minhash_signatures",
     "minhash_lsh_pairs",
     "ngram_jaccard_block",
@@ -2368,11 +2378,11 @@ _GATE_ORDER: tuple[str, ...] = (
     "similarity_topk",
     "similarity_topk_lsh",
     "similarity_topk_ivf",
-    # event-time analytics
+    # event-time analytics: sliding/pivot rotate back in
     "events_tumbling",
     "events_retention",
-    # reshaping
-    "unpivot_lineitem",
+    "events_sliding",
+    "events_pivot",
     # multimodal
     "media_image_metadata",
     "media_audio_features",
@@ -2394,9 +2404,9 @@ def _rotate_gate_window() -> None:
     unknown = [n for n in _GATE_ORDER if n not in QUERIES]
     if unknown:
         raise ValueError(f"gate order names unregistered queries: {unknown}")
-    if not ROTATION_SET_R3 <= set(_GATE_ORDER):
+    if not ROTATION_SET <= set(_GATE_ORDER):
         raise ValueError(
-            f"rotation set missing from gate: {sorted(ROTATION_SET_R3 - set(_GATE_ORDER))}"
+            f"rotation set missing from gate: {sorted(ROTATION_SET - set(_GATE_ORDER))}"
         )
     ordered: dict[str, QueryFn] = {n: QUERIES[n] for n in _GATE_ORDER}
     for n, fn in QUERIES.items():
