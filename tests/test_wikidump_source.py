@@ -7,6 +7,8 @@ sizes, bz2 input, contributor/comment null semantics.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from wikihadoop_spark.sources.wikidump import read_wikidump
@@ -216,3 +218,108 @@ def test_filter_pushdown_ns(spark, tmp_path):
     # equality on title too
     df2 = _read(spark, path).filter("title = 'Lonely Page'")
     assert [r.rev_id for r in df2.collect()] == [201]
+
+
+# -- real-fixture golden parse -------------------------------------------
+
+_REF_SAMPLE = "/root/reference/python/page_sample.xml"
+
+
+def _spec_unescape(seg: bytes) -> str:
+    """Test-side ground truth decoder, independent of the production
+    parser: the fixture uses exactly the four standard XML entities
+    (verified: no numeric refs present), decoded in one pass per spec."""
+    import re as _re
+
+    table = {b"&lt;": b"<", b"&gt;": b">", b"&quot;": b'"', b"&amp;": b"&"}
+    return _re.sub(
+        rb"&(?:lt|gt|quot|amp);", lambda m: table[m.group(0)], seg
+    ).decode("utf-8")
+
+
+@pytest.mark.skipif(
+    not os.path.exists(_REF_SAMPLE), reason="reference sample not available"
+)
+def test_reference_page_sample_golden(spark, tmp_path):
+    """Parse the reference's real dump sample (page_sample.xml: 3 pages,
+    6 revisions — ip edit, <minor/>, deleted contributors, duplicate
+    rev ids across pages, no <mediawiki> root, no <ns> elements, real
+    wikitext with tables and non-Latin interwiki links) byte-for-byte,
+    plain and bz2-recompressed, single- and multi-split."""
+    import bz2 as _bz2
+    from datetime import datetime
+
+    raw = open(_REF_SAMPLE, "rb").read()
+    plain = tmp_path / "sample.xml"
+    plain.write_bytes(raw)
+    bzpath = tmp_path / "sample.xml.bz2"
+    bzpath.write_bytes(_bz2.compress(raw, 1))
+
+    # ground-truth text bodies, extracted positionally (split on the
+    # literal marker), decoded by the spec table above — NOT by the
+    # production _unescape
+    bodies = [
+        seg.split(b"</text>")[0]
+        for seg in raw.split(b'<text xml:space="preserve">')[1:]
+    ]
+    assert len(bodies) == 6
+    texts = [_spec_unescape(b) for b in bodies]
+    assert texts[0] == (
+        "A <b>bassist</b> is somebody who plays a [[bass guitar]] "
+        "or [[double bass]]."
+    )
+    assert texts[2] == "foo bar" and texts[3] == "baz"
+    # the real-wikitext page: table markup and unicode survive decoding
+    assert '{| style="float: right; clear: right;' in texts[4]
+    assert "[[ru:Синайско-Палестинская кампания]]" in texts[5]
+
+    for path, opts in (
+        (plain, {}),
+        (plain, {"splitSize": "8192"}),  # forces multi-partition reads
+        (bzpath, {}),
+    ):
+        rows = sorted(
+            _read(spark, str(path), **opts).collect(),
+            key=lambda r: (r.page_id, r.rev_seq),
+        )
+        assert len(rows) == 6, opts
+        r = {i: row for i, row in enumerate(rows)}
+
+        # page 10 "AccessibleComputing": deleted contributors -> all
+        # user fields NULL; no comment; duplicate rev ids vs page 9001
+        assert [r[0].page_id, r[0].title, r[0].ns] == [10, "AccessibleComputing", None]
+        assert [r[0].rev_id, r[1].rev_id] == [100, 200]
+        assert [r[0].rev_seq, r[1].rev_seq] == [1, 2]
+        assert [r[0].text, r[1].text] == ["foo bar", "baz"]
+        assert [r[0].text_bytes, r[1].text_bytes] == [7, 3]
+        for i in (0, 1):
+            assert r[i].user_id is None and r[i].user_text is None
+            assert r[i].user_ip is None and r[i].comment is None
+            assert r[i].minor is False
+            assert r[i].ts == datetime(2009, 4, 12, 17, 3, 2)
+
+        # page 9001 "TestPage or something": large real wikitext
+        assert [r[2].page_id, r[2].title] == [9001, "TestPage or something"]
+        assert [r[2].rev_id, r[3].rev_id] == [100, 200]
+        assert r[2].text == texts[4] and r[3].text == texts[5]
+        assert r[2].text_bytes == len(bodies[4])
+        assert r[3].text_bytes == len(bodies[5])
+        assert r[2].user_text is None and r[3].user_text is None
+
+        # page 60001 "Bassist": ip contributor (user_text falls back to
+        # the ip, reference convention), <minor/>, comments
+        assert [r[4].page_id, r[4].title, r[4].ns] == [60001, "Bassist", None]
+        assert [r[4].rev_id, r[5].rev_id] == [108204, 208937]
+        assert r[4].ts == datetime(2002, 6, 30, 2, 3, 23)
+        assert r[5].ts == datetime(2002, 6, 30, 16, 0, 41)
+        assert r[4].user_ip == "195.149.37.198"
+        assert r[4].user_text == "195.149.37.198" and r[4].user_id is None
+        assert r[4].minor is True and r[4].comment == "stub"
+        assert r[5].user_text == "JeLuF" and r[5].user_id == 733
+        assert r[5].user_ip is None
+        assert r[5].minor is False and r[5].comment == "added list"
+        assert r[4].text == texts[0] and r[5].text == texts[1]
+        assert r[5].text.endswith("* [[Leon Wilkeson]] from [[Lynyrd Skynyrd]]")
+        for row in rows:
+            assert row.redirect is None and row.parent_id is None
+            assert row.sha1 is None and row.model is None
