@@ -8,6 +8,8 @@ from __future__ import annotations
 import bz2
 import time
 
+from pyspark.sql import functions as F
+
 from wikihadoop_spark.sources.wikidump import register_wikidump
 
 from dump_fixtures import big_dump, page, rev, standard_dump
@@ -154,3 +156,126 @@ def test_streaming_diffdb_matches_batch(spark, tmp_path):
 
     assert key(got) == key(batch)
     assert len(got) > 0
+
+
+def test_stream_kill_midbatch_restart_exactly_once(spark, tmp_path):
+    """Failure drill: stop the query while the first (large) batch is
+    still in flight, let a new shard arrive while the stream is down,
+    then restart from the same checkpoint.  The file sink's
+    _spark_metadata commit log plus the source's checkpointed file
+    tracking give exactly-once output: partial files from the aborted
+    batch are invisible to readers, the aborted batch re-runs once,
+    and the downtime arrival is picked up in its own batch."""
+    register_wikidump(spark)
+    indir = tmp_path / "arriving4"
+    indir.mkdir()
+    ckpt = str(tmp_path / "ckpt4")
+    out = str(tmp_path / "out4")
+
+    # big first shard so the initial batch takes long enough that
+    # stop() interrupts it mid-flight on most runs (the assertion holds
+    # either way — if the batch happened to commit, restart must not
+    # replay it)
+    big = big_dump(40, 6)
+    (indir / "big.xml").write_text(big)
+    big_ids = set(range(1001, 1001 + 40 * 6))
+
+    def make_query(trigger_kwargs):
+        stream = (
+            spark.readStream.format("wikidump")
+            .option("path", str(indir))
+            .load()
+            .select("rev_id")
+        )
+        return (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(**trigger_kwargs)
+            .start()
+        )
+
+    q = make_query({"processingTime": "0 seconds"})
+    time.sleep(0.5)
+    q.stop()  # interrupt: likely mid-batch
+
+    # a shard arrives while the stream is down
+    xml9, ids9 = _shard(9)
+    (indir / "downtime-arrival.xml").write_text(xml9)
+
+    q2 = make_query({"availableNow": True})
+    q2.awaitTermination(180)
+
+    rows = [r.rev_id for r in spark.read.parquet(out).collect()]
+    assert set(rows) == big_ids | set(ids9)
+    assert len(rows) == len(set(rows)), "duplicate rows after restart"
+
+
+def test_stream_late_shard_after_watermark_dropped(spark, tmp_path):
+    """Late-data drill: a shard whose event times sit entirely below
+    the watermark arrives after later data closed those windows — its
+    rows are dropped from the (append-mode) windowed aggregation, and
+    on-time windows emit exactly once."""
+    from wikihadoop_spark.streaming.windows import tumbling_counts
+
+    register_wikidump(spark)
+    indir = tmp_path / "arriving5"
+    indir.mkdir()
+
+    def shard_at(name: str, pid: int, days: list[str]) -> None:
+        revs = [
+            rev(pid * 100 + i, f"{d}T12:00:00Z", f"body {pid} {i}")
+            for i, d in enumerate(days)
+        ]
+        xml = (
+            "<mediawiki><siteinfo><sitename>S</sitename></siteinfo>\n"
+            + page(pid, f"P{pid}", 0, revs)
+            + "</mediawiki>\n"
+        )
+        (indir / name).write_text(xml)
+
+    shard_at("on-time.xml", 1, ["2023-01-01", "2023-01-01", "2023-01-03"])
+
+    stream = (
+        spark.readStream.format("wikidump")
+        .option("path", str(indir))
+        .load()
+        .select(
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.col("page_id"),
+            F.col("text_bytes").cast("double").alias("value"),
+        )
+    )
+    agg = tumbling_counts(
+        stream, ts="ts", window="1 day", watermark="1 day", keys=("page_id",)
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wd_late_drill")
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # watermark is now 2023-01-03T12:00 - 1 day: the 01-01 window
+        # is closed and emitted; a shard entirely below the watermark
+        # arrives late
+        shard_at("late.xml", 2, ["2021-06-01", "2021-06-02"])
+        q.processAllAvailable()
+        # fresh data advances the watermark past remaining windows
+        shard_at("fresh.xml", 3, ["2023-01-07", "2023-01-07"])
+        q.processAllAvailable()
+        got = {
+            (r.window_start.isoformat(), r.page_id, r.n_events)
+            for r in spark.sql("SELECT * FROM wd_late_drill").collect()
+        }
+    finally:
+        q.stop()
+
+    # the late page-2 windows from 2021 never appear; each on-time
+    # window appears exactly once with its full count
+    assert all(not w.startswith("2021") for w, _, _ in got)
+    assert ("2023-01-01T00:00:00", 1, 2) in got
+    assert ("2023-01-03T00:00:00", 1, 1) in got
+    assert not any(pid == 2 for _, pid, _ in got)
