@@ -50,6 +50,11 @@ def cosine_topk(
 
     Returns (query_id, neighbor_id, cosine_sim, rank).  Ties broken by
     neighbor id for determinism.
+
+    Exact baseline: scores every (query, corpus) pair — O(Q·N·D).
+    Right below ~1e9 scored pairs with a broadcastable query side;
+    past that switch to ``cosine_topk_lsh`` or ``cosine_topk_ivf``
+    (sized crossover table in SCALING.md).
     """
     q = queries.select(
         F.col(id_col).alias("query_id"),
