@@ -4,6 +4,7 @@ example.py:67-95), tokenizer conformance (X1 quirk), failure handling
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -167,3 +168,71 @@ def test_py2_repr():
     assert py2_repr_value(None) == "None"
     assert py2_repr_value(True) == "True"
     assert py2_repr_value(42) == "42"
+
+
+# -- optional C kernel (functions/_native.c) ------------------------------
+
+
+def test_native_kernel_equivalence_fuzz():
+    """The C kernel must be range-for-range identical to the Python
+    recursion — same middle-snake tie-breaks, same first-overlap
+    return, same _MAX_D degradation.  Random sequences plus
+    near-duplicate shapes (long equal runs, scattered edits), plus the
+    cap case."""
+    import random
+
+    from wikihadoop_spark.functions import native
+    from wikihadoop_spark.functions.diffs import _MAX_D, _diff_ints
+
+    if native.load() is None:
+        pytest.skip("C toolchain unavailable")
+
+    rng = random.Random(20260814)
+    for trial in range(500):
+        n, m = rng.randrange(0, 300), rng.randrange(0, 300)
+        vocab = rng.randrange(2, 40)
+        a = [rng.randrange(vocab) for _ in range(n)]
+        b = [rng.randrange(vocab) for _ in range(m)]
+        py: list = []
+        _diff_ints(a, 0, n, b, 0, m, py)
+        assert native.diff_ints(a, b, _MAX_D) == py, trial
+    for trial in range(100):
+        base = [rng.randrange(50) for _ in range(rng.randrange(200, 2000))]
+        b = list(base)
+        for _ in range(rng.randrange(1, 6)):
+            i = rng.randrange(len(b) or 1)
+            k = rng.randrange(1, 20)
+            roll = rng.random()
+            if roll < 0.4:
+                b[i : i + k] = [rng.randrange(50) for _ in range(k)]
+            elif roll < 0.7:
+                b[i:i] = [rng.randrange(50) for _ in range(k)]
+            else:
+                del b[i : i + k]
+        py = []
+        _diff_ints(base, 0, len(base), b, 0, len(b), py)
+        assert native.diff_ints(base, b, _MAX_D) == py, trial
+    # cap degradation: disjoint vocabularies exceed _MAX_D
+    a = list(range(0, 4000))
+    b = list(range(10000, 14500))
+    py = []
+    _diff_ints(a, 0, len(a), b, 0, len(b), py)
+    assert native.diff_ints(a, b, _MAX_D) == py
+
+
+def test_native_disabled_falls_back(monkeypatch):
+    """WIKIHADOOP_NO_NATIVE (or any load failure) must leave token_diff
+    fully functional on the Python path."""
+    from wikihadoop_spark.functions import native
+
+    monkeypatch.setenv("WIKIHADOOP_NO_NATIVE", "1")
+    monkeypatch.setattr(native, "_loaded", False)
+    monkeypatch.setattr(native, "_lib", None)
+    assert native.load() is None
+    prev = "alpha beta " * 200 + "gamma"
+    curr = "alpha beta " * 100 + "DELTA " + "alpha beta " * 100 + "gamma"
+    ops = list(token_diff(prev, curr))
+    assert apply_diff(prev, ops) == curr and ops
+    # un-poison the memoized loader state for later tests
+    monkeypatch.delenv("WIKIHADOOP_NO_NATIVE")
+    monkeypatch.setattr(native, "_loaded", False)

@@ -25,6 +25,7 @@ from __future__ import annotations
 import re
 from typing import Callable, Iterator
 
+from . import native as _native
 from .tokenize import tokenize_wikitext
 
 DELETE = -1
@@ -361,8 +362,17 @@ def token_diff(
     raw: list[tuple[int, int, int]] = []
     if lo:
         raw.append((EQUAL, 0, lo))
-    mid: list[tuple[int, int, int]] = []
-    _diff_ints(a, 0, len(a), b, 0, len(b), mid)
+    # C kernel when available (functions/_native.c: the same algorithm,
+    # same tie-breaks, same _MAX_D cap — fuzz-pinned byte-identical);
+    # the Python recursion below is the reference implementation and
+    # the always-present fallback.  Tiny problems stay in Python: the
+    # ctypes round-trip costs more than the diff itself there.
+    mid = None
+    if len(a) + len(b) >= 64:
+        mid = _native.diff_ints(a, b, _MAX_D)
+    if mid is None:
+        mid = []
+        _diff_ints(a, 0, len(a), b, 0, len(b), mid)
     # middle indices are slice-local on both sides; shift back by lo
     raw.extend((act, i0 + lo, i1 + lo) for act, i0, i1 in mid)
     if suf:
