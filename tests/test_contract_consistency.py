@@ -59,8 +59,16 @@ def test_gate_window_contains_rotation_set():
 #
 # Round-6 set: the 18 queries demoted to make room for the r02-pinned
 # evidence refresh — every one of them is r05-green
-# (CORRECTNESS_r05.json), so the carried evidence is 1 round old.
+# (CORRECTNESS_r05.json), so the carried evidence is 1 round old —
+# plus the 5 stable r05-green queries demoted to make room for the
+# round-6 training-pipeline additions (dedup_clusters, ngram_overlap,
+# text_repetition, sample_stratified, text_tfidf_topk).
 _DEMOTED_SOURCE_PINS = {
+    "scan_filter_project": "54ff3947f6a8a5c6",
+    "filter_regex": "cdc41d855536f9e2",
+    "asof_join_events_orders": "73a4584ecbec5547",
+    "range_join_near_orders": "37dfb2b236d9964e",
+    "sort_topk_global": "22a29bc24d2cca0a",
     "agg_distinct": "3cbde80dbf72ea87",
     "agg_grouping_sets": "f685188aa1b82d0b",
     "agg_stats": "35b21489747f25ae",

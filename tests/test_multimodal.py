@@ -57,8 +57,44 @@ def test_video_frame_fanout(spark, media):
 
 
 def test_real_backend_gated(spark, media):
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL installed: the real image path is live (tested below)")
+    except ImportError:
+        pass
     with pytest.raises(NotImplementedError, match="backend='fake'"):
         image_metadata(media, backend="real")
+
+
+def test_real_image_backend_with_pillow(spark):
+    """Executed only where Pillow is installed: real PNG bytes flow
+    through image_metadata (header decode) and image_resize (decode →
+    resize → PNG re-encode) on the same mapInPandas plumbing the fake
+    backend pins."""
+    PIL = pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from wikihadoop_spark.multimodal.media import MEDIA_SCHEMA, image_resize
+
+    rows = []
+    for i, (w, h) in enumerate([(32, 16), (7, 5), (128, 128)]):
+        im = Image.new("RGB", (w, h), color=(i * 40, 100, 200))
+        buf = io.BytesIO()
+        im.save(buf, format="PNG")
+        rows.append((i, "image", buf.getvalue(), (f"src{i}", None, "image/png")))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    meta = {r.media_id: r for r in image_metadata(media, backend="real").collect()}
+    assert (meta[0].width, meta[0].height, meta[0].channels) == (32, 16, 3)
+    assert (meta[1].width, meta[1].height) == (7, 5)
+
+    thumbs = image_resize(media, width=8, height=8, backend="real").collect()
+    for t in thumbs:
+        with Image.open(io.BytesIO(t.thumb)) as im:
+            assert im.size == (8, 8)
 
 
 def test_metadata_only_projection_skips_payload(spark, media, tmp_path):

@@ -242,3 +242,48 @@ def test_join_pairing_plan_has_no_window(spark):
     df = pair_with_previous_join(ev, ["user_id"], "seq", ["value"])
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan  # hash join only — no per-key sort task
+
+
+def test_connected_components_handles_chain_and_isolates(spark):
+    """Min-label propagation must cross a multi-hop chain (label flows
+    the full diameter), keep disjoint components separate, and label
+    isolated vertices with themselves."""
+    from wikihadoop_spark.operators.components import (
+        component_summary,
+        connected_components,
+    )
+
+    # chain 1-2-3-4-5, triangle 10-11-12 (one redundant/reversed edge),
+    # isolate 99
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (12, 10), (11, 10)],
+        ["id_a", "id_b"],
+    )
+    vertices = spark.createDataFrame(
+        [(v,) for v in [1, 2, 3, 4, 5, 10, 11, 12, 99]], ["id"]
+    )
+    cc = connected_components(vertices, edges, id_col="id")
+    got = {r.id: r.component for r in cc.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+    summary = {
+        r.id: (r.component, r.n_members, r.is_keeper)
+        for r in component_summary(cc, id_col="id").collect()
+    }
+    assert summary[1] == (1, 5, True) and summary[5] == (1, 5, False)
+    assert summary[99] == (99, 1, True)
+
+
+def test_connected_components_raises_past_max_iterations(spark):
+    """A diameter larger than max_iterations must raise, not silently
+    return partial labels."""
+    import pytest
+
+    from wikihadoop_spark.operators.components import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], ["id_a", "id_b"]
+    )
+    vertices = spark.createDataFrame([(v,) for v in range(1, 9)], ["id"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(vertices, chain, id_col="id", max_iterations=2)

@@ -185,3 +185,20 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_custs_b")
+
+
+def test_stratified_sample_is_exchange_free(spark):
+    """Deterministic stratified sampling must be a single narrow pass:
+    one scan, a hash/filter map stage, NO Exchange — at 100 TB this is
+    the stage whose cost must be exactly one read."""
+    plan = plan_of(spark, "sample_stratified")
+    assert "Exchange" not in plan
+    assert "Scan parquet" in plan or "BatchScan" in plan
+
+
+def test_tfidf_broadcasts_scalar_count(spark):
+    """The corpus-size scalar joins via broadcast (one row), never a
+    shuffled cross join."""
+    plan = plan_of(spark, "text_tfidf_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan

@@ -18,9 +18,12 @@ The codec itself is environment-dependent and stubbed here:
 - backend="fake": deterministic pseudo-decode derived from the payload
   hash — stable across runs/partitionings, so tests exercise the full
   plumbing.
-- backend="real": gated behind import of the optional libs (PIL etc.,
-  absent in this container) — raises NotImplementedError with a clear
-  message.
+- backend="real": the image operators (metadata, resize) have a real
+  Pillow implementation that activates when PIL is importable —
+  ``tests/test_multimodal.py`` carries importorskip-gated tests that
+  execute it on real PNG bytes where the environment allows; audio and
+  video decoding additionally need torchaudio/av and stay gated with a
+  clear NotImplementedError here.
 """
 
 from __future__ import annotations
@@ -37,16 +40,16 @@ MEDIA_SCHEMA = (
 )
 
 
-def _require_real_backend(feature: str):
-    try:
-        import PIL  # noqa: F401
+def _require_real_backend(feature: str, module: str = "PIL"):
+    import importlib
 
-        return
+    try:
+        importlib.import_module(module)
     except ImportError:
         raise NotImplementedError(
-            f"{feature}: real media decoding needs optional libraries "
-            "(PIL/torchaudio/av) that are not installed in this "
-            "environment; use backend='fake' for pipeline testing"
+            f"{feature}: real media decoding needs the optional "
+            f"{module!r} library, not installed in this environment; "
+            "use backend='fake' for pipeline testing"
         )
 
 
@@ -61,7 +64,10 @@ def _fake_dims(payload: bytes) -> tuple[int, int, int]:
 
 def image_metadata(df: DataFrame, *, backend: str = "fake") -> DataFrame:
     """payload -> (width, height, channels, content_hash): the decode/
-    inspect step of an image pipeline."""
+    inspect step of an image pipeline.  backend="real" decodes with
+    Pillow (header-only — ``Image.open`` reads dimensions without
+    decoding pixel data, so the per-row cost is a few KB of header
+    parse even for large payloads)."""
     if backend != "fake":
         _require_real_backend("image_metadata")
     import pandas as pd
@@ -70,11 +76,21 @@ def image_metadata(df: DataFrame, *, backend: str = "fake") -> DataFrame:
         "media_id long, width int, height int, channels int, content_hash string"
     )
 
+    def decode(payload: bytes) -> tuple[int, int, int]:
+        if backend == "fake":
+            return _fake_dims(payload)
+        import io
+
+        from PIL import Image
+
+        with Image.open(io.BytesIO(payload)) as im:
+            return im.width, im.height, len(im.getbands())
+
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                w, h, c = _fake_dims(payload)
+                w, h, c = decode(payload)
                 rows.append(
                     (media_id, w, h, c, _h(payload).hex()[:16])
                 )
@@ -90,21 +106,33 @@ def image_resize(
 ) -> DataFrame:
     """payload -> resized payload (thumbnailing).  Fake backend emits a
     deterministic pseudo-thumbnail (hash-derived bytes of the right
-    nominal size class) so downstream byte-handling code is exercised."""
+    nominal size class) so downstream byte-handling code is exercised;
+    backend="real" decodes with Pillow, resizes, and re-encodes PNG."""
     if backend != "fake":
         _require_real_backend("image_resize")
     import pandas as pd
 
     out_schema = "media_id long, thumb binary, thumb_width int, thumb_height int"
 
+    def resize(payload: bytes) -> bytes:
+        if backend == "fake":
+            seed = _h(payload, b"resize")
+            nominal = max(16, (width * height) // 128)
+            return (seed * (nominal // len(seed) + 1))[:nominal]
+        import io
+
+        from PIL import Image
+
+        with Image.open(io.BytesIO(payload)) as im:
+            out = io.BytesIO()
+            im.resize((width, height)).save(out, format="PNG")
+            return out.getvalue()
+
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                seed = _h(payload, b"resize")
-                nominal = max(16, (width * height) // 128)
-                thumb = (seed * (nominal // len(seed) + 1))[:nominal]
-                rows.append((media_id, thumb, width, height))
+                rows.append((media_id, resize(payload), width, height))
             yield pd.DataFrame(
                 rows, columns=["media_id", "thumb", "thumb_width", "thumb_height"]
             )
@@ -118,7 +146,10 @@ def audio_features(
     """payload -> fixed-size feature vector (the MFCC-extraction shape:
     binary in, array<float> out)."""
     if backend != "fake":
-        _require_real_backend("audio_features")
+        # no real audio path yet: requiring the (absent) codec lib keeps
+        # backend="real" from silently running the fake features
+        _require_real_backend("audio_features", module="torchaudio")
+        raise NotImplementedError("audio_features: real backend not implemented")
     import pandas as pd
 
     out_schema = "media_id long, features array<float>, duration_ms int"
@@ -146,7 +177,8 @@ def video_frame_sample(
     batch yields a variable number of output rows — mapInPandas handles
     the fan-out without a separate explode."""
     if backend != "fake":
-        _require_real_backend("video_frame_sample")
+        _require_real_backend("video_frame_sample", module="av")
+        raise NotImplementedError("video_frame_sample: real backend not implemented")
     import pandas as pd
 
     out_schema = "media_id long, frame_idx int, frame binary"

@@ -45,6 +45,7 @@ from .operators.dedup import (
     exact_dedup,
     lsh_candidate_pairs,
     minhash_signatures,
+    tokens,
 )
 from .operators.sessionize import sessionize
 from .operators.similarity import cosine_topk
@@ -1387,6 +1388,327 @@ def ngram_jaccard_block(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ===========================================================================
+# Training-data pipeline: clusters, contamination, quality, sampling
+# ===========================================================================
+# Round-6 additions: the operators a 100 TB pretraining-data pipeline
+# runs AFTER near-dup candidate generation — cluster resolution (pairs
+# → components → one keeper), cross-document n-gram contamination,
+# Gopher-style repetition filters, deterministic stratified sampling,
+# and TF-IDF term extraction.  All engine-portable (md5-based hashing,
+# exact-integer ratios) so the DuckDB oracle replays them bit-for-bit.
+
+
+@query(
+    "dedup_clusters",
+    # recursive reachability closure == the min-label fixpoint the
+    # Spark operator computes iteratively (operators/components.py)
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT id_a, id_b FROM ({_sql_lsh_pairs()}) WHERE est_jaccard >= 0.5
+    ),
+    e AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.d, reach.lbl FROM reach JOIN e ON e.s = reach.node
+    ),
+    cc AS (SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node)
+    SELECT doc_id, component,
+           CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS n_members,
+           doc_id = component AS is_keeper
+    FROM cc
+    """,
+)
+def dedup_clusters_q(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end near-dup resolution: MinHash → LSH candidate pairs
+    (est_jaccard ≥ 0.5 edges) → connected components (iterative
+    min-label propagation, operators/components.py) → per-doc cluster
+    id, size, and keeper flag.  The step the reference delegates to
+    external sort/uniq (README.rst:236-247), distributed."""
+    from .operators.components import component_summary, connected_components
+
+    t = Tables(spark, sf)
+    sig = minhash_signatures(
+        t.documents, id_col="doc_id", text_col="text", n_hashes=_N_MINHASH, shingle_k=3
+    )
+    pairs = lsh_candidate_pairs(
+        sig, id_col="doc_id", n_hashes=_N_MINHASH, bands=_LSH_BANDS
+    ).filter(F.col("est_jaccard") >= 0.5)
+    cc = connected_components(t.documents.select("doc_id"), pairs, id_col="doc_id")
+    return component_summary(cc, id_col="doc_id")
+
+
+@query(
+    "ngram_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKENS} AS t, lower(text) AS lt FROM documents
+    ), ex AS (
+      SELECT doc_id, unnest(list_distinct({_SQL_SHINGLES})) AS s FROM toks
+    ), freq AS (
+      SELECT s, CAST(COUNT(*) AS BIGINT) AS nd FROM ex GROUP BY s
+    )
+    SELECT ex.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN freq.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           CAST(SUM(CASE WHEN freq.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS overlap_frac
+    FROM ex JOIN freq USING (s)
+    GROUP BY ex.doc_id
+    """,
+)
+def ngram_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document shingle contamination: per document, the fraction
+    of its distinct 3-token shingles that also occur in ≥1 other
+    document (benchmark-contamination / boilerplate detection).
+
+    Plan: distinct-shingle explode → shingle-frequency hash-aggregate
+    (map-side combine) → equi-join back on shingle → per-doc aggregate.
+    Shingle frequencies follow a power law at 100 TB: the join is keyed
+    on the shingle so a mega-frequent shingle is one hot key — AQE skew
+    split handles it, and the per-doc aggregate re-keys to uniform
+    doc_id immediately after."""
+    t = Tables(spark, sf)
+    from .operators.dedup import shingles
+
+    ex = t.documents.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("s"),
+    )
+    freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("nd"))
+    shared = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+    return (
+        ex.join(freq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            shared.alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_shared",
+            (F.col("n_shared").cast("double") / F.col("n_shingles").cast("double")).alias(
+                "overlap_frac"
+            ),
+        )
+    )
+
+
+@query(
+    "text_repetition",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    tc AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY doc_id, tok
+    ),
+    ts AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_tokens
+      FROM tc GROUP BY doc_id
+    ),
+    bg AS (
+      SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                      i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS b
+        FROM toks WHERE len(t) >= 2
+      ) GROUP BY doc_id, b
+    ),
+    bs AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+             CAST(MAX(c) AS BIGINT) AS max_bigram
+      FROM bg GROUP BY doc_id
+    ),
+    m AS (
+      SELECT ts.doc_id, ts.n_tokens,
+             CAST(ts.dup_tokens AS DOUBLE) / CAST(ts.n_tokens AS DOUBLE) AS dup_token_frac,
+             CASE WHEN COALESCE(bs.n_bigrams, 0) > 0
+                  THEN CAST(bs.max_bigram AS DOUBLE) / CAST(bs.n_bigrams AS DOUBLE)
+                  ELSE 0.0 END AS top_bigram_frac
+      FROM ts LEFT JOIN bs USING (doc_id)
+    )
+    SELECT doc_id, n_tokens, dup_token_frac, top_bigram_frac,
+           dup_token_frac > 0.5 OR top_bigram_frac > 0.1 AS flagged
+    FROM m
+    """,
+)
+def text_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    fraction of tokens belonging to a duplicated token, and the share
+    of all bigrams taken by the single most frequent bigram; ``flagged``
+    marks documents over either threshold.  All-integer counts with one
+    final IEEE division each — bit-equal across engines.
+
+    Plan: two per-doc hash-aggregates (token grain, bigram grain) —
+    both keyed on doc_id so partial aggregation bounds the shuffle —
+    joined on doc_id."""
+    t = Tables(spark, sf)
+    base = t.documents.select("doc_id", tokens(F.col("text")).alias("t"))
+    tok_counts = (
+        base.select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tok_stats = tok_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0))).alias(
+            "dup_tokens"
+        ),
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.concat_ws(" ", F.slice("t", i, 2)),
+    )
+    bg_counts = (
+        base.filter(F.size("t") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bg_stats = bg_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("max_bigram")
+    )
+    dup_frac = F.col("dup_tokens").cast("double") / F.col("n_tokens").cast("double")
+    top_frac = F.when(
+        F.coalesce(F.col("n_bigrams"), F.lit(0)) > 0,
+        F.col("max_bigram").cast("double") / F.col("n_bigrams").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        tok_stats.join(bg_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            dup_frac.alias("dup_token_frac"),
+            top_frac.alias("top_bigram_frac"),
+        )
+        .withColumn(
+            "flagged",
+            (F.col("dup_token_frac") > 0.5) | (F.col("top_bigram_frac") > 0.1),
+        )
+    )
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+    SELECT doc_id, lang, bucket,
+           CAST(CASE WHEN lang = 'en' THEN 4.0 WHEN lang = 'zh' THEN 2.0 ELSE 1.0 END AS DOUBLE) AS weight
+    FROM (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+      FROM documents)
+    WHERE bucket < CASE WHEN lang = 'en' THEN 25 WHEN lang = 'zh' THEN 50 ELSE 100 END
+    """,
+)
+def sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic per-stratum downsampling with inverse-probability
+    weights (token-budget shaping: keep 25% of overrepresented 'en',
+    50% of 'zh', all else) — the md5 bucket is a pure function of
+    (lang, doc_id), so the sample is reproducible across engines, runs,
+    and cluster sizes, unlike ``df.sample``'s partition-seeded RNG.
+
+    Plan: a single narrow map + filter over the scan — NO shuffle, NO
+    exchange; at 100 TB this is the one pipeline stage that should cost
+    exactly one pass (tests/test_plans.py pins the exchange-free
+    plan)."""
+    t = Tables(spark, sf)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("lang"), F.lit(":"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    rate = (
+        F.when(F.col("lang") == "en", 25)
+        .when(F.col("lang") == "zh", 50)
+        .otherwise(100)
+    )
+    weight = (
+        F.when(F.col("lang") == "en", 4.0)
+        .when(F.col("lang") == "zh", 2.0)
+        .otherwise(1.0)
+    )
+    return (
+        t.documents.select(
+            "doc_id", "lang", bucket.alias("bucket"), weight.alias("weight")
+        )
+        .filter(F.col("bucket") < rate)
+    )
+
+
+@query(
+    "text_tfidf_topk",
+    oracle=f"""
+    WITH ex AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM ex GROUP BY doc_id, term
+    ),
+    dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+             CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(dfq.df AS DOUBLE) AS score
+      FROM tf JOIN dfq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, score, CAST(rnk AS INT) AS rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf·N/df (rational
+    tf-idf: integer numerator tf×N, ONE IEEE division — no libm log,
+    which differs by ulps across engines).
+
+    Plan: token explode → (doc, term) hash-aggregate → term
+    document-frequency aggregate → equi-join on term (term dictionary
+    can exceed broadcast size at 100 TB, so this stays a shuffle join;
+    AQE will broadcast it when small) → scalar doc count via broadcast
+    cross join → per-doc window top-3 (WindowGroupLimit pushes the
+    limit below the sort)."""
+    t = Tables(spark, sf)
+    ex = t.documents.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = t.documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (
+                (F.col("tf") * F.col("n_docs")).cast("double")
+                / F.col("df").cast("double")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rnk")
+    )
+
+
+# ===========================================================================
 # Similarity search over embeddings
 # ===========================================================================
 
@@ -2292,6 +2614,14 @@ def media_frame_fanout_q(spark: SparkSession, sf: str) -> DataFrame:
 # embedding_cosine_dedup, plus everything downstream of the tokenizer
 # and wikidump source work: text_*, wikidump anchors) stay in-window so
 # the driver re-verifies the new code.
+#
+# Round-6 catalog growth: five new training-pipeline queries
+# (dedup_clusters, ngram_overlap, text_repetition, sample_stratified,
+# text_tfidf_topk) enter the window for immediate first-gate evidence;
+# five stable r05-green queries (scan_filter_project, filter_regex,
+# asof_join_events_orders, range_join_near_orders, sort_topk_global)
+# rotate out in exchange, each source-hash-pinned with 1-round-old
+# evidence.  Catalog: 73 queries.
 GATE_WINDOW = 50
 
 # The must-gate set for THIS round: every query re-entering the window
@@ -2315,6 +2645,12 @@ ROTATION_SET: frozenset[str] = frozenset(
         "scalar_hash",
         "text_langid",
         "text_fingerprint",
+        # round-6 additions: brand-new queries gate immediately
+        "dedup_clusters",
+        "ngram_overlap",
+        "text_repetition",
+        "sample_stratified",
+        "text_tfidf_topk",
         "events_sliding",
         "events_pivot",
     }
@@ -2326,9 +2662,6 @@ _GATE_ORDER: tuple[str, ...] = (
     # entity decode and the bounded bz2 read
     "wikidump_roundtrip",
     "wikidump_roundtrip_bz2",
-    # scan / filter representatives
-    "scan_filter_project",
-    "filter_regex",
     # headline analytics
     "q1_pricing_summary",
     "q3_top_revenue",
@@ -2342,16 +2675,13 @@ _GATE_ORDER: tuple[str, ...] = (
     "join_semi",
     "join_anti",
     "join_cross",
-    "asof_join_events_orders",
-    "range_join_near_orders",
     # window family: running/moving rotate back in
     "window_lag_pairs",
     "window_rank_topk",
     "window_running",
     "window_moving",
     "sessionize_events",
-    # sort / dedup / set: intersect/except rotate back in
-    "sort_topk_global",
+    # dedup / set: intersect/except rotate back in
     "dedup_exact_rows",
     "set_intersect",
     "set_except",
@@ -2374,6 +2704,12 @@ _GATE_ORDER: tuple[str, ...] = (
     "simhash_signatures",
     "simhash_near_pairs",
     "embedding_cosine_dedup",
+    # training-data pipeline (NEW this round — must gate immediately)
+    "dedup_clusters",
+    "ngram_overlap",
+    "text_repetition",
+    "sample_stratified",
+    "text_tfidf_topk",
     # similarity search
     "similarity_topk",
     "similarity_topk_lsh",
