@@ -287,3 +287,50 @@ def test_connected_components_raises_past_max_iterations(spark):
     vertices = spark.createDataFrame([(v,) for v in range(1, 9)], ["id"])
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(vertices, chain, id_col="id", max_iterations=2)
+
+
+def test_star_components_equal_min_label_on_random_graphs(spark):
+    """large-star/small-star must produce exactly the min-label
+    components on random graphs (mixed cliques, chains, isolates)."""
+    import random
+
+    from wikihadoop_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(20260814)
+    n = 60
+    edges = []
+    # random sparse edges + a clique + a chain segment
+    edges += [(rng.randrange(n), rng.randrange(n)) for _ in range(40)]
+    edges += [(50 + a, 50 + b) for a in range(5) for b in range(a + 1, 5)]
+    edges += [(30 + i, 31 + i) for i in range(8)]
+    edges = [(a, b) for a, b in edges if a != b]
+    e = spark.createDataFrame(edges, ["id_a", "id_b"])
+    v = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    want = {r.id: r.component for r in connected_components(v, e, id_col="id").collect()}
+    got = {
+        r.id: r.component
+        for r in connected_components_star(v, e, id_col="id").collect()
+    }
+    assert got == want
+
+
+def test_star_components_cross_long_chain_in_log_rounds(spark):
+    """A 64-node chain (diameter 63) must resolve within the star
+    variant's logarithmic round budget — where min-propagation would
+    need 60+ rounds, 10 are enough here."""
+    from wikihadoop_spark.operators.components import connected_components_star
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], ["id_a", "id_b"]
+    )
+    v = spark.createDataFrame([(i,) for i in range(64)], ["id"])
+    got = {
+        r.id: r.component
+        for r in connected_components_star(
+            v, chain, id_col="id", max_iterations=10
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(64)}
