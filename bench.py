@@ -99,6 +99,7 @@ def main() -> None:
 
     wikidump = _bench_wikidump(spark)
     sf1_spot = _bench_sf1_spot(spark, sf_dir, timings)
+    extras = _bench_pipeline_extras(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -111,8 +112,38 @@ def main() -> None:
     }
     if sf1_spot is not None:
         out["sf1_spot"] = sf1_spot
+    if extras is not None:
+        out["pipeline_extras"] = extras
     print(json.dumps(out))
     spark.stop()
+
+
+# Round-6 training-pipeline additions, timed separately so the
+# headline total stays comparable across rounds.  dedup_clusters is
+# iterative (its timing includes every convergence round + the
+# localCheckpoint materializations).
+_PIPELINE_EXTRAS = (
+    "dedup_clusters",
+    "ngram_overlap",
+    "text_repetition",
+    "sample_stratified",
+    "text_tfidf_topk",
+)
+
+
+def _bench_pipeline_extras(spark, sf_dir: str) -> dict | None:
+    if not sf_dir.rstrip("/").endswith("sf0.1"):
+        return None
+    extras: dict[str, float] = {}
+    for name in _PIPELINE_EXTRAS:
+        QUERIES[name](spark, "/root/testdata/sf0.001").count()  # warm codegen
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        extras[name] = round(best, 3)
+    return extras
 
 
 # The three historically slowest headline queries, re-timed at 10x the

@@ -202,3 +202,17 @@ def test_tfidf_broadcasts_scalar_count(spark):
     plan = plan_of(spark, "text_tfidf_topk")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_spread_fans_out_small_scans_only(spark):
+    """_spread must repartition a single-partition scan to cluster
+    width (decoupling tokenize parallelism from file granularity) and
+    be a structural no-op when the input already has enough
+    partitions."""
+    from wikihadoop_spark.relational import _spread
+
+    one = spark.range(1000).coalesce(1)
+    assert _spread(one).rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+    wide = spark.range(1000).repartition(spark.sparkContext.defaultParallelism)
+    assert _spread(wide) is wide  # no exchange added

@@ -59,10 +59,18 @@ def connected_components(
         edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
         .union(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    labels = vertices.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("component")
-    ).localCheckpoint(eager=True)
+    # iterate ONLY over edge-touched nodes: at corpus scale the dup
+    # graph touches a small fraction of the vertex set (a few million
+    # pairs against billions of docs), so the per-round join/aggregate
+    # must not be sized by |V| — singletons attach in one final join
+    labels = (
+        sym.select(F.col("s").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+        .localCheckpoint(eager=True)
+    )
     prev_sum = labels.agg(F.sum("component")).collect()[0][0]
     for _ in range(max_iterations):
         msgs = (
@@ -82,10 +90,17 @@ def connected_components(
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "
-            "iterations (graph diameter too large — switch to the "
-            "large-star/small-star formulation)"
+            "iterations (graph diameter too large — use "
+            "connected_components_star)"
         )
-    return labels.select(F.col("node").alias(id_col), "component")
+    return (
+        vertices.select(F.col(id_col).alias("node"))
+        .join(labels, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("component", "node").alias("component"),
+        )
+    )
 
 
 def connected_components_star(

@@ -67,6 +67,31 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Decouple expensive per-row transform parallelism from scan
+    granularity.  A small parquet table arrives as ONE scan partition,
+    which serializes tokenize/shingle/hash work (per-byte cost ~10× the
+    scan) onto one core ahead of the first shuffle.  When the scan
+    yields fewer partitions than half the cluster's slots, fan out with
+    a round-robin repartition — the exchange moves only the raw rows
+    once and buys full-width map stages.  At 100 TB the scan already
+    has ≫ slots partitions and this is a structural no-op (no exchange
+    added).  Results are unaffected: everything downstream aggregates
+    by key with order-free functions.
+
+    Apply only where per-row work genuinely dominates (shingling +
+    16-way minhash, simhash bit votes): measured at sf0.1, it takes
+    ngram_overlap 6.5 s → 0.9 s, but makes tokens-only queries ~2×
+    SLOWER (32-way task scheduling overhead exceeds their ~0.3 s of
+    serial work), so the light text queries deliberately don't use
+    it."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 # ---- decimal-cast helpers (see module docstring) --------------------------
 
 
@@ -1283,7 +1308,7 @@ def minhash_signatures_q(spark: SparkSession, sf: str) -> DataFrame:
     One shuffle with map-side partial min (SURVEY §2.8 LLM-pipeline ops)."""
     t = Tables(spark, sf)
     return minhash_signatures(
-        t.documents, id_col="doc_id", text_col="text", n_hashes=_N_MINHASH, shingle_k=3
+        _spread(t.documents), id_col="doc_id", text_col="text", n_hashes=_N_MINHASH, shingle_k=3
     )
 
 
@@ -1333,7 +1358,7 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
     Jaccard — never an all-pairs comparison."""
     t = Tables(spark, sf)
     sig = minhash_signatures(
-        t.documents, id_col="doc_id", text_col="text", n_hashes=_N_MINHASH, shingle_k=3
+        _spread(t.documents), id_col="doc_id", text_col="text", n_hashes=_N_MINHASH, shingle_k=3
     )
     return lsh_candidate_pairs(sig, id_col="doc_id", n_hashes=_N_MINHASH, bands=_LSH_BANDS)
 
@@ -1368,7 +1393,7 @@ def ngram_jaccard_block(spark: SparkSession, sf: str) -> DataFrame:
     toks = F.array_distinct(
         F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
     )
-    sets = t.documents.select("doc_id", "source", toks.alias("toks"))
+    sets = _spread(t.documents).select("doc_id", "source", toks.alias("toks"))
     joined = capped_block_pairs(
         sets,
         block_cols=["source"],
@@ -1433,7 +1458,7 @@ def dedup_clusters_q(spark: SparkSession, sf: str) -> DataFrame:
 
     t = Tables(spark, sf)
     sig = minhash_signatures(
-        t.documents, id_col="doc_id", text_col="text", n_hashes=_N_MINHASH, shingle_k=3
+        _spread(t.documents), id_col="doc_id", text_col="text", n_hashes=_N_MINHASH, shingle_k=3
     )
     pairs = lsh_candidate_pairs(
         sig, id_col="doc_id", n_hashes=_N_MINHASH, bands=_LSH_BANDS
@@ -1466,24 +1491,26 @@ def ngram_overlap(spark: SparkSession, sf: str) -> DataFrame:
     of its distinct 3-token shingles that also occur in ≥1 other
     document (benchmark-contamination / boilerplate detection).
 
-    Plan: distinct-shingle explode → shingle-frequency hash-aggregate
-    (map-side combine) → equi-join back on shingle → per-doc aggregate.
-    Shingle frequencies follow a power law at 100 TB: the join is keyed
-    on the shingle so a mega-frequent shingle is one hot key — AQE skew
-    split handles it, and the per-doc aggregate re-keys to uniform
+    Plan: distinct-shingle explode → per-shingle document count as an
+    unordered COUNT window over the shingle key (ONE shuffle and ONE
+    tokenizer pass — an aggregate + join-back formulation re-runs the
+    explode/tokenize subtree on both join sides and was 8× slower at
+    sf0.1) → per-doc aggregate.  Shingle frequencies follow a power law
+    at 100 TB: a mega-frequent shingle is one hot window partition —
+    salting or a two-level count applies if a single shingle's row
+    group exceeds a task, and the per-doc aggregate re-keys to uniform
     doc_id immediately after."""
     t = Tables(spark, sf)
     from .operators.dedup import shingles
 
-    ex = t.documents.select(
+    ex = _spread(t.documents).select(
         "doc_id",
         F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("s"),
     )
-    freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("nd"))
+    counted = ex.withColumn("nd", F.count(F.lit(1)).over(Window.partitionBy("s")))
     shared = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
     return (
-        ex.join(freq, "s")
-        .groupBy("doc_id")
+        counted.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
             shared.alias("n_shared"),
@@ -2017,7 +2044,7 @@ def simhash_signatures_q(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.dedup import hash64, tokens
 
     t = Tables(spark, sf)
-    tok = t.documents.select(
+    tok = _spread(t.documents).select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("tk")
     ).withColumn("x", hash64(F.col("tk")))
     votes = tok.groupBy("doc_id").agg(
