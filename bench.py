@@ -98,8 +98,8 @@ def main() -> None:
     timings = {name: round(dt, 3) for name, dt in timings.items()}
 
     wikidump = _bench_wikidump(spark)
-    sf1_spot = _bench_sf1_spot(spark, sf_dir, timings)
     extras = _bench_pipeline_extras(spark, sf_dir)
+    sf1_spot = _bench_sf1_spot(spark, sf_dir, {**timings, **(extras or {})})
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -149,7 +149,15 @@ def _bench_pipeline_extras(spark, sf_dir: str) -> dict | None:
 # The three historically slowest headline queries, re-timed at 10x the
 # bench scale to show where the scaling curve bends (the judge's
 # "linear-ish or explain" check).
-_SF1_SPOT_QUERIES = ("minhash_lsh_pairs", "q3_top_revenue", "similarity_topk")
+_SF1_SPOT_QUERIES = (
+    "minhash_lsh_pairs",
+    "q3_top_revenue",
+    "similarity_topk",
+    # round 6: the iterative cluster-resolution pipeline — its 10x
+    # ratio shows fixpoint rounds + per-round overhead scaling, not
+    # just one plan
+    "dedup_clusters",
+)
 _SF1_COPIES = 10
 _SF1_SHIFT = 100_000_000  # beyond every key range in the sf0.1 tables
 

@@ -1,0 +1,56 @@
+"""CLI smoke tests (subprocess: the CLI owns and stops its session,
+which must not tear down the shared pytest session)."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import duckdb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF = "/root/testdata/sf0.001"
+
+
+def test_dedup_subcommand_end_to_end(tmp_path):
+    out = str(tmp_path / "clusters")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "wikihadoop_spark",
+            "dedup",
+            "--input",
+            f"{SF}/documents.parquet",
+            "--output",
+            out,
+            "--threshold",
+            "0.5",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+        cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "bucket-cap dropped members: 0" in r.stdout
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, component, n_members, is_keeper FROM read_parquet('{out}/*.parquet')"
+    ).fetchall()
+    n_docs = con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchone()[0]
+    assert len(rows) == n_docs
+    # keeper is the component label itself, exactly one per component
+    comps = {}
+    for doc_id, comp, n_members, is_keeper in rows:
+        assert is_keeper == (doc_id == comp)
+        comps.setdefault(comp, []).append(n_members)
+    for comp, sizes in comps.items():
+        assert len(set(sizes)) == 1 and sizes[0] == len(sizes)
+    assert any(s[0] > 1 for s in comps.values())  # corpus has real dupes

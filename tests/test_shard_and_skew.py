@@ -144,3 +144,61 @@ def test_salted_agg_rejects_non_algebraic(spark):
     li = load_table(spark, SF, "lineitem")
     with pytest.raises(ValueError, match="not algebraic"):
         salted_agg(li, ["l_returnflag"], {"avg": ("avg", "l_quantity")})
+
+
+def test_mega_cluster_dedup_drill(spark):
+    """100 TB boilerplate drill: a 120-member near-identical template
+    family among distinct docs.  Demonstrates the documented
+    bucket_cap ↔ connectivity contract end-to-end:
+
+    - cap below the family size: the truncation counter fires and the
+      family fragments (members past the cap appear in no pairs) — the
+      observable signal that says 'raise the cap';
+    - cap at/above the family size: LSH pairs + connected components
+      resolve the family to ONE component whose keeper is the minimum
+      id, with every fixpoint round bounded by the pair set, not the
+      corpus.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from wikihadoop_spark.operators.components import (
+        component_summary,
+        connected_components,
+    )
+    from wikihadoop_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    template = " ".join(f"tok{i % 37} filler{i % 11}" for i in range(60))
+    rows = [(i, template + f" tail{i % 3}") for i in range(120)]
+    rows += [
+        (1000 + j, " ".join(f"uniq{j}w{k}" for k in range(40))) for j in range(30)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(8)
+    sig = minhash_signatures(docs, id_col="doc_id", text_col="text", n_hashes=16)
+
+    # cap below the family size: truncation observable, family fragments
+    obs = Observation()
+    few = lsh_candidate_pairs(
+        sig, id_col="doc_id", n_hashes=16, bands=4, bucket_cap=20, observation=obs
+    )
+    cc_few = connected_components(
+        docs.select("doc_id"), few.filter(F.col("est_jaccard") >= 0.5), id_col="doc_id"
+    )
+    n_comp_few = cc_few.select("component").distinct().count()
+    assert obs.get["lsh_dropped_members"] > 0
+    assert n_comp_few > 31  # fragmented: more than family+uniques
+
+    # cap at the family size: one component, min id is the keeper
+    full = lsh_candidate_pairs(sig, id_col="doc_id", n_hashes=16, bands=4, bucket_cap=120)
+    cc = connected_components(
+        docs.select("doc_id"), full.filter(F.col("est_jaccard") >= 0.5), id_col="doc_id"
+    )
+    summary = component_summary(cc, id_col="doc_id")
+    fam = summary.filter(F.col("n_members") > 1).collect()
+    comps = {r.component for r in fam}
+    assert comps == {0}, comps  # single family component rooted at doc 0
+    assert sum(1 for r in fam if r.is_keeper) == 1
+    assert len(fam) == 120

@@ -158,3 +158,68 @@ def test_stateful_anomaly_detector(spark, events_dir):
     got = {(r.user_id, r.event_id) for r in rows}
     assert got == expected
     assert expected, "fixture should contain at least one anomaly"
+
+
+def test_streaming_stratified_sample_matches_batch(spark, tmp_path):
+    """The deterministic md5-bucket sampler is stateless, so the same
+    expression runs unchanged on a stream and MUST select exactly the
+    batch sample regardless of arrival order / trigger slicing (a
+    partition-seeded df.sample cannot promise this)."""
+    from wikihadoop_spark.relational import QUERIES
+
+    src = str(tmp_path / "docs")
+    load_table(spark, SF, "documents").coalesce(3).write.mode("overwrite").parquet(src)
+
+    batch = {
+        (r.doc_id, r.lang, r.bucket, r.weight)
+        for r in QUERIES["sample_stratified"](spark, SF).collect()
+    }
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+
+    # same transformation, expressed over the stream: swap the table
+    # source by running the query body against a temp view is not
+    # needed — the sampler is a pure projection+filter, so rebuild it
+    # from the catalog query's own logic via a one-row-table trick:
+    from pyspark.sql import functions as F
+
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("lang"), F.lit(":"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    rate = (
+        F.when(F.col("lang") == "en", 25).when(F.col("lang") == "zh", 50).otherwise(100)
+    )
+    weight = (
+        F.when(F.col("lang") == "en", 4.0).when(F.col("lang") == "zh", 2.0).otherwise(1.0)
+    )
+    sampled = stream.select(
+        "doc_id", "lang", bucket.alias("bucket"), weight.alias("weight")
+    ).filter(F.col("bucket") < rate)
+
+    q = (
+        sampled.writeStream.format("memory")
+        .queryName("t_sample")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.doc_id, r.lang, r.bucket, r.weight)
+        for r in spark.sql("SELECT * FROM t_sample").collect()
+    }
+    assert got == batch and batch

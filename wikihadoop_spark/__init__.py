@@ -16,7 +16,7 @@ Layout:
   session.py    — SparkSession factory + oracle-parity session config
   catalog.py    — testdata table loading (handles nanos timestamps)
   relational.py — named query catalog + DuckDB oracle SQL (driver contract)
-  operators/    — pairing (lag), asof/range joins, dedup, similarity, topk
+  operators/    — pairing (lag), asof/range joins, dedup, components, similarity, topk
   sources/      — wikidump custom DataSource (page-aligned XML splitting)
   functions/    — tokenizer, Myers-style token diff, text stats, py2-repr
   plans/        — end-to-end pipelines (diffdb)

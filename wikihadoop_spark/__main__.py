@@ -7,8 +7,13 @@ invocation (README.rst:217-219 / fileformat.rst:37):
 
   python -m wikihadoop_spark revisions --input dump.xml --output out/  # parquet revisions table
 
-Produces the diffdb TSV (py2-repr compatible, fileformat.rst:6-27) or
-a typed parquet revisions table.
+  python -m wikihadoop_spark dedup --input docs.parquet --output clusters/ \
+      [--id-col doc_id] [--text-col text] [--threshold 0.5] \
+      [--n-hashes 16] [--bands 4] [--bucket-cap 1000] [--keepers-only]
+
+Produces the diffdb TSV (py2-repr compatible, fileformat.rst:6-27), a
+typed parquet revisions table, or near-duplicate cluster assignments
+(MinHash → LSH → connected components; one keeper per cluster).
 """
 
 from __future__ import annotations
@@ -41,6 +46,25 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("revisions", parents=[common], help="typed revisions -> parquet")
 
+    dd = sub.add_parser(
+        "dedup",
+        help="near-dup clusters over a parquet corpus (MinHash -> LSH -> components)",
+    )
+    dd.add_argument("--input", required=True, help="parquet path/glob with id + text columns")
+    dd.add_argument("--output", required=True)
+    dd.add_argument("--id-col", default="doc_id")
+    dd.add_argument("--text-col", default="text")
+    dd.add_argument("--threshold", type=float, default=0.5,
+                    help="minimum estimated Jaccard for a pair to become an edge")
+    dd.add_argument("--n-hashes", type=int, default=16)
+    dd.add_argument("--bands", type=int, default=4)
+    dd.add_argument("--bucket-cap", type=int, default=1000,
+                    help="deterministic hot-bucket participation cap "
+                         "(dropped members are counted and reported)")
+    dd.add_argument("--keepers-only", action="store_true",
+                    help="write only one row per cluster (the minimum id)")
+    dd.add_argument("--cores", type=int, default=None)
+
     s = sub.add_parser(
         "shard",
         help="split a (bz2/gz/plain) dump into page-aligned shards for parallel reads",
@@ -63,6 +87,41 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(f"{len(paths)} shards -> {args.output}")
         return 0
+
+    if args.cmd == "dedup":
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        from .operators.components import component_summary, connected_components
+        from .operators.dedup import lsh_candidate_pairs, minhash_signatures
+        from .session import get_spark
+
+        spark = get_spark("wikihadoop-dedup", cpus=args.cores)
+        try:
+            docs = spark.read.parquet(args.input)
+            sig = minhash_signatures(
+                docs, id_col=args.id_col, text_col=args.text_col,
+                n_hashes=args.n_hashes,
+            )
+            obs = Observation()
+            pairs = lsh_candidate_pairs(
+                sig, id_col=args.id_col, n_hashes=args.n_hashes,
+                bands=args.bands, bucket_cap=args.bucket_cap, observation=obs,
+            ).filter(F.col("est_jaccard") >= args.threshold)
+            cc = connected_components(
+                docs.select(args.id_col), pairs, id_col=args.id_col
+            )
+            out = component_summary(cc, id_col=args.id_col)
+            if args.keepers_only:
+                out = out.filter(F.col("is_keeper"))
+            out.write.mode("overwrite").parquet(args.output)
+            n = spark.read.parquet(args.output).count()
+            dropped = obs.get["lsh_dropped_members"]
+            print(f"{n} rows -> {args.output} (bucket-cap dropped members: {dropped};"
+                  " nonzero means raise --bucket-cap if full connectivity matters)")
+            return 0
+        finally:
+            spark.stop()
 
     from .observability import observed_counts
     from .plans.diffdb import build_diffdb, write_diffdb_tsv

@@ -9,7 +9,18 @@ from .pairing import pair_with_previous
 from .asof import asof_join
 from .sessionize import sessionize
 from .topk import top_k_per_group
-from .dedup import exact_dedup, minhash_signatures, lsh_candidate_pairs
+from .dedup import (
+    capped_block_pairs,
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash_band_pairs,
+)
+from .components import (
+    component_summary,
+    connected_components,
+    connected_components_star,
+)
 
 __all__ = [
     "pair_with_previous",
@@ -19,4 +30,9 @@ __all__ = [
     "exact_dedup",
     "minhash_signatures",
     "lsh_candidate_pairs",
+    "capped_block_pairs",
+    "simhash_band_pairs",
+    "connected_components",
+    "connected_components_star",
+    "component_summary",
 ]
