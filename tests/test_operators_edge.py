@@ -334,3 +334,26 @@ def test_star_components_cross_long_chain_in_log_rounds(spark):
         ).collect()
     }
     assert got == {i: 0 for i in range(64)}
+
+
+def test_rowwise_minhash_equals_aggregate_minhash(spark):
+    """The shuffle-free row-local minhash must emit exactly the
+    aggregate formulation's signatures (min over the same multiset)."""
+    from wikihadoop_spark.catalog import load_table
+    from wikihadoop_spark.operators.dedup import (
+        minhash_signatures,
+        minhash_signatures_rowwise,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    agg = {
+        r.doc_id: tuple(r[f"s{i}"] for i in range(16))
+        for r in minhash_signatures(docs, id_col="doc_id", text_col="text").collect()
+    }
+    row = {
+        r.doc_id: tuple(r[f"s{i}"] for i in range(16))
+        for r in minhash_signatures_rowwise(
+            docs, id_col="doc_id", text_col="text"
+        ).collect()
+    }
+    assert row == agg and len(agg) == docs.count()

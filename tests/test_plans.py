@@ -92,10 +92,22 @@ def test_semi_anti_decorrelation(spark):
     assert "LeftAnti" in plan_of(spark, "join_anti")
 
 
-def test_minhash_single_shuffle_signature(spark):
-    """Signature aggregation must do map-side partial mins."""
+def test_minhash_signature_plan_is_shuffle_free(spark):
+    """Row-local signatures: the only exchange allowed is the _spread
+    fan-out repartition — no aggregation shuffle (the whole signature
+    is computed inside each row)."""
     plan = plan_of(spark, "minhash_signatures")
-    assert "partial_min" in plan
+    assert "partial_min" not in plan  # no aggregate formulation
+    assert plan.count("Exchange") <= 1  # just the _spread round-robin
+    # and the aggregate twin still does map-side partial mins
+    from wikihadoop_spark.catalog import Tables
+    from wikihadoop_spark.operators.dedup import minhash_signatures
+
+    agg = minhash_signatures(
+        Tables(spark, SF).documents, id_col="doc_id", text_col="text"
+    )
+    agg_plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min" in agg_plan
 
 
 def test_similarity_broadcasts_queries(spark):

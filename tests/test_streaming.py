@@ -223,3 +223,54 @@ def test_streaming_stratified_sample_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM t_sample").collect()
     }
     assert got == batch and batch
+
+
+def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
+    """Dedup NEW documents against an EXISTING corpus incrementally:
+    arriving docs are signed row-locally (stateless — no aggregation
+    state) and probe the persisted band-key signature index via a
+    stream-static join.  The streaming candidates must equal the batch
+    run of the same probe over the same rows."""
+    from wikihadoop_spark.operators.dedup import minhash_signatures_rowwise
+    from wikihadoop_spark.streaming.dedup_stream import (
+        signature_index,
+        stream_candidate_pairs,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    new = docs.filter(F.col("doc_id") >= 400)
+
+    idx_path = str(tmp_path / "sig_index")
+    signature_index(
+        minhash_signatures_rowwise(corpus, id_col="doc_id", text_col="text"),
+        id_col="doc_id",
+    ).write.mode("overwrite").parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    batch = {
+        (r.new_id, r.corpus_id, r.est_jaccard)
+        for r in stream_candidate_pairs(new, index).collect()
+    }
+
+    new_path = str(tmp_path / "new_docs")
+    new.repartition(3).write.mode("overwrite").parquet(new_path)
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(new_path)
+    )
+    q = (
+        stream_candidate_pairs(stream, index)
+        .writeStream.format("memory")
+        .queryName("t_incdedup")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.new_id, r.corpus_id, r.est_jaccard)
+        for r in spark.sql("SELECT * FROM t_incdedup").collect()
+    }
+    assert got == batch and batch  # nonempty: corpus has near-dups of new docs

@@ -113,6 +113,61 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def minhash_signatures_rowwise(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Row-local minhash: identical output to :func:`minhash_signatures`
+    (min over the same shingle-hash multiset) computed entirely inside
+    each row with higher-order array functions — NO explode, NO
+    shuffle, no aggregation state.
+
+    Two uses:
+    - **streams**: a stateless projection runs in append mode with no
+      watermark (the aggregate formulation is a streaming aggregation);
+      this is what `streaming/dedup_stream.py` uses to sign arriving
+      documents.
+    - **batch**: when the corpus row count ≫ shingle fan-out benefit,
+      skipping the explode shuffle entirely can beat the aggregate
+      plan; equivalence is pinned in tests, so the two are
+      interchangeable per workload.
+    """
+    if n_hashes > len(MINHASH_A):
+        raise ValueError(f"at most {len(MINHASH_A)} hash functions available")
+    k = shingle_k
+    toks = df.withColumn("__t", tokens(F.col(text_col))).withColumn(
+        "__lt", F.lower(F.col(text_col))
+    )
+    windows = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("__t")) - F.lit(k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(F.col("__t"), i, k)),
+    )
+    sh = F.when(F.size(F.col("__t")) >= k, windows).otherwise(
+        F.array(F.col("__lt"))
+    )
+    # hash each shingle once, then n cheap linear transforms over ints
+    hashed = F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+        % F.lit(MERSENNE31)
+    )
+    out = toks.withColumn("__hx", hashed)
+    sigs = [
+        F.array_min(
+            F.transform(
+                F.col("__hx"),
+                lambda x: (F.lit(MINHASH_A[i]) * x + F.lit(MINHASH_B[i]))
+                % F.lit(MERSENNE31),
+            )
+        ).alias(f"s{i}")
+        for i in range(n_hashes)
+    ]
+    return out.select(F.col(id_col), *sigs)
+
+
 def lsh_candidate_pairs(
     sig: DataFrame,
     *,

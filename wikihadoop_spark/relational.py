@@ -44,7 +44,7 @@ from .operators.dedup import (
     MINHASH_B,
     exact_dedup,
     lsh_candidate_pairs,
-    minhash_signatures,
+    minhash_signatures_rowwise,
     tokens,
 )
 from .operators.sessionize import sessionize
@@ -1304,10 +1304,14 @@ def _sql_minhash_sig() -> str:
 
 @query("minhash_signatures", oracle=_sql_minhash_sig())
 def minhash_signatures_q(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash signatures: explode shingles → portable hash → n mins.
-    One shuffle with map-side partial min (SURVEY §2.8 LLM-pipeline ops)."""
+    """MinHash signatures, row-local: shingle → hash once → n mins all
+    inside each row with higher-order array functions — ZERO shuffle
+    (5× the aggregate formulation at sf0.1; SURVEY §2.8 LLM-pipeline
+    ops).  The explode+aggregate twin (`minhash_signatures`) remains
+    for adversarially long documents whose in-row shingle array would
+    blow task memory; equivalence is pinned in tests."""
     t = Tables(spark, sf)
-    return minhash_signatures(
+    return minhash_signatures_rowwise(
         _spread(t.documents), id_col="doc_id", text_col="text", n_hashes=_N_MINHASH, shingle_k=3
     )
 
@@ -1357,7 +1361,7 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
     """LSH banding: candidate pairs via 4 band equi-joins + estimated
     Jaccard — never an all-pairs comparison."""
     t = Tables(spark, sf)
-    sig = minhash_signatures(
+    sig = minhash_signatures_rowwise(
         _spread(t.documents), id_col="doc_id", text_col="text", n_hashes=_N_MINHASH, shingle_k=3
     )
     return lsh_candidate_pairs(sig, id_col="doc_id", n_hashes=_N_MINHASH, bands=_LSH_BANDS)
@@ -1457,7 +1461,7 @@ def dedup_clusters_q(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.components import component_summary, connected_components
 
     t = Tables(spark, sf)
-    sig = minhash_signatures(
+    sig = minhash_signatures_rowwise(
         _spread(t.documents), id_col="doc_id", text_col="text", n_hashes=_N_MINHASH, shingle_k=3
     )
     pairs = lsh_candidate_pairs(

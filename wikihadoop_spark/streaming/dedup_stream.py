@@ -1,0 +1,112 @@
+"""Incremental near-duplicate detection: dedup NEW documents against an
+EXISTING corpus without recomputing the corpus.
+
+The 100 TB shape this models: a crawl pipeline lands fresh shards
+continuously, and each new document must be checked against billions of
+already-ingested documents.  Recomputing all-corpus LSH per batch is a
+non-starter; the corpus instead keeps a persisted **signature index**
+(band-key exploded minhash signatures, one parquet table, built once
+and appended as documents are admitted), and arriving documents probe
+it with a stream-static equi-join:
+
+  new docs (stream)
+    → row-local minhash (stateless projection — no aggregation state,
+      no watermark needed: operators/dedup.py:minhash_signatures_rowwise)
+    → band-key explode (stateless)
+    → stream-static inner join against the index on the band key
+    → estimated Jaccard from the two signatures, threshold filter
+
+Every stage is stateless, so the query runs in append mode with
+exactly-once file-sink semantics, and the static side is re-read per
+micro-batch (pick up index appends by restarting the query or using a
+Delta-style source in production).
+
+State note: a pair that collides in several bands is emitted once per
+band; collapse with ``dropDuplicatesWithinWatermark`` in production (or
+downstream exact-verify which is naturally idempotent).  This module
+leaves duplicates in place rather than carrying unbounded
+dropDuplicates state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.dedup import minhash_signatures_rowwise
+
+
+def signature_index(
+    sig: DataFrame, *, id_col: str, n_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """Explode a signature frame into its LSH index rows:
+    ``(band, key0..key{r-1}, id, s0..s{n-1})`` — the persisted corpus
+    side of the stream-static probe join.  Write this as parquet
+    (partitioned by ``band`` at scale so each probe join prunes to one
+    band's files)."""
+    rows = n_hashes // bands
+    entries = [
+        F.struct(
+            F.lit(band).alias("band"),
+            *[F.col(f"s{band * rows + r}").alias(f"key{r}") for r in range(rows)],
+        )
+        for band in range(bands)
+    ]
+    return sig.select(
+        F.col(id_col).alias("corpus_id"),
+        *[F.col(f"s{i}").alias(f"cs{i}") for i in range(n_hashes)],
+        F.explode(F.array(*entries)).alias("bk"),
+    ).select(
+        "bk.band",
+        *[F.col(f"bk.key{r}") for r in range(rows)],
+        "corpus_id",
+        *[F.col(f"cs{i}") for i in range(n_hashes)],
+    )
+
+
+def stream_candidate_pairs(
+    new_docs: DataFrame,
+    index: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Candidate (new_id, corpus_id, est_jaccard) pairs of an arriving
+    document stream against a static signature index.  Works identically
+    on a batch ``new_docs`` frame (the equivalence test runs both)."""
+    rows = n_hashes // bands
+    sig = minhash_signatures_rowwise(
+        new_docs, id_col=id_col, text_col=text_col, n_hashes=n_hashes
+    )
+    entries = [
+        F.struct(
+            F.lit(band).alias("band"),
+            *[F.col(f"s{band * rows + r}").alias(f"key{r}") for r in range(rows)],
+        )
+        for band in range(bands)
+    ]
+    probes = sig.select(
+        F.col(id_col).alias("new_id"),
+        *[F.col(f"s{i}") for i in range(n_hashes)],
+        F.explode(F.array(*entries)).alias("bk"),
+    ).select(
+        F.col("bk.band").alias("band"),
+        *[F.col(f"bk.key{r}").alias(f"key{r}") for r in range(rows)],
+        "new_id",
+        *[F.col(f"s{i}") for i in range(n_hashes)],
+    )
+    joined = probes.join(index, ["band"] + [f"key{r}" for r in range(rows)])
+    matches = sum(
+        (F.col(f"s{i}") == F.col(f"cs{i}")).cast("int") for i in range(n_hashes)
+    )
+    return (
+        joined.select(
+            "new_id",
+            "corpus_id",
+            (matches.cast("double") / F.lit(float(n_hashes))).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= min_jaccard)
+    )
