@@ -62,8 +62,10 @@ def test_gate_window_contains_rotation_set():
 # (CORRECTNESS_r05.json), so the carried evidence is 1 round old —
 # plus the 5 stable r05-green queries demoted to make room for the
 # round-6 training-pipeline additions (dedup_clusters, ngram_overlap,
-# text_repetition, sample_stratified, text_tfidf_topk).
+# text_repetition, sample_stratified, text_tfidf_topk,
+# pack_token_budget — sessionize_events rotated out for the last).
 _DEMOTED_SOURCE_PINS = {
+    "sessionize_events": "ae32bfec89f844b0",
     "scan_filter_project": "54ff3947f6a8a5c6",
     "filter_regex": "cdc41d855536f9e2",
     "asof_join_events_orders": "73a4584ecbec5547",

@@ -357,3 +357,43 @@ def test_rowwise_minhash_equals_aggregate_minhash(spark):
         ).collect()
     }
     assert row == agg and len(agg) == docs.count()
+
+
+def test_pack_token_budget_matches_naive_window_any_partitioning(spark):
+    """The distributed prefix sum must equal the single-partition
+    global window bit-for-bit, for any partition count, including docs
+    larger than the budget."""
+    import random
+
+    from pyspark.sql import Window
+    from wikihadoop_spark.operators.packing import pack_token_budget
+
+    rng = random.Random(20260814)
+    rows = [(i, rng.randrange(1, 400)) for i in range(977)]
+    rows[100] = (100, 5000)  # oversized doc: starts its own shard
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    naive = {
+        r.doc_id: (r.cum, (r.cum - r.n_tokens) // 1000)
+        for r in df.select(
+            "doc_id", "n_tokens", F.sum("n_tokens").over(w).alias("cum")
+        ).collect()
+    }
+    for n_parts in (1, 3, 16):
+        got = {
+            r.doc_id: (r.cum_tokens, r.shard)
+            for r in pack_token_budget(
+                df,
+                order_col="doc_id",
+                tokens_col="n_tokens",
+                budget=1000,
+                num_partitions=n_parts,
+            ).collect()
+        }
+        assert got == naive, n_parts
+    # every shard's token span stays within budget except oversized heads
+    shards = {}
+    for doc, (cum, shard) in naive.items():
+        shards.setdefault(shard, 0)
+    assert len(shards) > 100  # fixture really packs many shards

@@ -1,0 +1,80 @@
+"""Token-budget packing: assign ordered documents to fixed-budget
+shards (the training-data step that turns a curated corpus into
+bounded-size chunks for tokenization/serialization).
+
+Shard id = floor(exclusive-prefix-sum(n_tokens) / budget) over a
+deterministic document order — a pure function of the data, so results
+are reproducible across runs, engines, and cluster sizes.
+
+The naive formulation is a running-sum window with a GLOBAL order and
+no partition key, which Spark executes in ONE task — a scale-killer.
+This operator computes the same prefix sum distributed:
+
+1. range-repartition + sort within partitions on the order key (the
+   same machinery a global orderBy uses — data moves once),
+2. per-partition token totals (one tiny row per partition) collected
+   to the driver — O(partitions), broadcast state, not data,
+3. each partition's exclusive offset joined back (broadcast), then a
+   per-partition cumulative window (partitionBy spark_partition_id)
+   adds local prefix sums to the offset.
+
+The result equals the single-partition window bit-for-bit (prefix sums
+don't depend on where partition boundaries land), which the tests pin
+by running both and by re-running under different partition counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_token_budget(
+    df: DataFrame,
+    *,
+    order_col: str,
+    tokens_col: str,
+    budget: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``cum_tokens`` (inclusive prefix sum of ``tokens_col`` in
+    ``order_col`` order) and ``shard`` (= (cum_tokens - n) div budget:
+    the fixed-budget chunk this document starts in).  Documents larger
+    than ``budget`` still land in exactly one shard (they start it and
+    overflow it — splitting oversized docs is the tokenizer's job
+    downstream)."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive (got {budget})")
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # localCheckpoint pins ONE physical partitioning: repartitionByRange
+    # samples its boundaries per evaluation, and this plan is evaluated
+    # twice (partition totals, then the final cumsum) — without the pin
+    # the two evaluations can land rows in different partitions and the
+    # offsets silently misalign (caught by the sf0.1 parity gate).
+    arranged = (
+        df.repartitionByRange(n_parts, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    # one tiny row per partition -> exclusive offsets on the driver
+    totals = (
+        arranged.groupBy("__pid")
+        .agg(F.sum(tokens_col).alias("__tot"))
+        .collect()
+    )
+    offsets = {}
+    acc = 0
+    for row in sorted(totals, key=lambda r: r["__pid"]):
+        offsets[row["__pid"]] = acc
+        acc += row["__tot"]
+    offset_df = arranged.sparkSession.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], ["__pid", "__off"]
+    )
+    w = Window.partitionBy("__pid").orderBy(order_col)
+    local = arranged.join(F.broadcast(offset_df), "__pid")
+    cum = (F.col("__off") + F.sum(tokens_col).over(w)).alias("cum_tokens")
+    out = local.select(*df.columns, cum)
+    # integer division (no float rounding however large the corpus sum)
+    shard = F.expr(f"(cum_tokens - {tokens_col}) div {int(budget)}")
+    return out.select(*df.columns, "cum_tokens", shard.alias("shard"))

@@ -1681,6 +1681,40 @@ def sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "pack_token_budget",
+    oracle="""
+    SELECT doc_id, lang, n_tokens, cum_tokens,
+           CAST((cum_tokens - n_tokens) // 5000 AS BIGINT) AS shard
+    FROM (
+      SELECT doc_id, lang, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM (SELECT doc_id, lang,
+                   CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+            FROM documents))
+    """,
+)
+def pack_token_budget_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget shard packing via DISTRIBUTED prefix sum
+    (operators/packing.py): range-repartition + per-partition totals →
+    driver offsets (O(partitions) scalars, broadcast back) →
+    per-partition cumulative window.  The oracle states the semantics
+    as the naive global-order window — which Spark would execute in one
+    task at 100 TB; the operator computes the identical sums without
+    ever collapsing to a single partition (partition-count invariance
+    pinned in tests)."""
+    from .operators.packing import pack_token_budget
+
+    t = Tables(spark, sf)
+    docs = t.documents.select(
+        "doc_id", "lang", F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens")
+    )
+    return pack_token_budget(
+        docs, order_col="doc_id", tokens_col="n_tokens", budget=5000
+    )
+
+
+@query(
     "text_tfidf_topk",
     oracle=f"""
     WITH ex AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents),
@@ -2682,6 +2716,7 @@ ROTATION_SET: frozenset[str] = frozenset(
         "text_repetition",
         "sample_stratified",
         "text_tfidf_topk",
+        "pack_token_budget",
         "events_sliding",
         "events_pivot",
     }
@@ -2711,7 +2746,6 @@ _GATE_ORDER: tuple[str, ...] = (
     "window_rank_topk",
     "window_running",
     "window_moving",
-    "sessionize_events",
     # dedup / set: intersect/except rotate back in
     "dedup_exact_rows",
     "set_intersect",
@@ -2741,6 +2775,7 @@ _GATE_ORDER: tuple[str, ...] = (
     "text_repetition",
     "sample_stratified",
     "text_tfidf_topk",
+    "pack_token_budget",
     # similarity search
     "similarity_topk",
     "similarity_topk_lsh",
