@@ -2085,21 +2085,23 @@ def simhash_signatures_q(spark: SparkSession, sf: str) -> DataFrame:
     tok = _spread(t.documents).select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("tk")
     ).withColumn("x", hash64(F.col("tk")))
+    # plain ±1 sums in the aggregate; bits assemble in a projection
+    # over one row per doc afterwards (measured equal to when-wrapped
+    # aggregates at sf0.1 — the cost is the 60×tokens vote evaluation
+    # itself — but this split keeps the agg codegen-simple and the
+    # bit packing auditable)
     votes = tok.groupBy("doc_id").agg(
         *[
-            F.when(
-                F.sum(
-                    F.when(F.shiftright(F.col("x"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
-                )
-                >= 0,
-                F.lit(1 << b),
-            )
-            .otherwise(0)
-            .alias(f"bit{b}")
+            F.sum(
+                F.shiftright(F.col("x"), b).bitwiseAND(1) * 2 - 1
+            ).alias(f"v{b}")
             for b in range(_SIMHASH_BITS)
         ]
     )
-    total = sum(F.col(f"bit{b}") for b in range(_SIMHASH_BITS))
+    total = sum(
+        F.when(F.col(f"v{b}") >= 0, F.lit(1 << b)).otherwise(0)
+        for b in range(_SIMHASH_BITS)
+    )
     return votes.select("doc_id", total.cast("bigint").alias("simhash"))
 
 
