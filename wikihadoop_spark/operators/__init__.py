@@ -14,8 +14,10 @@ from .dedup import (
     exact_dedup,
     lsh_candidate_pairs,
     minhash_signatures,
+    minhash_signatures_rowwise,
     simhash_band_pairs,
 )
+from .packing import pack_token_budget
 from .components import (
     component_summary,
     connected_components,
@@ -29,10 +31,12 @@ __all__ = [
     "top_k_per_group",
     "exact_dedup",
     "minhash_signatures",
+    "minhash_signatures_rowwise",
     "lsh_candidate_pairs",
     "capped_block_pairs",
     "simhash_band_pairs",
     "connected_components",
     "connected_components_star",
     "component_summary",
+    "pack_token_budget",
 ]
