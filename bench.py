@@ -218,7 +218,20 @@ def _bench_sf1_spot(spark, sf_dir: str, sf01_timings: dict) -> dict | None:
     scale, with the per-query ratio vs the sf0.1 timing."""
     if not sf_dir.rstrip("/").endswith("sf0.1"):
         return None  # spot check only applies at the standard bench sf
-    out_dir = os.path.join(_corpus_base(), "wikihadoop_sf1_spot")
+    # cache key includes a replication-scheme version and the source
+    # tables' fingerprint, so a cached replica is never silently reused
+    # after the scheme changes or the sf0.1 tables are regenerated
+    import glob as _glob
+    import hashlib as _hashlib
+
+    src_fp = _hashlib.sha256()
+    src_fp.update(b"scheme-v2")
+    for p in sorted(_glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        st = os.stat(p)
+        src_fp.update(f"{os.path.basename(p)}:{st.st_size}:{int(st.st_mtime)}".encode())
+    out_dir = os.path.join(
+        _corpus_base(), f"wikihadoop_sf1_spot_{src_fp.hexdigest()[:12]}"
+    )
     if not os.path.exists(out_dir):
         _build_sf1(spark, sf_dir, out_dir)
     spot: dict[str, dict] = {}

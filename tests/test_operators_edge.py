@@ -397,3 +397,34 @@ def test_pack_token_budget_matches_naive_window_any_partitioning(spark):
     for doc, (cum, shard) in naive.items():
         shards.setdefault(shard, 0)
     assert len(shards) > 100  # fixture really packs many shards
+
+
+def test_pack_token_budget_empty_input(spark):
+    """Zero-row input must yield a zero-row result, not a schema error."""
+    from wikihadoop_spark.operators.packing import pack_token_budget
+
+    df = spark.createDataFrame([], "doc_id bigint, n_tokens bigint")
+    out = pack_token_budget(df, order_col="doc_id", tokens_col="n_tokens", budget=100)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "n_tokens", "cum_tokens", "shard"]
+
+
+def test_stream_probe_skips_self_pairs(spark):
+    """A document whose id is already in the signature index must not
+    be reported as a duplicate of itself when it re-arrives."""
+    from wikihadoop_spark.catalog import load_table
+    from wikihadoop_spark.operators.dedup import minhash_signatures_rowwise
+    from wikihadoop_spark.streaming.dedup_stream import (
+        signature_index,
+        stream_candidate_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF, "documents").limit(50)
+    index = signature_index(
+        minhash_signatures_rowwise(docs, id_col="doc_id", text_col="text"),
+        id_col="doc_id",
+    )
+    # re-arrival: the same 50 docs probe the index that contains them
+    pairs = stream_candidate_pairs(docs, index).collect()
+    assert all(r.new_id != r.corpus_id for r in pairs)

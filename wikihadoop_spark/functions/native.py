@@ -27,22 +27,39 @@ _loaded = False
 
 
 def _cache_dir() -> str:
-    base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
-        tempfile.gettempdir(), f"wikihadoop-native-{os.getuid()}"
-    )
+    xdg = os.environ.get("XDG_CACHE_HOME")
+    if xdg:
+        base = os.path.join(xdg, "wikihadoop")  # app-scoped, not the root
+    else:
+        base = os.path.join(
+            tempfile.gettempdir(), f"wikihadoop-native-{os.getuid()}"
+        )
     os.makedirs(base, mode=0o700, exist_ok=True)
     return base
+
+
+def _owned_by_me(path: str) -> bool:
+    try:
+        return os.stat(path).st_uid == os.getuid()
+    except OSError:
+        return False
 
 
 def _build(src_path: str) -> str | None:
     with open(src_path, "rb") as fh:
         src = fh.read()
     tag = hashlib.sha256(src).hexdigest()[:16]
+    cache = _cache_dir()
+    if not _owned_by_me(cache):
+        # a world-writable tmp lets another user pre-create the
+        # predictable cache path; never compile into or load from a
+        # directory we don't own (ctypes.CDLL executes the artifact)
+        return None
     so_path = os.path.join(
-        _cache_dir(), f"wh_diff_{tag}_py{sys.version_info[0]}{sys.version_info[1]}.so"
+        cache, f"wh_diff_{tag}_py{sys.version_info[0]}{sys.version_info[1]}.so"
     )
     if os.path.exists(so_path):
-        return so_path
+        return so_path if _owned_by_me(so_path) else None
     cc = os.environ.get("CC", "cc")
     tmp = f"{so_path}.tmp.{os.getpid()}"
     try:

@@ -71,22 +71,41 @@ def connected_components(
         .select("node", F.col("node").alias("component"))
         .localCheckpoint(eager=True)
     )
-    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+
+    def label_sig(lb: DataFrame):
+        # overflow-free convergence check: a plain SUM of labels would
+        # exceed int64 for hash-derived ids (~2^62) under ANSI mode;
+        # summing 32-bit row hashes cannot overflow.  Labels only ever
+        # decrease, so the signature is stable exactly at the fixpoint
+        # up to hash-sum collision (~2^-32) — the number of CHANGED
+        # labels can't be nonzero twice with identical (count, hashsum)
+        # on a monotone sequence without a collision; acceptable for a
+        # convergence screen bounded by max_iterations either way.
+        row = lb.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.hash("node", "component").cast("long")).alias("s"),
+        ).collect()[0]
+        return (row["n"], row["s"])
+
+    prev_sig = label_sig(labels)
     for _ in range(max_iterations):
         msgs = (
             sym.join(labels, sym.s == labels.node)
             .select(F.col("d").alias("node"), "component")
         )
-        labels = (
+        new_labels = (
             labels.unionByName(msgs)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
-        if cur_sum == prev_sum:
+        sig = label_sig(new_labels)
+        converged = sig == prev_sig and (
+            new_labels.exceptAll(labels).limit(1).count() == 0
+        )
+        labels, prev_sig = new_labels, sig
+        if converged:
             break
-        prev_sum = cur_sum
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "
@@ -219,13 +238,17 @@ def component_summary(
 ) -> DataFrame:
     """Per-member cluster view: component, member count, and the keeper
     flag (the minimum id IS the component label, so the keeper test is
-    a plain column comparison — no extra join)."""
-    from pyspark.sql import Window
+    a plain column comparison).
 
-    w = Window.partitionBy("component")
-    return cc.select(
+    Member counts come from a hash-aggregate joined back on the
+    component key — NOT an unbounded count window, which would buffer a
+    mega-component (a million-member boilerplate family) in a single
+    window task.  The aggregate is combiner-friendly and the join-back
+    is an equi-join AQE can skew-split."""
+    counts = cc.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
+    return cc.join(counts, "component").select(
         F.col(id_col),
         "component",
-        F.count(F.lit(1)).over(w).alias("n_members"),
+        "n_members",
         (F.col(id_col) == F.col("component")).alias("is_keeper"),
     )

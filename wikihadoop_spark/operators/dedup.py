@@ -150,10 +150,7 @@ def minhash_signatures_rowwise(
         F.array(F.col("__lt"))
     )
     # hash each shingle once, then n cheap linear transforms over ints
-    hashed = F.transform(
-        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
-        % F.lit(MERSENNE31)
-    )
+    hashed = F.transform(sh, hash31)
     out = toks.withColumn("__hx", hashed)
     sigs = [
         F.array_min(

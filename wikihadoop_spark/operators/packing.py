@@ -68,8 +68,12 @@ def pack_token_budget(
     for row in sorted(totals, key=lambda r: r["__pid"]):
         offsets[row["__pid"]] = acc
         acc += row["__tot"]
+    # explicit schema: createDataFrame([]) cannot infer types, and an
+    # empty input (e.g. a corpus date-partition with no documents) must
+    # yield an empty result, not a ValueError
     offset_df = arranged.sparkSession.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], ["__pid", "__off"]
+        [(int(pid), int(off)) for pid, off in offsets.items()],
+        "__pid int, __off bigint",
     )
     w = Window.partitionBy("__pid").orderBy(order_col)
     local = arranged.join(F.broadcast(offset_df), "__pid")

@@ -108,5 +108,9 @@ def stream_candidate_pairs(
             "corpus_id",
             (matches.cast("double") / F.lit(float(n_hashes))).alias("est_jaccard"),
         )
+        # a re-crawled document whose id is already in the index would
+        # otherwise match its own row in every band and be flagged as a
+        # duplicate of itself
+        .filter(F.col("new_id") != F.col("corpus_id"))
         .filter(F.col("est_jaccard") >= min_jaccard)
     )
