@@ -232,6 +232,13 @@ def _bench_sf1_spot(spark, sf_dir: str, sf01_timings: dict) -> dict | None:
     out_dir = os.path.join(
         _corpus_base(), f"wikihadoop_sf1_spot_{src_fp.hexdigest()[:12]}"
     )
+    # drop replicas keyed to older schemes/tables — the cache lives in
+    # RAM (/dev/shm) and stale copies would otherwise accumulate
+    import shutil as _shutil
+
+    for stale in _glob.glob(os.path.join(_corpus_base(), "wikihadoop_sf1_spot*")):
+        if stale != out_dir:
+            _shutil.rmtree(stale, ignore_errors=True)
     if not os.path.exists(out_dir):
         _build_sf1(spark, sf_dir, out_dir)
     spot: dict[str, dict] = {}
