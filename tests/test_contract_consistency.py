@@ -65,6 +65,11 @@ def test_gate_window_contains_rotation_set():
 # text_repetition, sample_stratified, text_tfidf_topk,
 # pack_token_budget — sessionize_events rotated out for the last).
 _DEMOTED_SOURCE_PINS = {
+    # second round-6 batch: 3 stable r05-green queries demoted for
+    # decontaminate_exact / text_quality_model / text_stopword_strip
+    "q1_pricing_summary": "0f80d1148a90ab59",
+    "events_tumbling": "8aed8b9153c987fa",
+    "events_retention": "b765baa9b8e9a9e2",
     "sessionize_events": "ae32bfec89f844b0",
     "scan_filter_project": "54ff3947f6a8a5c6",
     "filter_regex": "cdc41d855536f9e2",

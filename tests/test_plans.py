@@ -228,3 +228,22 @@ def test_spread_fans_out_small_scans_only(spark):
 
     wide = spark.range(1000).repartition(spark.sparkContext.defaultParallelism)
     assert _spread(wide) is wide  # no exchange added
+
+
+def test_quality_model_and_strip_are_exchange_free(spark):
+    """Row-local scoring/cleanup (hashed linear model, stopword strip)
+    must evaluate inside the scan projection: one pass, NO Exchange,
+    no Python stage."""
+    for name in ("text_quality_model", "text_stopword_strip"):
+        plan = plan_of(spark, name)
+        assert "Exchange" not in plan, name
+        assert "Python" not in plan, name
+
+
+def test_decontaminate_broadcasts_eval_set(spark):
+    """The eval-set fingerprint lookup must be a broadcast left-anti
+    join — the corpus side is never shuffled for the join; the only
+    exchange is the final per-source aggregate."""
+    plan = plan_of(spark, "decontaminate_exact")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan

@@ -1773,6 +1773,138 @@ def text_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "decontaminate_exact",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, source, n_chars,
+             md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
+      FROM documents),
+    bench AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 97 = 0)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS kept_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+    FROM fp WHERE fingerprint NOT IN (SELECT fingerprint FROM bench)
+    GROUP BY source
+    """,
+)
+def decontaminate_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: drop every training document whose
+    normalized content fingerprint appears in a held-out eval set
+    (here: the deterministic ``doc_id % 97`` sample standing in for a
+    benchmark suite), then report the surviving corpus per source.
+
+    Plan: the eval set is tiny and the corpus is 100 TB, so the
+    fingerprint lookup is a BROADCAST left-anti join — the corpus is
+    scanned once, never shuffled; only the per-source aggregate
+    exchanges (20 groups).  This is the standard pre-training step of
+    removing eval-set contamination before computing data mixtures."""
+    t = Tables(spark, sf)
+    fp = t.documents.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.md5(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "")).alias(
+            "fingerprint"
+        ),
+    )
+    bench = fp.filter(F.col("doc_id") % 97 == 0).select("fingerprint").distinct()
+    return (
+        fp.join(F.broadcast(bench), "fingerprint", "left_anti")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("kept_docs"),
+            F.sum("n_chars").cast("bigint").alias("kept_chars"),
+        )
+    )
+
+
+@query(
+    "text_quality_model",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(list_sum(list_transform({_SQL_TOKENS},
+                t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2001 - 1000)), 0)
+                AS BIGINT) AS score,
+           CASE WHEN COALESCE(list_sum(list_transform({_SQL_TOKENS},
+                t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2001 - 1000)), 0) > 0
+                THEN 'keep' ELSE 'drop' END AS verdict
+    FROM documents
+    """,
+)
+def text_quality_model(spark: SparkSession, sf: str) -> DataFrame:
+    """Hashed linear quality classifier (fasttext-style scoring as a
+    pure JVM plan): each token hashes into a weight table — here the
+    weight IS a function of the portable 60-bit hash
+    (``hash64 % 2001 - 1000``), standing in for learned weights
+    broadcast as a literal map — and the document score is the sum over
+    tokens with multiplicity.  All-integer arithmetic, bit-identical
+    across engines.
+
+    Plan: ``F.aggregate`` folds the weight sum ROW-LOCALLY inside the
+    scan projection — no explode, no shuffle, no Python; at 100 TB
+    model-based filtering costs exactly one data pass (same shape as
+    the row-local minhash signatures)."""
+    from .operators.dedup import hash64, tokens
+
+    t = Tables(spark, sf)
+    score = F.aggregate(
+        tokens(F.col("text")),
+        F.lit(0).cast("bigint"),
+        lambda acc, tk: acc + (hash64(tk) % 2001 - 1000),
+    )
+    return t.documents.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+        score.alias("score"),
+        F.when(score > 0, F.lit("keep")).otherwise(F.lit("drop")).alias("verdict"),
+    )
+
+
+_STRIP_STOP = ("the", "a", "of", "and", "is", "in", "to")
+_SQL_STRIP = (
+    f"list_filter({_SQL_TOKENS}, t -> len(t) >= 3 AND t NOT IN "
+    f"({', '.join(repr(w) for w in _STRIP_STOP)}))"
+)
+
+
+@query(
+    "text_stopword_strip",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_raw,
+           CAST(len({_SQL_STRIP}) AS BIGINT) AS n_kept,
+           md5(array_to_string({_SQL_STRIP}, ' ')) AS cleaned_md5
+    FROM documents
+    """,
+)
+def text_stopword_strip(spark: SparkSession, sf: str) -> DataFrame:
+    """Rule-based token cleanup (boilerplate/stopword stripping before
+    shingling or tokenizer training): drop stopwords and sub-3-char
+    tokens with a higher-order array filter, reassemble the cleaned
+    text, and fingerprint it (md5 keeps the gate row narrow; real
+    pipelines keep the cleaned string column).
+
+    Plan: ``F.filter`` + ``F.array_join`` evaluate inside the scan
+    projection — row-local, shuffle-free, no UDF; the filtered-token
+    array shape is exactly what the minhash shingle stage consumes, so
+    at scale this fuses into the dedup pass for free."""
+    from .operators.dedup import tokens
+
+    t = Tables(spark, sf)
+    toks = tokens(F.col("text"))
+    kept = F.filter(
+        toks,
+        lambda tk: (F.length(tk) >= 3) & ~tk.isin(*_STRIP_STOP),
+    )
+    return t.documents.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_raw"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+        F.md5(F.array_join(kept, " ")).alias("cleaned_md5"),
+    )
+
+
 # ===========================================================================
 # Similarity search over embeddings
 # ===========================================================================
@@ -2688,7 +2820,10 @@ def media_frame_fanout_q(spark: SparkSession, sf: str) -> DataFrame:
 # five stable r05-green queries (scan_filter_project, filter_regex,
 # asof_join_events_orders, range_join_near_orders, sort_topk_global)
 # rotate out in exchange, each source-hash-pinned with 1-round-old
-# evidence.  Catalog: 73 queries.
+# evidence.  A second round-6 batch (decontaminate_exact,
+# text_quality_model, text_stopword_strip) displaces three more stable
+# r05-green unchanged queries (q1_pricing_summary, events_tumbling,
+# events_retention).  Catalog: 77 queries.
 GATE_WINDOW = 50
 
 # The must-gate set for THIS round: every query re-entering the window
@@ -2721,6 +2856,9 @@ ROTATION_SET: frozenset[str] = frozenset(
         "pack_token_budget",
         "events_sliding",
         "events_pivot",
+        "decontaminate_exact",
+        "text_quality_model",
+        "text_stopword_strip",
     }
 )
 
@@ -2730,8 +2868,8 @@ _GATE_ORDER: tuple[str, ...] = (
     # entity decode and the bounded bz2 read
     "wikidump_roundtrip",
     "wikidump_roundtrip_bz2",
-    # headline analytics
-    "q1_pricing_summary",
+    # headline analytics (q1 demoted with r05 evidence for the second
+    # round-6 query batch; q3/q5 stay as the flagship join anchors)
     "q3_top_revenue",
     "q5_revenue_by_nation",
     # aggregation family: rollup/cube rotate back in (r02 evidence)
@@ -2778,13 +2916,16 @@ _GATE_ORDER: tuple[str, ...] = (
     "sample_stratified",
     "text_tfidf_topk",
     "pack_token_budget",
+    "decontaminate_exact",
+    "text_quality_model",
+    "text_stopword_strip",
     # similarity search
     "similarity_topk",
     "similarity_topk_lsh",
     "similarity_topk_ivf",
     # event-time analytics: sliding/pivot rotate back in
-    "events_tumbling",
-    "events_retention",
+    # (tumbling/retention demoted with r05 evidence for the second
+    # round-6 query batch)
     "events_sliding",
     "events_pivot",
     # multimodal
