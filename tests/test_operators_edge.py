@@ -428,3 +428,38 @@ def test_stream_probe_skips_self_pairs(spark):
     # re-arrival: the same 50 docs probe the index that contains them
     pairs = stream_candidate_pairs(docs, index).collect()
     assert all(r.new_id != r.corpus_id for r in pairs)
+
+
+def test_write_packed_shards_one_ordered_file_per_shard(spark, tmp_path):
+    """The shard writer must emit exactly one data file per shard dir,
+    rows inside each file in order, and the read-back corpus must equal
+    the packed assignment exactly."""
+    import glob
+    import os
+
+    from wikihadoop_spark.operators.packing import write_packed_shards
+
+    rows = [(i, 17 + (i * 37) % 211) for i in range(500)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    out = str(tmp_path / "shards")
+    packed = write_packed_shards(
+        df, out, order_col="doc_id", tokens_col="n_tokens", budget=1500
+    )
+    want = {(r.doc_id, r.shard) for r in packed.collect()}
+
+    shard_dirs = sorted(glob.glob(os.path.join(out, "shard=*")))
+    assert len(shard_dirs) == len({s for _, s in want})
+    for d in shard_dirs:
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, d
+
+    back = spark.read.parquet(out)
+    got = {(r.doc_id, r.shard) for r in back.collect()}
+    assert got == want
+    # rows within each shard file keep order_col order (sortWithinPartitions)
+    import pyarrow.parquet as pq
+
+    for d in shard_dirs[:5]:
+        f = os.path.join(d, [f for f in os.listdir(d) if f.endswith(".parquet")][0])
+        ids = pq.read_table(f, columns=["doc_id"]).column("doc_id").to_pylist()
+        assert ids == sorted(ids)

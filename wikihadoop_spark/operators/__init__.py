@@ -17,7 +17,7 @@ from .dedup import (
     minhash_signatures_rowwise,
     simhash_band_pairs,
 )
-from .packing import pack_token_budget
+from .packing import pack_token_budget, write_packed_shards
 from .components import (
     component_summary,
     connected_components,
@@ -39,4 +39,5 @@ __all__ = [
     "connected_components_star",
     "component_summary",
     "pack_token_budget",
+    "write_packed_shards",
 ]

@@ -82,3 +82,52 @@ def pack_token_budget(
     # integer division (no float rounding however large the corpus sum)
     shard = F.expr(f"(cum_tokens - {tokens_col}) div {int(budget)}")
     return out.select(*df.columns, "cum_tokens", shard.alias("shard"))
+
+
+def write_packed_shards(
+    df: DataFrame,
+    out_dir: str,
+    *,
+    order_col: str,
+    tokens_col: str,
+    budget: int,
+    fmt: str = "parquet",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Pack ``df`` into fixed-token-budget shards and write ONE file per
+    shard under ``out_dir/shard=<id>/`` — the serialization step that
+    turns a curated corpus into bounded-size training chunks.
+
+    Plan: after :func:`pack_token_budget` assigns shard ids, a single
+    hash repartition on ``shard`` co-locates each shard in exactly one
+    task (several shards per task is fine; a shard never straddles
+    tasks), and ``partitionBy("shard")`` with rows sorted by
+    ``(shard, order_col)`` emits exactly one ordered file per shard.
+    Data moves twice total (the range shuffle inside the prefix sum +
+    this one), independent of corpus size.
+
+    Sizing at 100 TB: one output directory per shard — pick ``budget``
+    so shards land in the 100 MB–1 GB range (≈100k–1M shards at
+    100 TB), which both HDFS-style namespaces and object stores
+    handle; a million 10-KB shards would be an object-store-metadata
+    denial-of-service, and that is a ``budget`` misconfiguration, not
+    a plan property.
+
+    Returns the packed DataFrame (with ``cum_tokens``/``shard``) so
+    callers can audit shard fill without re-deriving it."""
+    packed = pack_token_budget(
+        df,
+        order_col=order_col,
+        tokens_col=tokens_col,
+        budget=budget,
+        num_partitions=num_partitions,
+    )
+    (
+        packed.repartition(F.col("shard"))
+        .sortWithinPartitions("shard", order_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .format(fmt)
+        .save(out_dir)
+    )
+    return packed
