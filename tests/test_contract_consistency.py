@@ -70,6 +70,9 @@ _DEMOTED_SOURCE_PINS = {
     "q1_pricing_summary": "0f80d1148a90ab59",
     "events_tumbling": "8aed8b9153c987fa",
     "events_retention": "b765baa9b8e9a9e2",
+    # demoted for sample_mixture; round-6 change was docstring-only
+    # (operators/similarity.py crossover note), behavior r05-green
+    "similarity_topk": "46518dcb0143d4fb",
     "sessionize_events": "ae32bfec89f844b0",
     "scan_filter_project": "54ff3947f6a8a5c6",
     "filter_regex": "cdc41d855536f9e2",

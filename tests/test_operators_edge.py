@@ -463,3 +463,56 @@ def test_write_packed_shards_one_ordered_file_per_shard(spark, tmp_path):
         f = os.path.join(d, [f for f in os.listdir(d) if f.endswith(".parquet")][0])
         ids = pq.read_table(f, columns=["doc_id"]).column("doc_id").to_pylist()
         assert ids == sorted(ids)
+
+
+def test_mixture_thresholds_exact_math():
+    """Threshold math: proportional share, keep-all cap, zero/absent
+    groups, overflow-free at astronomically large totals."""
+    import pytest as _pytest
+
+    from wikihadoop_spark.operators.mixture import SCALE, mixture_thresholds
+
+    # two groups, equal weights, budget = half the corpus -> rate 1/2
+    thr = mixture_thresholds({"a": 1000, "b": 1000}, {"a": 1, "b": 1}, 1000)
+    assert thr == {"a": SCALE // 2, "b": SCALE // 2}
+    # target above supply caps at keep-all
+    thr = mixture_thresholds({"a": 100, "b": 1000}, {"a": 10, "b": 1}, 1000)
+    assert thr["a"] == SCALE
+    # empty group -> threshold 0, no division error
+    assert mixture_thresholds({"a": 0}, {"a": 1}, 10)["a"] == 0
+    # 100 TB-scale totals: fixed-width i64 would overflow, Python ints must not
+    big = 10**14
+    thr = mixture_thresholds({"a": big, "b": big}, {"a": 3, "b": 1}, big)
+    assert thr["a"] == (big * 3 * SCALE) // (4 * big)
+    # absent weight without default raises; with default fills in
+    with _pytest.raises(ValueError):
+        mixture_thresholds({"a": 10, "x": 10}, {"a": 1}, 10)
+    thr = mixture_thresholds({"a": 10, "x": 10}, {"a": 1}, 10, default_weight=1)
+    assert set(thr) == {"a", "x"}
+
+
+def test_mixture_sample_deterministic_and_mixture_shaped(spark):
+    """The sample is a pure function of (data, weights, budget, salt)
+    and moves the realized token mixture toward the targets."""
+    from wikihadoop_spark.operators.mixture import mixture_sample
+
+    rows = [(i, "hot" if i % 2 else "cold", 100) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "n_tok"])
+    kw = dict(
+        group_col="grp",
+        tokens_col="n_tok",
+        id_col="doc_id",
+        weights={"hot": 3, "cold": 1},
+        token_budget=100_000,  # half the 200k corpus
+    )
+    a = {r.doc_id for r in mixture_sample(df, **kw).collect()}
+    b = {r.doc_id for r in mixture_sample(df, **kw).collect()}
+    assert a == b and 0 < len(a) < 2000
+    # hot target 75k of 100k available (rate .75), cold 25k of 100k (.25)
+    got = mixture_sample(df, **kw).groupBy("grp").count().collect()
+    counts = {r.grp: r["count"] for r in got}
+    assert 0.65 < counts["hot"] / 1000 < 0.85
+    assert 0.15 < counts["cold"] / 1000 < 0.35
+    # different salt -> different draw, same expected shape
+    c = {r.doc_id for r in mixture_sample(df, salt="v2", **kw).collect()}
+    assert c != a

@@ -247,3 +247,15 @@ def test_decontaminate_broadcasts_eval_set(spark):
     plan = plan_of(spark, "decontaminate_exact")
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_mixture_sample_broadcasts_thresholds(spark):
+    """The returned mixture-sample plan must be a broadcast threshold
+    join + row-local filter — the corpus side is never shuffled (the
+    G-row totals aggregate runs as separate broadcast-state job)."""
+    plan = plan_of(spark, "sample_mixture")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "BroadcastExchange" in line, line

@@ -1,0 +1,108 @@
+"""Data-mixture rebalancing: deterministic per-group downsampling to a
+target token mixture (the step between curation and shard packing that
+decides HOW MUCH of each source/domain/language enters the training
+set).
+
+Given integer mixture weights ``w_g`` and a total ``token_budget``,
+each group's token target is ``budget * w_g / sum(w)`` and its keep
+rate is ``min(1, target / available_g)``.  A group with fewer tokens
+than its target is kept whole (single-pass proportional capping — the
+residual budget is reported, not silently redistributed; callers that
+want water-filling re-run with the residual).
+
+Engine-portable determinism: the keep decision is
+``md5-bucket(salt:id) < threshold_g`` where ``threshold_g`` is derived
+with EXACT integer arithmetic (arbitrary-precision on the driver, so
+``budget * w_g * scale`` can never overflow, unlike a fixed-width SQL
+expression).  The same floor-division threshold is expressible in
+one SQL integer division for oracle parity.
+
+Plan shape at 100 TB: one hash aggregate to G group totals (G = tens,
+collected as broadcast STATE, not data — same pattern as the IVF
+centroids), thresholds joined back via broadcast, then a row-local
+hash filter inside the scan projection.  The corpus is never shuffled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import hash64
+
+#: bucket resolution: rates are quantized to 1/SCALE
+SCALE = 1_000_000
+
+
+def mixture_thresholds(
+    totals: dict[str, int],
+    weights: dict[str, int],
+    token_budget: int,
+    *,
+    default_weight: int | None = None,
+) -> dict[str, int]:
+    """Exact integer keep-thresholds (in [0, SCALE]) per group.
+
+    ``threshold_g = min(SCALE, floor(budget * w_g * SCALE / (sum_w * a_g)))``
+    computed with Python's arbitrary-precision ints — no overflow at
+    any corpus size.  ``sum_w`` runs over the groups PRESENT in the
+    data, so absent groups don't dilute the mixture."""
+    if token_budget < 0:
+        raise ValueError(f"token_budget must be >= 0 (got {token_budget})")
+    missing = set(totals) - set(weights)
+    if missing and default_weight is None:
+        raise ValueError(f"groups without a mixture weight: {sorted(missing)}")
+    if missing:
+        weights = {**weights, **{g: default_weight for g in missing}}
+    sum_w = sum(weights[g] for g in totals)
+    if sum_w <= 0:
+        raise ValueError("mixture weights must sum to a positive value")
+    out = {}
+    for g, avail in totals.items():
+        if avail <= 0:
+            out[g] = 0
+            continue
+        out[g] = min(SCALE, (token_budget * weights[g] * SCALE) // (sum_w * avail))
+    return out
+
+
+def mixture_sample(
+    df: DataFrame,
+    *,
+    group_col: str,
+    tokens_col: str,
+    id_col: str,
+    weights: dict[str, int],
+    token_budget: int,
+    salt: str = "mix",
+    default_weight: int | None = None,
+) -> DataFrame:
+    """Deterministically sample ``df`` toward the target mixture.
+
+    Returns the kept rows with ``bucket`` (the hash draw) and
+    ``keep_threshold`` (the group's quantized rate) appended, so
+    inverse-probability weights (``SCALE / keep_threshold``) can be
+    derived without recomputation.  A pure function of (data, weights,
+    budget, salt): reproducible across runs, engines, partitionings,
+    and cluster sizes."""
+    totals = {
+        r["g"]: int(r["a"])
+        for r in df.groupBy(F.col(group_col).alias("g"))
+        .agg(F.sum(tokens_col).alias("a"))
+        .collect()
+    }
+    thr = mixture_thresholds(
+        totals, weights, token_budget, default_weight=default_weight
+    )
+    thr_df = df.sparkSession.createDataFrame(
+        [(g, t) for g, t in sorted(thr.items())],
+        f"{group_col} string, keep_threshold bigint",
+    )
+    bucket = (
+        hash64(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))) % SCALE
+    )
+    return (
+        df.join(F.broadcast(thr_df), group_col)
+        .withColumn("bucket", bucket)
+        .filter(F.col("bucket") < F.col("keep_threshold"))
+    )

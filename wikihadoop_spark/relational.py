@@ -1905,6 +1905,60 @@ def text_stopword_strip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "sample_mixture",
+    oracle="""
+    WITH tot AS (
+      SELECT source, CAST(SUM(n_chars) AS BIGINT) AS a
+      FROM documents GROUP BY source
+    ), w AS (
+      SELECT source, a,
+             CASE WHEN source = 'src0' THEN 10
+                  WHEN source IN ('src1', 'src2', 'src3', 'src4') THEN 3
+                  ELSE 1 END AS wt
+      FROM tot
+    ), thr AS (
+      SELECT source,
+             CAST(LEAST(1000000,
+                  (30000::BIGINT * wt * 1000000) // ((SELECT SUM(wt) FROM w) * a))
+                  AS BIGINT) AS keep_threshold
+      FROM w
+    )
+    SELECT d.doc_id, d.source, d.n_chars,
+           ('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+             % 1000000 AS bucket,
+           thr.keep_threshold
+    FROM documents d JOIN thr USING (source)
+    WHERE ('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+             % 1000000 < thr.keep_threshold
+    """,
+)
+def sample_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Mixture rebalancing (operators/mixture.py): downsample each
+    source toward target mixture weights (src0 upweighted 10×,
+    src1-4 3×, the rest 1×) under a 30k-token budget.  Oversubscribed
+    groups cap at keep-all (src0 here — its target exceeds its
+    supply), exercising the proportional-capping branch.
+
+    Plan: ONE hash aggregate collapses the corpus to G group totals
+    (broadcast STATE on the driver, exact arbitrary-precision
+    threshold math — a fixed-width SQL expression would overflow at
+    100 TB), then a broadcast threshold join + row-local md5-bucket
+    filter.  The corpus is scanned once and never shuffled."""
+    from .operators.mixture import mixture_sample
+
+    t = Tables(spark, sf)
+    return mixture_sample(
+        t.documents.select("doc_id", "source", "n_chars"),
+        group_col="source",
+        tokens_col="n_chars",
+        id_col="doc_id",
+        weights={"src0": 10, "src1": 3, "src2": 3, "src3": 3, "src4": 3},
+        token_budget=30000,
+        default_weight=1,
+    )
+
+
 # ===========================================================================
 # Similarity search over embeddings
 # ===========================================================================
@@ -2823,7 +2877,9 @@ def media_frame_fanout_q(spark: SparkSession, sf: str) -> DataFrame:
 # evidence.  A second round-6 batch (decontaminate_exact,
 # text_quality_model, text_stopword_strip) displaces three more stable
 # r05-green unchanged queries (q1_pricing_summary, events_tumbling,
-# events_retention).  Catalog: 77 queries.
+# events_retention), and sample_mixture displaces similarity_topk
+# (docstring-only change this round; the lsh/ivf scale paths stay
+# gated).  Catalog: 78 queries.
 GATE_WINDOW = 50
 
 # The must-gate set for THIS round: every query re-entering the window
@@ -2859,6 +2915,7 @@ ROTATION_SET: frozenset[str] = frozenset(
         "decontaminate_exact",
         "text_quality_model",
         "text_stopword_strip",
+        "sample_mixture",
     }
 )
 
@@ -2919,8 +2976,10 @@ _GATE_ORDER: tuple[str, ...] = (
     "decontaminate_exact",
     "text_quality_model",
     "text_stopword_strip",
-    # similarity search
-    "similarity_topk",
+    "sample_mixture",
+    # similarity search (the exact brute-force baseline demoted with
+    # r05 evidence — round-6 touched only its docstring; the scale
+    # paths lsh/ivf stay gated)
     "similarity_topk_lsh",
     "similarity_topk_ivf",
     # event-time analytics: sliding/pivot rotate back in
