@@ -127,7 +127,10 @@ _PIPELINE_EXTRAS = (
     "ngram_overlap",
     "text_repetition",
     "sample_stratified",
+    "sample_mixture",
     "text_tfidf_topk",
+    "decontaminate_exact",
+    "text_quality_model",
 )
 
 

@@ -274,3 +274,68 @@ def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM t_incdedup").collect()
     }
     assert got == batch and batch  # nonempty: corpus has near-dups of new docs
+
+
+def test_streaming_quality_filter_and_mixture_match_batch(spark, tmp_path):
+    """The training-data filter chain (hashed quality scorer → mixture
+    sampler) is stateless row-local arithmetic, so it runs UNCHANGED on
+    a stream: with thresholds frozen from a prior batch pass (how a
+    production pipeline deploys them), the streamed selection must
+    equal the batch selection exactly, under any trigger slicing."""
+    from wikihadoop_spark.operators.dedup import hash64, tokens
+    from wikihadoop_spark.operators.mixture import (
+        SCALE,
+        mixture_sample,
+        mixture_thresholds,
+    )
+
+    src = str(tmp_path / "docs")
+    docs = load_table(spark, SF, "documents")
+    docs.coalesce(3).write.mode("overwrite").parquet(src)
+
+    score = F.aggregate(
+        tokens(F.col("text")),
+        F.lit(0).cast("bigint"),
+        lambda acc, tk: acc + (hash64(tk) % 2001 - 1000),
+    )
+
+    def filter_chain(df, thr_df):
+        scored = df.filter(score > 0)
+        bucket = hash64(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))) % SCALE
+        return (
+            scored.join(F.broadcast(thr_df), "source")
+            .filter(bucket < F.col("keep_threshold"))
+            .select("doc_id", "source")
+        )
+
+    # batch pass: derive thresholds, then select
+    kept_quality = docs.filter(score > 0)
+    totals = {
+        r["source"]: int(r["a"])
+        for r in kept_quality.groupBy("source").agg(F.sum("n_chars").alias("a")).collect()
+    }
+    thr = mixture_thresholds(totals, {"src0": 5}, 20000, default_weight=1)
+    thr_df = spark.createDataFrame(
+        sorted(thr.items()), "source string, keep_threshold bigint"
+    )
+    batch = {tuple(r) for r in filter_chain(docs, thr_df).collect()}
+    assert 0 < len(batch) < docs.count()
+    # sanity: the chain equals the library operator on the same inputs
+    lib = mixture_sample(
+        kept_quality,
+        group_col="source",
+        tokens_col="n_chars",
+        id_col="doc_id",
+        weights={"src0": 5},
+        token_budget=20000,
+        default_weight=1,
+    )
+    assert {(r.doc_id, r.source) for r in lib.collect()} == batch
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    out = run_stream_to_memory(filter_chain(stream, thr_df), "qmix")
+    got = {(r.doc_id, r.source) for r in out.collect()}
+    assert got == batch
