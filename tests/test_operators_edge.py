@@ -516,3 +516,24 @@ def test_mixture_sample_deterministic_and_mixture_shaped(spark):
     # different salt -> different draw, same expected shape
     c = {r.doc_id for r in mixture_sample(df, salt="v2", **kw).collect()}
     assert c != a
+
+
+def test_mixture_report_residual_and_caps():
+    """The audit surfaces capped groups and the residual budget their
+    shortfall leaves (water-filling input), consistent with the
+    thresholds the sampler actually applies."""
+    from wikihadoop_spark.operators.mixture import SCALE, mixture_report
+
+    r = mixture_report({"a": 100, "b": 1000}, {"a": 10}, 1000, default_weight=1)
+    assert r["groups"]["a"] == {
+        "available": 100,
+        "target": 909,
+        "threshold": SCALE,
+        "expected_kept": 100,
+        "capped": True,
+    }
+    assert not r["groups"]["b"]["capped"]
+    assert r["residual"] == 1000 - 100 - r["groups"]["b"]["expected_kept"]
+    # nothing capped -> expected kept ~= budget (floor rounding only)
+    r2 = mixture_report({"a": 10_000, "b": 10_000}, {"a": 3, "b": 1}, 4000)
+    assert 0 <= r2["residual"] <= 4

@@ -17,7 +17,7 @@ from .dedup import (
     minhash_signatures_rowwise,
     simhash_band_pairs,
 )
-from .mixture import mixture_sample, mixture_thresholds
+from .mixture import mixture_report, mixture_sample, mixture_thresholds
 from .packing import pack_token_budget, write_packed_shards
 from .components import (
     component_summary,
@@ -39,6 +39,7 @@ __all__ = [
     "connected_components",
     "connected_components_star",
     "component_summary",
+    "mixture_report",
     "mixture_sample",
     "mixture_thresholds",
     "pack_token_budget",

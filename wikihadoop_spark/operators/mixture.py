@@ -6,9 +6,10 @@ set).
 Given integer mixture weights ``w_g`` and a total ``token_budget``,
 each group's token target is ``budget * w_g / sum(w)`` and its keep
 rate is ``min(1, target / available_g)``.  A group with fewer tokens
-than its target is kept whole (single-pass proportional capping — the
-residual budget is reported, not silently redistributed; callers that
-want water-filling re-run with the residual).
+than its target is kept whole (single-pass proportional capping —
+:func:`mixture_report` surfaces the residual budget instead of
+silently redistributing it; callers that want water-filling re-run
+with the residual).
 
 Engine-portable determinism: the keep decision is
 ``md5-bucket(salt:id) < threshold_g`` where ``threshold_g`` is derived
@@ -106,3 +107,42 @@ def mixture_sample(
         .withColumn("bucket", bucket)
         .filter(F.col("bucket") < F.col("keep_threshold"))
     )
+
+
+def mixture_report(
+    totals: dict[str, int],
+    weights: dict[str, int],
+    token_budget: int,
+    *,
+    default_weight: int | None = None,
+) -> dict:
+    """Audit the mixture plan: per-group ``(available, target,
+    threshold, expected_kept, capped)`` plus the residual budget left
+    by groups whose supply fell short of their target.
+
+    ``expected_kept = available * threshold / SCALE`` (the sampler's
+    expectation); ``residual = budget - sum(expected_kept)`` — feed it
+    to a second pass over the uncapped groups for water-filling.
+    Driver-side arithmetic on G scalars; no Spark job."""
+    thr = mixture_thresholds(
+        totals, weights, token_budget, default_weight=default_weight
+    )
+    if default_weight is not None:
+        weights = {
+            **{g: default_weight for g in totals}, **weights
+        }
+    sum_w = sum(weights[g] for g in totals)
+    groups = {}
+    expected_total = 0
+    for g, avail in totals.items():
+        target = (token_budget * weights[g]) // sum_w if sum_w else 0
+        expected = (avail * thr[g]) // SCALE
+        expected_total += expected
+        groups[g] = {
+            "available": avail,
+            "target": target,
+            "threshold": thr[g],
+            "expected_kept": expected,
+            "capped": thr[g] == SCALE,
+        }
+    return {"groups": groups, "residual": token_budget - expected_total}
