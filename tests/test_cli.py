@@ -54,3 +54,24 @@ def test_dedup_subcommand_end_to_end(tmp_path):
     for comp, sizes in comps.items():
         assert len(set(sizes)) == 1 and sizes[0] == len(sizes)
     assert any(s[0] > 1 for s in comps.values())  # corpus has real dupes
+
+
+def test_curate_subcommand_end_to_end(tmp_path):
+    out = str(tmp_path / "shards")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "wikihadoop_spark", "curate",
+            "--input", f"{SF}/documents.parquet",
+            "--output", out,
+            "--weights", "src0=5",
+            "--token-budget", "30000",
+            "--shard-budget", "2000",
+        ],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "curated input:" in r.stdout and "mixture:" in r.stdout
+    # the written shards reassemble a non-empty curated corpus
+    n = duckdb.sql(f"SELECT COUNT(*) FROM read_parquet('{out}/*/*.parquet')").fetchone()[0]
+    assert n > 0

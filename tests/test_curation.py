@@ -1,0 +1,81 @@
+"""End-to-end curation pipeline: planted low-quality docs, exact dups,
+near-dups, and eval-set contamination must each fall out at the right
+stage, with observe-based counters auditing every stage in the single
+plan."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from wikihadoop_spark.plans.curation import curate_corpus
+
+# tokens with known hashed-weight signs (hash64(t) % 2001 - 1000):
+# POS have weight > +50, NEG < -50 (see quality_score)
+POS = "beta delta epsilon eta iota lam nu xi omicron rho tau upsilon phi chi omega red iron".split()
+NEG = "spam noise drivel amet garbage refuse litter mess sludge".split()
+
+
+def _corpus(spark):
+    base = " ".join(POS)  # strongly positive 17-token base text
+    rows = [
+        # id, text, source
+        (1, base + " one extra", "a"),          # keeper
+        (2, base + " one extra", "a"),          # exact dup of 1 -> dropped
+        (3, base + " two extra", "a"),          # near-dup of 1 -> dropped (16/18 shingles shared? est>=0.5)
+        (4, " ".join(NEG * 3), "a"),            # low quality -> dropped
+        (5, "omega chi phi upsilon tau rho benchmark leak", "b"),  # contaminated -> dropped
+        (6, "red iron beta chi omega six unique tokens here", "b"),  # keeper (scrambled order: disjoint shingles)
+        (7, " ".join(reversed(POS)) + " seven", "b"),  # keeper (different shingles)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+
+def test_curation_stages_drop_the_planted_rows(spark, tmp_path):
+    docs = _corpus(spark)
+    bench = spark.createDataFrame(
+        [("OMEGA chi; phi upsilon -- tau rho benchmark LEAK?",)],
+        ["text"],
+    )  # normalizes to doc 5's fingerprint
+    out = str(tmp_path / "shards")
+    res = curate_corpus(
+        docs,
+        benchmark=bench,
+        mixture_weights={"a": 1, "b": 1},
+        token_budget=10**9,  # budget above supply: mixture keeps all
+        shard_budget=20,
+        out_dir=out,
+    )
+    kept = sorted(r.doc_id for r in res.curated.select("doc_id").collect())
+    assert kept == [1, 6, 7]
+
+    c = res.counts()
+    assert c["input"] == 7
+    assert c["quality"] == 6          # doc 4 out
+    assert c["exact_dedup"] == 5      # doc 2 out
+    assert c["near_dedup"] == 4       # doc 3 out
+    assert c["decontaminate"] == 3    # doc 5 out
+    assert c["mixture"] == 3          # keep-all budget
+
+    # shards written, one file per shard, and they reassemble the corpus
+    shard_dirs = glob.glob(os.path.join(out, "shard=*"))
+    assert shard_dirs
+    back = spark.read.parquet(out)
+    assert sorted(r.doc_id for r in back.collect()) == [1, 6, 7]
+    assert {os.path.basename(d) for d in shard_dirs} == {
+        f"shard={r.shard}" for r in res.packed.select("shard").distinct().collect()
+    }
+
+
+def test_curation_minimal_knobs_runs_on_testdata(spark):
+    """Default-knob run over the real documents table: monotone stage
+    counts, no optional stages, curated stays non-empty."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    res = curate_corpus(docs)
+    n = res.curated.count()
+    c = res.counts()
+    assert set(c) == {"input", "quality", "exact_dedup", "near_dedup"}
+    assert c["input"] >= c["quality"] >= c["exact_dedup"] >= c["near_dedup"] == n > 0
+    assert res.packed is None

@@ -11,6 +11,10 @@ invocation (README.rst:217-219 / fileformat.rst:37):
       [--id-col doc_id] [--text-col text] [--threshold 0.5] \
       [--n-hashes 16] [--bands 4] [--bucket-cap 1000] [--keepers-only]
 
+  python -m wikihadoop_spark curate --input docs.parquet --output shards/ \
+      [--benchmark eval.parquet] [--weights src0=10,src1=3] \
+      [--token-budget N] [--shard-budget N] [--threshold 0.5]
+
 Produces the diffdb TSV (py2-repr compatible, fileformat.rst:6-27), a
 typed parquet revisions table, or near-duplicate cluster assignments
 (MinHash → LSH → connected components; one keeper per cluster).
@@ -74,7 +78,71 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--shard-size", type=int, default=64 * 1024 * 1024)
     s.add_argument("--compress", choices=["bz2", "gz"], default=None)
 
+    c = sub.add_parser(
+        "curate",
+        help="full training-data curation: quality filter -> exact dedup -> "
+             "near-dedup -> decontaminate -> mixture -> token-budget shards",
+    )
+    c.add_argument("--input", required=True, help="parquet corpus (id/text/group columns)")
+    c.add_argument("--output", required=True,
+                   help="destination: shard dirs with --shard-budget, else curated parquet")
+    c.add_argument("--id-col", default="doc_id")
+    c.add_argument("--text-col", default="text")
+    c.add_argument("--group-col", default="source")
+    c.add_argument("--quality-threshold", type=int, default=0)
+    c.add_argument("--threshold", type=float, default=0.5,
+                   help="minimum estimated Jaccard treated as a near-duplicate")
+    c.add_argument("--bucket-cap", type=int, default=1000)
+    c.add_argument("--benchmark", default=None,
+                   help="parquet with a text column; matching docs are removed")
+    c.add_argument("--weights", default=None,
+                   help="mixture weights, e.g. src0=10,src1=3 (others --default-weight)")
+    c.add_argument("--default-weight", type=int, default=1)
+    c.add_argument("--token-budget", type=int, default=None)
+    c.add_argument("--shard-budget", type=int, default=None,
+                   help="tokens per output shard (one parquet file per shard)")
+    c.add_argument("--cores", type=int, default=None)
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "curate":
+        from .plans.curation import curate_corpus
+        from .session import get_spark
+
+        weights = None
+        if args.weights:
+            weights = {
+                k: int(v)
+                for k, v in (kv.split("=", 1) for kv in args.weights.split(","))
+            }
+        spark = get_spark("wikihadoop-curate", cpus=args.cores)
+        try:
+            docs = spark.read.parquet(args.input)
+            bench = spark.read.parquet(args.benchmark) if args.benchmark else None
+            res = curate_corpus(
+                docs,
+                id_col=args.id_col,
+                text_col=args.text_col,
+                group_col=args.group_col,
+                quality_threshold=args.quality_threshold,
+                near_dup_threshold=args.threshold,
+                bucket_cap=args.bucket_cap,
+                benchmark=bench,
+                mixture_weights=weights,
+                token_budget=args.token_budget,
+                default_weight=args.default_weight,
+                shard_budget=args.shard_budget,
+                out_dir=args.output if args.shard_budget else None,
+            )
+            if args.shard_budget is None:
+                # this write is the action that fires the stage counters
+                # (the shard path already fired them via its checkpoint)
+                res.curated.write.mode("overwrite").parquet(args.output)
+            stages = " -> ".join(f"{k}:{v}" for k, v in res.counts().items())
+            print(f"curated {stages} -> {args.output}")
+            return 0
+        finally:
+            spark.stop()
 
     if args.cmd == "shard":
         from .sources.shard import shard_dump

@@ -1,0 +1,197 @@
+"""End-to-end corpus curation: the composition that turns a raw
+document table into training shards, chaining the engine's
+LLM-pipeline operators in their canonical order:
+
+    quality filter → exact dedup → near-dedup (MinHash/LSH/CC)
+    → benchmark decontamination → mixture rebalancing
+    → token-budget packing → one-file-per-shard write
+
+Every stage is one of the independently-tested operators; this module
+adds only the glue and per-stage row counters.  Counters use
+``DataFrame.observe`` (CollectMetrics nodes inside the single plan),
+so auditing costs NO extra passes over the data — the counts
+materialize when the pipeline's own action runs.
+
+Scale notes (the per-operator arguments live with each operator):
+the only corpus-wide shuffles are the exact-dedup keeper semi-join,
+the LSH band join, and the packing range partition; quality scoring,
+decontamination, and mixture filtering are row-local behind broadcast
+state.  The near-dup stage's connected components iterates over
+edge-touched nodes only, so its cost is sized by duplicate pairs, not
+corpus rows.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, Observation
+from pyspark.sql import functions as F
+
+from ..operators.components import connected_components
+from ..operators.dedup import (
+    hash64,
+    lsh_candidate_pairs,
+    minhash_signatures_rowwise,
+    tokens,
+)
+from ..operators.mixture import mixture_sample
+from ..operators.packing import pack_token_budget, write_packed_shards
+
+
+def quality_score(text: Column) -> Column:
+    """Hashed linear quality score (see ``text_quality_model``): sum of
+    per-token weights ``hash64(token) % 2001 - 1000``, folded
+    row-locally — all-integer, shuffle-free, engine-portable."""
+    return F.aggregate(
+        tokens(text),
+        F.lit(0).cast("bigint"),
+        lambda acc, tk: acc + (hash64(tk) % 2001 - 1000),
+    )
+
+
+def content_fingerprint(text: Column) -> Column:
+    """Normalized exact-content fingerprint (see ``text_fingerprint``)."""
+    return F.md5(F.regexp_replace(F.lower(text), "[^a-z0-9]", ""))
+
+
+@dataclass
+class CurationResult:
+    """The curated corpus plus per-stage observability.
+
+    ``counts()`` is valid after any action on ``curated`` (or after
+    construction when shards were written): each value is the row
+    count LEAVING that stage."""
+
+    curated: DataFrame
+    packed: DataFrame | None
+    observations: dict[str, Observation] = field(default_factory=dict)
+
+    def counts(self) -> dict[str, int]:
+        return {name: int(o.get["rows"]) for name, o in self.observations.items()}
+
+
+def _observed(df: DataFrame, name: str, sink: dict[str, Observation]) -> DataFrame:
+    obs = Observation(name)
+    sink[name] = obs
+    return df.observe(obs, F.count(F.lit(1)).alias("rows"))
+
+
+def curate_corpus(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    quality_threshold: int = 0,
+    near_dup_threshold: float = 0.5,
+    n_hashes: int = 16,
+    bands: int = 4,
+    bucket_cap: int = 1000,
+    benchmark: DataFrame | None = None,
+    mixture_weights: dict[str, int] | None = None,
+    token_budget: int | None = None,
+    default_weight: int = 1,
+    shard_budget: int | None = None,
+    out_dir: str | None = None,
+) -> CurationResult:
+    """Run the full curation chain over ``docs``.
+
+    ``benchmark`` (optional): rows with ``text_col`` to decontaminate
+    against — its fingerprints are broadcast, so it must be eval-set
+    sized, not corpus sized.  ``mixture_weights``/``token_budget``
+    (optional): passed to :func:`mixture_sample`.  ``shard_budget``
+    (optional): token budget per output shard; with ``out_dir`` the
+    shards are also written (one ordered parquet file per shard).
+    """
+    obs: dict[str, Observation] = {}
+    cur = _observed(docs, "input", obs)
+
+    # 1. model-based quality filter: row-local, no shuffle
+    cur = _observed(
+        cur.filter(quality_score(F.col(text_col)) > quality_threshold),
+        "quality",
+        obs,
+    )
+
+    # 2. exact dedup: deterministic min-id keeper per fingerprint
+    fp = cur.withColumn("__fp", content_fingerprint(F.col(text_col)))
+    keeper_ids = (
+        fp.groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    cur = _observed(
+        fp.join(keeper_ids, id_col, "left_semi").drop("__fp"), "exact_dedup", obs
+    )
+
+    # 3. near-dedup: row-local signatures -> capped LSH pairs -> CC keepers
+    sig = minhash_signatures_rowwise(
+        cur, id_col=id_col, text_col=text_col, n_hashes=n_hashes
+    )
+    pairs = lsh_candidate_pairs(
+        sig, id_col=id_col, n_hashes=n_hashes, bands=bands, bucket_cap=bucket_cap
+    ).filter(F.col("est_jaccard") >= near_dup_threshold)
+    cc = connected_components(cur.select(id_col), pairs, id_col=id_col)
+    near_keepers = cc.filter(F.col(id_col) == F.col("component")).select(id_col)
+    cur = _observed(cur.join(near_keepers, id_col, "left_semi"), "near_dedup", obs)
+
+    # 4. benchmark decontamination: broadcast anti-join on fingerprints
+    if benchmark is not None:
+        bench_fp = (
+            benchmark.select(content_fingerprint(F.col(text_col)).alias("__fp"))
+            .distinct()
+        )
+        cur = _observed(
+            cur.withColumn("__fp", content_fingerprint(F.col(text_col)))
+            .join(F.broadcast(bench_fp), "__fp", "left_anti")
+            .drop("__fp"),
+            "decontaminate",
+            obs,
+        )
+
+    # token counts ride along for mixture + packing
+    cur = cur.withColumn(
+        "n_tokens", F.size(tokens(F.col(text_col))).cast("bigint")
+    )
+
+    # 5. mixture rebalancing toward target token proportions
+    if mixture_weights is not None and token_budget is not None:
+        cur = _observed(
+            mixture_sample(
+                cur,
+                group_col=group_col,
+                tokens_col="n_tokens",
+                id_col=id_col,
+                weights=mixture_weights,
+                token_budget=token_budget,
+                default_weight=default_weight,
+            ).drop("bucket", "keep_threshold"),
+            "mixture",
+            obs,
+        )
+
+    # 6. pack into fixed-budget shards (and optionally write them)
+    packed = None
+    if shard_budget is not None:
+        # pin the curated set before the range partition: range
+        # partitioning SAMPLES its boundaries in a separate pass, so an
+        # unpinned input is scanned twice (doubling every upstream
+        # CollectMetrics counter and re-running the dedup joins); the
+        # checkpoint is one linear pass that fires each stage counter
+        # exactly once and truncates the join/CC lineage
+        cur = cur.localCheckpoint(eager=True)
+        if out_dir is not None:
+            packed = write_packed_shards(
+                cur,
+                out_dir,
+                order_col=id_col,
+                tokens_col="n_tokens",
+                budget=shard_budget,
+            )
+        else:
+            packed = pack_token_budget(
+                cur, order_col=id_col, tokens_col="n_tokens", budget=shard_budget
+            )
+
+    return CurationResult(curated=cur, packed=packed, observations=obs)
