@@ -146,6 +146,36 @@ def _bench_pipeline_extras(spark, sf_dir: str) -> dict | None:
             QUERIES[name](spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
         extras[name] = round(best, 3)
+
+    # end-to-end curation chain (quality -> exact dedup -> near-dedup
+    # -> decontaminate -> mixture): one composed plan, timed once after
+    # a small-SF warm (the per-operator numbers above isolate stages;
+    # this is the "would the whole pipeline run" number)
+    from pyspark.sql import functions as F
+
+    from wikihadoop_spark.plans.curation import curate_corpus
+
+    def _curate(sf):
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        bench_docs = docs.filter(F.col("doc_id") % 97 == 0).select("text")
+        res = curate_corpus(
+            docs,
+            benchmark=bench_docs,
+            mixture_weights={"src0": 5},
+            token_budget=10**9,
+        )
+        n = res.curated.count()
+        res.unpersist()
+        return n
+
+    _curate("/root/testdata/sf0.001")
+    best, n = float("inf"), 0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        n = _curate(sf_dir)
+        best = min(best, time.perf_counter() - t0)
+    extras["curation_e2e"] = round(best, 3)
+    extras["curation_e2e_docs_kept"] = n
     return extras
 
 

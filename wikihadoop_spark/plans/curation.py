@@ -66,9 +66,17 @@ class CurationResult:
     curated: DataFrame
     packed: DataFrame | None
     observations: dict[str, Observation] = field(default_factory=dict)
+    _cached: DataFrame | None = None
 
     def counts(self) -> dict[str, int]:
         return {name: int(o.get["rows"]) for name, o in self.observations.items()}
+
+    def unpersist(self) -> None:
+        """Release the cached exact-deduped corpus ``curated`` builds
+        on (call when done with the result; unpersisting ``curated``
+        itself would not free the upstream cache entry)."""
+        if self._cached is not None:
+            self._cached.unpersist()
 
 
 def _observed(df: DataFrame, name: str, sink: dict[str, Observation]) -> DataFrame:
@@ -124,6 +132,13 @@ def curate_corpus(
     cur = _observed(
         fp.join(keeper_ids, id_col, "left_semi").drop("__fp"), "exact_dedup", obs
     )
+    # the exact-deduped corpus feeds FOUR downstream consumers (the
+    # signatures, the CC vertex set, the mixture totals, and the final
+    # chain) — persist it so the scan + dedup joins execute once, not
+    # once per consumer; spills to disk when it outgrows memory.
+    # Counters upstream fire on the first materialization only (cached
+    # reads skip their CollectMetrics nodes).
+    cur = cached = cur.persist()
 
     # 3. near-dedup: row-local signatures -> capped LSH pairs -> CC keepers
     sig = minhash_signatures_rowwise(
@@ -194,4 +209,4 @@ def curate_corpus(
                 cur, order_col=id_col, tokens_col="n_tokens", budget=shard_budget
             )
 
-    return CurationResult(curated=cur, packed=packed, observations=obs)
+    return CurationResult(curated=cur, packed=packed, observations=obs, _cached=cached)
