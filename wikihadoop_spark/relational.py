@@ -1906,6 +1906,63 @@ def text_stopword_strip(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "decontaminate_ngram",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, n_chars, {_SQL_TOKENS} AS t, lower(text) AS lt
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, source, n_chars, {_SQL_SHINGLES} AS shingles FROM toks
+    ), bench AS (
+      SELECT list(DISTINCT s) AS bsh
+      FROM (SELECT unnest(shingles) AS s FROM sh WHERE doc_id % 97 = 0)
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS kept_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+    FROM sh CROSS JOIN bench
+    WHERE NOT list_has_any(shingles, bsh)
+    GROUP BY source
+    """,
+)
+def decontaminate_ngram(spark: SparkSession, sf: str) -> DataFrame:
+    """N-gram-level benchmark decontamination (stricter than
+    ``decontaminate_exact``): drop every document sharing ANY 3-token
+    shingle with the eval set — the standard guard against partial
+    benchmark leakage (a quoted question inside an otherwise-novel
+    page).
+
+    Plan: the eval set's distinct shingles collapse into ONE array
+    row, broadcast and checked row-locally with ``arrays_overlap`` —
+    the corpus is scanned once, zero corpus shuffles before the final
+    20-group aggregate.  Right while the benchmark shingle set fits an
+    executor (eval suites: 1e5-1e7 shingles); past that, swap the
+    array for an explode → broadcast semi-join → anti-join on ids, or
+    a Bloom filter of the shingle set (same plan shape, constant
+    memory, a documented false-positive rate that only ever
+    OVER-removes)."""
+    from .operators.dedup import shingles
+
+    t = Tables(spark, sf)
+    sh = t.documents.select(
+        "doc_id", "source", "n_chars", shingles(F.col("text")).alias("sh")
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("sh").alias("s"))
+        .agg(F.collect_set("s").alias("bsh"))
+    )
+    return (
+        sh.crossJoin(F.broadcast(bench))
+        .filter(~F.arrays_overlap(F.col("sh"), F.col("bsh")))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("kept_docs"),
+            F.sum("n_chars").cast("bigint").alias("kept_chars"),
+        )
+    )
+
+
+@query(
     "sample_mixture",
     oracle="""
     WITH tot AS (
@@ -2880,6 +2937,15 @@ def media_frame_fanout_q(spark: SparkSession, sf: str) -> DataFrame:
 # events_retention), and sample_mixture displaces similarity_topk
 # (docstring-only change this round; the lsh/ivf scale paths stay
 # gated).  Catalog: 78 queries.
+#
+# Round-7 rotation plan: the 28 pinned demotions all carry r05-green
+# evidence (1 round old at r06).  Next round, rotate back the OLDEST
+# evidence first — the 24 r05-demoted queries (scan_filter_project,
+# filter_regex, asof/range joins, sort_topk_global, agg_* five,
+# join_inner/full/theta, window_value/distribution, set_union_all,
+# scalar_string/math/json, subqueries, unpivot, sessionize) — and
+# demote in exchange whichever r06-gated queries shipped unchanged,
+# pinning them in _DEMOTED_SOURCE_PINS as usual.
 GATE_WINDOW = 50
 
 # The must-gate set for THIS round: every query re-entering the window
