@@ -73,6 +73,9 @@ _DEMOTED_SOURCE_PINS = {
     # demoted for sample_mixture; round-6 change was docstring-only
     # (operators/similarity.py crossover note), behavior r05-green
     "similarity_topk": "46518dcb0143d4fb",
+    # demoted (untouched since r05) so decontaminate_ngram gates
+    # immediately per new-query hygiene
+    "window_rank_topk": "3b1c83b9e69021cf",
     "sessionize_events": "ae32bfec89f844b0",
     "scan_filter_project": "54ff3947f6a8a5c6",
     "filter_regex": "cdc41d855536f9e2",

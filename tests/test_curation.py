@@ -52,6 +52,7 @@ def test_curation_stages_drop_the_planted_rows(spark, tmp_path):
     assert kept == [1, 6, 7]
 
     c = res.counts()
+    assert c["near_dedup_dropped_members"] == 0
     assert c["input"] == 7
     assert c["quality"] == 6          # doc 4 out
     assert c["exact_dedup"] == 5      # doc 2 out
@@ -74,8 +75,31 @@ def test_curation_minimal_knobs_runs_on_testdata(spark):
     counts, no optional stages, curated stays non-empty."""
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     res = curate_corpus(docs)
+    c = res.counts()  # eager build: valid before any caller action
     n = res.curated.count()
-    c = res.counts()
-    assert set(c) == {"input", "quality", "exact_dedup", "near_dedup"}
+    assert set(c) == {
+        "input", "quality", "exact_dedup", "near_dedup",
+        "near_dedup_dropped_members",
+    }
     assert c["input"] >= c["quality"] >= c["exact_dedup"] >= c["near_dedup"] == n > 0
     assert res.packed is None
+
+
+def test_curation_counts_survive_limiting_first_action(spark):
+    """The eager build materializes internally, so a caller whose first
+    action is a limit cannot pin partial stage counts."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    res = curate_corpus(docs)
+    res.curated.first()  # limiting action
+    assert res.counts()["input"] == docs.count()
+
+
+def test_curation_mixture_budget_only_is_uniform_and_weights_only_raises(spark):
+    import pytest
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    res = curate_corpus(docs, token_budget=5000)  # uniform default weights
+    c = res.counts()
+    assert "mixture" in c and 0 < c["mixture"] < c["near_dedup"]
+    with pytest.raises(ValueError, match="without token_budget"):
+        curate_corpus(docs, mixture_weights={"src0": 2})

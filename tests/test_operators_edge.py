@@ -537,3 +537,28 @@ def test_mixture_report_residual_and_caps():
     # nothing capped -> expected kept ~= budget (floor rounding only)
     r2 = mixture_report({"a": 10_000, "b": 10_000}, {"a": 3, "b": 1}, 4000)
     assert 0 <= r2["residual"] <= 4
+
+
+def test_mixture_sample_null_group(spark):
+    """A NULL group is a real group: its rows must receive the default
+    weight's threshold, not crash the driver sort or vanish through an
+    inner equi-join."""
+    from wikihadoop_spark.operators.mixture import mixture_sample
+
+    rows = [(i, None if i < 500 else "known", 100) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, grp string, n_tok bigint")
+    out = mixture_sample(
+        df,
+        group_col="grp",
+        tokens_col="n_tok",
+        id_col="doc_id",
+        weights={"known": 1},
+        token_budget=50_000,  # half the corpus
+        default_weight=1,
+    ).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r.grp, 0)
+        by_grp[r.grp] += 1
+    assert set(by_grp) == {None, "known"}
+    assert 150 < by_grp[None] < 350 and 150 < by_grp["known"] < 350

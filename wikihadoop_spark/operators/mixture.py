@@ -95,15 +95,27 @@ def mixture_sample(
     thr = mixture_thresholds(
         totals, weights, token_budget, default_weight=default_weight
     )
+    # a NULL group is a real group (ungrouped/unknown-source docs):
+    # sort with a None-tolerant key and join null-safe so its rows get
+    # their threshold instead of vanishing through an inner equi-join
     thr_df = df.sparkSession.createDataFrame(
-        [(g, t) for g, t in sorted(thr.items())],
-        f"{group_col} string, keep_threshold bigint",
+        [
+            (g, t)
+            for g, t in sorted(
+                thr.items(), key=lambda kv: (kv[0] is None, kv[0] or "")
+            )
+        ],
+        "__mix_grp string, keep_threshold bigint",
     )
     bucket = (
         hash64(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))) % SCALE
     )
     return (
-        df.join(F.broadcast(thr_df), group_col)
+        df.join(
+            F.broadcast(thr_df),
+            df[group_col].eqNullSafe(thr_df["__mix_grp"]),
+        )
+        .drop("__mix_grp")
         .withColumn("bucket", bucket)
         .filter(F.col("bucket") < F.col("keep_threshold"))
     )

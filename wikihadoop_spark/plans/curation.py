@@ -59,9 +59,14 @@ def content_fingerprint(text: Column) -> Column:
 class CurationResult:
     """The curated corpus plus per-stage observability.
 
-    ``counts()`` is valid after any action on ``curated`` (or after
-    construction when shards were written): each value is the row
-    count LEAVING that stage."""
+    With the default ``eager=True`` build, ``counts()`` is valid
+    immediately: each value is the row count LEAVING that stage, plus
+    ``near_dedup_dropped_members`` — the LSH hot-bucket truncation
+    counter (nonzero means a >bucket_cap duplicate cluster was
+    under-connected; raise ``bucket_cap`` if full connectivity
+    matters).  With ``eager=False`` the counts pin to the FIRST action
+    a caller runs on ``curated``, which must be a full pass (not
+    ``show``/``first``) for the counts to be total."""
 
     curated: DataFrame
     packed: DataFrame | None
@@ -69,7 +74,12 @@ class CurationResult:
     _cached: DataFrame | None = None
 
     def counts(self) -> dict[str, int]:
-        return {name: int(o.get["rows"]) for name, o in self.observations.items()}
+        # each observation carries one metric (stage row count, or the
+        # LSH truncation counter) — read it by position, not name
+        return {
+            name: int(next(iter(o.get.values())))
+            for name, o in self.observations.items()
+        }
 
     def unpersist(self) -> None:
         """Release the cached exact-deduped corpus ``curated`` builds
@@ -102,16 +112,34 @@ def curate_corpus(
     default_weight: int = 1,
     shard_budget: int | None = None,
     out_dir: str | None = None,
+    eager: bool = True,
 ) -> CurationResult:
     """Run the full curation chain over ``docs``.
 
     ``benchmark`` (optional): rows with ``text_col`` to decontaminate
     against — its fingerprints are broadcast, so it must be eval-set
-    sized, not corpus sized.  ``mixture_weights``/``token_budget``
-    (optional): passed to :func:`mixture_sample`.  ``shard_budget``
-    (optional): token budget per output shard; with ``out_dir`` the
-    shards are also written (one ordered parquet file per shard).
+    sized, not corpus sized.  ``token_budget`` (optional): enables the
+    mixture stage; ``mixture_weights`` defaults to uniform
+    (``default_weight`` for every group) when omitted, and weights
+    without a budget raise (a half-specified mixture must not silently
+    no-op).  ``shard_budget`` (optional): token budget per output
+    shard; with ``out_dir`` the shards are also written (one ordered
+    parquet file per shard).
+
+    ``eager`` (default True): materialize the result inside this call
+    (one ``localCheckpoint`` pass).  This guarantees every stage
+    counter fires exactly once on the FULL data — with ``eager=False``
+    the counts pin to the caller's first action, so a limiting action
+    (``show(5)``, ``first()``) records partial counts, and the caller
+    must also release the internal cache via :meth:`CurationResult.unpersist`.
     """
+    if mixture_weights is not None and token_budget is None:
+        raise ValueError(
+            "mixture_weights given without token_budget: the mixture "
+            "stage needs both (pass token_budget to enable it)"
+        )
+    if token_budget is not None and mixture_weights is None:
+        mixture_weights = {}  # uniform: every group gets default_weight
     obs: dict[str, Observation] = {}
     cur = _observed(docs, "input", obs)
 
@@ -130,7 +158,7 @@ def curate_corpus(
         .select(id_col)
     )
     cur = _observed(
-        fp.join(keeper_ids, id_col, "left_semi").drop("__fp"), "exact_dedup", obs
+        fp.join(keeper_ids, id_col, "left_semi"), "exact_dedup", obs
     )
     # the exact-deduped corpus feeds FOUR downstream consumers (the
     # signatures, the CC vertex set, the mixture totals, and the final
@@ -144,26 +172,34 @@ def curate_corpus(
     sig = minhash_signatures_rowwise(
         cur, id_col=id_col, text_col=text_col, n_hashes=n_hashes
     )
+    lsh_obs = Observation("lsh")
+    obs["near_dedup_dropped_members"] = lsh_obs
     pairs = lsh_candidate_pairs(
-        sig, id_col=id_col, n_hashes=n_hashes, bands=bands, bucket_cap=bucket_cap
+        sig,
+        id_col=id_col,
+        n_hashes=n_hashes,
+        bands=bands,
+        bucket_cap=bucket_cap,
+        observation=lsh_obs,
     ).filter(F.col("est_jaccard") >= near_dup_threshold)
     cc = connected_components(cur.select(id_col), pairs, id_col=id_col)
     near_keepers = cc.filter(F.col(id_col) == F.col("component")).select(id_col)
     cur = _observed(cur.join(near_keepers, id_col, "left_semi"), "near_dedup", obs)
 
-    # 4. benchmark decontamination: broadcast anti-join on fingerprints
+    # 4. benchmark decontamination: broadcast anti-join on the __fp
+    # column stage 2 already computed (cached — no second
+    # normalize+hash pass over the full text)
     if benchmark is not None:
         bench_fp = (
             benchmark.select(content_fingerprint(F.col(text_col)).alias("__fp"))
             .distinct()
         )
         cur = _observed(
-            cur.withColumn("__fp", content_fingerprint(F.col(text_col)))
-            .join(F.broadcast(bench_fp), "__fp", "left_anti")
-            .drop("__fp"),
+            cur.join(F.broadcast(bench_fp), "__fp", "left_anti"),
             "decontaminate",
             obs,
         )
+    cur = cur.drop("__fp")
 
     # token counts ride along for mixture + packing
     cur = cur.withColumn(
@@ -186,16 +222,21 @@ def curate_corpus(
             obs,
         )
 
-    # 6. pack into fixed-budget shards (and optionally write them)
+    # 6. materialize, then pack into fixed-budget shards
+    #
+    # The eager localCheckpoint serves three jobs at once: (a) every
+    # stage counter fires exactly once on the FULL data (a caller's
+    # limiting first action would otherwise pin partial counts, and
+    # the range partition below SAMPLES its boundaries in a separate
+    # pass, which would double-count); (b) the join/CC lineage is
+    # truncated before further consumers; (c) the build-time cache can
+    # be released immediately instead of leaking to the caller.
     packed = None
-    if shard_budget is not None:
-        # pin the curated set before the range partition: range
-        # partitioning SAMPLES its boundaries in a separate pass, so an
-        # unpinned input is scanned twice (doubling every upstream
-        # CollectMetrics counter and re-running the dedup joins); the
-        # checkpoint is one linear pass that fires each stage counter
-        # exactly once and truncates the join/CC lineage
+    if eager or shard_budget is not None:
         cur = cur.localCheckpoint(eager=True)
+        cached.unpersist()
+        cached = None
+    if shard_budget is not None:
         if out_dir is not None:
             packed = write_packed_shards(
                 cur,

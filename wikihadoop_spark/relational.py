@@ -1914,7 +1914,9 @@ def text_stopword_strip(spark: SparkSession, sf: str) -> DataFrame:
     ), sh AS (
       SELECT doc_id, source, n_chars, {_SQL_SHINGLES} AS shingles FROM toks
     ), bench AS (
-      SELECT list(DISTINCT s) AS bsh
+      -- COALESCE: an empty eval sample must keep ALL rows (Spark's
+      -- empty collect_set array), not NULL-propagate to keeping none
+      SELECT COALESCE(list(DISTINCT s), []) AS bsh
       FROM (SELECT unnest(shingles) AS s FROM sh WHERE doc_id % 97 = 0)
     )
     SELECT source, CAST(COUNT(*) AS BIGINT) AS kept_docs,
@@ -2936,7 +2938,8 @@ def media_frame_fanout_q(spark: SparkSession, sf: str) -> DataFrame:
 # r05-green unchanged queries (q1_pricing_summary, events_tumbling,
 # events_retention), and sample_mixture displaces similarity_topk
 # (docstring-only change this round; the lsh/ivf scale paths stay
-# gated).  Catalog: 78 queries.
+# gated); decontaminate_ngram gates in place of window_rank_topk
+# (untouched since its r05 green row).  Catalog: 79 queries.
 #
 # Round-7 rotation plan: the 28 pinned demotions all carry r05-green
 # evidence (1 round old at r06).  Next round, rotate back the OLDEST
@@ -2979,6 +2982,7 @@ ROTATION_SET: frozenset[str] = frozenset(
         "events_sliding",
         "events_pivot",
         "decontaminate_exact",
+        "decontaminate_ngram",
         "text_quality_model",
         "text_stopword_strip",
         "sample_mixture",
@@ -3006,7 +3010,6 @@ _GATE_ORDER: tuple[str, ...] = (
     "join_cross",
     # window family: running/moving rotate back in
     "window_lag_pairs",
-    "window_rank_topk",
     "window_running",
     "window_moving",
     # dedup / set: intersect/except rotate back in
@@ -3040,6 +3043,7 @@ _GATE_ORDER: tuple[str, ...] = (
     "text_tfidf_topk",
     "pack_token_budget",
     "decontaminate_exact",
+    "decontaminate_ngram",
     "text_quality_model",
     "text_stopword_strip",
     "sample_mixture",
