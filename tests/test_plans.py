@@ -259,3 +259,13 @@ def test_mixture_sample_broadcasts_thresholds(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "BroadcastExchange" in line, line
+
+
+def test_ngram_decontaminate_broadcasts_shingle_set(spark):
+    """The eval-set shingle array must reach the corpus as a broadcast
+    (row-local arrays_overlap check) — never a cartesian or shuffled
+    join against the corpus."""
+    plan = plan_of(spark, "decontaminate_ngram")
+    assert "BroadcastNestedLoopJoin" in plan and "arrays_overlap" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
