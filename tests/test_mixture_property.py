@@ -47,3 +47,23 @@ def test_threshold_monotone_in_weight(totals, budget):
     assert hi[g0] >= lo[g0]
     # and never raises anyone else's
     assert all(hi[g] <= lo[g] for g in gs[1:])
+
+
+@settings(max_examples=300, deadline=None)
+@given(totals=groups, budget=st.integers(min_value=0, max_value=10**16), w=weights_vals)
+def test_waterfill_dominates_single_pass_and_respects_budget(totals, budget, w):
+    from wikihadoop_spark.operators.mixture import mixture_thresholds_waterfill
+
+    wt = {g: w for g in totals}
+    sp = mixture_thresholds(totals, wt, budget)
+    wf = mixture_thresholds_waterfill(totals, wt, budget)
+    # water-filling only ever keeps MORE, never less
+    assert all(wf[g] >= sp[g] for g in totals)
+    assert all(0 <= t <= SCALE for t in wf.values())
+    # expected kept tokens stay within the budget (floor slack only),
+    # except the degenerate all-capped case bounded by total supply
+    expected = sum(a * wf[g] // SCALE for g, a in totals.items())
+    assert expected <= max(budget, 0) or all(t == SCALE for t in wf.values() if t)
+    # a budget covering the whole supply keeps everything
+    full = mixture_thresholds_waterfill(totals, wt, sum(totals.values()))
+    assert all(full[g] == SCALE for g, a in totals.items() if a > 0)

@@ -562,3 +562,23 @@ def test_mixture_sample_null_group(spark):
         by_grp[r.grp] += 1
     assert set(by_grp) == {None, "known"}
     assert 150 < by_grp[None] < 350 and 150 < by_grp["known"] < 350
+
+
+def test_mixture_sample_waterfill_keeps_more(spark):
+    """waterfill=True redistributes a capped group's shortfall: the
+    uncapped group's kept fraction rises from its single-pass rate
+    toward the refilled target."""
+    from wikihadoop_spark.operators.mixture import mixture_sample
+
+    rows = [(i, "tiny" if i < 20 else "big", 100) for i in range(2020)]
+    df = spark.createDataFrame(rows, "doc_id bigint, grp string, n_tok bigint")
+    kw = dict(
+        group_col="grp", tokens_col="n_tok", id_col="doc_id",
+        weights={"tiny": 10, "big": 1}, token_budget=100_000,
+    )
+    sp = mixture_sample(df, **kw).count()
+    wf = mixture_sample(df, waterfill=True, **kw).count()
+    # tiny (2k tokens) caps either way; big's single-pass target is
+    # 100k/11 ~ 9k of 200k tokens vs waterfilled 98k of 200k
+    assert wf > sp
+    assert 2020 * 0.40 < wf < 2020 * 0.60  # ~ (20 + 0.49*2000)

@@ -17,7 +17,12 @@ from .dedup import (
     minhash_signatures_rowwise,
     simhash_band_pairs,
 )
-from .mixture import mixture_report, mixture_sample, mixture_thresholds
+from .mixture import (
+    mixture_report,
+    mixture_sample,
+    mixture_thresholds,
+    mixture_thresholds_waterfill,
+)
 from .packing import pack_token_budget, write_packed_shards
 from .components import (
     component_summary,
@@ -42,6 +47,7 @@ __all__ = [
     "mixture_report",
     "mixture_sample",
     "mixture_thresholds",
+    "mixture_thresholds_waterfill",
     "pack_token_budget",
     "write_packed_shards",
 ]

@@ -77,8 +77,11 @@ def mixture_sample(
     token_budget: int,
     salt: str = "mix",
     default_weight: int | None = None,
+    waterfill: bool = False,
 ) -> DataFrame:
     """Deterministically sample ``df`` toward the target mixture.
+    ``waterfill=True`` redistributes capped groups' unused budget (see
+    :func:`mixture_thresholds_waterfill`).
 
     Returns the kept rows with ``bucket`` (the hash draw) and
     ``keep_threshold`` (the group's quantized rate) appended, so
@@ -92,9 +95,8 @@ def mixture_sample(
         .agg(F.sum(tokens_col).alias("a"))
         .collect()
     }
-    thr = mixture_thresholds(
-        totals, weights, token_budget, default_weight=default_weight
-    )
+    fn = mixture_thresholds_waterfill if waterfill else mixture_thresholds
+    thr = fn(totals, weights, token_budget, default_weight=default_weight)
     # a NULL group is a real group (ungrouped/unknown-source docs):
     # sort with a None-tolerant key and join null-safe so its rows get
     # their threshold instead of vanishing through an inner equi-join
@@ -158,3 +160,57 @@ def mixture_report(
             "capped": thr[g] == SCALE,
         }
     return {"groups": groups, "residual": token_budget - expected_total}
+
+
+def mixture_thresholds_waterfill(
+    totals: dict[str, int],
+    weights: dict[str, int],
+    token_budget: int,
+    *,
+    default_weight: int | None = None,
+) -> dict[str, int]:
+    """Water-filling thresholds: groups whose supply falls short of
+    their proportional target are kept whole and their unused budget is
+    REDISTRIBUTED over the remaining groups by weight, iterating until
+    no new group caps (at most G rounds of exact integer arithmetic —
+    driver-side, no Spark job).
+
+    Compared to :func:`mixture_thresholds` (single-pass proportional
+    capping), the realized token total lands within floor-rounding
+    slack of ``min(budget, total supply)`` instead of leaving the
+    capped groups' shortfall unfilled.  Every group's threshold is >=
+    its single-pass value, so water-filling only ever keeps MORE."""
+    if token_budget < 0:
+        raise ValueError(f"token_budget must be >= 0 (got {token_budget})")
+    missing = set(totals) - set(weights)
+    if missing and default_weight is None:
+        raise ValueError(f"groups without a mixture weight: {sorted(missing)}")
+    if missing:
+        weights = {**weights, **{g: default_weight for g in missing}}
+    if totals and sum(weights[g] for g in totals) <= 0:
+        raise ValueError("mixture weights must sum to a positive value")
+
+    active = {g for g, a in totals.items() if a > 0}
+    remaining = token_budget
+    capped: set[str] = {g for g in totals if totals[g] <= 0}
+    while active:
+        sum_w = sum(weights[g] for g in active)
+        if sum_w <= 0:
+            break
+        # cap condition: proportional target of the ACTIVE pool covers
+        # the group's whole supply (exact cross-multiplied integers)
+        newly = {g for g in active if totals[g] * sum_w <= remaining * weights[g]}
+        if not newly:
+            break
+        for g in newly:
+            remaining -= totals[g]
+        capped |= newly
+        active -= newly
+
+    out = {g: (SCALE if totals[g] > 0 else 0) for g in capped}
+    sum_w = sum(weights[g] for g in active)
+    for g in active:
+        out[g] = min(
+            SCALE, (remaining * weights[g] * SCALE) // (sum_w * totals[g])
+        )
+    return out
