@@ -129,3 +129,14 @@ def test_all_queries_have_docstrings_or_oracle():
     for name, fn in QUERIES.items():
         if name not in ORACLE:
             assert fn.__doc__, f"{name}: no oracle and no docstring explaining why"
+
+
+def test_every_demoted_query_is_pinned():
+    """The pin map and the demoted set must coincide exactly: a demoted
+    query without a pin carries no evidence protection at all, and a
+    pin for a gated query is stale bookkeeping."""
+    demoted = set(QUERIES) - set(list(QUERIES)[:GATE_WINDOW])
+    assert demoted == set(_DEMOTED_SOURCE_PINS), (
+        f"unpinned demoted: {sorted(demoted - set(_DEMOTED_SOURCE_PINS))}; "
+        f"stale pins: {sorted(set(_DEMOTED_SOURCE_PINS) - demoted)}"
+    )
