@@ -130,6 +130,7 @@ _PIPELINE_EXTRAS = (
     "sample_mixture",
     "text_tfidf_topk",
     "decontaminate_exact",
+    "decontaminate_ngram",
     "text_quality_model",
 )
 
