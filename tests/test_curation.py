@@ -103,3 +103,27 @@ def test_curation_mixture_budget_only_is_uniform_and_weights_only_raises(spark):
     assert "mixture" in c and 0 < c["mixture"] < c["near_dedup"]
     with pytest.raises(ValueError, match="without token_budget"):
         curate_corpus(docs, mixture_weights={"src0": 2})
+
+
+def test_curation_best_quality_keeper(spark):
+    """With keeper='best_quality' the surviving near-dup member is the
+    highest-scoring one even when it has the larger id (min_id would
+    keep the other)."""
+    base = " ".join(POS)
+    rows = [
+        (1, base + " " + " ".join(NEG[:2]), "a"),   # near-dup, score dragged down
+        (2, base + " " + " ".join(POS[:2]), "a"),   # near-dup, highest score
+        (3, " ".join(reversed(POS)), "b"),          # unrelated keeper
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    kept_min = sorted(
+        r.doc_id for r in curate_corpus(docs).curated.select("doc_id").collect()
+    )
+    kept_best = sorted(
+        r.doc_id
+        for r in curate_corpus(docs, keeper="best_quality")
+        .curated.select("doc_id")
+        .collect()
+    )
+    assert kept_min == [1, 3]
+    assert kept_best == [2, 3]

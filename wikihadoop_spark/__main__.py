@@ -93,6 +93,8 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--threshold", type=float, default=0.5,
                    help="minimum estimated Jaccard treated as a near-duplicate")
     c.add_argument("--bucket-cap", type=int, default=1000)
+    c.add_argument("--keeper", choices=["min_id", "best_quality"], default="min_id",
+                   help="which member survives a near-dup cluster")
     c.add_argument("--benchmark", default=None,
                    help="parquet with a text column; matching docs are removed")
     c.add_argument("--weights", default=None,
@@ -127,6 +129,7 @@ def main(argv: list[str] | None = None) -> int:
                 quality_threshold=args.quality_threshold,
                 near_dup_threshold=args.threshold,
                 bucket_cap=args.bucket_cap,
+                keeper=args.keeper,
                 benchmark=bench,
                 mixture_weights=weights,
                 token_budget=args.token_budget,

@@ -113,6 +113,7 @@ def curate_corpus(
     shard_budget: int | None = None,
     out_dir: str | None = None,
     eager: bool = True,
+    keeper: str = "min_id",
 ) -> CurationResult:
     """Run the full curation chain over ``docs``.
 
@@ -125,6 +126,13 @@ def curate_corpus(
     no-op).  ``shard_budget`` (optional): token budget per output
     shard; with ``out_dir`` the shards are also written (one ordered
     parquet file per shard).
+
+    ``keeper``: which member survives a near-duplicate cluster —
+    ``"min_id"`` (default, cheapest: the component label IS the
+    keeper) or ``"best_quality"`` (the member with the highest hashed
+    quality score, id as the deterministic tiebreak; one extra
+    aggregate over cluster members — sized by duplicate clusters, not
+    the corpus).
 
     ``eager`` (default True): materialize the result inside this call
     (one ``localCheckpoint`` pass).  This guarantees every stage
@@ -140,12 +148,17 @@ def curate_corpus(
         )
     if token_budget is not None and mixture_weights is None:
         mixture_weights = {}  # uniform: every group gets default_weight
+    if keeper not in ("min_id", "best_quality"):
+        raise ValueError(f"unknown keeper policy: {keeper!r}")
     obs: dict[str, Observation] = {}
     cur = _observed(docs, "input", obs)
 
-    # 1. model-based quality filter: row-local, no shuffle
+    # 1. model-based quality filter: row-local, no shuffle (the score
+    # rides along as __q for the best_quality keeper policy)
     cur = _observed(
-        cur.filter(quality_score(F.col(text_col)) > quality_threshold),
+        cur.withColumn("__q", quality_score(F.col(text_col))).filter(
+            F.col("__q") > quality_threshold
+        ),
         "quality",
         obs,
     )
@@ -183,7 +196,25 @@ def curate_corpus(
         observation=lsh_obs,
     ).filter(F.col("est_jaccard") >= near_dup_threshold)
     cc = connected_components(cur.select(id_col), pairs, id_col=id_col)
-    near_keepers = cc.filter(F.col(id_col) == F.col("component")).select(id_col)
+    if keeper == "best_quality":
+        # highest score per cluster, min id on ties: min_by over the
+        # (-score, id) struct; the aggregate is keyed by component, so
+        # its cost scales with duplicate clusters, not corpus rows
+        near_keepers = (
+            cc.join(cur.select(id_col, "__q"), id_col)
+            .groupBy("component")
+            .agg(
+                F.min_by(
+                    id_col,
+                    F.struct(
+                        (-F.col("__q")).alias("nq"), F.col(id_col).alias("i")
+                    ),
+                ).alias(id_col)
+            )
+            .select(id_col)
+        )
+    else:
+        near_keepers = cc.filter(F.col(id_col) == F.col("component")).select(id_col)
     cur = _observed(cur.join(near_keepers, id_col, "left_semi"), "near_dedup", obs)
 
     # 4. benchmark decontamination: broadcast anti-join on the __fp
@@ -199,7 +230,7 @@ def curate_corpus(
             "decontaminate",
             obs,
         )
-    cur = cur.drop("__fp")
+    cur = cur.drop("__fp", "__q")
 
     # token counts ride along for mixture + packing
     cur = cur.withColumn(
