@@ -101,6 +101,8 @@ def main(argv: list[str] | None = None) -> int:
                    help="mixture weights, e.g. src0=10,src1=3 (others --default-weight)")
     c.add_argument("--default-weight", type=int, default=1)
     c.add_argument("--token-budget", type=int, default=None)
+    c.add_argument("--waterfill", action="store_true",
+                   help="redistribute capped groups' unused mixture budget")
     c.add_argument("--shard-budget", type=int, default=None,
                    help="tokens per output shard (one parquet file per shard)")
     c.add_argument("--cores", type=int, default=None)
@@ -134,6 +136,7 @@ def main(argv: list[str] | None = None) -> int:
                 mixture_weights=weights,
                 token_budget=args.token_budget,
                 default_weight=args.default_weight,
+                waterfill=args.waterfill,
                 shard_budget=args.shard_budget,
                 out_dir=args.output if args.shard_budget else None,
             )

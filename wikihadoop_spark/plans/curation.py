@@ -110,6 +110,7 @@ def curate_corpus(
     mixture_weights: dict[str, int] | None = None,
     token_budget: int | None = None,
     default_weight: int = 1,
+    waterfill: bool = False,
     shard_budget: int | None = None,
     out_dir: str | None = None,
     eager: bool = True,
@@ -123,7 +124,7 @@ def curate_corpus(
     mixture stage; ``mixture_weights`` defaults to uniform
     (``default_weight`` for every group) when omitted, and weights
     without a budget raise (a half-specified mixture must not silently
-    no-op).  ``shard_budget`` (optional): token budget per output
+    no-op); ``waterfill`` redistributes capped groups' unused budget.  ``shard_budget`` (optional): token budget per output
     shard; with ``out_dir`` the shards are also written (one ordered
     parquet file per shard).
 
@@ -248,6 +249,7 @@ def curate_corpus(
                 weights=mixture_weights,
                 token_budget=token_budget,
                 default_weight=default_weight,
+                waterfill=waterfill,
             ).drop("bucket", "keep_threshold"),
             "mixture",
             obs,
