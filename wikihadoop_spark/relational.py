@@ -1945,7 +1945,9 @@ def decontaminate_ngram(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.dedup import shingles
 
     t = Tables(spark, sf)
-    sh = t.documents.select(
+    # _spread: shingle construction is the dominant cost and the
+    # documents scan is one file — fan out before tokenizing
+    sh = _spread(t.documents).select(
         "doc_id", "source", "n_chars", shingles(F.col("text")).alias("sh")
     )
     bench = (
