@@ -75,3 +75,23 @@ def test_curate_subcommand_end_to_end(tmp_path):
     # the written shards reassemble a non-empty curated corpus
     n = duckdb.sql(f"SELECT COUNT(*) FROM read_parquet('{out}/*/*.parquet')").fetchone()[0]
     assert n > 0
+
+
+def test_curate_subcommand_keeper_and_waterfill_flags(tmp_path):
+    out = str(tmp_path / "curated")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "wikihadoop_spark", "curate",
+            "--input", f"{SF}/documents.parquet",
+            "--output", out,
+            "--keeper", "best_quality",
+            "--waterfill",
+            "--token-budget", "20000",
+        ],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "mixture:" in r.stdout
+    n = duckdb.sql(f"SELECT COUNT(*) FROM read_parquet('{out}/*.parquet')").fetchone()[0]
+    assert n > 0
