@@ -269,3 +269,15 @@ def test_ngram_decontaminate_broadcasts_shingle_set(spark):
     assert "BroadcastNestedLoopJoin" in plan and "arrays_overlap" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ngram_overlap_has_no_shingle_window(spark):
+    """Per-shingle document frequency must be a partial+final
+    HashAggregate, never a window over the shingle key: a window
+    partition cannot be split by AQE, so a power-law stop-shingle
+    would put its entire row group in one task at 100 TB.  The plan
+    must contain NO Window node at all, and the shingle-keyed count
+    must show map-side partial aggregation."""
+    plan = plan_of(spark, "ngram_overlap")
+    assert "Window" not in plan
+    assert "partial_count" in plan

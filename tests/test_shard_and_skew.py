@@ -202,3 +202,36 @@ def test_mega_cluster_dedup_drill(spark):
     assert comps == {0}, comps  # single family component rooted at doc 0
     assert sum(1 for r in fam if r.is_keeper) == 1
     assert len(fam) == 120
+
+
+def test_mega_frequent_shingle_overlap_drill(spark):
+    """100 TB stop-shingle drill for ngram_overlap: one boilerplate
+    shingle shared by ~95% of the corpus (the power-law head that made
+    the old window formulation put a whole key in one task).  The
+    de-skewed two-aggregate plan must stay exact: shared shingles are
+    counted via per-shingle (count, min-owner) partial aggregation,
+    so the hot key pre-reduces map-side instead of concentrating."""
+    from pyspark.sql import functions as F
+
+    from wikihadoop_spark.relational import ngram_overlap_frame
+
+    n_boiler, n_clean = 285, 15
+    rows = [
+        (i, f"common boiler plate u{i}a u{i}b u{i}c") for i in range(n_boiler)
+    ] + [
+        (1000 + j, f"x{j}a x{j}b x{j}c x{j}d") for j in range(n_clean)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(16)
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_shared"], r["overlap_frac"])
+        for r in ngram_overlap_frame(docs).collect()
+    }
+    assert len(got) == n_boiler + n_clean
+    # boilerplate docs: 4 distinct shingles ("common boiler plate",
+    # "boiler plate u{i}a", "plate u{i}a u{i}b", "u{i}a u{i}b u{i}c"),
+    # exactly the first shared with every other boilerplate doc
+    for i in range(n_boiler):
+        assert got[i] == (4, 1, 0.25), (i, got[i])
+    # clean docs share nothing
+    for j in range(n_clean):
+        assert got[1000 + j] == (2, 0, 0.0), (j, got[1000 + j])

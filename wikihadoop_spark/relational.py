@@ -1495,37 +1495,63 @@ def ngram_overlap(spark: SparkSession, sf: str) -> DataFrame:
     of its distinct 3-token shingles that also occur in ≥1 other
     document (benchmark-contamination / boilerplate detection).
 
-    Plan: distinct-shingle explode → per-shingle document count as an
-    unordered COUNT window over the shingle key (ONE shuffle and ONE
-    tokenizer pass — an aggregate + join-back formulation re-runs the
-    explode/tokenize subtree on both join sides and was 8× slower at
-    sf0.1) → per-doc aggregate.  Shingle frequencies follow a power law
-    at 100 TB: a mega-frequent shingle is one hot window partition —
-    salting or a two-level count applies if a single shingle's row
-    group exceeds a task, and the per-doc aggregate re-keys to uniform
-    doc_id immediately after."""
+    Plan: distinct-shingle explode, materialized ONCE behind a
+    localCheckpoint (one tokenizer pass), then TWO combiner-friendly
+    hash aggregates over it — per-doc shingle totals (uniform doc_id
+    key) and per-shingle (count, min doc_id); a count-1 shingle's min
+    doc_id IS its sole owner, so ``n_shared = n_shingles − n_unique``
+    falls out of a second uniform doc_id aggregate, and the two
+    doc-keyed frames meet in a tiny equi-join.  Shingle frequencies
+    follow a power law at 100 TB, but every shingle-keyed step here is
+    a partial+final HashAggregate — a mega-frequent shingle reduces to
+    one pre-aggregated row per map task before the shuffle.  (The
+    previous formulation used an unordered COUNT window over the
+    shingle key: a window partition can't be split by AQE, so one
+    stop-shingle in a few percent of documents put billions of rows in
+    one task.  ``tests/test_plans.py`` pins window-freedom;
+    ``tests/test_shard_and_skew.py`` drills a mega-frequent shingle.)"""
     t = Tables(spark, sf)
+    return ngram_overlap_frame(_spread(t.documents))
+
+
+def ngram_overlap_frame(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Reusable core of :func:`ngram_overlap` (the skew drill in
+    ``tests/test_shard_and_skew.py`` runs it over a synthetic corpus
+    with one mega-frequent shingle)."""
     from .operators.dedup import shingles
 
-    ex = _spread(t.documents).select(
-        "doc_id",
-        F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("s"),
-    )
-    counted = ex.withColumn("nd", F.count(F.lit(1)).over(Window.partitionBy("s")))
-    shared = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
-    return (
-        counted.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            shared.alias("n_shared"),
+    ex = (
+        docs.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(shingles(F.col(text_col), 3))
+            ).alias("s"),
         )
+        # both aggregates below consume the explode; checkpointing the
+        # exploded frame tokenizes the corpus once instead of twice
+        # (executor-local disk, linear in shingle count)
+        .localCheckpoint(eager=True)
+    )
+    per_doc = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    uniq = (
+        ex.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("nd"), F.min(id_col).alias(id_col))
+        .filter(F.col("nd") == 1)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+    n_shared = F.col("n_shingles") - F.coalesce(F.col("n_unique"), F.lit(0))
+    return (
+        per_doc.join(uniq, id_col, "left")
         .select(
-            "doc_id",
+            id_col,
             "n_shingles",
-            "n_shared",
-            (F.col("n_shared").cast("double") / F.col("n_shingles").cast("double")).alias(
-                "overlap_frac"
-            ),
+            n_shared.cast("bigint").alias("n_shared"),
+            (
+                n_shared.cast("double") / F.col("n_shingles").cast("double")
+            ).alias("overlap_frac"),
         )
     )
 
