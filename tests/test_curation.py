@@ -127,3 +127,28 @@ def test_curation_best_quality_keeper(spark):
     )
     assert kept_min == [1, 3]
     assert kept_best == [2, 3]
+
+
+def test_curation_waterfill_without_budget_raises(spark):
+    """--waterfill / waterfill=True without a token budget must raise
+    (the mixture stage is skipped without one, so the flag would
+    silently no-op), mirroring weights-without-budget."""
+    import pytest
+
+    with pytest.raises(ValueError, match="waterfill given without token_budget"):
+        curate_corpus(_corpus(spark), waterfill=True)
+
+
+def test_curation_rejects_colliding_input_columns(spark):
+    """A corpus already carrying a working/output column (n_tokens is
+    common) must be refused up front, not silently overwritten."""
+    import pytest
+
+    docs = _corpus(spark).withColumn("n_tokens", F.lit(7))
+    with pytest.raises(ValueError, match="collide.*n_tokens"):
+        curate_corpus(docs)
+    # cum_tokens only collides when packing is requested
+    docs2 = _corpus(spark).withColumn("cum_tokens", F.lit(1))
+    curate_corpus(docs2)  # fine: no shard_budget
+    with pytest.raises(ValueError, match="collide.*cum_tokens"):
+        curate_corpus(docs2, shard_budget=100)

@@ -582,3 +582,95 @@ def test_mixture_sample_waterfill_keeps_more(spark):
     # 100k/11 ~ 9k of 200k tokens vs waterfilled 98k of 200k
     assert wf > sp
     assert 2020 * 0.40 < wf < 2020 * 0.60  # ~ (20 + 0.49*2000)
+
+
+def test_pack_token_budget_tiebreak_makes_dup_keys_invariant(spark):
+    """Non-unique order keys: with a tiebreak column completing the
+    total order, cum_tokens/shard must be identical across partition
+    counts (the range shuffle may split tied keys otherwise), and the
+    ROWS frame must give tied rows strictly increasing prefix sums —
+    not the tie-group total the default RANGE frame would assign."""
+    from wikihadoop_spark.operators.packing import pack_token_budget
+
+    # 300 rows over just 7 distinct order keys
+    rows = [(i % 7, i, 100 + (i % 13)) for i in range(300)]
+    df = spark.createDataFrame(rows, ["day", "doc_id", "n_tokens"])
+
+    expect = None
+    for n_parts in (1, 4, 16):
+        got = {
+            r.doc_id: (r.cum_tokens, r.shard)
+            for r in pack_token_budget(
+                df,
+                order_col="day",
+                tokens_col="n_tokens",
+                budget=1000,
+                num_partitions=n_parts,
+                tiebreak_col="doc_id",
+            ).collect()
+        }
+        if expect is None:
+            expect = got
+        assert got == expect, n_parts
+    # ROWS frame: all 300 prefix sums are distinct (strictly increasing
+    # along the (day, doc_id) order), never the per-tie-group total
+    assert len({cum for cum, _ in expect.values()}) == 300
+
+
+def test_mixture_sample_integer_group_column(spark):
+    """A non-string group column (int source id) must work end-to-end:
+    the threshold frame inherits the column's dtype instead of forcing
+    a string schema into the null-safe join."""
+    from wikihadoop_spark.operators.mixture import mixture_sample
+
+    rows = [(i, i % 3, 100) for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "src", "n_tokens"])
+    out = mixture_sample(
+        df,
+        group_col="src",
+        tokens_col="n_tokens",
+        id_col="doc_id",
+        weights={0: 1, 1: 1, 2: 1},
+        token_budget=9_000,
+    )
+    got = {r.src: r.cnt for r in out.groupBy("src").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    assert set(got) <= {0, 1, 2} and sum(got.values()) > 0
+    # ~30 of each group's 100 docs at a 9000/30000 budget ratio
+    for g, n in got.items():
+        assert 10 <= n <= 60, (g, n)
+
+
+def test_signature_index_caps_hot_band_key(spark):
+    """A mega near-dup family shares every band key: the index must
+    keep only the lowest bucket_cap members per (band, key) and count
+    the dropped rows, so a probe fans out to at most bucket_cap rows
+    per band instead of the whole family."""
+    from pyspark.sql import Observation
+
+    from wikihadoop_spark.operators.dedup import minhash_signatures_rowwise
+    from wikihadoop_spark.streaming.dedup_stream import (
+        signature_index,
+        stream_candidate_pairs,
+    )
+
+    template = " ".join(f"tok{i % 31} w{i % 7}" for i in range(50))
+    corpus = spark.createDataFrame(
+        [(i, template) for i in range(200)], ["doc_id", "text"]
+    )
+    sig = minhash_signatures_rowwise(corpus, id_col="doc_id", text_col="text")
+    obs = Observation()
+    index = signature_index(
+        sig, id_col="doc_id", bucket_cap=25, observation=obs
+    ).localCheckpoint(eager=True)
+    # 4 bands x 25 kept per band key (identical signatures -> one key per band)
+    assert index.count() == 100
+    assert obs.get["index_dropped_members"] == 4 * 175
+    per_key = index.groupBy("band", "key0", "key1", "key2", "key3").count()
+    assert all(r["count"] <= 25 for r in per_key.collect())
+
+    # a probing near-dup still matches, against at most cap ids per band
+    probe = spark.createDataFrame([(9999, template)], ["doc_id", "text"])
+    pairs = stream_candidate_pairs(probe, index).collect()
+    matched = {r.corpus_id for r in pairs}
+    assert matched == set(range(25))  # the deterministic lowest-cap survivors

@@ -99,15 +99,26 @@ def mixture_sample(
     thr = fn(totals, weights, token_budget, default_weight=default_weight)
     # a NULL group is a real group (ungrouped/unknown-source docs):
     # sort with a None-tolerant key and join null-safe so its rows get
-    # their threshold instead of vanishing through an inner equi-join
+    # their threshold instead of vanishing through an inner equi-join.
+    # The frame's group column inherits df's actual dtype — a hardcoded
+    # string schema would raise (or force an implicit cast inside the
+    # eqNullSafe join) for int/long group ids.
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    thr_schema = StructType(
+        [
+            StructField("__mix_grp", df.schema[group_col].dataType, True),
+            StructField("keep_threshold", LongType(), False),
+        ]
+    )
     thr_df = df.sparkSession.createDataFrame(
         [
             (g, t)
             for g, t in sorted(
-                thr.items(), key=lambda kv: (kv[0] is None, kv[0] or "")
+                thr.items(), key=lambda kv: (kv[0] is None, str(kv[0] or ""))
             )
         ],
-        "__mix_grp string, keep_threshold bigint",
+        thr_schema,
     )
     bucket = (
         hash64(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))) % SCALE

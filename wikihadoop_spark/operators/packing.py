@@ -36,15 +36,28 @@ def pack_token_budget(
     tokens_col: str,
     budget: int,
     num_partitions: int | None = None,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Add ``cum_tokens`` (inclusive prefix sum of ``tokens_col`` in
     ``order_col`` order) and ``shard`` (= (cum_tokens - n) div budget:
     the fixed-budget chunk this document starts in).  Documents larger
     than ``budget`` still land in exactly one shard (they start it and
     overflow it — splitting oversized docs is the tokenizer's job
-    downstream)."""
+    downstream).
+
+    Determinism contract: the document order must be a TOTAL order —
+    ``order_col`` unique, or ``(order_col, tiebreak_col)`` unique with
+    ``tiebreak_col`` given.  With duplicate order keys and no tiebreak
+    the prefix sum is partition-count-dependent (the range shuffle may
+    split tied keys across partitions and the in-partition tie order is
+    arbitrary), which silently breaks the bit-for-bit reproducibility
+    this operator promises.  The window uses an explicit ROWS frame:
+    Spark's default RANGE frame would make ties peers and assign them
+    all the tie-group's total — a different (also order-dependent)
+    result."""
     if budget <= 0:
         raise ValueError(f"budget must be positive (got {budget})")
+    order_cols = [order_col] + ([tiebreak_col] if tiebreak_col else [])
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     # localCheckpoint pins ONE physical partitioning: repartitionByRange
     # samples its boundaries per evaluation, and this plan is evaluated
@@ -52,8 +65,8 @@ def pack_token_budget(
     # the two evaluations can land rows in different partitions and the
     # offsets silently misalign (caught by the sf0.1 parity gate).
     arranged = (
-        df.repartitionByRange(n_parts, F.col(order_col))
-        .sortWithinPartitions(order_col)
+        df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
@@ -75,7 +88,11 @@ def pack_token_budget(
         [(int(pid), int(off)) for pid, off in offsets.items()],
         "__pid int, __off bigint",
     )
-    w = Window.partitionBy("__pid").orderBy(order_col)
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     local = arranged.join(F.broadcast(offset_df), "__pid")
     cum = (F.col("__off") + F.sum(tokens_col).over(w)).alias("cum_tokens")
     out = local.select(*df.columns, cum)
@@ -93,6 +110,7 @@ def write_packed_shards(
     budget: int,
     fmt: str = "parquet",
     num_partitions: int | None = None,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Pack ``df`` into fixed-token-budget shards and write ONE file per
     shard under ``out_dir/shard=<id>/`` — the serialization step that
@@ -121,10 +139,12 @@ def write_packed_shards(
         tokens_col=tokens_col,
         budget=budget,
         num_partitions=num_partitions,
+        tiebreak_col=tiebreak_col,
     )
+    order_cols = [order_col] + ([tiebreak_col] if tiebreak_col else [])
     (
         packed.repartition(F.col("shard"))
-        .sortWithinPartitions("shard", order_col)
+        .sortWithinPartitions("shard", *order_cols)
         .write.mode("overwrite")
         .partitionBy("shard")
         .format(fmt)

@@ -147,10 +147,30 @@ def curate_corpus(
             "mixture_weights given without token_budget: the mixture "
             "stage needs both (pass token_budget to enable it)"
         )
+    if waterfill and token_budget is None:
+        raise ValueError(
+            "waterfill given without token_budget: the mixture stage is "
+            "skipped entirely without a budget, so the flag would "
+            "silently no-op (pass token_budget to enable it)"
+        )
     if token_budget is not None and mixture_weights is None:
         mixture_weights = {}  # uniform: every group gets default_weight
     if keeper not in ("min_id", "best_quality"):
         raise ValueError(f"unknown keeper policy: {keeper!r}")
+    # working/output column names this chain introduces: a corpus that
+    # already carries one (n_tokens is common) would have it silently
+    # overwritten in the curated output — refuse up front instead
+    reserved = ["__q", "__fp", "n_tokens"]
+    if token_budget is not None:
+        reserved += ["bucket", "keep_threshold"]
+    if shard_budget is not None:
+        reserved += ["cum_tokens", "shard"]
+    clash = [c for c in docs.columns if c in reserved]
+    if clash:
+        raise ValueError(
+            f"input columns collide with curation working names: {clash} "
+            "— rename them (e.g. n_tokens is recomputed by the chain)"
+        )
     obs: dict[str, Observation] = {}
     cur = _observed(docs, "input", obs)
 

@@ -37,13 +37,33 @@ from ..operators.dedup import minhash_signatures_rowwise
 
 
 def signature_index(
-    sig: DataFrame, *, id_col: str, n_hashes: int = 16, bands: int = 4
+    sig: DataFrame,
+    *,
+    id_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    bucket_cap: int = 1000,
+    observation=None,
 ) -> DataFrame:
     """Explode a signature frame into its LSH index rows:
     ``(band, key0..key{r-1}, id, s0..s{n-1})`` — the persisted corpus
     side of the stream-static probe join.  Write this as parquet
     (partitioned by ``band`` at scale so each probe join prunes to one
-    band's files)."""
+    band's files).
+
+    ``bucket_cap`` bounds hot band keys AT BUILD TIME, because the
+    probe join cannot: a mega near-dup family in the corpus shares one
+    band key, and every arriving probe row would fan out to the whole
+    family per band — the unbounded skew the batch path caps via
+    ``lsh_candidate_pairs``.  Same deterministic contract: the lowest
+    ``bucket_cap`` corpus ids per (band, key) stay in the index; pass
+    an ``Observation`` to count dropped index rows
+    (``index_dropped_members`` — nonzero means a family bigger than
+    the cap is under-indexed; probes still match its ``bucket_cap``
+    representatives, so membership detection survives, but per-member
+    attribution past the cap does not)."""
+    from pyspark.sql import Window
+
     rows = n_hashes // bands
     entries = [
         F.struct(
@@ -52,7 +72,7 @@ def signature_index(
         )
         for band in range(bands)
     ]
-    return sig.select(
+    flat = sig.select(
         F.col(id_col).alias("corpus_id"),
         *[F.col(f"s{i}").alias(f"cs{i}") for i in range(n_hashes)],
         F.explode(F.array(*entries)).alias("bk"),
@@ -62,6 +82,18 @@ def signature_index(
         "corpus_id",
         *[F.col(f"cs{i}") for i in range(n_hashes)],
     )
+    w = Window.partitionBy("band", *[f"key{r}" for r in range(rows)]).orderBy(
+        "corpus_id"
+    )
+    ranked = flat.withColumn("__rn", F.row_number().over(w))
+    if observation is not None:
+        ranked = ranked.observe(
+            observation,
+            F.sum((F.col("__rn") > bucket_cap).cast("long")).alias(
+                "index_dropped_members"
+            ),
+        )
+    return ranked.filter(F.col("__rn") <= bucket_cap).drop("__rn")
 
 
 def stream_candidate_pairs(
