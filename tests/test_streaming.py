@@ -339,3 +339,70 @@ def test_streaming_quality_filter_and_mixture_match_batch(spark, tmp_path):
     out = run_stream_to_memory(filter_chain(stream, thr_df), "qmix")
     got = {(r.doc_id, r.source) for r in out.collect()}
     assert got == batch
+
+
+def test_incremental_dedup_watermark_collapse_matches_batch(spark, tmp_path):
+    """The dropDuplicatesWithinWatermark variant must emit exactly ONE
+    row per (new_id, corpus_id) pair — the multi-band duplicates the
+    plain probe leaves in place collapse under bounded watermark state
+    — and the collapsed stream must equal the batch probe deduped on
+    the pair key."""
+    from wikihadoop_spark.operators.dedup import minhash_signatures_rowwise
+    from wikihadoop_spark.streaming.dedup_stream import (
+        signature_index,
+        stream_candidate_pairs,
+        stream_candidate_pairs_collapsed,
+    )
+
+    docs = load_table(spark, SF, "documents").withColumn(
+        "ts", F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id"))
+    )
+    corpus = docs.filter(F.col("doc_id") < 400)
+    # duplicate a corpus doc under a new id so at least one probe pair
+    # definitely collides in ALL bands (identical signatures)
+    planted = corpus.filter(F.col("doc_id") == 7).withColumn(
+        "doc_id", F.lit(9001).cast(docs.schema["doc_id"].dataType)
+    )
+    new = docs.filter(F.col("doc_id") >= 400).unionByName(planted)
+
+    idx_path = str(tmp_path / "sig_index")
+    signature_index(
+        minhash_signatures_rowwise(corpus, id_col="doc_id", text_col="text"),
+        id_col="doc_id",
+    ).write.mode("overwrite").parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    raw = stream_candidate_pairs(new, index, carry_cols=("ts",))
+    batch = {
+        (r.new_id, r.corpus_id, r.est_jaccard)
+        for r in raw.dropDuplicates(["new_id", "corpus_id"]).collect()
+    }
+    # the planted all-band duplicate really exercises the collapse
+    n_raw = raw.filter(
+        (F.col("new_id") == 9001) & (F.col("corpus_id") == 7)
+    ).count()
+    assert n_raw == 4  # one emission per band before collapsing
+
+    new_path = str(tmp_path / "new_docs")
+    new.repartition(3).write.mode("overwrite").parquet(new_path)
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(new_path)
+    )
+    q = (
+        stream_candidate_pairs_collapsed(
+            stream, index, time_col="ts", watermark="1 hour"
+        )
+        .writeStream.format("memory")
+        .queryName("t_collapse")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM t_collapse").collect()
+    got = {(r.new_id, r.corpus_id, r.est_jaccard) for r in rows}
+    assert got == batch and batch
+    # exactly one row per pair key survived
+    assert len(rows) == len({(r.new_id, r.corpus_id) for r in rows})

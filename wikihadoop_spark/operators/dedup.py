@@ -120,6 +120,7 @@ def minhash_signatures_rowwise(
     text_col: str,
     n_hashes: int = 16,
     shingle_k: int = 3,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Row-local minhash: identical output to :func:`minhash_signatures`
     (min over the same shingle-hash multiset) computed entirely inside
@@ -135,6 +136,10 @@ def minhash_signatures_rowwise(
       skipping the explode shuffle entirely can beat the aggregate
       plan; equivalence is pinned in tests, so the two are
       interchangeable per workload.
+
+    ``keep_cols``: extra input columns to carry through unchanged
+    (e.g. an event-time column a streaming consumer needs for
+    watermarking) — row-local, so carrying costs nothing.
     """
     if n_hashes > len(MINHASH_A):
         raise ValueError(f"at most {len(MINHASH_A)} hash functions available")
@@ -162,7 +167,7 @@ def minhash_signatures_rowwise(
         ).alias(f"s{i}")
         for i in range(n_hashes)
     ]
-    return out.select(F.col(id_col), *sigs)
+    return out.select(F.col(id_col), *[F.col(c) for c in keep_cols], *sigs)
 
 
 def lsh_candidate_pairs(

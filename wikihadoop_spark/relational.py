@@ -1472,6 +1472,101 @@ def dedup_clusters_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "dedup_keeper_quality",
+    # same reachability closure as dedup_clusters, then the keeper is
+    # the best-quality member (hashed linear score, min id tiebreak)
+    # instead of the min-id component label — the curation chain's
+    # keeper="best_quality" policy, oracle-checked
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT id_a, id_b FROM ({_sql_lsh_pairs()}) WHERE est_jaccard >= 0.5
+    ),
+    e AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.d, reach.lbl FROM reach JOIN e ON e.s = reach.node
+    ),
+    cc AS (SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node),
+    q AS (
+      SELECT doc_id,
+             CAST(COALESCE(list_sum(list_transform({_SQL_TOKENS},
+                  t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2001 - 1000)), 0)
+                  AS BIGINT) AS score
+      FROM documents
+    ),
+    ranked AS (
+      SELECT cc.component, cc.doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY cc.component
+               ORDER BY q.score DESC, cc.doc_id
+             ) AS rn
+      FROM cc JOIN q USING (doc_id)
+    ),
+    k AS (SELECT component, doc_id AS keeper_id FROM ranked WHERE rn = 1)
+    SELECT cc.doc_id, cc.component, k.keeper_id,
+           cc.doc_id = k.keeper_id AS is_keeper
+    FROM cc JOIN k USING (component)
+    """,
+)
+def dedup_keeper_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup cluster resolution with the ``best_quality`` keeper
+    policy (`plans/curation.py` ``keeper="best_quality"``): clusters
+    come from the same MinHash → capped LSH → connected-components
+    pipeline as ``dedup_clusters``, but the survivor of each cluster is
+    the member with the HIGHEST hashed quality score
+    (``text_quality_model``'s all-integer classifier), minimum id on
+    ties — ``min_by`` over the ``(-score, id)`` struct.
+
+    Plan: the keeper aggregate is keyed by component and ``min_by`` is
+    combiner-friendly, so a mega-cluster pre-reduces map-side; the
+    join-back on component is a uniform equi-join AQE can skew-split.
+    Cost scales with cluster membership, not corpus rows."""
+    from .operators.components import connected_components
+    from .operators.dedup import hash64
+    from .operators.dedup import tokens as _dd_tokens
+
+    t = Tables(spark, sf)
+    sig = minhash_signatures_rowwise(
+        _spread(t.documents), id_col="doc_id", text_col="text",
+        n_hashes=_N_MINHASH, shingle_k=3,
+    )
+    pairs = lsh_candidate_pairs(
+        sig, id_col="doc_id", n_hashes=_N_MINHASH, bands=_LSH_BANDS
+    ).filter(F.col("est_jaccard") >= 0.5)
+    cc = connected_components(t.documents.select("doc_id"), pairs, id_col="doc_id")
+    score = F.aggregate(
+        _dd_tokens(F.col("text")),
+        F.lit(0).cast("bigint"),
+        lambda acc, tk: acc + (hash64(tk) % 2001 - 1000),
+    )
+    quality = t.documents.select("doc_id", score.alias("__score"))
+    keepers = (
+        cc.join(quality, "doc_id")
+        .groupBy("component")
+        .agg(
+            F.min_by(
+                "doc_id",
+                F.struct(
+                    (-F.col("__score")).alias("nq"),
+                    F.col("doc_id").alias("i"),
+                ),
+            ).alias("keeper_id")
+        )
+    )
+    return cc.join(keepers, "component").select(
+        "doc_id",
+        "component",
+        "keeper_id",
+        (F.col("doc_id") == F.col("keeper_id")).alias("is_keeper"),
+    )
+
+
+@query(
     "ngram_overlap",
     oracle=f"""
     WITH toks AS (
@@ -2969,14 +3064,23 @@ def media_frame_fanout_q(spark: SparkSession, sf: str) -> DataFrame:
 # gated); decontaminate_ngram gates in place of window_rank_topk
 # (untouched since its r05 green row).  Catalog: 79 queries.
 #
-# Round-7 rotation plan: the 28 pinned demotions all carry r05-green
-# evidence (1 round old at r06).  Next round, rotate back the OLDEST
-# evidence first — the 24 r05-demoted queries (scan_filter_project,
-# filter_regex, asof/range joins, sort_topk_global, agg_* five,
-# join_inner/full/theta, window_value/distribution, set_union_all,
-# scalar_string/math/json, subqueries, unpivot, sessionize) — and
-# demote in exchange whichever r06-gated queries shipped unchanged,
-# pinning them in _DEMOTED_SOURCE_PINS as usual.
+# Round-7 rotation (executed): CORRECTNESS_r06 went 50/50 green, so
+# every r06-gated query carries fresh evidence and ALL 29 r05-pinned
+# demotions (the oldest evidence in the catalog) rotate back into the
+# window — after this round no query's driver evidence is older than
+# r06.  In exchange, 30 r06-green queries whose code did NOT change
+# this round demote under source-hash pins.  Queries whose code DID
+# change stay in-window for re-verification: ngram_overlap (de-skewed
+# two-aggregate rewrite), pack_token_budget and sample_mixture
+# (operator hardening: ROWS frame/tiebreak, dtype-derived threshold
+# frame).  One new query gates immediately per new-query hygiene:
+# dedup_keeper_quality (the curation chain's keeper="best_quality"
+# min_by math, oracle-checked).  Catalog: 80 queries.
+#
+# Round-8 rotation plan: the 30 r06-pinned demotions will be the
+# oldest evidence (1 round old at r07) — rotate them back next round,
+# demoting in exchange whichever r07-gated queries ship unchanged,
+# pinned in _DEMOTED_SOURCE_PINS as usual.
 GATE_WINDOW = 50
 
 # The must-gate set for THIS round: every query re-entering the window
@@ -2984,111 +3088,113 @@ GATE_WINDOW = 50
 # gate prefix alongside the wikidump anchors.
 ROTATION_SET: frozenset[str] = frozenset(
     {
-        "agg_rollup",
-        "agg_cube",
-        "join_left_agg",
-        "join_right_agg",
-        "join_semi",
-        "join_anti",
-        "join_cross",
-        "window_running",
-        "window_moving",
-        "set_intersect",
-        "set_except",
-        "scalar_date",
-        "scalar_conditional",
-        "scalar_hash",
-        "text_langid",
-        "text_fingerprint",
-        # round-6 additions: brand-new queries gate immediately
-        "dedup_clusters",
-        "ngram_overlap",
-        "text_repetition",
-        "sample_stratified",
-        "text_tfidf_topk",
-        "pack_token_budget",
-        "events_sliding",
-        "events_pivot",
-        "decontaminate_exact",
-        "decontaminate_ngram",
-        "text_quality_model",
-        "text_stopword_strip",
-        "sample_mixture",
+        # all 29 r05-pinned demotions rotate back (evidence refresh)
+        "q1_pricing_summary",
+        "scan_filter_project",
+        "filter_regex",
+        "agg_distinct",
+        "agg_grouping_sets",
+        "agg_stats",
+        "agg_approx_distinct",
+        "agg_percentile",
+        "agg_argmax",
+        "join_inner_agg",
+        "join_full_outer",
+        "join_theta",
+        "asof_join_events_orders",
+        "range_join_near_orders",
+        "sort_topk_global",
+        "window_rank_topk",
+        "window_value_functions",
+        "window_distribution",
+        "sessionize_events",
+        "set_union_all",
+        "scalar_string",
+        "scalar_math",
+        "scalar_json",
+        "scalar_subquery",
+        "correlated_exists",
+        "unpivot_lineitem",
+        "events_tumbling",
+        "events_retention",
+        "similarity_topk",
+        # round-7 addition: brand-new query gates immediately
+        "dedup_keeper_quality",
     }
 )
 
 _GATE_ORDER: tuple[str, ...] = (
     # wikidump source gate anchors (S1-S5, R1/R2, P1, D1/D3) — gated
-    # every round; this round they also re-verify the single-pass
-    # entity decode and the bounded bz2 read
+    # every round
     "wikidump_roundtrip",
     "wikidump_roundtrip_bz2",
-    # headline analytics (q1 demoted with r05 evidence for the second
-    # round-6 query batch; q3/q5 stay as the flagship join anchors)
+    # headline analytics: flagship join anchors stay; q1 rotates back
+    # after its r05-pinned demotion
     "q3_top_revenue",
     "q5_revenue_by_nation",
-    # aggregation family: rollup/cube rotate back in (r02 evidence)
-    "agg_rollup",
-    "agg_cube",
-    # join family: the five r02-pinned kinds rotate back in
-    "join_left_agg",
-    "join_right_agg",
-    "join_semi",
-    "join_anti",
-    "join_cross",
-    # window family: running/moving rotate back in
-    "window_lag_pairs",
-    "window_running",
-    "window_moving",
-    # dedup / set: intersect/except rotate back in
+    "q1_pricing_summary",
+    # scan/filter family rotates back (r05 evidence)
+    "scan_filter_project",
+    "filter_regex",
+    # aggregation family rotates back: the five r05-pinned kinds
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_stats",
+    "agg_approx_distinct",
+    "agg_percentile",
+    "agg_argmax",
+    # join family rotates back: inner/full/theta + asof/range
+    "join_inner_agg",
+    "join_full_outer",
+    "join_theta",
+    "asof_join_events_orders",
+    "range_join_near_orders",
+    # sorts/top-k + window family rotate back
+    "sort_topk_global",
+    "window_rank_topk",
+    "window_value_functions",
+    "window_distribution",
+    "sessionize_events",
+    # set ops / scalar library / subqueries / unpivot rotate back
+    "set_union_all",
+    "scalar_string",
+    "scalar_math",
+    "scalar_json",
+    "scalar_subquery",
+    "correlated_exists",
+    "unpivot_lineitem",
+    # event-time analytics rotate back; sliding carries r06 coverage
+    # of the family alongside them
+    "events_tumbling",
+    "events_retention",
+    "events_sliding",
+    # similarity: the exact brute-force baseline rotates back
+    "similarity_topk",
+    # dedup core path carried in-window (adjacent to this round's
+    # keeper/decontamination work)
     "dedup_exact_rows",
-    "set_intersect",
-    "set_except",
-    # scalar library: date/conditional/hash rotate back in; array stays
-    # (it exercises the tokenizer this round's perf work touches)
-    "scalar_date",
-    "scalar_conditional",
-    "scalar_hash",
-    "scalar_array",
-    # text analysis + diff: all in-window (tokenizer + diff-path work)
-    "text_tokens",
-    "text_quality",
-    "text_langid",
-    "text_fingerprint",
-    "text_diff_adjacent",
-    # dedup sketch pipelines: pair queries reworked this round
     "minhash_signatures",
     "minhash_lsh_pairs",
-    "ngram_jaccard_block",
-    "simhash_signatures",
-    "simhash_near_pairs",
-    "embedding_cosine_dedup",
-    # training-data pipeline (NEW this round — must gate immediately)
     "dedup_clusters",
+    # NEW this round — must gate immediately: best-quality keeper math
+    "dedup_keeper_quality",
+    # changed this round — must re-verify: de-skewed two-aggregate
+    # rewrite (window formulation removed)
     "ngram_overlap",
+    # changed operators this round — re-verify through their gates:
+    # packing (ROWS frame + tiebreak), mixture (dtype-derived frame)
+    "pack_token_budget",
+    "sample_mixture",
+    # training-pipeline + text carries (r06-green, kept in-window for
+    # breadth next to the changed queries they share helpers with)
+    "text_tokens",
+    "text_diff_adjacent",
     "text_repetition",
     "sample_stratified",
     "text_tfidf_topk",
-    "pack_token_budget",
     "decontaminate_exact",
     "decontaminate_ngram",
     "text_quality_model",
-    "text_stopword_strip",
-    "sample_mixture",
-    # similarity search (the exact brute-force baseline demoted with
-    # r05 evidence — round-6 touched only its docstring; the scale
-    # paths lsh/ivf stay gated)
-    "similarity_topk_lsh",
-    "similarity_topk_ivf",
-    # event-time analytics: sliding/pivot rotate back in
-    # (tumbling/retention demoted with r05 evidence for the second
-    # round-6 query batch)
-    "events_sliding",
-    "events_pivot",
-    # multimodal
-    "media_image_metadata",
-    "media_audio_features",
-    "media_frame_fanout",
 )
 
 

@@ -22,10 +22,12 @@ micro-batch (pick up index appends by restarting the query or using a
 Delta-style source in production).
 
 State note: a pair that collides in several bands is emitted once per
-band; collapse with ``dropDuplicatesWithinWatermark`` in production (or
-downstream exact-verify which is naturally idempotent).  This module
-leaves duplicates in place rather than carrying unbounded
-dropDuplicates state.
+band; :func:`stream_candidate_pairs` leaves those duplicates in place
+(zero state — downstream exact-verify is naturally idempotent), while
+:func:`stream_candidate_pairs_collapsed` collapses them with
+``dropDuplicatesWithinWatermark`` — per-pair state bounded by the
+event-time watermark instead of the unbounded history a plain
+``dropDuplicates`` would keep.
 """
 
 from __future__ import annotations
@@ -105,13 +107,20 @@ def stream_candidate_pairs(
     n_hashes: int = 16,
     bands: int = 4,
     min_jaccard: float = 0.5,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Candidate (new_id, corpus_id, est_jaccard) pairs of an arriving
     document stream against a static signature index.  Works identically
-    on a batch ``new_docs`` frame (the equivalence test runs both)."""
+    on a batch ``new_docs`` frame (the equivalence test runs both).
+    ``carry_cols`` ride through from ``new_docs`` (e.g. the event-time
+    column the watermark-collapsed variant keys on)."""
     rows = n_hashes // bands
     sig = minhash_signatures_rowwise(
-        new_docs, id_col=id_col, text_col=text_col, n_hashes=n_hashes
+        new_docs,
+        id_col=id_col,
+        text_col=text_col,
+        n_hashes=n_hashes,
+        keep_cols=carry_cols,
     )
     entries = [
         F.struct(
@@ -122,12 +131,14 @@ def stream_candidate_pairs(
     ]
     probes = sig.select(
         F.col(id_col).alias("new_id"),
+        *[F.col(c) for c in carry_cols],
         *[F.col(f"s{i}") for i in range(n_hashes)],
         F.explode(F.array(*entries)).alias("bk"),
     ).select(
         F.col("bk.band").alias("band"),
         *[F.col(f"bk.key{r}").alias(f"key{r}") for r in range(rows)],
         "new_id",
+        *[F.col(c) for c in carry_cols],
         *[F.col(f"s{i}") for i in range(n_hashes)],
     )
     joined = probes.join(index, ["band"] + [f"key{r}" for r in range(rows)])
@@ -137,6 +148,7 @@ def stream_candidate_pairs(
     return (
         joined.select(
             "new_id",
+            *[F.col(c) for c in carry_cols],
             "corpus_id",
             (matches.cast("double") / F.lit(float(n_hashes))).alias("est_jaccard"),
         )
@@ -145,4 +157,46 @@ def stream_candidate_pairs(
         # duplicate of itself
         .filter(F.col("new_id") != F.col("corpus_id"))
         .filter(F.col("est_jaccard") >= min_jaccard)
+    )
+
+
+def stream_candidate_pairs_collapsed(
+    new_docs: DataFrame,
+    index: DataFrame,
+    *,
+    time_col: str,
+    watermark: str = "10 minutes",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """:func:`stream_candidate_pairs` with per-band duplicate emissions
+    collapsed to ONE row per (new_id, corpus_id) pair via
+    ``dropDuplicatesWithinWatermark`` — every surviving column of a
+    pair's rows is identical across its bands (the Jaccard estimate
+    comes from the full signatures, not the band), so which row
+    survives is immaterial.
+
+    State contract at 100 TB: the dedup operator keeps a pair key only
+    until the ``watermark`` horizon passes its event time (``time_col``
+    from the arriving document), so state is bounded by pair arrival
+    rate × watermark — NOT by stream history, which is what a plain
+    ``dropDuplicates`` would hold.  A pair re-emitted for a document
+    arriving later than the watermark can duplicate; downstream
+    exact-verify is idempotent to that by design.  All upstream stages
+    stay stateless, so the query still runs in append mode."""
+    pairs = stream_candidate_pairs(
+        new_docs,
+        index,
+        id_col=id_col,
+        text_col=text_col,
+        n_hashes=n_hashes,
+        bands=bands,
+        min_jaccard=min_jaccard,
+        carry_cols=(time_col,),
+    )
+    return pairs.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+        ["new_id", "corpus_id"]
     )
