@@ -85,17 +85,19 @@ def main() -> None:
     # per-query min-of-3 with a cache prewarm before each pass — the
     # same policy as _bench_wikidump: the host throttles bursts 2-3x,
     # so single-shot timings swing ±25% on identical code; the min is
-    # the engine's steady-state number
-    timings: dict[str, float] = {}
+    # the engine's steady-state number.  The (max-min) spread rides
+    # along so cross-round comparisons can tell host noise (uniform
+    # nonzero spreads) from real regressions — the r05→r06 +16%
+    # uniform drift across untouched queries was exactly that.
+    raw: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(3):
         prewarm_parquet()
         for name in HEADLINE:
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).count()
-            dt = time.perf_counter() - t0
-            if dt < timings.get(name, float("inf")):
-                timings[name] = dt
-    timings = {name: round(dt, 3) for name, dt in timings.items()}
+            raw[name].append(time.perf_counter() - t0)
+    timings = {name: round(min(v), 3) for name, v in raw.items()}
+    spreads = {name: round(max(v) - min(v), 3) for name, v in raw.items()}
 
     wikidump = _bench_wikidump(spark)
     extras = _bench_pipeline_extras(spark, sf_dir)
@@ -107,6 +109,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_spread": spreads,
         "sf": sf,
         "wikidump": wikidump,
     }
@@ -124,6 +127,7 @@ def main() -> None:
 # localCheckpoint materializations).
 _PIPELINE_EXTRAS = (
     "dedup_clusters",
+    "dedup_keeper_quality",
     "ngram_overlap",
     "text_repetition",
     "sample_stratified",
@@ -135,48 +139,53 @@ _PIPELINE_EXTRAS = (
 )
 
 
-def _bench_pipeline_extras(spark, sf_dir: str) -> dict | None:
-    if not sf_dir.rstrip("/").endswith("sf0.1"):
-        return None
-    extras: dict[str, float] = {}
-    for name in _PIPELINE_EXTRAS:
-        QUERIES[name](spark, "/root/testdata/sf0.001").count()  # warm codegen
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        extras[name] = round(best, 3)
-
-    # end-to-end curation chain (quality -> exact dedup -> near-dedup
-    # -> decontaminate -> mixture): one composed plan, timed once after
-    # a small-SF warm (the per-operator numbers above isolate stages;
-    # this is the "would the whole pipeline run" number)
+def _curate_e2e(spark, sf_dir: str) -> int:
+    """End-to-end curation chain (quality -> exact dedup -> near-dedup
+    -> decontaminate -> mixture): one composed plan — the per-operator
+    extras isolate stages; this is the "would the whole pipeline run"
+    number.  Shared by the sf0.1 extras and the sf1 spot-bench."""
     from pyspark.sql import functions as F
 
     from wikihadoop_spark.plans.curation import curate_corpus
 
-    def _curate(sf):
-        docs = spark.read.parquet(f"{sf}/documents.parquet")
-        bench_docs = docs.filter(F.col("doc_id") % 97 == 0).select("text")
-        res = curate_corpus(
-            docs,
-            benchmark=bench_docs,
-            mixture_weights={"src0": 5},
-            token_budget=10**9,
-        )
-        n = res.curated.count()
-        res.unpersist()
-        return n
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench_docs = docs.filter(F.col("doc_id") % 97 == 0).select("text")
+    res = curate_corpus(
+        docs,
+        benchmark=bench_docs,
+        mixture_weights={"src0": 5},
+        token_budget=10**9,
+    )
+    n = res.curated.count()
+    res.unpersist()
+    return n
 
-    _curate("/root/testdata/sf0.001")
-    best, n = float("inf"), 0
+
+def _bench_pipeline_extras(spark, sf_dir: str) -> dict | None:
+    if not sf_dir.rstrip("/").endswith("sf0.1"):
+        return None
+    extras: dict[str, float] = {}
+    spreads: dict[str, float] = {}
+    for name in _PIPELINE_EXTRAS:
+        QUERIES[name](spark, "/root/testdata/sf0.001").count()  # warm codegen
+        dts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).count()
+            dts.append(time.perf_counter() - t0)
+        extras[name] = round(min(dts), 3)
+        spreads[name] = round(max(dts) - min(dts), 3)
+
+    _curate_e2e(spark, "/root/testdata/sf0.001")
+    dts, n = [], 0
     for _ in range(3):
         t0 = time.perf_counter()
-        n = _curate(sf_dir)
-        best = min(best, time.perf_counter() - t0)
-    extras["curation_e2e"] = round(best, 3)
+        n = _curate_e2e(spark, sf_dir)
+        dts.append(time.perf_counter() - t0)
+    extras["curation_e2e"] = round(min(dts), 3)
+    spreads["curation_e2e"] = round(max(dts) - min(dts), 3)
     extras["curation_e2e_docs_kept"] = n
+    extras["_spread"] = spreads
     return extras
 
 
@@ -191,6 +200,9 @@ _SF1_SPOT_QUERIES = (
     # ratio shows fixpoint rounds + per-round overhead scaling, not
     # just one plan
     "dedup_clusters",
+    # round 7: the full curation chain (persist + CC + mixture) — its
+    # scaling curve is measured, not argued
+    "curation_e2e",
 )
 _SF1_COPIES = 10
 _SF1_SHIFT = 100_000_000  # beyond every key range in the sf0.1 tables
@@ -275,13 +287,19 @@ def _bench_sf1_spot(spark, sf_dir: str, sf01_timings: dict) -> dict | None:
             _shutil.rmtree(stale, ignore_errors=True)
     if not os.path.exists(out_dir):
         _build_sf1(spark, sf_dir, out_dir)
+    def _run(name: str) -> None:
+        if name == "curation_e2e":
+            _curate_e2e(spark, out_dir)
+        else:
+            QUERIES[name](spark, out_dir).count()
+
     spot: dict[str, dict] = {}
     for name in _SF1_SPOT_QUERIES:
-        QUERIES[name](spark, out_dir).count()  # warm plan + codegen
+        _run(name)  # warm plan + codegen
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            QUERIES[name](spark, out_dir).count()
+            _run(name)
             best = min(best, time.perf_counter() - t0)
         spot[name] = {
             "sec": round(best, 3),
@@ -385,6 +403,7 @@ def _bench_wikidump(spark) -> dict:
     result = {
         "input_gb": round(size_gb, 3),
         "sec": round(dt, 2),
+        "spread_sec": round(max(dts) - dt, 2),
         "cores": cpus,
         "gb_per_core_hour": round(size_gb / (dt / 3600) / cpus, 2),
     }
@@ -529,6 +548,7 @@ def _bench_wikidump_markup(spark, cpus: int) -> dict:
     return {
         "input_gb": round(size_gb, 3),
         "sec": round(dt, 2),
+        "spread_sec": round(max(dts) - dt, 2),
         "gb_per_core_hour": round(size_gb / (dt / 3600) / cpus, 2),
     }
 
@@ -594,6 +614,7 @@ def _bench_wikidump_bz2(spark, xml_path: str, size_gb: float, cpus: int) -> dict
     return {
         "compressed_gb": round(comp_size / 1e9, 4),
         "sec": round(dt, 2),
+        "spread_sec": round(max(dts) - dt, 2),
         "raw_gb_per_core_hour": round(size_gb / (dt / 3600) / cpus, 2),
     }
 

@@ -6,6 +6,7 @@ from __future__ import annotations
 import pytest
 
 from wikihadoop_spark.multimodal.media import (
+    MEDIA_SCHEMA,
     audio_features,
     image_metadata,
     image_resize,
@@ -105,3 +106,61 @@ def test_metadata_only_projection_skips_payload(spark, media, tmp_path):
     df = spark.read.parquet(p).select("media_id", "kind", "meta.mime")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "payload" not in plan
+
+
+def _wav_bytes(rate=8000, seconds=2.0, amp_second_half=12000):
+    """16-bit PCM mono WAV: first half silence, second half a 440 Hz
+    sine — known duration, known per-slice energy profile."""
+    import io
+    import math
+    import struct
+    import wave
+
+    n = int(rate * seconds)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        frames = bytearray()
+        for i in range(n):
+            if i < n // 2:
+                s = 0
+            else:
+                s = int(amp_second_half * math.sin(2 * math.pi * 440 * i / rate))
+            frames += struct.pack("<h", s)
+        w.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
+def test_real_wav_audio_backend(spark):
+    """The stdlib WAV path is a REAL decode: exact duration from the
+    container header and per-slice RMS energies that reflect the
+    signal (silent first half -> ~0; sine second half -> amp/sqrt(2))."""
+    payload = _wav_bytes()
+    df = spark.createDataFrame(
+        [(1, "audio", payload, ("s", None, "audio/wav"))], MEDIA_SCHEMA
+    )
+    rows = audio_features(df, n_features=8, backend="wav").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.duration_ms == 2000
+    assert len(r.features) == 8
+    # first 4 slices: silence
+    assert all(v == 0.0 for v in r.features[:4])
+    # last 4 slices: RMS of a 12000-amplitude sine ~ 12000/(32768*sqrt2) ~ 0.259
+    assert all(0.2 < v < 0.3 for v in r.features[4:])
+
+
+def test_real_audio_backend_with_torchaudio(spark, media):
+    """Mirror of the Pillow gate for arbitrary-codec audio: runs only
+    where torchaudio is importable (absent in this container)."""
+    pytest.importorskip("torchaudio")
+    audio_features(media, backend="real")
+
+
+def test_wav_backend_rejects_non_wav(spark, media):
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        audio_features(media, backend="wav").collect()

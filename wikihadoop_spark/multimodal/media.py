@@ -21,8 +21,10 @@ The codec itself is environment-dependent and stubbed here:
 - backend="real": the image operators (metadata, resize) have a real
   Pillow implementation that activates when PIL is importable —
   ``tests/test_multimodal.py`` carries importorskip-gated tests that
-  execute it on real PNG bytes where the environment allows; audio and
-  video decoding additionally need torchaudio/av and stay gated with a
+  execute it on real PNG bytes where the environment allows; audio has
+  a REAL stdlib path (backend="wav": 16-bit PCM WAV container parse +
+  per-slice RMS energies, tested on synthesized WAV bytes) while
+  arbitrary-codec audio (torchaudio) and video (av) stay gated with a
   clear NotImplementedError here.
 """
 
@@ -140,16 +142,60 @@ def image_resize(
     return df.select("media_id", "payload").mapInPandas(op, out_schema)
 
 
+def _wav_features(payload: bytes, n_features: int) -> tuple[list[float], int]:
+    """Stdlib-only REAL audio decode for RIFF/PCM WAV payloads: parse
+    the container with ``wave``, then per-slice RMS energy over the
+    PCM samples (``n_features`` equal time slices, normalized to
+    [0, 1]) — the fixed-size-embedding shape of an MFCC extractor with
+    zero optional dependencies."""
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        rate, n_frames = w.getframerate(), w.getnframes()
+        width, channels = w.getsampwidth(), w.getnchannels()
+        if width != 2:
+            raise ValueError(f"only 16-bit PCM supported (got width={width})")
+        raw = w.readframes(n_frames)
+    samples = struct.unpack(f"<{len(raw) // 2}h", raw)
+    # fold channels: mean per frame
+    if channels > 1:
+        samples = [
+            sum(samples[i : i + channels]) / channels
+            for i in range(0, len(samples), channels)
+        ]
+    n = len(samples)
+    feats = []
+    for k in range(n_features):
+        lo, hi = (k * n) // n_features, ((k + 1) * n) // n_features
+        sl = samples[lo:hi]
+        if sl:
+            rms = (sum(s * s for s in sl) / len(sl)) ** 0.5 / 32768.0
+        else:
+            rms = 0.0
+        feats.append(float(rms))
+    return feats, int(n_frames * 1000 // rate)
+
+
 def audio_features(
     df: DataFrame, *, n_features: int = 16, backend: str = "fake"
 ) -> DataFrame:
     """payload -> fixed-size feature vector (the MFCC-extraction shape:
-    binary in, array<float> out)."""
-    if backend != "fake":
-        # no real audio path yet: requiring the (absent) codec lib keeps
-        # backend="real" from silently running the fake features
+    binary in, array<float> out).
+
+    Backends: ``"fake"`` (hash-derived, plumbing tests), ``"wav"``
+    (REAL stdlib decode of 16-bit PCM WAV: container parse + per-slice
+    RMS energies + exact duration — no optional dependencies), and
+    ``"real"`` (arbitrary codecs via torchaudio, gated on the library
+    being importable)."""
+    if backend == "real":
+        # requiring the (absent) codec lib keeps backend="real" from
+        # silently running the fake features
         _require_real_backend("audio_features", module="torchaudio")
-        raise NotImplementedError("audio_features: real backend not implemented")
+        raise NotImplementedError("audio_features: torchaudio backend not implemented")
+    if backend not in ("fake", "wav"):
+        raise ValueError(f"unknown backend: {backend!r}")
     import pandas as pd
 
     out_schema = "media_id long, features array<float>, duration_ms int"
@@ -158,6 +204,10 @@ def audio_features(
         for pdf in batches:
             rows = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if backend == "wav":
+                    feats, dur = _wav_features(payload, n_features)
+                    rows.append((media_id, feats, dur))
+                    continue
                 seed = _h(payload, b"audio")
                 feats = [
                     (seed[i % len(seed)] - 128) / 128.0 for i in range(n_features)
