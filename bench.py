@@ -135,6 +135,7 @@ _PIPELINE_EXTRAS = (
     "text_tfidf_topk",
     "decontaminate_exact",
     "decontaminate_ngram",
+    "decontaminate_bloom",
     "text_quality_model",
 )
 

@@ -93,6 +93,7 @@ _DEMOTED_SOURCE_PINS = {
     "similarity_topk_lsh": "1210c9254daa3722",
     "text_fingerprint": "f4a767a9d53374dd",
     "text_langid": "a98512ee2d3f1b78",
+    "text_tokens": "add226c7babdeb84",
     "text_quality": "5b4465eb015806fe",
     "text_stopword_strip": "2eac56e392f87f76",
     "window_lag_pairs": "f729d197d47dcf48",

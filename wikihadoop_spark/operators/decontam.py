@@ -47,7 +47,6 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import reduce
-from math import ceil
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -102,7 +101,9 @@ def build_ngram_bloom(
         ).alias("s")
     ).distinct()
     n_items = sh.count()
-    n_words = max(1, ceil(n_items * bits_per_item / WORD_BITS))
+    # integer ceil — exact at any size, and replayable verbatim in an
+    # oracle engine (float ceil could round differently at multiples)
+    n_words = max(1, (n_items * bits_per_item + WORD_BITS - 1) // WORD_BITS)
     n_bits = n_words * WORD_BITS
     pow2 = _pow2()
     bits = sh.select(

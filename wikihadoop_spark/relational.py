@@ -2093,6 +2093,81 @@ def decontaminate_ngram(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "decontaminate_bloom",
+    # the Bloom filter is DETERMINISTIC given the hash family, so the
+    # oracle replays the exact bit arithmetic: same md5-keyed positions,
+    # same 63-bit words, same integer-ceil sizing — bit-for-bit parity,
+    # false positives included
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKENS} AS t, lower(text) AS lt FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct({_SQL_SHINGLES})) AS s FROM toks
+    ),
+    evs AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+    nb AS (
+      SELECT GREATEST(1::BIGINT, (COUNT(*) * 12 + 62) // 63) * 63 AS n_bits
+      FROM evs
+    ),
+    pos AS (
+      SELECT ('0x' || substr(md5('bloom' || i::VARCHAR || ':' || s), 1, 15))::BIGINT
+               % (SELECT n_bits FROM nb) AS p
+      FROM evs CROSS JOIN (SELECT unnest(range(4)) AS i)
+    ),
+    words AS (
+      SELECT p // 63 AS w, bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS mask
+      FROM pos GROUP BY 1
+    ),
+    probe AS (
+      SELECT sh.doc_id, sh.s,
+             ('0x' || substr(md5('bloom' || i::VARCHAR || ':' || sh.s), 1, 15))::BIGINT
+               % (SELECT n_bits FROM nb) AS p
+      FROM sh CROSS JOIN (SELECT unnest(range(4)) AS i)
+    ),
+    hits AS (
+      SELECT probe.doc_id,
+             COUNT(*) FILTER (
+               WHERE words.mask IS NOT NULL
+                 AND (words.mask & (1::BIGINT << CAST(probe.p % 63 AS INT))) <> 0
+             ) AS set_bits
+      FROM probe LEFT JOIN words ON words.w = probe.p // 63
+      GROUP BY probe.doc_id, probe.s
+    ),
+    bad AS (SELECT DISTINCT doc_id FROM hits WHERE set_bits = 4)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS kept_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+    FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+    GROUP BY source
+    """,
+)
+def decontaminate_bloom_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter n-gram decontamination end-to-end
+    (`operators/decontam.py`): the constant-memory variant for eval
+    suites past broadcast-array scale, gated with BIT-FOR-BIT oracle
+    parity — the filter is a pure function of the md5 hash family, so
+    DuckDB reproduces the identical words, probes, and (over-removing)
+    false positives.
+
+    Plan: distributed build (explode → per-word ``bit_or`` partial+
+    final aggregate → O(n_bits/63) longs of broadcast state), then ONE
+    corpus scan with the membership test folded row-locally via
+    ``F.exists`` — no corpus shuffle before the final 20-group
+    aggregate."""
+    from .operators.decontam import build_ngram_bloom, decontaminate_ngram_bloom
+
+    t = Tables(spark, sf)
+    bench = t.documents.filter(F.col("doc_id") % 97 == 0).select("text")
+    bloom = build_ngram_bloom(bench, bits_per_item=12, n_hashes=4)
+    kept = decontaminate_ngram_bloom(_spread(t.documents), bloom)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("kept_docs"),
+        F.sum("n_chars").cast("bigint").alias("kept_chars"),
+    )
+
+
+@query(
     "sample_mixture",
     oracle="""
     WITH tot AS (
@@ -3076,11 +3151,13 @@ def media_frame_fanout_q(spark: SparkSession, sf: str) -> DataFrame:
 # r06.  In exchange, 30 r06-green queries whose code did NOT change
 # this round demote under source-hash pins.  Queries whose code DID
 # change stay in-window for re-verification: ngram_overlap (de-skewed
-# two-aggregate rewrite), pack_token_budget and sample_mixture
-# (operator hardening: ROWS frame/tiebreak, dtype-derived threshold
-# frame).  One new query gates immediately per new-query hygiene:
-# dedup_keeper_quality (the curation chain's keeper="best_quality"
-# min_by math, oracle-checked).  Catalog: 80 queries.
+# two-aggregate rewrite), decontaminate_ngram (broadcast semi-join
+# probe), pack_token_budget and sample_mixture (operator hardening:
+# ROWS frame/tiebreak, dtype-derived threshold frame).  Two new
+# queries gate immediately per new-query hygiene: dedup_keeper_quality
+# (the curation chain's keeper="best_quality" min_by math) and
+# decontaminate_bloom (the Bloom variant, oracle-replayed bit-for-bit).
+# Catalog: 81 queries.
 #
 # Round-8 rotation plan: the 30 r06-pinned demotions will be the
 # oldest evidence (1 round old at r07) — rotate them back next round,
@@ -3123,8 +3200,9 @@ ROTATION_SET: frozenset[str] = frozenset(
         "events_tumbling",
         "events_retention",
         "similarity_topk",
-        # round-7 addition: brand-new query gates immediately
+        # round-7 additions: brand-new queries gate immediately
         "dedup_keeper_quality",
+        "decontaminate_bloom",
     }
 )
 
@@ -3190,9 +3268,12 @@ _GATE_ORDER: tuple[str, ...] = (
     # packing (ROWS frame + tiebreak), mixture (dtype-derived frame)
     "pack_token_budget",
     "sample_mixture",
+    # NEW this round — must gate immediately: the Bloom decontamination
+    # variant, oracle-replayed bit-for-bit (false positives included);
+    # text_tokens demoted in exchange (r06-green, unchanged, pinned)
+    "decontaminate_bloom",
     # training-pipeline + text carries (r06-green, kept in-window for
     # breadth next to the changed queries they share helpers with)
-    "text_tokens",
     "text_diff_adjacent",
     "text_repetition",
     "sample_stratified",
