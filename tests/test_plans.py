@@ -284,3 +284,49 @@ def test_ngram_overlap_has_no_shingle_window(spark):
     plan = plan_of(spark, "ngram_overlap")
     assert "Window" not in plan
     assert "partial_count" in plan
+
+
+def test_capped_paths_keep_window_group_limit_when_observed(spark):
+    """Attaching the truncation counter must NOT cost the
+    WindowGroupLimit rewrite: a CollectMetrics node between the rank
+    window and its filter blocks it, silently reverting a hot
+    bucket/block to a single-task full sort.  All three capped paths
+    place the counter on a separate count aggregate instead — the
+    partial (pre-exchange) group limit must survive with an
+    Observation attached."""
+    from pyspark.sql import Observation
+
+    from wikihadoop_spark.catalog import load_table
+    from wikihadoop_spark.operators.dedup import (
+        capped_block_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures_rowwise,
+    )
+    from wikihadoop_spark.streaming.dedup_stream import signature_index
+
+    docs = load_table(spark, SF, "documents")
+    sig = minhash_signatures_rowwise(docs, id_col="doc_id", text_col="text")
+
+    p = (
+        lsh_candidate_pairs(sig, id_col="doc_id", observation=Observation())
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in p and "Partial" in p
+
+    p = (
+        signature_index(sig, id_col="doc_id", observation=Observation())
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in p and "Partial" in p
+
+    from pyspark.sql import functions as F
+
+    flat = docs.select("doc_id", (F.col("doc_id") % 7).alias("blk"))
+    p = (
+        capped_block_pairs(
+            flat, block_cols=["blk"], id_col="doc_id", payload_cols=[],
+            observation=Observation(),
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in p and "Partial" in p

@@ -229,19 +229,34 @@ def lsh_candidate_pairs(
         "__rn",
         F.row_number().over(Window.partitionBy("bk").orderBy(F.col("m.id"))),
     )
-    if observation is not None:
-        ranked = ranked.observe(
-            observation,
-            F.sum((F.col("__rn") > bucket_cap).cast("long")).alias(
-                "lsh_dropped_members"
-            ),
-        )
+    # the rank filter sits DIRECTLY above the window so Spark rewrites
+    # it to WindowGroupLimit (partial per-map-task truncation to the
+    # cap BEFORE the exchange — a mega bucket never sorts in one task).
+    # The truncation counter must therefore NOT sit between them: a
+    # CollectMetrics node there blocks the rewrite, silently reverting
+    # the hot bucket to a single-task full sort (plan pinned in
+    # tests/test_plans.py).  Instead the counter rides a separate
+    # combiner-friendly per-bucket COUNT aggregate (exact same number:
+    # sum of max(n - cap, 0)), attached to the output plan via a 1:1
+    # bucket-key join so it executes with the main action.
     buckets = (
         ranked.filter(F.col("__rn") <= bucket_cap)
         .groupBy("bk")
         .agg(F.sort_array(F.collect_list("m")).alias("members"))
         .filter(F.size("members") > 1)
     )
+    if observation is not None:
+        overflow = (
+            band_entries.groupBy("bk")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .observe(
+                observation,
+                F.sum(
+                    F.greatest(F.col("__n") - bucket_cap, F.lit(0))
+                ).cast("long").alias("lsh_dropped_members"),
+            )
+        )
+        buckets = buckets.join(overflow.select("bk"), "bk")
     # all (i < j) member pairs, ids already ascending via sort_array
     pairs = buckets.select(
         F.explode(
@@ -301,17 +316,29 @@ def capped_block_pairs(
 
     w = Window.partitionBy(*block_cols).orderBy(id_col)
     ranked = df.withColumn("__rn", F.row_number().over(w))
-    if observation is not None:
-        ranked = ranked.observe(
-            observation,
-            F.sum((F.col("__rn") > cap).cast("long")).alias(counter),
-        )
+    # rank filter directly above the window → WindowGroupLimit partial
+    # truncation before the exchange; the drop counter rides a separate
+    # per-block COUNT aggregate (same exact number), never a
+    # CollectMetrics between the two (it would block the rewrite and
+    # revert a hot block to a one-task full sort)
     kept = ranked.filter(F.col("__rn") <= cap).drop("__rn")
     a = kept.select(
         *block_cols,
         F.col(id_col).alias("id_a"),
         *[F.col(c).alias(f"{c}_a") for c in payload_cols],
     )
+    if observation is not None:
+        overflow = (
+            df.groupBy(*block_cols)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .observe(
+                observation,
+                F.sum(F.greatest(F.col("__n") - cap, F.lit(0)))
+                .cast("long")
+                .alias(counter),
+            )
+        )
+        a = a.join(overflow.select(*block_cols), list(block_cols))
     b = kept.select(
         *block_cols,
         F.col(id_col).alias("id_b"),

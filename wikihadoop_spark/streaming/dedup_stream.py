@@ -84,18 +84,28 @@ def signature_index(
         "corpus_id",
         *[F.col(f"cs{i}") for i in range(n_hashes)],
     )
-    w = Window.partitionBy("band", *[f"key{r}" for r in range(rows)]).orderBy(
-        "corpus_id"
-    )
+    key_cols = ["band"] + [f"key{r}" for r in range(rows)]
+    w = Window.partitionBy(*key_cols).orderBy("corpus_id")
     ranked = flat.withColumn("__rn", F.row_number().over(w))
+    # rank filter directly above the window → WindowGroupLimit partial
+    # truncation before the exchange (a mega family never sorts in one
+    # task); the drop counter rides a separate per-key COUNT aggregate
+    # (same exact number) joined back 1:1, never a CollectMetrics
+    # between window and filter (it would block the rewrite)
+    kept = ranked.filter(F.col("__rn") <= bucket_cap).drop("__rn")
     if observation is not None:
-        ranked = ranked.observe(
-            observation,
-            F.sum((F.col("__rn") > bucket_cap).cast("long")).alias(
-                "index_dropped_members"
-            ),
+        overflow = (
+            flat.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .observe(
+                observation,
+                F.sum(F.greatest(F.col("__n") - bucket_cap, F.lit(0)))
+                .cast("long")
+                .alias("index_dropped_members"),
+            )
         )
-    return ranked.filter(F.col("__rn") <= bucket_cap).drop("__rn")
+        kept = kept.join(overflow.select(*key_cols), key_cols)
+    return kept
 
 
 def stream_candidate_pairs(
