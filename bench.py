@@ -202,8 +202,10 @@ _SF1_SPOT_QUERIES = (
     # just one plan
     "dedup_clusters",
     # round 7: the full curation chain (persist + CC + mixture) — its
-    # scaling curve is measured, not argued
+    # scaling curve is measured, not argued — and the de-skewed
+    # cross-doc overlap (checkpointed explode + two hash aggregates)
     "curation_e2e",
+    "ngram_overlap",
 )
 _SF1_COPIES = 10
 _SF1_SHIFT = 100_000_000  # beyond every key range in the sf0.1 tables

