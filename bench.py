@@ -137,6 +137,8 @@ _PIPELINE_EXTRAS = (
     "decontaminate_ngram",
     "decontaminate_bloom",
     "text_quality_model",
+    "chunk_documents",
+    "text_scrub_pii",
 )
 
 

@@ -72,6 +72,8 @@ _DEMOTED_SOURCE_PINS = {
     "agg_rollup": "4302c99ab1c8ecf4",
     "embedding_cosine_dedup": "fcd55f10bcff127a",
     "events_pivot": "75e80b732e4758b0",
+    "events_sliding": "005b2a1c572097de",
+    "dedup_exact_rows": "e03df1abce283dc6",
     "join_anti": "4ee8ad81a9ae5a5b",
     "join_cross": "8e28519e77a707ad",
     "join_left_agg": "16b29ffd5458f4c0",

@@ -674,3 +674,80 @@ def test_signature_index_caps_hot_band_key(spark):
     pairs = stream_candidate_pairs(probe, index).collect()
     matched = {r.corpus_id for r in pairs}
     assert matched == set(range(25))  # the deterministic lowest-cap survivors
+
+
+def test_chunk_documents_covers_every_token_with_overlap(spark):
+    """Chunking invariants: with stride <= chunk size every token
+    appears in >= 1 chunk, consecutive chunks overlap by exactly
+    (chunk - stride) tokens, every chunk except possibly the last is
+    full, and reassembling chunk 0's prefix + each chunk's tail
+    reconstructs the document."""
+    from wikihadoop_spark.operators.chunking import chunk_documents
+    from wikihadoop_spark.operators.dedup import tokens as tok_expr
+
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(100))),   # 100 tokens
+        (2, " ".join(f"v{i}" for i in range(7))),     # shorter than a chunk
+        (3, "solo"),                                  # single token
+        (4, "!!! ??? ..."),                           # ZERO tokens -> no rows
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    ch = chunk_documents(docs, chunk_tokens=32, stride=24).collect()
+    by_doc: dict[int, list] = {}
+    for r in sorted(ch, key=lambda r: (r.doc_id, r.chunk_idx)):
+        by_doc.setdefault(r.doc_id, []).append(r)
+
+    assert set(by_doc) == {1, 2, 3}  # zero-token doc yields nothing
+    # doc 1: starts 0,24,48,72,96 -> 5 chunks; last has 100-96=4 tokens
+    c1 = by_doc[1]
+    assert [r.chunk_idx for r in c1] == [0, 1, 2, 3, 4]
+    assert [r.n_tokens for r in c1] == [32, 32, 32, 28, 4]
+    # overlap: chunk k starts at token 24k; chunk text begins with w{24k}
+    for k, r in enumerate(c1):
+        assert r.chunk_text.startswith(f"w{24 * k} ") or r.chunk_text == "w96 w97 w98 w99"
+    # coverage: union of chunk tokens == document tokens
+    seen = set()
+    for r in c1:
+        seen.update(r.chunk_text.split())
+    assert seen == {f"w{i}" for i in range(100)}
+    assert by_doc[2][0].n_tokens == 7 and len(by_doc[2]) == 1
+    assert by_doc[3][0].chunk_text == "solo"
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    import pytest
+
+    from wikihadoop_spark.operators.chunking import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        chunk_documents(docs, chunk_tokens=0)
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(docs, chunk_tokens=8, stride=-1)
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from wikihadoop_spark.functions.scrub import pii_counts, scrub_pii
+
+    rows = [
+        (1, "contact jane.doe+x@corp.example.org or 10.1.2.3 ref 123456789"),
+        (2, "no pii here just words"),
+        (3, "two mails a@b.io c@d.net and short digits 1234"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    counts = pii_counts(F.col("text"))
+    out = {
+        r.doc_id: (r.n_email, r.n_ip, r.n_id, r.scrubbed)
+        for r in df.select(
+            "doc_id",
+            counts["email"].alias("n_email"),
+            counts["ipv4"].alias("n_ip"),
+            counts["idnum"].alias("n_id"),
+            scrub_pii(F.col("text")).alias("scrubbed"),
+        ).collect()
+    }
+    assert out[1][:3] == (1, 1, 1)
+    assert out[1][3] == "contact <EMAIL> or <IP> ref <ID>"
+    assert out[2] == (0, 0, 0, "no pii here just words")
+    assert out[3][:3] == (2, 0, 0)
+    assert out[3][3] == "two mails <EMAIL> <EMAIL> and short digits 1234"

@@ -330,3 +330,17 @@ def test_capped_paths_keep_window_group_limit_when_observed(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "WindowGroupLimit" in p and "Partial" in p
+
+
+def test_chunk_and_scrub_are_single_pass(spark):
+    """Chunking is higher-order expressions + one explode (no shuffle
+    beyond the _spread fan-out, no Python stage); PII scrubbing is a
+    pure scan projection — fully exchange-free."""
+    plan = plan_of(spark, "chunk_documents")
+    assert "Generate" in plan  # the posexplode
+    assert plan.count("Exchange") <= 1  # just the _spread round-robin
+    assert "EvalPython" not in plan and "HashAggregate" not in plan
+
+    plan = plan_of(spark, "text_scrub_pii")
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan and "Window" not in plan

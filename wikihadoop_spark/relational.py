@@ -2093,6 +2093,108 @@ def decontaminate_ngram(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "chunk_documents",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    nz AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+    ch AS (
+      SELECT doc_id, unnest(range((n - 1) // 24 + 1)) AS k, t FROM nz
+    )
+    SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+           CAST(len(list_slice(t, k*24 + 1, k*24 + 32)) AS BIGINT) AS n_tokens,
+           md5(array_to_string(list_slice(t, k*24 + 1, k*24 + 32), ' ')) AS chunk_md5
+    FROM ch
+    """,
+)
+def chunk_documents_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-sequence chunking (`operators/chunking.py`): split each
+    document into 32-token windows with stride 24 (8-token overlap, so
+    no span loses context at a boundary) — the curation-to-tokenizer
+    step that turns arbitrary-length documents into sequence-sized
+    pieces.
+
+    Plan: chunk starts, slices, and joins are higher-order array
+    expressions inside the scan projection followed by ONE
+    posexplode — zero shuffles, zero UDFs; chunking the corpus costs
+    exactly one data pass at 100 TB."""
+    from .operators.chunking import chunk_documents
+
+    t = Tables(spark, sf)
+    ch = chunk_documents(
+        _spread(t.documents), chunk_tokens=32, stride=24
+    )
+    return ch.select(
+        "doc_id",
+        "chunk_idx",
+        "n_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+@query(
+    "text_scrub_pii",
+    # deterministic PII injection on 1-in-5 docs (both engines build
+    # the identical string) so the redaction rules demonstrably fire
+    oracle=r"""
+    WITH txt AS (
+      SELECT doc_id,
+             lower(text) || CASE WHEN doc_id % 5 = 0
+               THEN ' reach user' || (doc_id % 7)::VARCHAR
+                    || '@example.com or 10.0.' || (doc_id % 250)::VARCHAR
+                    || '.7 ref 933333333'
+               ELSE '' END AS body
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(body, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(body, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+           CAST(len(regexp_extract_all(body, '\d{9,}')) AS BIGINT) AS n_id,
+           md5(regexp_replace(regexp_replace(regexp_replace(body,
+                '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                '\d{9,}', '<ID>', 'g')) AS scrubbed_md5
+    FROM txt
+    """,
+)
+def text_scrub_pii(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrubbing (`functions/scrub.py`): redact emails / IPv4s /
+    long id-like digit runs and report per-pattern match counts — the
+    privacy pass of a training-data pipeline.  Patterns stay inside
+    the regex subset Java and RE2-style engines share, so the oracle
+    replays the exact same redactions (verified by the scrubbed text's
+    md5, not just the counts).
+
+    Plan: a row-local regexp chain inside the scan projection — no
+    shuffle, no UDF, one data pass at 100 TB (exchange-free, pinned in
+    tests/test_plans.py)."""
+    from .functions.scrub import pii_counts, scrub_pii
+
+    t = Tables(spark, sf)
+    body = F.concat(
+        F.lower(F.col("text")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" reach user"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit("@example.com or 10.0."),
+                (F.col("doc_id") % 250).cast("string"),
+                F.lit(".7 ref 933333333"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    d = t.documents.select("doc_id", body.alias("__body"))
+    counts = pii_counts(F.col("__body"))
+    return d.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["ipv4"].alias("n_ip"),
+        counts["idnum"].alias("n_id"),
+        F.md5(scrub_pii(F.col("__body"))).alias("scrubbed_md5"),
+    )
+
+
+@query(
     "decontaminate_bloom",
     # the Bloom filter is DETERMINISTIC given the hash family, so the
     # oracle replays the exact bit arithmetic: same md5-keyed positions,
@@ -3153,11 +3255,13 @@ def media_frame_fanout_q(spark: SparkSession, sf: str) -> DataFrame:
 # change stay in-window for re-verification: ngram_overlap (de-skewed
 # two-aggregate rewrite), decontaminate_ngram (broadcast semi-join
 # probe), pack_token_budget and sample_mixture (operator hardening:
-# ROWS frame/tiebreak, dtype-derived threshold frame).  Two new
+# ROWS frame/tiebreak, dtype-derived threshold frame).  Four new
 # queries gate immediately per new-query hygiene: dedup_keeper_quality
-# (the curation chain's keeper="best_quality" min_by math) and
-# decontaminate_bloom (the Bloom variant, oracle-replayed bit-for-bit).
-# Catalog: 81 queries.
+# (the curation chain's keeper="best_quality" min_by math),
+# decontaminate_bloom (the Bloom variant, oracle-replayed bit-for-bit),
+# chunk_documents (training-sequence windows), and text_scrub_pii
+# (regex redaction, oracle-verified on the scrubbed md5).
+# Catalog: 83 queries.
 #
 # Round-8 rotation plan: the 30 r06-pinned demotions will be the
 # oldest evidence (1 round old at r07) — rotate them back next round,
@@ -3203,6 +3307,8 @@ ROTATION_SET: frozenset[str] = frozenset(
         # round-7 additions: brand-new queries gate immediately
         "dedup_keeper_quality",
         "decontaminate_bloom",
+        "chunk_documents",
+        "text_scrub_pii",
     }
 )
 
@@ -3246,16 +3352,19 @@ _GATE_ORDER: tuple[str, ...] = (
     "scalar_subquery",
     "correlated_exists",
     "unpivot_lineitem",
-    # event-time analytics rotate back; sliding carries r06 coverage
-    # of the family alongside them
+    # event-time analytics rotate back (sliding demoted with its r06
+    # evidence for the chunking query)
     "events_tumbling",
     "events_retention",
-    "events_sliding",
     # similarity: the exact brute-force baseline rotates back
     "similarity_topk",
+    # NEW this round — must gate immediately: training-sequence
+    # chunking and PII scrubbing (events_sliding and dedup_exact_rows
+    # demoted in exchange, r06-green and unchanged, pinned)
+    "chunk_documents",
+    "text_scrub_pii",
     # dedup core path carried in-window (adjacent to this round's
     # keeper/decontamination work)
-    "dedup_exact_rows",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "dedup_clusters",
