@@ -88,10 +88,15 @@ def test_curate_subcommand_keeper_and_waterfill_flags(tmp_path):
             "--keeper", "best_quality",
             "--waterfill",
             "--token-budget", "20000",
+            "--scrub-pii",
+            "--chunk-tokens", "64",
         ],
         capture_output=True, text=True, timeout=600, env=env, cwd=REPO,
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "mixture:" in r.stdout
+    assert "pii_redactions:" in r.stdout and "chunks:" in r.stdout
     n = duckdb.sql(f"SELECT COUNT(*) FROM read_parquet('{out}/*.parquet')").fetchone()[0]
     assert n > 0
+    cols = duckdb.sql(f"SELECT * FROM read_parquet('{out}/*.parquet') LIMIT 0").columns
+    assert "chunk_idx" in cols and "chunk_text" in cols

@@ -152,3 +152,68 @@ def test_curation_rejects_colliding_input_columns(spark):
     curate_corpus(docs2)  # fine: no shard_budget
     with pytest.raises(ValueError, match="collide.*cum_tokens"):
         curate_corpus(docs2, shard_budget=100)
+
+
+def test_curation_scrub_and_chunk_stages(spark, tmp_path):
+    """scrub=True must redact BEFORE anything derives from the text
+    (the written corpus carries no PII and the redaction counter
+    fires); chunk_tokens must turn curated docs into sequence windows
+    that pack reproducibly via the (id, chunk_idx) tiebreak."""
+    base = " ".join(POS)
+    rows = [
+        (1, base + " mail me a@b.com and 10.1.2.3 ref 987654321", "a"),
+        (2, base + " clean and wordy " + " ".join(f"x{i}" for i in range(60)), "a"),
+        (3, " ".join(NEG * 3), "a"),  # low quality -> dropped
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = str(tmp_path / "shards")
+    res = curate_corpus(
+        docs,
+        scrub=True,
+        chunk_tokens=16,
+        chunk_stride=12,
+        shard_budget=40,
+        out_dir=out,
+    )
+    counts = res.counts()
+    assert counts["pii_redactions"] == 3  # email + ip + id on doc 1
+    assert counts["quality"] == 2 and counts["chunks"] > 2
+    # chunk rows carry the group column and per-chunk token counts
+    assert {"doc_id", "source", "chunk_idx", "n_tokens", "chunk_text"} <= set(
+        res.curated.columns
+    )
+    body = " ".join(r.chunk_text for r in res.curated.collect())
+    # chunk text is token-joined, so the <EMAIL>/<IP>/<ID> placeholders
+    # surface as their alnum tokens — the PII itself must be gone
+    assert "mail me email and ip ref id" in body
+    assert "a@b.com" not in body and "987654321" not in body and "10.1.2.3" not in body
+    # shards wrote and reassemble the chunk corpus
+    import glob as _glob
+
+    assert _glob.glob(f"{out}/shard=*/part-*.parquet")
+    back = spark.read.parquet(out)
+    assert back.count() == counts["chunks"]
+
+
+def test_curation_counters_survive_zero_pair_corpus(spark):
+    """Regression: a corpus yielding ZERO near-dup pairs empties the
+    CC join, and AQE's empty-relation propagation used to prune the
+    below-cache CollectMetrics from the first execution embedding
+    them — resolving the input/quality/exact_dedup observations with
+    an empty row and poisoning every later counts() read.  The chain
+    now pins those counters with a real completion right after the
+    persist, and the truncation counter's pruned-branch read is, by
+    construction, zero."""
+    base = " ".join(POS)
+    rows = [
+        (1, base + " mail me and ref", "a"),
+        (2, base + " clean and wordy " + " ".join(f"x{i}" for i in range(60)), "a"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    res = curate_corpus(docs)
+    counts = res.counts()
+    assert counts["input"] == 2
+    assert counts["quality"] == 2
+    assert counts["exact_dedup"] == 2
+    assert counts["near_dedup"] == 2
+    assert counts["near_dedup_dropped_members"] == 0

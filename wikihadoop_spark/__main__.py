@@ -105,6 +105,14 @@ def main(argv: list[str] | None = None) -> int:
                    help="redistribute capped groups' unused mixture budget")
     c.add_argument("--shard-budget", type=int, default=None,
                    help="tokens per output shard (one parquet file per shard)")
+    c.add_argument("--scrub-pii", action="store_true",
+                   help="redact emails/IPs/id runs BEFORE any stage derives "
+                        "from the text (pii_redactions counter printed)")
+    c.add_argument("--chunk-tokens", type=int, default=None,
+                   help="split curated docs into training-sequence windows "
+                        "of this many tokens before packing")
+    c.add_argument("--chunk-stride", type=int, default=None,
+                   help="chunk stride (default: disjoint chunks)")
     c.add_argument("--cores", type=int, default=None)
 
     args = ap.parse_args(argv)
@@ -139,6 +147,9 @@ def main(argv: list[str] | None = None) -> int:
                 waterfill=args.waterfill,
                 shard_budget=args.shard_budget,
                 out_dir=args.output if args.shard_budget else None,
+                scrub=args.scrub_pii,
+                chunk_tokens=args.chunk_tokens,
+                chunk_stride=args.chunk_stride,
             )
             if args.shard_budget is None:
                 # this write is the action that fires the stage counters
@@ -190,7 +201,10 @@ def main(argv: list[str] | None = None) -> int:
                 out = out.filter(F.col("is_keeper"))
             out.write.mode("overwrite").parquet(args.output)
             n = spark.read.parquet(args.output).count()
-            dropped = obs.get["lsh_dropped_members"]
+            # pruned counter branch (no bucket held >1 member) == 0 dropped
+            from .observability import read_counter
+
+            dropped = read_counter(obs, default=0)
             print(f"{n} rows -> {args.output} (bucket-cap dropped members: {dropped};"
                   " nonzero means raise --bucket-cap if full connectivity matters)")
             return 0

@@ -40,3 +40,24 @@ def observed_counts(
     if not metrics:
         metrics = [F.count(F.lit(1)).alias("rows")]
     return df.observe(obs, *metrics), obs
+
+
+def read_counter(obs: Observation, default: int | None = None) -> int:
+    """Read an Observation's single metric, tolerating AQE
+    empty-relation pruning.
+
+    When an observed branch feeds a join whose other side turns out
+    EMPTY, adaptive execution replaces the join with an empty relation
+    and prunes the branch — the execution still completes, so the
+    Observation resolves with an EMPTY row and ``obs.get`` raises
+    (Py4J ``toPyRow`` assertion) instead of blocking.  For counters
+    whose branch is only ever pruned when the true answer is zero
+    (e.g. a dropped-members count attached to a bucket frame that was
+    empty), pass ``default=0``; with ``default=None`` the read
+    re-raises, because a poisoned stage-count is a real bug."""
+    try:
+        return int(next(iter(obs.get.values())))
+    except Exception:
+        if default is None:
+            raise
+        return default

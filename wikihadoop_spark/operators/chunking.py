@@ -32,6 +32,7 @@ def chunk_documents(
     text_col: str = "text",
     chunk_tokens: int = 128,
     stride: int | None = None,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Explode each document into ``(id, chunk_idx, n_tokens,
     chunk_text)`` rows: chunk ``k`` covers tokens
@@ -44,14 +45,18 @@ def chunk_documents(
     span is split across a boundary without context).  With ``stride
     <= chunk_tokens`` every token appears in at least one chunk.  A
     document with zero tokens yields zero rows (there is nothing to
-    train on; count inputs upstream if auditing)."""
+    train on; count inputs upstream if auditing).  ``keep_cols`` ride
+    through unchanged onto every chunk row (e.g. the source/group
+    column a downstream mixture or audit needs)."""
     if chunk_tokens <= 0:
         raise ValueError(f"chunk_tokens must be positive (got {chunk_tokens})")
     stride = chunk_tokens if stride is None else stride
     if stride <= 0:
         raise ValueError(f"stride must be positive (got {stride})")
     toks = df.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("__t")
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        tokens(F.col(text_col)).alias("__t"),
     ).filter(F.size("__t") > 0)
     # chunk starts: 1, 1+stride, ... while start <= len(t)
     n_chunks = ((F.size("__t") - F.lit(1)) / F.lit(stride)).cast("int") + F.lit(1)
@@ -61,10 +66,12 @@ def chunk_documents(
     )
     exploded = toks.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         F.posexplode(chunks).alias("chunk_idx", "__chunk"),
     )
     return exploded.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         F.col("chunk_idx").cast("int").alias("chunk_idx"),
         F.size("__chunk").cast("bigint").alias("n_tokens"),
         F.array_join(F.col("__chunk"), " ").alias("chunk_text"),

@@ -75,9 +75,17 @@ class CurationResult:
 
     def counts(self) -> dict[str, int]:
         # each observation carries one metric (stage row count, or the
-        # LSH truncation counter) — read it by position, not name
+        # LSH truncation counter) — read it by position, not name.
+        # The truncation counter's branch is pruned by AQE exactly when
+        # no bucket held >1 member (cap >= 1, so nothing can have been
+        # dropped): a pruned read IS zero.  Stage counts re-raise on a
+        # poisoned read — that would be a real ordering bug.
+        from ..observability import read_counter
+
         return {
-            name: int(next(iter(o.get.values())))
+            name: read_counter(
+                o, default=0 if name == "near_dedup_dropped_members" else None
+            )
             for name, o in self.observations.items()
         }
 
@@ -115,6 +123,9 @@ def curate_corpus(
     out_dir: str | None = None,
     eager: bool = True,
     keeper: str = "min_id",
+    scrub: bool = False,
+    chunk_tokens: int | None = None,
+    chunk_stride: int | None = None,
 ) -> CurationResult:
     """Run the full curation chain over ``docs``.
 
@@ -127,6 +138,16 @@ def curate_corpus(
     no-op); ``waterfill`` redistributes capped groups' unused budget.  ``shard_budget`` (optional): token budget per output
     shard; with ``out_dir`` the shards are also written (one ordered
     parquet file per shard).
+
+    ``scrub``: redact PII (emails/IPv4s/id runs, `functions/scrub.py`)
+    FIRST, before anything derives from the text — fingerprints,
+    signatures, and shards all see scrubbed text only, so PII never
+    leaks into persisted dedup state; the ``pii_redactions`` counter
+    records total matches.  ``chunk_tokens`` (optional): split the
+    curated documents into training-sequence windows
+    (`operators/chunking.py`; ``chunk_stride`` defaults to disjoint)
+    as the final pre-packing stage — shards then pack chunks in
+    (id, chunk_idx) order via the packing tiebreak.
 
     ``keeper``: which member survives a near-duplicate cluster —
     ``"min_id"`` (default, cheapest: the component label IS the
@@ -161,8 +182,12 @@ def curate_corpus(
     # already carries one (n_tokens is common) would have it silently
     # overwritten in the curated output — refuse up front instead
     reserved = ["__q", "__fp", "n_tokens"]
+    if scrub:
+        reserved += ["__pii"]
     if token_budget is not None:
         reserved += ["bucket", "keep_threshold"]
+    if chunk_tokens is not None:
+        reserved += ["chunk_idx", "chunk_text"]
     if shard_budget is not None:
         reserved += ["cum_tokens", "shard"]
     clash = [c for c in docs.columns if c in reserved]
@@ -173,6 +198,24 @@ def curate_corpus(
         )
     obs: dict[str, Observation] = {}
     cur = _observed(docs, "input", obs)
+
+    # 0. PII scrub: FIRST, so no later stage (fingerprints, minhash
+    # signatures, shards) ever derives from unredacted text; row-local
+    # regexp chain, no shuffle — the counter records total matches
+    if scrub:
+        from ..functions.scrub import pii_counts, scrub_pii
+
+        redactions = None
+        for c in pii_counts(F.col(text_col)).values():
+            redactions = c if redactions is None else redactions + c
+        scrub_obs = Observation("scrub")
+        obs["pii_redactions"] = scrub_obs
+        cur = (
+            cur.withColumn("__pii", redactions)
+            .observe(scrub_obs, F.sum("__pii").alias("pii"))
+            .withColumn(text_col, scrub_pii(F.col(text_col)))
+            .drop("__pii")
+        )
 
     # 1. model-based quality filter: row-local, no shuffle (the score
     # rides along as __q for the best_quality keeper policy)
@@ -201,6 +244,17 @@ def curate_corpus(
     # Counters upstream fire on the first materialization only (cached
     # reads skip their CollectMetrics nodes).
     cur = cached = cur.persist()
+    # Pin the below-cache counters NOW with a plain count: it populates
+    # the cache (which the next consumer would have paid anyway) and
+    # completes input/pii/quality/exact_dedup with REAL rows.  Without
+    # this, the first execution embedding this subtree can be one where
+    # AQE's empty-relation propagation pruned the CollectMetrics nodes
+    # (e.g. a corpus yielding ZERO near-dup pairs empties the CC join),
+    # which resolves those observations with an empty row and poisons
+    # every later read — a real bug this chain shipped with until a
+    # two-document corpus exposed it (drill in tests/test_curation.py).
+    # Observations keep their FIRST completion, so pinning first wins.
+    cached.count()
 
     # 3. near-dedup: row-local signatures -> capped LSH pairs -> CC keepers
     sig = minhash_signatures_rowwise(
@@ -275,7 +329,27 @@ def curate_corpus(
             obs,
         )
 
-    # 6. materialize, then pack into fixed-budget shards
+    # 6. training-sequence chunking: the curated documents become
+    # sequence-sized rows (higher-order exprs + one explode, no
+    # shuffle); shards below then pack CHUNKS in (id, chunk_idx) order
+    if chunk_tokens is not None:
+        from ..operators.chunking import chunk_documents
+
+        keep = tuple(c for c in (group_col,) if c in cur.columns)
+        cur = _observed(
+            chunk_documents(
+                cur.drop("n_tokens"),
+                id_col=id_col,
+                text_col=text_col,
+                chunk_tokens=chunk_tokens,
+                stride=chunk_stride,
+                keep_cols=keep,
+            ),
+            "chunks",
+            obs,
+        )
+
+    # 7. materialize, then pack into fixed-budget shards
     #
     # The eager localCheckpoint serves three jobs at once: (a) every
     # stage counter fires exactly once on the FULL data (a caller's
@@ -290,6 +364,9 @@ def curate_corpus(
         cached.unpersist()
         cached = None
     if shard_budget is not None:
+        # chunked corpora have several rows per doc id: chunk_idx
+        # completes the total order so packing stays bit-reproducible
+        tiebreak = "chunk_idx" if chunk_tokens is not None else None
         if out_dir is not None:
             packed = write_packed_shards(
                 cur,
@@ -297,10 +374,15 @@ def curate_corpus(
                 order_col=id_col,
                 tokens_col="n_tokens",
                 budget=shard_budget,
+                tiebreak_col=tiebreak,
             )
         else:
             packed = pack_token_budget(
-                cur, order_col=id_col, tokens_col="n_tokens", budget=shard_budget
+                cur,
+                order_col=id_col,
+                tokens_col="n_tokens",
+                budget=shard_budget,
+                tiebreak_col=tiebreak,
             )
 
     return CurationResult(curated=cur, packed=packed, observations=obs, _cached=cached)
