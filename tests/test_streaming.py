@@ -451,3 +451,37 @@ def test_curate_stream_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM t_curstream").collect()
     }
     assert got == batch
+
+
+def test_curate_stream_chunked_matches_batch(spark, tmp_path):
+    """With chunk_tokens set the streaming curation emits
+    training-sequence chunk rows (posexplode is stateless — still
+    append mode) identical to the batch run."""
+    from wikihadoop_spark.streaming.curate_stream import curate_stream
+
+    docs = load_table(spark, SF, "documents")
+    key = lambda r: (r.doc_id, r.chunk_idx, r.quality, r.n_tokens, r.chunk_text)
+    batch = {
+        key(r)
+        for r in curate_stream(docs, chunk_tokens=24, chunk_stride=16).collect()
+    }
+    assert batch and any(k[1] > 0 for k in batch)  # real multi-chunk docs
+
+    src = str(tmp_path / "arriving")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        curate_stream(stream, chunk_tokens=24, chunk_stride=16)
+        .writeStream.format("memory")
+        .queryName("t_curchunk")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {key(r) for r in spark.sql("SELECT * FROM t_curchunk").collect()}
+    assert got == batch

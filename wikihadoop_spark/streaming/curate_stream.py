@@ -42,14 +42,21 @@ def curate_stream(
     quality_threshold: int = 0,
     bloom: NgramBloom | None = None,
     text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int | None = None,
+    chunk_stride: int | None = None,
 ) -> DataFrame:
-    """Quality-filter and (optionally) decontaminate a document stream.
+    """Quality-filter, (optionally) decontaminate, and (optionally)
+    chunk a document stream.
 
     Returns the surviving rows with ``quality`` (the hashed linear
     score — kept so downstream keeper policies can prefer the best
-    cluster member without re-tokenizing) and ``n_tokens`` appended.
-    Works identically on a batch frame (the equivalence test runs
-    both).  The Bloom filter must be PRE-BUILT from the eval set
+    cluster member without re-tokenizing) and ``n_tokens`` appended;
+    with ``chunk_tokens`` set, rows become training-sequence chunks
+    (`operators/chunking.py` — a stateless posexplode, so it streams)
+    carrying ``quality`` through.  Works identically on a batch frame
+    (the equivalence test runs both).  The Bloom filter must be
+    PRE-BUILT from the eval set
     (`operators/decontam.py:build_ngram_bloom`) — building it is a
     batch job over static data, probing it is the streaming part."""
     out = docs.withColumn("quality", quality_score(F.col(text_col))).filter(
@@ -57,6 +64,17 @@ def curate_stream(
     )
     if bloom is not None:
         out = decontaminate_ngram_bloom(out, bloom, text_col=text_col)
+    if chunk_tokens is not None:
+        from ..operators.chunking import chunk_documents
+
+        return chunk_documents(
+            out,
+            id_col=id_col,
+            text_col=text_col,
+            chunk_tokens=chunk_tokens,
+            stride=chunk_stride,
+            keep_cols=("quality",),
+        )
     return out.withColumn(
         "n_tokens", F.size(tokens(F.col(text_col))).cast("bigint")
     )
