@@ -217,3 +217,38 @@ def test_curation_counters_survive_zero_pair_corpus(spark):
     assert counts["exact_dedup"] == 2
     assert counts["near_dedup"] == 2
     assert counts["near_dedup_dropped_members"] == 0
+
+
+def test_curation_empty_and_degenerate_corpora(spark, tmp_path):
+    """An empty corpus (a date partition with zero documents) must
+    flow through every knob combination with exact zero counters, and
+    an all-low-quality corpus must keep its NONZERO input count —
+    AQE's empty-relation propagation used to prune the observed
+    subtree from the pinning action itself, losing it (the chain now
+    excludes that rule while its own actions run)."""
+    empty = spark.createDataFrame([], "doc_id bigint, text string, source string")
+    for kw in (
+        {},
+        {"scrub": True},
+        {"token_budget": 1000},
+        {"token_budget": 1000, "waterfill": True},
+        {"token_budget": 1000, "chunk_tokens": 16, "shard_budget": 50,
+         "out_dir": str(tmp_path / "empty_shards")},
+    ):
+        res = curate_corpus(empty, **kw)
+        assert res.curated.count() == 0, kw
+        counts = res.counts()
+        assert counts["input"] == 0 and counts["near_dedup"] == 0, (kw, counts)
+
+    lowq = spark.createDataFrame(
+        [(i, " ".join(NEG * 2), "a") for i in range(3)],
+        ["doc_id", "text", "source"],
+    )
+    counts = curate_corpus(lowq).counts()
+    assert counts["input"] == 3  # the nonzero below-the-empty-join count
+    assert counts["quality"] == 0 and counts["near_dedup"] == 0
+    # and the caller's AQE setting is restored (chain sets it only
+    # while its own actions run)
+    assert "AQEPropagateEmptyRelation" not in (
+        spark.conf.get("spark.sql.adaptive.optimizer.excludedRules", "") or ""
+    )

@@ -251,8 +251,9 @@ def lsh_candidate_pairs(
             .agg(F.count(F.lit(1)).alias("__n"))
             .observe(
                 observation,
-                F.sum(
-                    F.greatest(F.col("__n") - bucket_cap, F.lit(0))
+                F.coalesce(
+                    F.sum(F.greatest(F.col("__n") - bucket_cap, F.lit(0))),
+                    F.lit(0),  # sum over an empty bucket frame is NULL
                 ).cast("long").alias("lsh_dropped_members"),
             )
         )
@@ -333,7 +334,10 @@ def capped_block_pairs(
             .agg(F.count(F.lit(1)).alias("__n"))
             .observe(
                 observation,
-                F.sum(F.greatest(F.col("__n") - cap, F.lit(0)))
+                F.coalesce(
+                    F.sum(F.greatest(F.col("__n") - cap, F.lit(0))),
+                    F.lit(0),  # sum over an empty block frame is NULL
+                )
                 .cast("long")
                 .alias(counter),
             )

@@ -55,6 +55,11 @@ def mixture_thresholds(
         raise ValueError(f"groups without a mixture weight: {sorted(missing)}")
     if missing:
         weights = {**weights, **{g: default_weight for g in missing}}
+    if not totals:
+        # an empty corpus partition has no groups to threshold — return
+        # the empty plan instead of raising (matches the waterfill
+        # variant; a date partition with zero documents is a real input)
+        return {}
     sum_w = sum(weights[g] for g in totals)
     if sum_w <= 0:
         raise ValueError("mixture weights must sum to a positive value")

@@ -160,8 +160,11 @@ def curate_corpus(
     (one ``localCheckpoint`` pass).  This guarantees every stage
     counter fires exactly once on the FULL data — with ``eager=False``
     the counts pin to the caller's first action, so a limiting action
-    (``show(5)``, ``first()``) records partial counts, and the caller
-    must also release the internal cache via :meth:`CurationResult.unpersist`.
+    (``show(5)``, ``first()``) records partial counts, the caller
+    must release the internal cache via :meth:`CurationResult.unpersist`,
+    and the AQE empty-relation guard (see the comment below) only
+    covers actions run inside this call — degenerate-empty corpora can
+    still poison counters pinned by later caller actions.
     """
     if mixture_weights is not None and token_budget is None:
         raise ValueError(
@@ -196,6 +199,84 @@ def curate_corpus(
             f"input columns collide with curation working names: {clash} "
             "— rename them (e.g. n_tokens is recomputed by the chain)"
         )
+    # AQE's empty-relation propagation PRUNES CollectMetrics nodes from
+    # any execution where a join side turns out empty (zero near-dup
+    # pairs; a quality filter that drops everything upstream of the
+    # exact-dedup semi-join) — the pruned observation resolves with an
+    # empty row, poisoning counts(), and for the input counter the
+    # lost value is NONZERO, so "pruned means 0" is not a valid read.
+    # Exclude the rule while THIS call runs its actions (empty-relation
+    # shortcuts only ever accelerate degenerate empty plans, so nothing
+    # of value is lost); restore the caller's setting after.
+    spark = docs.sparkSession
+    _excl_key = "spark.sql.adaptive.optimizer.excludedRules"
+    _aqe_rule = (
+        "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation"
+    )
+    prev_excluded = spark.conf.get(_excl_key, None)
+    merged = (
+        _aqe_rule
+        if not prev_excluded
+        else prev_excluded
+        if _aqe_rule in prev_excluded
+        else f"{prev_excluded},{_aqe_rule}"
+    )
+    spark.conf.set(_excl_key, merged)
+    try:
+        return _curate_corpus_impl(
+            docs,
+            id_col=id_col,
+            text_col=text_col,
+            group_col=group_col,
+            quality_threshold=quality_threshold,
+            near_dup_threshold=near_dup_threshold,
+            n_hashes=n_hashes,
+            bands=bands,
+            bucket_cap=bucket_cap,
+            benchmark=benchmark,
+            mixture_weights=mixture_weights,
+            token_budget=token_budget,
+            default_weight=default_weight,
+            waterfill=waterfill,
+            shard_budget=shard_budget,
+            out_dir=out_dir,
+            eager=eager,
+            keeper=keeper,
+            scrub=scrub,
+            chunk_tokens=chunk_tokens,
+            chunk_stride=chunk_stride,
+        )
+    finally:
+        if prev_excluded is None:
+            spark.conf.unset(_excl_key)
+        else:
+            spark.conf.set(_excl_key, prev_excluded)
+
+
+def _curate_corpus_impl(
+    docs: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    quality_threshold: int,
+    near_dup_threshold: float,
+    n_hashes: int,
+    bands: int,
+    bucket_cap: int,
+    benchmark: DataFrame | None,
+    mixture_weights: dict[str, int] | None,
+    token_budget: int | None,
+    default_weight: int,
+    waterfill: bool,
+    shard_budget: int | None,
+    out_dir: str | None,
+    eager: bool,
+    keeper: str,
+    scrub: bool,
+    chunk_tokens: int | None,
+    chunk_stride: int | None,
+) -> CurationResult:
     obs: dict[str, Observation] = {}
     cur = _observed(docs, "input", obs)
 
@@ -212,7 +293,8 @@ def curate_corpus(
         obs["pii_redactions"] = scrub_obs
         cur = (
             cur.withColumn("__pii", redactions)
-            .observe(scrub_obs, F.sum("__pii").alias("pii"))
+            # coalesce: sum over an EMPTY corpus is NULL, not 0
+            .observe(scrub_obs, F.coalesce(F.sum("__pii"), F.lit(0)).alias("pii"))
             .withColumn(text_col, scrub_pii(F.col(text_col)))
             .drop("__pii")
         )

@@ -99,7 +99,10 @@ def signature_index(
             .agg(F.count(F.lit(1)).alias("__n"))
             .observe(
                 observation,
-                F.sum(F.greatest(F.col("__n") - bucket_cap, F.lit(0)))
+                F.coalesce(
+                    F.sum(F.greatest(F.col("__n") - bucket_cap, F.lit(0))),
+                    F.lit(0),  # sum over an empty key frame is NULL
+                )
                 .cast("long")
                 .alias("index_dropped_members"),
             )
