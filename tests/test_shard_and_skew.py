@@ -235,3 +235,46 @@ def test_mega_frequent_shingle_overlap_drill(spark):
     # clean docs share nothing
     for j in range(n_clean):
         assert got[1000 + j] == (2, 0, 0.0), (j, got[1000 + j])
+
+
+def test_mega_family_through_full_curation_chain(spark):
+    """Chain-level skew drill: a 300-member boilerplate family among
+    distinct docs through the ENTIRE curation pipeline.  With the cap
+    below the family size the chain must still complete (capped pairs,
+    observable truncation, partial dedup); with the cap above it the
+    family must collapse to ONE surviving document."""
+    from wikihadoop_spark.plans.curation import curate_corpus
+
+    # strongly-positive template so the quality stage keeps everything;
+    # UNIQUE tails so the family survives exact dedup and hits the LSH
+    # stage as 300 near-duplicates (a shared tail would collapse at the
+    # fingerprint stage and never stress the buckets)
+    pos = "beta delta epsilon eta iota lam nu xi omicron rho tau upsilon phi chi omega red iron"
+    family = [(i, pos + f" u{i}", "boiler") for i in range(300)]
+    uniq = [
+        (1000 + j, " ".join(f"red iron beta u{j}w{k}" for k in range(6)), "clean")
+        for j in range(20)
+    ]
+    docs = spark.createDataFrame(family + uniq, ["doc_id", "text", "source"])
+
+    full = curate_corpus(docs, bucket_cap=300)
+    kept = {r.doc_id for r in full.curated.select("doc_id").collect()}
+    fam_kept_full = kept & set(range(300))
+    # 16-hash minhash is an ESTIMATOR: a few members can miss the 0.5
+    # threshold, so "nearly one keeper", not exactly one
+    assert 0 in fam_kept_full and len(fam_kept_full) <= 5
+    assert full.counts()["near_dedup_dropped_members"] == 0
+
+    capped = curate_corpus(docs, bucket_cap=50)
+    c = capped.counts()
+    assert c["near_dedup_dropped_members"] > 0  # truncation observable
+    survivors = {
+        r.doc_id
+        for r in capped.curated.select("doc_id").collect()
+        if r.doc_id < 1000
+    }
+    # fragmented (members past the cap pair with nothing) but bounded,
+    # never better-connected than the uncapped run, and the chain
+    # completed with exact counters despite the hot bucket
+    assert len(fam_kept_full) <= len(survivors) <= 300 - 50
+    assert c["input"] == 320 and c["quality"] == 320
