@@ -106,6 +106,27 @@ SHOWCASE = [
         " totals re-key to uniform doc_id, and the two doc-keyed frames"
         " meet in a small join over the once-checkpointed explode.",
     ),
+    (
+        "decontaminate_ngram",
+        "Exact n-gram decontamination: corpus shingles explode once and"
+        " probe the eval set through a BROADCAST left-semi hash join;"
+        " contaminated ids anti-join back as a broadcast against a"
+        " metadata-only scan — the corpus text is scanned once and never"
+        " hash-shuffled (the only exchange on its path is the _spread"
+        " fan-out).",
+    ),
+    (
+        "chunk_documents",
+        "Training-sequence chunking: chunk starts, slices, and joins are"
+        " higher-order array expressions inside the scan projection"
+        " followed by ONE `Generate` (posexplode) — no aggregate, no"
+        " window, no Python stage; chunking the corpus costs one pass.",
+    ),
+    (
+        "text_scrub_pii",
+        "PII scrubbing: a row-local `regexp_replace` chain entirely"
+        " inside the scan projection — the plan is exchange-free.",
+    ),
 ]
 
 
