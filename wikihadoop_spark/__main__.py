@@ -69,6 +69,17 @@ def main(argv: list[str] | None = None) -> int:
                     help="write only one row per cluster (the minimum id)")
     dd.add_argument("--cores", type=int, default=None)
 
+    rp = sub.add_parser(
+        "report",
+        help="one-pass per-source data card (docs/tokens/quality/dup-rate/percentiles) -> JSON",
+    )
+    rp.add_argument("--input", required=True, help="parquet corpus")
+    rp.add_argument("--output", required=True, help="JSON file to write")
+    rp.add_argument("--text-col", default="text")
+    rp.add_argument("--group-col", default="source")
+    rp.add_argument("--quality-threshold", type=int, default=0)
+    rp.add_argument("--cores", type=int, default=None)
+
     s = sub.add_parser(
         "shard",
         help="split a (bz2/gz/plain) dump into page-aligned shards for parallel reads",
@@ -157,6 +168,28 @@ def main(argv: list[str] | None = None) -> int:
                 res.curated.write.mode("overwrite").parquet(args.output)
             stages = " -> ".join(f"{k}:{v}" for k, v in res.counts().items())
             print(f"curated {stages} -> {args.output}")
+            return 0
+        finally:
+            spark.stop()
+
+    if args.cmd == "report":
+        from .plans.report import corpus_report, write_report
+        from .session import get_spark
+
+        spark = get_spark("wikihadoop-report", cpus=args.cores)
+        try:
+            rep = corpus_report(
+                spark.read.parquet(args.input),
+                text_col=args.text_col,
+                group_col=args.group_col,
+                quality_threshold=args.quality_threshold,
+            )
+            write_report(rep, args.output)
+            t = rep["total"]
+            print(
+                f"report: {t['docs']} docs, {t['tokens']} tokens, "
+                f"{len(rep['groups'])} groups -> {args.output}"
+            )
             return 0
         finally:
             spark.stop()
