@@ -80,6 +80,7 @@ _DEMOTED_SOURCE_PINS = {
     "join_right_agg": "8c9d8995b1bab41a",
     "join_semi": "051f79cdd64d54e2",
     "media_audio_features": "3b6a09ea33625b6c",
+    "minhash_signatures": "fdcc19e47feb7674",
     "media_frame_fanout": "3e39e07d6786c875",
     "media_image_metadata": "acb619d93a5d08bc",
     "ngram_jaccard_block": "c4605872af129943",

@@ -1281,14 +1281,14 @@ _SQL_SHINGLES = (
 )
 
 
-def _sql_minhash_sig() -> str:
+def _sql_minhash_sig(src: str = "documents") -> str:
     mins = ",\n      ".join(
         f"MIN(({MINHASH_A[i]} * x + {MINHASH_B[i]}) % {MERSENNE31}) AS s{i}"
         for i in range(_N_MINHASH)
     )
     return f"""
     WITH toks AS (
-      SELECT doc_id, {_SQL_TOKENS} AS t, lower(text) AS lt FROM documents
+      SELECT doc_id, {_SQL_TOKENS} AS t, lower(text) AS lt FROM {src}
     ), sh AS (
       SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM toks
     ), ex AS (
@@ -1316,10 +1316,12 @@ def minhash_signatures_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _sql_lsh_pairs(bucket_cap: int = 1000) -> str:
+def _sql_lsh_pairs(bucket_cap: int = 1000, src: str = "documents") -> str:
     """Band self-joins mirroring lsh_candidate_pairs, including the
     deterministic hot-bucket cap: per band bucket only the lowest
-    ``bucket_cap`` doc ids participate in pair generation."""
+    ``bucket_cap`` doc ids participate in pair generation.  ``src``
+    parameterizes the corpus relation so composed oracles (the
+    end-to-end curation chain) can run the same SQL over a CTE."""
     rows = _N_MINHASH // _LSH_BANDS
     ranked = []
     bands = []
@@ -1343,7 +1345,7 @@ def _sql_lsh_pairs(bucket_cap: int = 1000) -> str:
         f"CAST(a.s{i} = b.s{i} AS INT)" for i in range(_N_MINHASH)
     )
     return f"""
-    WITH sig AS ({_sql_minhash_sig()}),
+    WITH sig AS ({_sql_minhash_sig(src)}),
     {ranked_ctes},
     pairs AS (
       {band_union}
@@ -2267,6 +2269,94 @@ def decontaminate_bloom_q(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("kept_docs"),
         F.sum("n_chars").cast("bigint").alias("kept_chars"),
     )
+
+
+_CURATE_BUDGET = 30000
+
+@query(
+    "curate_pipeline",
+    # the WHOLE curation chain replayed in one SQL statement: quality
+    # filter -> exact dedup -> MinHash/LSH (capped) -> recursive-CTE
+    # connected components -> fingerprint decontamination -> exact
+    # integer mixture thresholds -> md5-bucket sampling.  Every stage
+    # is engine-portable arithmetic, so the composition is too.
+    oracle=f"""
+    WITH RECURSIVE q AS (
+      SELECT doc_id, source, text FROM documents
+      WHERE COALESCE(list_sum(list_transform({_SQL_TOKENS},
+            t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2001 - 1000)), 0) > 0
+    ),
+    fpd AS (
+      SELECT doc_id, source, text,
+             md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+      FROM q
+    ),
+    keep1 AS (SELECT MIN(doc_id) AS doc_id FROM fpd GROUP BY fp),
+    ex1 AS (SELECT fpd.* FROM fpd JOIN keep1 USING (doc_id)),
+    edges AS (
+      SELECT id_a, id_b FROM ({_sql_lsh_pairs(src="ex1")})
+      WHERE est_jaccard >= 0.5
+    ),
+    e AS (
+      SELECT id_a AS s, id_b AS d FROM edges
+      UNION
+      SELECT id_b, id_a FROM edges
+    ),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM ex1
+      UNION
+      SELECT e.d, reach.lbl FROM reach JOIN e ON e.s = reach.node
+    ),
+    cc AS (SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node),
+    nd AS (
+      SELECT ex1.* FROM ex1 JOIN cc USING (doc_id) WHERE cc.doc_id = cc.component
+    ),
+    bfp AS (
+      SELECT DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+      FROM documents WHERE doc_id % 97 = 0
+    ),
+    dec AS (SELECT * FROM nd WHERE fp NOT IN (SELECT fp FROM bfp)),
+    tok AS (
+      SELECT doc_id, source, CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens FROM dec
+    ),
+    tot AS (
+      SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS avail,
+             (SELECT COUNT(DISTINCT source) FROM tok) AS gs
+      FROM tok GROUP BY source
+    ),
+    thr AS (
+      SELECT source,
+             LEAST(1000000::BIGINT,
+                   ({_CURATE_BUDGET}::BIGINT * 1000000) // (gs * avail)) AS t
+      FROM tot
+    )
+    SELECT tok.doc_id, tok.source, tok.n_tokens
+    FROM tok JOIN thr USING (source)
+    WHERE ('0x' || substr(md5('mix:' || tok.doc_id::VARCHAR), 1, 15))::BIGINT
+            % 1000000 < thr.t
+    """,
+)
+def curate_pipeline_q(spark: SparkSession, sf: str) -> DataFrame:
+    """The END-TO-END curation chain (`plans/curation.py::curate_corpus`)
+    as one oracle-gated query: quality filter → exact dedup → near-dedup
+    (row-local MinHash → capped LSH → iterative connected components) →
+    benchmark decontamination → uniform-weight mixture sampling at a
+    30k-token budget.  Every stage is independently gated elsewhere;
+    THIS row proves the composition — stage ordering, the persist/
+    checkpoint boundaries, and the counter plumbing change no rows.
+
+    Plan: the chain's own plan (one persist for four consumers,
+    single-plan observe counters, AQE empty-propagation excluded while
+    its actions run); the driver sees only the final deterministic
+    (doc_id, source, n_tokens) rows."""
+    from .plans.curation import curate_corpus
+
+    t = Tables(spark, sf)
+    bench = t.documents.filter(F.col("doc_id") % 97 == 0).select("text")
+    res = curate_corpus(
+        t.documents, benchmark=bench, token_budget=_CURATE_BUDGET
+    )
+    return res.curated.select("doc_id", "source", "n_tokens")
 
 
 @query(
@@ -3255,13 +3345,15 @@ def media_frame_fanout_q(spark: SparkSession, sf: str) -> DataFrame:
 # change stay in-window for re-verification: ngram_overlap (de-skewed
 # two-aggregate rewrite), decontaminate_ngram (broadcast semi-join
 # probe), pack_token_budget and sample_mixture (operator hardening:
-# ROWS frame/tiebreak, dtype-derived threshold frame).  Four new
+# ROWS frame/tiebreak, dtype-derived threshold frame).  Five new
 # queries gate immediately per new-query hygiene: dedup_keeper_quality
 # (the curation chain's keeper="best_quality" min_by math),
 # decontaminate_bloom (the Bloom variant, oracle-replayed bit-for-bit),
-# chunk_documents (training-sequence windows), and text_scrub_pii
-# (regex redaction, oracle-verified on the scrubbed md5).
-# Catalog: 83 queries.
+# chunk_documents (training-sequence windows), text_scrub_pii (regex
+# redaction, oracle-verified on the scrubbed md5), and curate_pipeline
+# (the WHOLE curation chain replayed as one recursive-CTE SQL
+# statement — composition-level correctness evidence).
+# Catalog: 84 queries.
 #
 # Round-8 rotation plan: the 30 r06-pinned demotions will be the
 # oldest evidence (1 round old at r07) — rotate them back next round,
@@ -3309,6 +3401,7 @@ ROTATION_SET: frozenset[str] = frozenset(
         "decontaminate_bloom",
         "chunk_documents",
         "text_scrub_pii",
+        "curate_pipeline",
     }
 )
 
@@ -3364,10 +3457,13 @@ _GATE_ORDER: tuple[str, ...] = (
     "chunk_documents",
     "text_scrub_pii",
     # dedup core path carried in-window (adjacent to this round's
-    # keeper/decontamination work)
-    "minhash_signatures",
+    # keeper/decontamination work); minhash_signatures demoted (r06
+    # evidence, unchanged, pinned) for the end-to-end chain query
     "minhash_lsh_pairs",
     "dedup_clusters",
+    # NEW this round — must gate immediately: the WHOLE curation chain
+    # oracle-replayed in one SQL statement
+    "curate_pipeline",
     # NEW this round — must gate immediately: best-quality keeper math
     "dedup_keeper_quality",
     # changed this round — must re-verify: de-skewed two-aggregate
