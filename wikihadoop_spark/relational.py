@@ -3355,10 +3355,12 @@ def media_frame_fanout_q(spark: SparkSession, sf: str) -> DataFrame:
 # statement — composition-level correctness evidence).
 # Catalog: 84 queries.
 #
-# Round-8 rotation plan: the 30 r06-pinned demotions will be the
-# oldest evidence (1 round old at r07) — rotate them back next round,
-# demoting in exchange whichever r07-gated queries ship unchanged,
-# pinned in _DEMOTED_SOURCE_PINS as usual.
+# Round-8 rotation plan: the 34 r06-pinned demotions will be the
+# oldest evidence (1 round old at r07) — rotate them back next round
+# (34 + the 2 wikidump anchors leaves 14 carry slots; any round-8
+# additions displace more unchanged r07-green queries), demoting in
+# exchange whichever r07-gated queries ship unchanged, pinned in
+# _DEMOTED_SOURCE_PINS as usual.
 GATE_WINDOW = 50
 
 # The must-gate set for THIS round: every query re-entering the window
