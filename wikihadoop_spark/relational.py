@@ -2317,7 +2317,9 @@ _CURATE_BUDGET = 30000
     ),
     dec AS (SELECT * FROM nd WHERE fp NOT IN (SELECT fp FROM bfp)),
     tok AS (
-      SELECT doc_id, source, CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens FROM dec
+      SELECT doc_id, source, text,
+             CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens
+      FROM dec
     ),
     tot AS (
       SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS avail,
@@ -2329,11 +2331,22 @@ _CURATE_BUDGET = 30000
              LEAST(1000000::BIGINT,
                    ({_CURATE_BUDGET}::BIGINT * 1000000) // (gs * avail)) AS t
       FROM tot
+    ),
+    kept AS (
+      SELECT tok.doc_id, tok.source, tok.text
+      FROM tok JOIN thr USING (source)
+      WHERE ('0x' || substr(md5('mix:' || tok.doc_id::VARCHAR), 1, 15))::BIGINT
+              % 1000000 < thr.t
+    ),
+    ktoks AS (SELECT doc_id, source, {_SQL_TOKENS} AS t FROM kept),
+    knz AS (SELECT doc_id, source, t, len(t) AS n FROM ktoks WHERE len(t) > 0),
+    ch AS (
+      SELECT doc_id, source, unnest(range((n - 1) // 24 + 1)) AS k, t FROM knz
     )
-    SELECT tok.doc_id, tok.source, tok.n_tokens
-    FROM tok JOIN thr USING (source)
-    WHERE ('0x' || substr(md5('mix:' || tok.doc_id::VARCHAR), 1, 15))::BIGINT
-            % 1000000 < thr.t
+    SELECT doc_id, source, CAST(k AS INT) AS chunk_idx,
+           CAST(len(list_slice(t, k*24 + 1, k*24 + 32)) AS BIGINT) AS n_tokens,
+           md5(array_to_string(list_slice(t, k*24 + 1, k*24 + 32), ' ')) AS chunk_md5
+    FROM ch
     """,
 )
 def curate_pipeline_q(spark: SparkSession, sf: str) -> DataFrame:
@@ -2341,22 +2354,34 @@ def curate_pipeline_q(spark: SparkSession, sf: str) -> DataFrame:
     as one oracle-gated query: quality filter → exact dedup → near-dedup
     (row-local MinHash → capped LSH → iterative connected components) →
     benchmark decontamination → uniform-weight mixture sampling at a
-    30k-token budget.  Every stage is independently gated elsewhere;
-    THIS row proves the composition — stage ordering, the persist/
-    checkpoint boundaries, and the counter plumbing change no rows.
+    30k-token budget → training-sequence chunking (32 tokens, stride
+    24).  Every stage is independently gated elsewhere; THIS row proves
+    the composition — stage ordering, the persist/checkpoint
+    boundaries, and the counter plumbing change no rows, down to the
+    md5 of every emitted chunk.
 
     Plan: the chain's own plan (one persist for four consumers,
     single-plan observe counters, AQE empty-propagation excluded while
     its actions run); the driver sees only the final deterministic
-    (doc_id, source, n_tokens) rows."""
+    (doc_id, source, chunk_idx, n_tokens, chunk_md5) rows."""
     from .plans.curation import curate_corpus
 
     t = Tables(spark, sf)
     bench = t.documents.filter(F.col("doc_id") % 97 == 0).select("text")
     res = curate_corpus(
-        t.documents, benchmark=bench, token_budget=_CURATE_BUDGET
+        t.documents,
+        benchmark=bench,
+        token_budget=_CURATE_BUDGET,
+        chunk_tokens=32,
+        chunk_stride=24,
     )
-    return res.curated.select("doc_id", "source", "n_tokens")
+    return res.curated.select(
+        "doc_id",
+        "source",
+        "chunk_idx",
+        "n_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
 
 
 @query(
