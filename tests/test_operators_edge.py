@@ -751,3 +751,64 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert out[2] == (0, 0, 0, "no pii here just words")
     assert out[3][:3] == (2, 0, 0)
     assert out[3][3] == "two mails <EMAIL> <EMAIL> and short digits 1234"
+
+
+def test_chunk_documents_exhaustive_small_grid(spark):
+    """Exhaustive small-parameter sweep in ONE job: every (chunk, stride,
+    n_tokens) combination for chunk,stride in 1..4 and n in 0..9 must
+    match the Python reference (starts 0, stride, ... while start < n;
+    slice clamps at the end)."""
+    from wikihadoop_spark.operators.chunking import chunk_documents
+
+    cases = []
+    did = 0
+    for chunk in range(1, 5):
+        for stride in range(1, 5):
+            for n in range(0, 10):
+                did += 1
+                toks = [f"t{i}" for i in range(n)]
+                cases.append((did, chunk, stride, n, " ".join(toks)))
+    docs = spark.createDataFrame(
+        cases, ["doc_id", "chunk", "stride", "n", "text"]
+    )
+    for chunk in range(1, 5):
+        for stride in range(1, 5):
+            sub = docs.filter(
+                (F.col("chunk") == chunk) & (F.col("stride") == stride)
+            )
+            got = {}
+            for r in chunk_documents(
+                sub, chunk_tokens=chunk, stride=stride
+            ).collect():
+                got.setdefault(r.doc_id, {})[r.chunk_idx] = (
+                    r.n_tokens, r.chunk_text
+                )
+            for did_, _, _, n, _ in [c for c in cases if c[1] == chunk and c[2] == stride]:
+                toks = [f"t{i}" for i in range(n)]
+                if n == 0:
+                    assert did_ not in got
+                    continue
+                expect = {}
+                k = 0
+                while k * stride < n:
+                    sl = toks[k * stride : k * stride + chunk]
+                    expect[k] = (len(sl), " ".join(sl))
+                    k += 1
+                assert got[did_] == expect, (chunk, stride, n)
+
+
+def test_scrub_pii_is_idempotent_on_real_corpus(spark):
+    """Scrubbing already-scrubbed text must be a no-op (placeholders
+    contain no matchable PII), so re-running the privacy pass over a
+    partially-curated corpus is safe."""
+    from wikihadoop_spark.catalog import load_table
+    from wikihadoop_spark.functions.scrub import scrub_pii
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").withColumn(
+        "text",
+        F.concat(F.col("text"), F.lit(" a.b+c@d-e.org 10.0.0.1 1234567890")),
+    )
+    once = docs.select("doc_id", scrub_pii(F.col("text")).alias("s1"))
+    twice = once.select("doc_id", F.col("s1"), scrub_pii(F.col("s1")).alias("s2"))
+    assert twice.filter(F.col("s1") != F.col("s2")).count() == 0
+    assert once.filter(F.col("s1").contains("@")).count() == 0
