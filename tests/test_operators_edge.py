@@ -733,6 +733,9 @@ def test_scrub_pii_redacts_and_counts(spark):
         (1, "contact jane.doe+x@corp.example.org or 10.1.2.3 ref 123456789"),
         (2, "no pii here just words"),
         (3, "two mails a@b.io c@d.net and short digits 1234"),
+        # mixed case in RAW text (round-7 verdict gap): the (?i) email
+        # class must redact it — under-redaction is the bad direction
+        (4, "Mail John.Doe@Example.COM and UPPER@SUB.DOMAIN.ORG now"),
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     counts = pii_counts(F.col("text"))
@@ -751,6 +754,8 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert out[2] == (0, 0, 0, "no pii here just words")
     assert out[3][:3] == (2, 0, 0)
     assert out[3][3] == "two mails <EMAIL> <EMAIL> and short digits 1234"
+    assert out[4][:3] == (2, 0, 0)
+    assert out[4][3] == "Mail <EMAIL> and <EMAIL> now"
 
 
 def test_chunk_documents_exhaustive_small_grid(spark):

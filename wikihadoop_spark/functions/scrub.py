@@ -6,8 +6,14 @@ Row-local `regexp_replace` chain inside the scan projection: no
 shuffle, no UDF, one data pass at 100 TB.  The patterns deliberately
 stay inside the regex subset Java (Spark) and RE2-style engines
 (DuckDB, Go) share — character classes, bounded repeats, `\\b` word
-boundaries; no lookarounds or backreferences — so the oracle replays
-the exact same redactions and the operator ports across engines.
+boundaries, the `(?i)` case-insensitivity flag; no lookarounds or
+backreferences — so the oracle replays the exact same redactions and
+the operator ports across engines.
+
+The email pattern carries `(?i)` (round-7 verdict): scrubbing runs on
+RAW document text, and a lowercase-only class silently under-redacts
+``John.Doe@Example.COM`` — for PII, under-redaction is the failure
+direction that matters.
 
 Counting happens on the ORIGINAL text per pattern (before any
 replacement), so counts are order-independent; replacement applies in
@@ -22,7 +28,7 @@ from pyspark.sql import functions as F
 
 #: (name, pattern, replacement) — order is the replacement order
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
-    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    ("email", r"(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
     ("idnum", r"\d{9,}", "<ID>"),
 )

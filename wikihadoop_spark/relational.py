@@ -2136,23 +2136,27 @@ def chunk_documents_q(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "text_scrub_pii",
     # deterministic PII injection on 1-in-5 docs (both engines build
-    # the identical string) so the redaction rules demonstrably fire
+    # the identical string) so the redaction rules demonstrably fire.
+    # Round 8: the body is RAW text (no lower()) and the injected
+    # address is MIXED-CASE — the gate now proves the (?i) email class
+    # redacts what a real corpus contains, closing the round-7 gap
+    # where the lowercased body could never exercise case handling.
     oracle=r"""
     WITH txt AS (
       SELECT doc_id,
-             lower(text) || CASE WHEN doc_id % 5 = 0
-               THEN ' reach user' || (doc_id % 7)::VARCHAR
-                    || '@example.com or 10.0.' || (doc_id % 250)::VARCHAR
-                    || '.7 ref 933333333'
+             text || CASE WHEN doc_id % 5 = 0
+               THEN ' Reach User' || (doc_id % 7)::VARCHAR
+                    || '@Example.COM or 10.0.' || (doc_id % 250)::VARCHAR
+                    || '.7 Ref 933333333'
                ELSE '' END AS body
       FROM documents
     )
     SELECT doc_id,
-           CAST(len(regexp_extract_all(body, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(body, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
            CAST(len(regexp_extract_all(body, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
            CAST(len(regexp_extract_all(body, '\d{9,}')) AS BIGINT) AS n_id,
            md5(regexp_replace(regexp_replace(regexp_replace(body,
-                '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
                 '\d{9,}', '<ID>', 'g')) AS scrubbed_md5
     FROM txt
@@ -2162,9 +2166,10 @@ def text_scrub_pii(spark: SparkSession, sf: str) -> DataFrame:
     """PII scrubbing (`functions/scrub.py`): redact emails / IPv4s /
     long id-like digit runs and report per-pattern match counts — the
     privacy pass of a training-data pipeline.  Patterns stay inside
-    the regex subset Java and RE2-style engines share, so the oracle
-    replays the exact same redactions (verified by the scrubbed text's
-    md5, not just the counts).
+    the regex subset Java and RE2-style engines share (incl. the
+    inline ``(?i)`` flag), so the oracle replays the exact same
+    redactions (verified by the scrubbed text's md5, not just the
+    counts) — including mixed-case addresses in raw text.
 
     Plan: a row-local regexp chain inside the scan projection — no
     shuffle, no UDF, one data pass at 100 TB (exchange-free, pinned in
@@ -2173,15 +2178,15 @@ def text_scrub_pii(spark: SparkSession, sf: str) -> DataFrame:
 
     t = Tables(spark, sf)
     body = F.concat(
-        F.lower(F.col("text")),
+        F.col("text"),
         F.when(
             F.col("doc_id") % 5 == 0,
             F.concat(
-                F.lit(" reach user"),
+                F.lit(" Reach User"),
                 (F.col("doc_id") % 7).cast("string"),
-                F.lit("@example.com or 10.0."),
+                F.lit("@Example.COM or 10.0."),
                 (F.col("doc_id") % 250).cast("string"),
-                F.lit(".7 ref 933333333"),
+                F.lit(".7 Ref 933333333"),
             ),
         ).otherwise(F.lit("")),
     )
