@@ -38,6 +38,36 @@ def test_corpus_report_detects_planted_dups(spark):
     assert 0.40 <= rep["total"]["dup_rate"] <= 0.58
 
 
+def test_corpus_report_is_one_action(spark, monkeypatch):
+    """Round-7 verdict: the card must be ONE data pass — previously it
+    ran a per-group collect AND a total agg, re-tokenizing the corpus
+    twice.  Now the total rides the same rollup aggregate, so exactly
+    one action (collect) executes, and the plan carries the rollup
+    Expand instead of a second aggregate over per_doc."""
+    from wikihadoop_spark.plans.report import report_frame
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    calls = []
+    # patch the CONCRETE DataFrame class (pyspark.sql.DataFrame is the
+    # abstract base in Spark 4; classic sessions instantiate a subclass
+    # that overrides collect)
+    cls = type(docs)
+    orig = cls.collect
+
+    def spy(self):
+        calls.append(self)
+        return orig(self)
+
+    monkeypatch.setattr(cls, "collect", spy)
+    rep = corpus_report(docs)
+    assert len(calls) == 1, "corpus_report must run exactly one action"
+    assert rep["total"]["docs"] == docs.count() - 0  # sanity: dict built
+    # the single plan is a rollup: physical plan contains the Expand
+    # the grouping-sets lowering introduces
+    plan = report_frame(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan
+
+
 def test_report_cli_writes_json(tmp_path):
     out = str(tmp_path / "card.json")
     env = dict(os.environ, SPARK_GRAFT_CPUS="8")

@@ -1,13 +1,18 @@
 """Corpus data card: the per-source audit a training-data team reads
 before admitting a corpus — sizes, token counts, quality keep-rates,
-exact-duplicate rates, and length percentiles, in ONE Spark job.
+exact-duplicate rates, and length percentiles, in ONE Spark action.
 
 Plan shape at 100 TB: every per-document metric (token count, hashed
 quality score, content fingerprint) is a row-local expression inside
-the scan projection; the card is then a single per-source hash
-aggregate (plus `approx_count_distinct` for the duplicate rate — a
-sketch, the only honest distinct count at corpus scale).  One data
-pass, one shuffle of G tiny rows.
+the scan projection; the card is then a SINGLE ``rollup`` aggregate —
+the NULL grouping row IS the corpus total (``approx_count_distinct``'s
+HLL sketch and ``percentile_approx`` merge correctly under rollup), so
+per-source cards and the total come out of one data pass.  The rollup
+Expand duplicates only the tiny projected rows (g, two longs, a flag,
+an md5), never the text: the corpus is scanned and tokenized exactly
+once.  One action, one shuffle of 2·G tiny rows (asserted in
+tests/test_report.py; the exact integer columns are driver-gated as
+``corpus_report_card``).
 """
 
 from __future__ import annotations
@@ -19,6 +24,37 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import tokens
 from .curation import content_fingerprint, quality_score
+
+
+def report_frame(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    group_col: str = "source",
+    quality_threshold: int = 0,
+) -> DataFrame:
+    """The data-card aggregate as a DataFrame: one row per source plus
+    the rollup total row (``is_total = 1``, ``g`` NULL).  Exact integer
+    columns (docs/tokens/chars/kept) next to the two sketches
+    (approx-distinct fingerprints, approximate length percentiles)."""
+    per_doc = docs.select(
+        F.col(group_col).alias("g"),
+        F.length(F.col(text_col)).cast("bigint").alias("chars"),
+        F.size(tokens(F.col(text_col))).cast("bigint").alias("n_tokens"),
+        (quality_score(F.col(text_col)) > quality_threshold)
+        .cast("long")
+        .alias("keep"),
+        content_fingerprint(F.col(text_col)).alias("fp"),
+    )
+    return per_doc.rollup("g").agg(
+        F.grouping("g").cast("int").alias("is_total"),
+        F.count(F.lit(1)).alias("docs"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("tokens"),
+        F.coalesce(F.sum("chars"), F.lit(0)).alias("chars"),
+        F.coalesce(F.sum("keep"), F.lit(0)).alias("kept"),
+        F.approx_count_distinct("fp").alias("distinct_fp"),
+        F.percentile_approx("n_tokens", [0.5, 0.9, 0.99]).alias("pct"),
+    )
 
 
 def corpus_report(
@@ -34,26 +70,14 @@ def corpus_report(
     (share of docs the hashed linear model keeps at ``threshold``),
     ``dup_rate`` (1 − approx-distinct fingerprints / docs; ~0 for a
     clean corpus), and ``p50/p90/p99_tokens`` (approximate length
-    percentiles)."""
-    per_doc = docs.select(
-        F.col(group_col).alias("g"),
-        F.length(F.col(text_col)).cast("bigint").alias("chars"),
-        F.size(tokens(F.col(text_col))).cast("bigint").alias("n_tokens"),
-        (quality_score(F.col(text_col)) > quality_threshold)
-        .cast("long")
-        .alias("keep"),
-        content_fingerprint(F.col(text_col)).alias("fp"),
-    )
-    aggs = [
-        F.count(F.lit(1)).alias("docs"),
-        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("tokens"),
-        F.coalesce(F.sum("chars"), F.lit(0)).alias("chars"),
-        F.coalesce(F.sum("keep"), F.lit(0)).alias("kept"),
-        F.approx_count_distinct("fp").alias("distinct_fp"),
-        F.percentile_approx("n_tokens", [0.5, 0.9, 0.99]).alias("pct"),
-    ]
-    rows = per_doc.groupBy("g").agg(*aggs).collect()
-    total = per_doc.agg(*aggs).collect()[0]
+    percentiles).  ONE collect over the rollup frame — the total row
+    rides the same aggregate as the groups."""
+    rows = report_frame(
+        docs,
+        text_col=text_col,
+        group_col=group_col,
+        quality_threshold=quality_threshold,
+    ).collect()
 
     def card(r) -> dict:
         docs_n = int(r["docs"])
@@ -70,9 +94,12 @@ def corpus_report(
             "p99_tokens": int(r["pct"][2]) if r["pct"] else 0,
         }
 
+    totals = [r for r in rows if r["is_total"] == 1]
     return {
-        "total": card(total),
-        "groups": {str(r["g"]): card(r) for r in rows},
+        "total": card(totals[0]),
+        "groups": {
+            str(r["g"]): card(r) for r in rows if r["is_total"] == 0
+        },
     }
 
 

@@ -2390,6 +2390,58 @@ def curate_pipeline_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "corpus_report_card",
+    # the data card's EXACT integer slice: per-source docs/tokens/
+    # chars/quality-kept plus the rollup total row.  The sketch columns
+    # (approx-distinct fingerprints, percentile_approx lengths) stay
+    # local-test-only — approximate answers are not hash-comparable
+    # across engines by design.
+    oracle=f"""
+    WITH per AS (
+      SELECT source AS g,
+             CAST(len(text) AS BIGINT) AS chars,
+             CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens,
+             CASE WHEN COALESCE(list_sum(list_transform({_SQL_TOKENS},
+                  t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2001 - 1000)), 0) > 0
+                  THEN 1 ELSE 0 END AS keep
+      FROM documents
+    )
+    SELECT CASE WHEN GROUPING(g) = 1 THEN '__total__' ELSE g END AS source,
+           CAST(COUNT(*) AS BIGINT) AS docs,
+           CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS tokens,
+           CAST(COALESCE(SUM(chars), 0) AS BIGINT) AS chars,
+           CAST(COALESCE(SUM(keep), 0) AS BIGINT) AS kept
+    FROM per GROUP BY ROLLUP(g)
+    """,
+)
+def corpus_report_card(spark: SparkSession, sf: str) -> DataFrame:
+    """The corpus data card's exact metrics (`plans/report.py
+    ``report_frame``): per-source document/token/char counts and the
+    quality keep count, with the corpus total riding the SAME rollup
+    aggregate as the groups (the NULL grouping row) — so the ``report``
+    CLI's audit path carries driver evidence like every other operator.
+
+    Plan: every per-doc metric is row-local in the scan projection;
+    one rollup hash aggregate (Expand duplicates only the tiny
+    projected rows, never the text), one shuffle of 2·G rows, ONE data
+    pass at 100 TB — single-action-ness asserted in
+    tests/test_report.py."""
+    from .plans.report import report_frame
+
+    t = Tables(spark, sf)
+    rep = report_frame(t.documents)
+    return rep.select(
+        F.when(F.col("is_total") == 1, F.lit("__total__"))
+        .otherwise(F.col("g"))
+        .alias("source"),
+        F.col("docs").cast("bigint").alias("docs"),
+        F.col("tokens").cast("bigint").alias("tokens"),
+        F.col("chars").cast("bigint").alias("chars"),
+        F.col("kept").cast("bigint").alias("kept"),
+    )
+
+
+@query(
     "sample_mixture",
     oracle="""
     WITH tot AS (
@@ -3385,12 +3437,26 @@ def media_frame_fanout_q(spark: SparkSession, sf: str) -> DataFrame:
 # statement — composition-level correctness evidence).
 # Catalog: 84 queries.
 #
-# Round-8 rotation plan: the 34 r06-pinned demotions will be the
-# oldest evidence (1 round old at r07) — rotate them back next round
-# (34 + the 2 wikidump anchors leaves 14 carry slots; any round-8
-# additions displace more unchanged r07-green queries), demoting in
-# exchange whichever r07-gated queries ship unchanged, pinned in
-# _DEMOTED_SOURCE_PINS as usual.
+# Round-8 rotation (executed): CORRECTNESS_r07 went 50/50 green, so
+# the 34 r06-pinned demotions were the catalog's oldest evidence —
+# ALL of them rotate back into the window this round; after the gate
+# runs, no query's driver evidence is older than r07.  Two queries
+# must gate regardless: corpus_report_card is NEW (the data card's
+# exact integer slice — new-query hygiene), and text_scrub_pii CHANGED
+# (the (?i) email class + raw-text mixed-case gate body closing the
+# round-7 under-redaction finding).  That leaves 12 carry slots,
+# spent on the flagship join anchors (q3/q5) and the round-7 curation
+# chain the round-8 changes sit next to (keeper/LSH/CC, the chain
+# composition, packing/mixture, both n-gram decontamination variants,
+# chunking, ngram_overlap).  The other 35 r07-green queries demote
+# unchanged under source-hash pins in _DEMOTED_SOURCE_PINS.
+# Catalog: 85 queries.
+#
+# Round-9 rotation plan: the 35 r07-pinned demotions will then hold
+# the oldest evidence — rotate them back (35 + the 2 wikidump anchors
+# leaves 13 carry slots; any round-9 additions displace more unchanged
+# r08-green queries), demoting in exchange whichever r08-gated queries
+# ship unchanged, pinned as usual.
 GATE_WINDOW = 50
 
 # The must-gate set for THIS round: every query re-entering the window
@@ -3398,42 +3464,46 @@ GATE_WINDOW = 50
 # gate prefix alongside the wikidump anchors.
 ROTATION_SET: frozenset[str] = frozenset(
     {
-        # all 29 r05-pinned demotions rotate back (evidence refresh)
-        "q1_pricing_summary",
-        "scan_filter_project",
-        "filter_regex",
-        "agg_distinct",
-        "agg_grouping_sets",
-        "agg_stats",
-        "agg_approx_distinct",
-        "agg_percentile",
-        "agg_argmax",
-        "join_inner_agg",
-        "join_full_outer",
-        "join_theta",
-        "asof_join_events_orders",
-        "range_join_near_orders",
-        "sort_topk_global",
-        "window_rank_topk",
-        "window_value_functions",
-        "window_distribution",
-        "sessionize_events",
-        "set_union_all",
-        "scalar_string",
-        "scalar_math",
-        "scalar_json",
-        "scalar_subquery",
-        "correlated_exists",
-        "unpivot_lineitem",
-        "events_tumbling",
-        "events_retention",
-        "similarity_topk",
-        # round-7 additions: brand-new queries gate immediately
-        "dedup_keeper_quality",
-        "decontaminate_bloom",
-        "chunk_documents",
+        # all 34 r06-pinned demotions rotate back (evidence refresh)
+        "agg_cube",
+        "agg_rollup",
+        "embedding_cosine_dedup",
+        "events_pivot",
+        "events_sliding",
+        "dedup_exact_rows",
+        "join_anti",
+        "join_cross",
+        "join_left_agg",
+        "join_right_agg",
+        "join_semi",
+        "media_audio_features",
+        "minhash_signatures",
+        "media_frame_fanout",
+        "media_image_metadata",
+        "ngram_jaccard_block",
+        "scalar_array",
+        "scalar_conditional",
+        "scalar_date",
+        "scalar_hash",
+        "set_except",
+        "set_intersect",
+        "simhash_near_pairs",
+        "simhash_signatures",
+        "similarity_topk_ivf",
+        "similarity_topk_lsh",
+        "text_fingerprint",
+        "text_langid",
+        "text_tokens",
+        "text_quality",
+        "text_stopword_strip",
+        "window_lag_pairs",
+        "window_moving",
+        "window_running",
+        # round-8 addition: brand-new query gates immediately
+        "corpus_report_card",
+        # changed this round (case-insensitive email class + raw-text
+        # mixed-case gate body): must re-verify
         "text_scrub_pii",
-        "curate_pipeline",
     }
 )
 
@@ -3442,82 +3512,76 @@ _GATE_ORDER: tuple[str, ...] = (
     # every round
     "wikidump_roundtrip",
     "wikidump_roundtrip_bz2",
-    # headline analytics: flagship join anchors stay; q1 rotates back
-    # after its r05-pinned demotion
+    # ---- the 34 r06-pinned demotions rotate back (oldest evidence) --
+    # aggregation rollup/cube family
+    "agg_cube",
+    "agg_rollup",
+    # join kinds: left/right/semi/anti/cross
+    "join_left_agg",
+    "join_right_agg",
+    "join_semi",
+    "join_anti",
+    "join_cross",
+    # set ops
+    "set_intersect",
+    "set_except",
+    # scalar library
+    "scalar_array",
+    "scalar_conditional",
+    "scalar_date",
+    "scalar_hash",
+    # window running/moving/lag
+    "window_running",
+    "window_moving",
+    "window_lag_pairs",
+    # event-time analytics
+    "events_pivot",
+    "events_sliding",
+    # dedup family: exact, signatures, simhash, n-gram, embedding
+    "dedup_exact_rows",
+    "minhash_signatures",
+    "simhash_signatures",
+    "simhash_near_pairs",
+    "ngram_jaccard_block",
+    "embedding_cosine_dedup",
+    # similarity scale paths
+    "similarity_topk_lsh",
+    "similarity_topk_ivf",
+    # text analysis family
+    "text_tokens",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    "text_stopword_strip",
+    # multimodal family
+    "media_image_metadata",
+    "media_audio_features",
+    "media_frame_fanout",
+    # ---- NEW this round — must gate immediately: the data card's
+    # exact integer slice (per-source + rollup-total docs/tokens/
+    # chars/kept through plans/report.py::report_frame)
+    "corpus_report_card",
+    # ---- CHANGED this round — must re-verify: (?i) email class and
+    # the raw-text mixed-case gate body (round-7 verdict item 3)
+    "text_scrub_pii",
+    # ---- carries (r07-green, kept in-window): flagship join anchors
     "q3_top_revenue",
     "q5_revenue_by_nation",
-    "q1_pricing_summary",
-    # scan/filter family rotates back (r05 evidence)
-    "scan_filter_project",
-    "filter_regex",
-    # aggregation family rotates back: the five r05-pinned kinds
-    "agg_distinct",
-    "agg_grouping_sets",
-    "agg_stats",
-    "agg_approx_distinct",
-    "agg_percentile",
-    "agg_argmax",
-    # join family rotates back: inner/full/theta + asof/range
-    "join_inner_agg",
-    "join_full_outer",
-    "join_theta",
-    "asof_join_events_orders",
-    "range_join_near_orders",
-    # sorts/top-k + window family rotate back
-    "sort_topk_global",
-    "window_rank_topk",
-    "window_value_functions",
-    "window_distribution",
-    "sessionize_events",
-    # set ops / scalar library / subqueries / unpivot rotate back
-    "set_union_all",
-    "scalar_string",
-    "scalar_math",
-    "scalar_json",
-    "scalar_subquery",
-    "correlated_exists",
-    "unpivot_lineitem",
-    # event-time analytics rotate back (sliding demoted with its r06
-    # evidence for the chunking query)
-    "events_tumbling",
-    "events_retention",
-    # similarity: the exact brute-force baseline rotates back
-    "similarity_topk",
-    # NEW this round — must gate immediately: training-sequence
-    # chunking and PII scrubbing (events_sliding and dedup_exact_rows
-    # demoted in exchange, r06-green and unchanged, pinned)
-    "chunk_documents",
-    "text_scrub_pii",
-    # dedup core path carried in-window (adjacent to this round's
-    # keeper/decontamination work); minhash_signatures demoted (r06
-    # evidence, unchanged, pinned) for the end-to-end chain query
+    # the curation chain this round's changes sit next to: LSH pairs
+    # (dedup.py counter-branch persist note), CC resolution, the chain
+    # composition (curation.py eager-contract clarification), keeper
+    # math, packing/mixture, all three decontamination variants, and
+    # chunking
     "minhash_lsh_pairs",
     "dedup_clusters",
-    # NEW this round — must gate immediately: the WHOLE curation chain
-    # oracle-replayed in one SQL statement
     "curate_pipeline",
-    # NEW this round — must gate immediately: best-quality keeper math
     "dedup_keeper_quality",
-    # changed this round — must re-verify: de-skewed two-aggregate
-    # rewrite (window formulation removed)
-    "ngram_overlap",
-    # changed operators this round — re-verify through their gates:
-    # packing (ROWS frame + tiebreak), mixture (dtype-derived frame)
     "pack_token_budget",
     "sample_mixture",
-    # NEW this round — must gate immediately: the Bloom decontamination
-    # variant, oracle-replayed bit-for-bit (false positives included);
-    # text_tokens demoted in exchange (r06-green, unchanged, pinned)
-    "decontaminate_bloom",
-    # training-pipeline + text carries (r06-green, kept in-window for
-    # breadth next to the changed queries they share helpers with)
-    "text_diff_adjacent",
-    "text_repetition",
-    "sample_stratified",
-    "text_tfidf_topk",
     "decontaminate_exact",
     "decontaminate_ngram",
-    "text_quality_model",
+    "decontaminate_bloom",
+    "chunk_documents",
 )
 
 
