@@ -2,7 +2,17 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+  {"metric": "...", "value": N, "unit": "sec", ..., "queries": {...}}
+
+Durability (round-7 verdict): the driver records only the LAST 2000
+characters of the printed line, and round 7's full line outgrew that —
+the artifact lost the first 9 headline timings.  So the FULL result
+(headline timings + spreads + pipeline extras + wikidump + sf1 spot)
+is also written to BENCH_SELF.json in the repo root (committed each
+round; $SPARK_GRAFT_BENCH_SELF overrides the path for tests), and the
+printed line is a compact subset ordered so the headline ``queries``
+dict comes LAST — whatever a bounded tail capture drops, it drops the
+least important keys first.
 
 Each query is timed end-to-end (plan + execute + collect-to-count); a
 warmup pass on sf0.001 first touches code paths so JIT/codegen cost
@@ -104,19 +114,39 @@ def main() -> None:
     sf1_spot = _bench_sf1_spot(spark, sf_dir, {**timings, **(extras or {})})
 
     total = round(sum(timings.values()), 3)
-    out = {
+    full = {
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
+        "sf": sf,
         "queries": timings,
         "queries_spread": spreads,
-        "sf": sf,
+        "wikidump": wikidump,
+    }
+    if sf1_spot is not None:
+        full["sf1_spot"] = sf1_spot
+    if extras is not None:
+        full["pipeline_extras"] = extras
+    self_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_SELF", os.path.join(REPO_ROOT, "BENCH_SELF.json")
+    )
+    with open(self_path, "w") as fh:
+        json.dump(full, fh, indent=2, sort_keys=True)
+        fh.write("\n")
+    # compact printed line, least-important keys FIRST (a bounded tail
+    # capture truncates from the front): spreads stay file-only, the
+    # headline timings dict is the final key
+    out = {
+        "metric": "headline_suite_seconds",
+        "unit": "sec",
+        "full": os.path.basename(self_path),
         "wikidump": wikidump,
     }
     if sf1_spot is not None:
         out["sf1_spot"] = sf1_spot
-    if extras is not None:
-        out["pipeline_extras"] = extras
+    out["value"] = total
+    out["sf"] = sf
+    out["queries"] = timings
     print(json.dumps(out))
     spark.stop()
 

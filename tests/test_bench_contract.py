@@ -24,6 +24,7 @@ def test_bench_prints_one_json_line(tmp_path):
         SPARK_GRAFT_BENCH_BYTES="60000000",
         SPARK_GRAFT_BENCH_MARKUP_BYTES="30000000",
         SPARK_GRAFT_BENCH_DIR=str(tmp_path / "bench_corpora"),
+        SPARK_GRAFT_BENCH_SELF=str(tmp_path / "BENCH_SELF.json"),
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -43,3 +44,16 @@ def test_bench_prints_one_json_line(tmp_path):
     assert "wikidump" in d and d["wikidump"]["gb_per_core_hour"] > 0
     assert d["wikidump"]["bz2"]["raw_gb_per_core_hour"] > 0
     assert d["wikidump"]["markup"]["gb_per_core_hour"] > 0
+    # durability contract (round-7 verdict): the driver keeps only the
+    # LAST 2000 chars of the line, so the headline timings dict must be
+    # the final key and the whole line must fit the capture window
+    assert list(d)[-1] == "queries", "queries must be the last printed key"
+    assert len(lines[0]) <= 2000, (
+        f"printed line is {len(lines[0])} chars; the driver's tail "
+        "capture keeps 2000 — trim the compact subset"
+    )
+    # ... and the FULL result (spreads, pipeline extras) is durable on disk
+    full = json.load(open(env["SPARK_GRAFT_BENCH_SELF"]))
+    assert set(d["queries"]) == set(full["queries"])
+    assert "queries_spread" in full
+    assert full["queries"] == d["queries"]

@@ -252,3 +252,167 @@ def test_curation_empty_and_degenerate_corpora(spark, tmp_path):
     assert "AQEPropagateEmptyRelation" not in (
         spark.conf.get("spark.sql.adaptive.optimizer.excludedRules", "") or ""
     )
+
+
+def test_curation_full_option_matrix_matches_composed_oracle(spark, tmp_path):
+    """Round-7 verdict item 7: the gate's `curate_pipeline` row proves
+    ONE configuration (uniform mixture, min_id keeper, no scrub, no
+    waterfill).  This drill runs scrub=True + keeper='best_quality' +
+    waterfill=True + weighted mixture + chunking + shard packing
+    TOGETHER on the real sf0.001 corpus and replays the whole chain
+    stage-by-stage in DuckDB — the per-stage oracles are individually
+    driver-gated; this pins their full-option COMPOSITION, down to the
+    md5 of every chunk.  Waterfill thresholds come from an independent
+    one-at-a-time greedy reference (same fixpoint as the batch rounds
+    in operators/mixture.py by water-filling monotonicity), not from
+    the operator."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from parity_util import duckdb_conn
+
+    from wikihadoop_spark.relational import _SQL_TOKENS, _sql_lsh_pairs
+
+    SF = "/root/testdata/sf0.001"
+    SCALE = 1_000_000
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("text")
+    out = str(tmp_path / "shards")
+    res = curate_corpus(
+        docs,
+        benchmark=bench,
+        scrub=True,
+        keeper="best_quality",
+        mixture_weights={"src0": 5},
+        token_budget=30000,
+        waterfill=True,
+        chunk_tokens=32,
+        chunk_stride=24,
+        shard_budget=2000,
+        out_dir=out,
+    )
+    got = {
+        (r.doc_id, r.source, r.chunk_idx, r.n_tokens, r.m)
+        for r in res.curated.select(
+            "doc_id", "source", "chunk_idx", "n_tokens",
+            F.md5("chunk_text").alias("m"),
+        ).collect()
+    }
+
+    con = duckdb_conn(SF)
+    # stage 0: PII scrub (same Java∩RE2 patterns, same order)
+    con.execute(r"""
+      CREATE TEMP TABLE scrubbed AS
+      SELECT doc_id, source,
+             regexp_replace(regexp_replace(regexp_replace(text,
+               '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+               '\d{9,}', '<ID>', 'g') AS text
+      FROM documents""")
+    # stage 1+2: quality filter (score rides along for the keeper),
+    # then exact dedup (min id per normalized fingerprint)
+    con.execute(f"""
+      CREATE TEMP TABLE q AS
+      SELECT * FROM (
+        SELECT *, COALESCE(list_sum(list_transform({_SQL_TOKENS},
+                 t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2001 - 1000)), 0)
+                 AS score
+        FROM scrubbed
+      ) WHERE score > 0""")
+    con.execute("""
+      CREATE TEMP TABLE ex1 AS
+      SELECT q.*, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+      FROM q
+      QUALIFY doc_id = MIN(doc_id) OVER (
+        PARTITION BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')))""")
+    # stage 3: capped LSH pairs -> connected components -> best-quality
+    # keeper (max score per component, min id tiebreak)
+    con.execute(f"""
+      CREATE TEMP TABLE cc AS
+      WITH RECURSIVE edges AS (
+        SELECT id_a, id_b FROM ({_sql_lsh_pairs(src="ex1")})
+        WHERE est_jaccard >= 0.5
+      ),
+      e AS (
+        SELECT id_a AS s, id_b AS d FROM edges
+        UNION SELECT id_b, id_a FROM edges
+      ),
+      reach(node, lbl) AS (
+        SELECT doc_id, doc_id FROM ex1
+        UNION
+        SELECT e.d, reach.lbl FROM reach JOIN e ON e.s = reach.node
+      )
+      SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node""")
+    con.execute("""
+      CREATE TEMP TABLE nd AS
+      SELECT ex1.* FROM ex1 JOIN cc USING (doc_id)
+      QUALIFY row_number() OVER (
+        PARTITION BY cc.component ORDER BY ex1.score DESC, ex1.doc_id) = 1""")
+    # stage 4: decontamination (benchmark fingerprints on RAW text)
+    con.execute("""
+      CREATE TEMP TABLE dec AS
+      SELECT * FROM nd WHERE fp NOT IN (
+        SELECT DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+        FROM documents WHERE doc_id % 97 = 0)""")
+    # stage 5: weighted waterfill mixture — group totals from DuckDB,
+    # thresholds from an independent greedy reference
+    con.execute(f"""
+      CREATE TEMP TABLE tok AS
+      SELECT doc_id, source, text,
+             CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens
+      FROM dec""")
+    totals = dict(
+        con.execute(
+            "SELECT source, SUM(n_tokens) FROM tok GROUP BY source"
+        ).fetchall()
+    )
+    weights = {g: (5 if g == "src0" else 1) for g in totals}
+
+    def ref_waterfill(totals, weights, budget):
+        active = {g for g, a in totals.items() if a > 0}
+        remaining = budget
+        thr = {g: 0 for g in totals if totals[g] <= 0}
+        changed = True
+        while changed and active:
+            changed = False
+            for g in sorted(active):
+                sw = sum(weights[x] for x in active)
+                if totals[g] * sw <= remaining * weights[g]:
+                    thr[g] = SCALE
+                    remaining -= totals[g]
+                    active.discard(g)
+                    changed = True
+        sw = sum(weights[x] for x in active)
+        for g in active:
+            thr[g] = min(SCALE, (remaining * weights[g] * SCALE) // (sw * totals[g]))
+        return thr
+
+    thr = ref_waterfill(totals, weights, 30000)
+    thr_values = ", ".join(f"('{g}', {t})" for g, t in sorted(thr.items()))
+    # stage 6: md5-bucket keep filter + 32/24 chunking, chunk md5s
+    rows = con.execute(f"""
+      WITH thr(source, t) AS (VALUES {thr_values}),
+      kept AS (
+        SELECT tok.doc_id, tok.source, tok.text
+        FROM tok JOIN thr USING (source)
+        WHERE ('0x' || substr(md5('mix:' || tok.doc_id::VARCHAR), 1, 15))::BIGINT
+                % {SCALE} < thr.t
+      ),
+      ktoks AS (SELECT doc_id, source, {_SQL_TOKENS} AS t FROM kept),
+      knz AS (SELECT doc_id, source, t, len(t) AS n FROM ktoks WHERE len(t) > 0),
+      ch AS (
+        SELECT doc_id, source, unnest(range((n - 1) // 24 + 1)) AS k, t FROM knz
+      )
+      SELECT doc_id, source, CAST(k AS INT) AS chunk_idx,
+             CAST(len(list_slice(t, k*24 + 1, k*24 + 32)) AS BIGINT) AS n_tokens,
+             md5(array_to_string(list_slice(t, k*24 + 1, k*24 + 32), ' ')) AS m
+      FROM ch""").fetchall()
+    want = set(map(tuple, rows))
+    assert got == want, (
+        f"spark-only: {sorted(got - want)[:5]}; oracle-only: {sorted(want - got)[:5]}"
+    )
+    assert got, "composition produced an empty corpus — drill is vacuous"
+    # packing wrote one dir per shard and reassembles the chunk corpus
+    back = spark.read.parquet(out)
+    assert back.count() == len(got)
+    assert res.counts()["pii_redactions"] >= 0

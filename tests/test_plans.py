@@ -344,3 +344,16 @@ def test_chunk_and_scrub_are_single_pass(spark):
     plan = plan_of(spark, "text_scrub_pii")
     assert "Exchange" not in plan
     assert "EvalPython" not in plan and "Window" not in plan
+
+
+def test_corpus_report_card_is_one_rollup_pass(spark):
+    """The data card's exact slice must stay a single rollup aggregate
+    over one documents scan: the Expand node (grouping-sets lowering)
+    duplicates only the tiny projected rows, the text is tokenized
+    once, and there is exactly one aggregate exchange — never a second
+    scan for the total row (the round-7 double-pass)."""
+    plan = plan_of(spark, "corpus_report_card")
+    assert "Expand" in plan
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange") == 1
+    assert "EvalPython" not in plan and "Window" not in plan

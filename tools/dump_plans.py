@@ -127,6 +127,14 @@ SHOWCASE = [
         "PII scrubbing: a row-local `regexp_replace` chain entirely"
         " inside the scan projection — the plan is exchange-free.",
     ),
+    (
+        "corpus_report_card",
+        "Corpus data card (exact slice): per-doc metrics are row-local in"
+        " the scan projection; ONE rollup aggregate computes every source"
+        " row AND the total (the `Expand` duplicates only tiny projected"
+        " rows, never text) — one scan, one exchange, no second pass for"
+        " the total.",
+    ),
 ]
 
 

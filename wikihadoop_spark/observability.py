@@ -54,10 +54,26 @@ def read_counter(obs: Observation, default: int | None = None) -> int:
     whose branch is only ever pruned when the true answer is zero
     (e.g. a dropped-members count attached to a bucket frame that was
     empty), pass ``default=0``; with ``default=None`` the read
-    re-raises, because a poisoned stage-count is a real bug."""
+    re-raises, because a poisoned stage-count is a real bug.
+
+    Only the SPECIFIC empty-row failure maps to ``default`` — the
+    pruned row surfaces as a Py4J ``AssertionError`` from ``toPyRow``
+    (shape verified in tests), or ``StopIteration`` on an empty metric
+    dict.  Anything else (connection loss, interrupted job) re-raises
+    regardless: reporting an unrelated failure as "0 dropped members"
+    would silently hide it."""
     try:
         return int(next(iter(obs.get.values())))
-    except Exception:
+    except StopIteration:
         if default is None:
+            raise
+        return default
+    except Exception as exc:
+        from py4j.protocol import Py4JJavaError
+
+        pruned_row = isinstance(exc, Py4JJavaError) and (
+            "toPyRow" in str(exc) and "AssertionError" in str(exc)
+        )
+        if default is None or not pruned_row:
             raise
         return default

@@ -186,8 +186,17 @@ def lsh_candidate_pairs(
     Plan shape: one explode (×bands) -> one shuffle (window rank +
     groupBy band key, same partitioning so one exchange) -> in-bucket
     pair generation with higher-order array functions -> pair dedup.
-    The signature input is computed exactly once — a band-wise
-    self-join would recompute it per band per side.
+    Without an ``observation`` the signature input is computed exactly
+    once — a band-wise self-join would recompute it per band per side.
+    WITH an ``observation``, the truncation counter rides a separate
+    uncached count-aggregate branch joined back to the output (it must
+    not sit between the rank window and its filter, or Spark drops the
+    WindowGroupLimit rewrite — see the comment below), so the
+    signature subtree is evaluated a second time for that branch:
+    persist/cache the frame ``sig`` derives from when the signature
+    computation is expensive (``curate_corpus`` does — its signatures
+    project off the already-persisted deduped corpus, so the second
+    evaluation re-reads cache, not the source).
 
     ``bucket_cap`` bounds hot buckets: a mega near-duplicate cluster
     (templated boilerplate at 100 TB) would otherwise put the whole

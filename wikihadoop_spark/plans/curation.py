@@ -64,9 +64,11 @@ class CurationResult:
     ``near_dedup_dropped_members`` — the LSH hot-bucket truncation
     counter (nonzero means a >bucket_cap duplicate cluster was
     under-connected; raise ``bucket_cap`` if full connectivity
-    matters).  With ``eager=False`` the counts pin to the FIRST action
+    matters).  With ``eager=False`` the below-cache counters (input /
+    pii / quality / exact_dedup) are already pinned in-call (see
+    ``curate_corpus``); the remaining counters pin to the FIRST action
     a caller runs on ``curated``, which must be a full pass (not
-    ``show``/``first``) for the counts to be total."""
+    ``show``/``first``) for those counts to be total."""
 
     curated: DataFrame
     packed: DataFrame | None
@@ -158,13 +160,21 @@ def curate_corpus(
 
     ``eager`` (default True): materialize the result inside this call
     (one ``localCheckpoint`` pass).  This guarantees every stage
-    counter fires exactly once on the FULL data — with ``eager=False``
-    the counts pin to the caller's first action, so a limiting action
-    (``show(5)``, ``first()``) records partial counts, the caller
-    must release the internal cache via :meth:`CurationResult.unpersist`,
-    and the AQE empty-relation guard (see the comment below) only
-    covers actions run inside this call — degenerate-empty corpora can
-    still poison counters pinned by later caller actions.
+    counter fires exactly once on the FULL data.  With ``eager=False``
+    the chain STILL materializes the scrub → quality → exact-dedup
+    prefix in-call: populating the internal cache takes one count, and
+    running it here pins the below-cache counters (input / pii /
+    quality / exact_dedup) with real rows while the AQE
+    empty-relation guard is active (the alternative — deferring to the
+    caller's first action — is exactly the counter-poisoning bug the
+    guard exists for).  Only the ABOVE-cache counters (near_dedup,
+    decontaminate, mixture, chunks) pin to the caller's first action,
+    so a limiting action (``show(5)``, ``first()``) records partial
+    counts for those, the caller must release the internal cache via
+    :meth:`CurationResult.unpersist`, and degenerate-empty corpora can
+    still poison the above-cache counters pinned by later caller
+    actions.  ``eager=False`` therefore saves the checkpoint write of
+    the final chain, not the cost of the curation prefix.
     """
     if mixture_weights is not None and token_budget is None:
         raise ValueError(
