@@ -164,3 +164,61 @@ def test_wav_backend_rejects_non_wav(spark, media):
 
     with _pytest.raises(Exception):
         audio_features(media, backend="wav").collect()
+
+
+def _y4m_bytes(n_frames=10, w=4, h=2, chroma="420", trunc_last=False):
+    """Deterministic uncompressed YUV4MPEG2 stream: frame k's planar
+    bytes are (k*16+i) % 256 so tests can assert exact payloads."""
+    fb = int(w * h * (1.5 if chroma.startswith("420") else 3.0 if chroma == "444" else 2.0 if chroma == "422" else 1.0))
+    out = bytearray(f"YUV4MPEG2 W{w} H{h} F30:1 Ip A1:1 C{chroma}\n".encode())
+    for k in range(n_frames):
+        out += b"FRAME\n"
+        frame = bytes((k * 16 + i) % 256 for i in range(fb))
+        out += frame[: fb // 2] if (trunc_last and k == n_frames - 1) else frame
+    return bytes(out)
+
+
+def test_real_y4m_video_backend(spark):
+    """The stdlib Y4M path is a REAL decode: frame sizes derive from
+    the header's W/H/C tags, sampling walks the FRAME markers, and the
+    emitted payloads are the exact raw planar bytes of the sampled
+    frames."""
+    payload = _y4m_bytes(n_frames=10)
+    df = spark.createDataFrame(
+        [(1, "video", payload, ("s", None, "video/x-yuv4mpeg"))], MEDIA_SCHEMA
+    )
+    rows = video_frame_sample(
+        df, every_n_frames=3, max_frames=3, backend="y4m"
+    ).collect()
+    assert [(r.media_id, r.frame_idx) for r in rows] == [(1, 0), (1, 3), (1, 6)]
+    fb = 12  # 4x2 C420: 8 luma + 4 chroma bytes
+    for r in rows:
+        assert bytes(r.frame) == bytes(
+            (r.frame_idx * 16 + i) % 256 for i in range(fb)
+        )
+
+
+def test_y4m_backend_edge_cases(spark):
+    """Truncated trailing frame keeps the complete prefix; C444 frame
+    sizing; non-Y4M payloads raise instead of decoding garbage."""
+    import pytest as _pytest
+
+    from wikihadoop_spark.multimodal.media import _y4m_frames
+
+    # truncated final frame is dropped, not fatal
+    frames = _y4m_frames(_y4m_bytes(n_frames=3, trunc_last=True), 1, 8)
+    assert [i for i, _ in frames] == [0, 1]
+    # 4:4:4 triples the chroma payload
+    frames = _y4m_frames(_y4m_bytes(n_frames=1, chroma="444"), 1, 8)
+    assert len(frames[0][1]) == 4 * 2 * 3
+    with _pytest.raises(ValueError, match="magic"):
+        _y4m_frames(b"RIFFnot a video", 1, 8)
+    with _pytest.raises(ValueError, match="colorspace"):
+        _y4m_frames(b"YUV4MPEG2 W4 H2 C411\nFRAME\n", 1, 8)
+
+
+def test_real_video_backend_with_av(spark, media):
+    """Mirror of the Pillow/torchaudio gates for compressed video:
+    runs only where PyAV is importable (absent in this container)."""
+    pytest.importorskip("av")
+    video_frame_sample(media, backend="real")

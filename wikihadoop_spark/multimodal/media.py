@@ -23,9 +23,12 @@ The codec itself is environment-dependent and stubbed here:
   ``tests/test_multimodal.py`` carries importorskip-gated tests that
   execute it on real PNG bytes where the environment allows; audio has
   a REAL stdlib path (backend="wav": 16-bit PCM WAV container parse +
-  per-slice RMS energies, tested on synthesized WAV bytes) while
-  arbitrary-codec audio (torchaudio) and video (av) stay gated with a
-  clear NotImplementedError here.
+  per-slice RMS energies, tested on synthesized WAV bytes); video has
+  a REAL stdlib path too (backend="y4m": uncompressed YUV4MPEG2
+  header + FRAME-marker walk with chroma-derived frame sizes, tested
+  on synthesized streams) while arbitrary-codec audio (torchaudio)
+  and compressed video (av) stay gated with a clear
+  NotImplementedError here.
 """
 
 from __future__ import annotations
@@ -218,6 +221,59 @@ def audio_features(
     return df.select("media_id", "payload").mapInPandas(op, out_schema)
 
 
+#: Y4M colorspace -> chroma bytes per luma pixel (frame bytes =
+#: ceil applied per plane; the common subsamplings are exact at the
+#: even dimensions the format requires)
+_Y4M_CHROMA = {
+    "420": 0.5, "420jpeg": 0.5, "420paldv": 0.5, "420mpeg2": 0.5,
+    "422": 1.0, "444": 2.0, "mono": 0.0,
+}
+
+
+def _y4m_frames(
+    payload: bytes, every_n_frames: int, max_frames: int
+) -> list[tuple[int, bytes]]:
+    """Stdlib-only REAL video decode for YUV4MPEG2 (.y4m) payloads —
+    the uncompressed interchange container every ffmpeg pipeline can
+    emit.  Parses the stream header (W/H/C tags), derives the planar
+    frame size from the chroma subsampling, then walks the FRAME
+    markers sampling every ``every_n_frames``-th frame (up to
+    ``max_frames``); each sampled frame's raw planar YUV bytes become
+    the frame payload.  A trailing partial frame (truncated upload) is
+    ignored rather than fatal — ingest keeps the complete prefix."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream (missing magic)")
+    nl = payload.index(b"\n")
+    width = height = None
+    chroma = "420"
+    for tag in payload[9:nl].split():
+        t = tag.decode("ascii", "replace")
+        if t[0] == "W":
+            width = int(t[1:])
+        elif t[0] == "H":
+            height = int(t[1:])
+        elif t[0] == "C":
+            chroma = t[1:]
+    if not width or not height:
+        raise ValueError("YUV4MPEG2 header missing W/H")
+    if chroma not in _Y4M_CHROMA:
+        raise ValueError(f"unsupported Y4M colorspace C{chroma}")
+    frame_bytes = int(width * height * (1 + _Y4M_CHROMA[chroma]))
+    out: list[tuple[int, bytes]] = []
+    pos, idx = nl + 1, 0
+    while len(out) < max_frames and pos < len(payload):
+        if not payload.startswith(b"FRAME", pos):
+            raise ValueError(f"expected FRAME marker at offset {pos}")
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or fnl + 1 + frame_bytes > len(payload):
+            break  # truncated trailing frame: keep the complete prefix
+        if idx % every_n_frames == 0:
+            out.append((idx, payload[fnl + 1 : fnl + 1 + frame_bytes]))
+        pos = fnl + 1 + frame_bytes
+        idx += 1
+    return out
+
+
 def video_frame_sample(
     df: DataFrame, *, every_n_frames: int = 30, max_frames: int = 8,
     backend: str = "fake",
@@ -225,10 +281,18 @@ def video_frame_sample(
     """payload -> exploded frame rows (media_id, frame_idx, frame
     payload): the one-to-many UDTF shape of frame sampling.  One input
     batch yields a variable number of output rows — mapInPandas handles
-    the fan-out without a separate explode."""
-    if backend != "fake":
+    the fan-out without a separate explode.
+
+    Backends: ``"fake"`` (hash-derived, plumbing tests), ``"y4m"``
+    (REAL stdlib parse of uncompressed YUV4MPEG2 streams — header tags,
+    chroma-derived frame sizes, FRAME-marker walk; no optional
+    dependencies), and ``"real"`` (arbitrary codecs via PyAV, gated on
+    the library being importable)."""
+    if backend == "real":
         _require_real_backend("video_frame_sample", module="av")
-        raise NotImplementedError("video_frame_sample: real backend not implemented")
+        raise NotImplementedError("video_frame_sample: av backend not implemented")
+    if backend not in ("fake", "y4m"):
+        raise ValueError(f"unknown backend: {backend!r}")
     import pandas as pd
 
     out_schema = "media_id long, frame_idx int, frame binary"
@@ -237,6 +301,12 @@ def video_frame_sample(
         for pdf in batches:
             rows = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if backend == "y4m":
+                    for idx, frame in _y4m_frames(
+                        payload, every_n_frames, max_frames
+                    ):
+                        rows.append((media_id, idx, frame))
+                    continue
                 seed = _h(payload, b"video")
                 n = 1 + seed[0] % max_frames
                 for i in range(n):
