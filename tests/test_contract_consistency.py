@@ -76,6 +76,7 @@ _DEMOTED_SOURCE_PINS = {
     "agg_stats": "35b21489747f25ae",
     "asof_join_events_orders": "73a4584ecbec5547",
     "correlated_exists": "2180da0486b759ec",
+    "decontaminate_exact": "2501e3996f48222b",
     "events_retention": "b765baa9b8e9a9e2",
     "events_tumbling": "8aed8b9153c987fa",
     "filter_regex": "cdc41d855536f9e2",

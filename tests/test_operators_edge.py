@@ -817,3 +817,35 @@ def test_scrub_pii_is_idempotent_on_real_corpus(spark):
     twice = once.select("doc_id", F.col("s1"), scrub_pii(F.col("s1")).alias("s2"))
     assert twice.filter(F.col("s1") != F.col("s2")).count() == 0
     assert once.filter(F.col("s1").contains("@")).count() == 0
+
+
+def test_verify_candidate_pairs_confirms_and_rejects(spark):
+    """The exact-Jaccard rerank must confirm true near-dups and reject
+    candidates whose estimated similarity was an LSH accident: feed a
+    synthetic candidate list (one true near-dup pair, one disjoint
+    pair) and check the exact integer overlap sizes and verdicts."""
+    from wikihadoop_spark.operators.dedup import verify_candidate_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon eta"),   # near-dup of 1
+            (3, "one two three four five six seven"),    # unrelated
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.75), (1, 3, 0.25)], ["id_a", "id_b", "est_jaccard"]
+    )
+    out = {
+        (r.id_a, r.id_b): r
+        for r in verify_candidate_pairs(pairs, docs).collect()
+    }
+    # 6 tokens -> 4 shingles each; docs 1/2 share the first 3 shingles
+    r = out[(1, 2)]
+    assert (r.n_inter, r.n_union, r.verified) == (3, 5, True)
+    assert abs(r.exact_jaccard - 0.6) < 1e-12
+    r = out[(1, 3)]
+    assert (r.n_inter, r.verified) == (0, False)
+    # doc 1: 4 shingles, doc 3 (7 tokens): 5 shingles, disjoint -> 9
+    assert r.n_union == 9 and r.exact_jaccard == 0.0

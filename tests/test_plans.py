@@ -357,3 +357,13 @@ def test_corpus_report_card_is_one_rollup_pass(spark):
     assert plan.count("FileScan parquet") == 1
     assert plan.count("Exchange") == 1
     assert "EvalPython" not in plan and "Window" not in plan
+
+
+def test_verify_pairs_never_shuffles_the_corpus(spark):
+    """The exact-Jaccard rerank must stay candidate-bound: the shingle
+    sets side reaches the documents scan through a broadcast LEFT-SEMI
+    join (no corpus-wide exchange feeding it), and the LSH candidate
+    side keeps its WindowGroupLimit cap."""
+    plan = plan_of(spark, "dedup_verify_pairs")
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan

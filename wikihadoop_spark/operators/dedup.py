@@ -299,6 +299,64 @@ def lsh_candidate_pairs(
     )
 
 
+def verify_candidate_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact-Jaccard verification (rerank) of LSH candidate pairs —
+    the second half of a production MinHash pipeline: banding recalls
+    candidates cheaply, then the TRUE shingle-set Jaccard confirms or
+    rejects each one, bounding LSH's false positives before ids feed
+    cluster resolution.
+
+    Returns the candidate pairs with ``n_inter`` / ``n_union`` (exact
+    distinct-shingle overlap sizes), ``exact_jaccard`` (one IEEE
+    divide of exact integers — engine-portable), and ``verified``
+    (integer cross-multiplied ``2·inter >= union``, i.e. true Jaccard
+    >= 0.5, no float threshold drift).
+
+    Plan shape at 100 TB: the participating ids (candidate-bound — at
+    most 2 pairs rows) broadcast into a left-semi join against the
+    corpus scan, so the full corpus is never shuffled and shingle sets
+    are materialized ONLY for documents that appear in some pair;
+    everything after is equi-joins between candidate-sized frames.
+    Cost scales with the (capped, observable) candidate set, not the
+    corpus."""
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sets = docs.join(F.broadcast(ids), id_col, "left_semi").select(
+        F.col(id_col),
+        F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("__sh"),
+    )
+    a = sets.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
+    b = sets.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b")).cast("bigint")
+    union = (
+        F.size("__sh_a").cast("bigint") + F.size("__sh_b").cast("bigint") - inter
+    )
+    carried = ["est_jaccard"] if "est_jaccard" in pairs.columns else []
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            *carried,
+            inter.alias("n_inter"),
+            union.alias("n_union"),
+            (inter.cast("double") / union).alias("exact_jaccard"),
+            (F.lit(2) * inter >= union).alias("verified"),
+        )
+    )
+
+
 def capped_block_pairs(
     df: DataFrame,
     *,
@@ -430,21 +488,15 @@ def exact_jaccard_pairs(
     text_col: str,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """Exact shingle-set Jaccard for candidate pairs (verification pass).
-
-    Joins the (small) candidate set back to the corpus twice; at scale
-    the candidate side is broadcast."""
-    sets = docs.select(
-        F.col(id_col),
-        F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("__set"),
-    )
-    a = sets.select(F.col(id_col).alias("id_a"), F.col("__set").alias("set_a"))
-    b = sets.select(F.col(id_col).alias("id_b"), F.col("__set").alias("set_b"))
-    joined = pairs.join(a, "id_a").join(b, "id_b")
-    n_int = F.size(F.array_intersect("set_a", "set_b"))
-    n_union = F.size("set_a") + F.size("set_b") - n_int
-    return joined.select(
-        "id_a",
-        "id_b",
-        (n_int.cast("double") / n_union.cast("double")).alias("jaccard"),
-    )
+    """Exact shingle-set Jaccard for candidate pairs — the compact
+    ``(id_a, id_b, jaccard)`` view of :func:`verify_candidate_pairs`
+    (which also emits the integer overlap sizes and the float-free
+    >=0.5 verdict, and restricts the shingle-set build to the
+    participating ids via a broadcast semi-join)."""
+    return verify_candidate_pairs(
+        docs=docs,
+        pairs=pairs.select("id_a", "id_b"),
+        id_col=id_col,
+        text_col=text_col,
+        shingle_k=shingle_k,
+    ).select("id_a", "id_b", F.col("exact_jaccard").alias("jaccard"))

@@ -1370,6 +1370,61 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "dedup_verify_pairs",
+    # candidates from the gated LSH SQL, then TRUE distinct-shingle
+    # Jaccard per pair: exact integer intersection/union sizes, one
+    # IEEE divide, and an integer cross-multiplied >=0.5 verdict
+    oracle=f"""
+    WITH cand AS ({_sql_lsh_pairs()}),
+    toks AS (
+      SELECT doc_id, {_SQL_TOKENS} AS t, lower(text) AS lt FROM documents
+    ),
+    sets AS (SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS sh FROM toks)
+    SELECT c.id_a, c.id_b, c.est_jaccard,
+           CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
+           CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+                AS BIGINT) AS n_union,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+             AS exact_jaccard,
+           2 * len(list_intersect(a.sh, b.sh))
+             >= len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+             AS verified
+    FROM cand c
+    JOIN sets a ON a.doc_id = c.id_a
+    JOIN sets b ON b.doc_id = c.id_b
+    """,
+)
+def dedup_verify_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-Jaccard verification of LSH candidates
+    (`operators/dedup.py::verify_candidate_pairs`): the rerank stage of
+    a production MinHash pipeline — banding RECALLS candidates, the
+    true distinct-shingle Jaccard then confirms each one, bounding the
+    false positives an estimate-only pipeline would feed into cluster
+    resolution.  ``verified`` is an integer cross-multiply (2·inter >=
+    union), so the >=0.5 verdict carries no float-threshold drift.
+
+    Plan: participating ids (candidate-bound) broadcast into a
+    left-semi join against the documents scan — the corpus is never
+    shuffled for the verify stage and shingle sets exist only for
+    docs in some pair; the joins after are candidate-sized.  Cost
+    scales with the capped candidate set, not the corpus (pinned in
+    tests/test_plans.py)."""
+    from .operators.dedup import verify_candidate_pairs
+
+    t = Tables(spark, sf)
+    sig = minhash_signatures_rowwise(
+        _spread(t.documents), id_col="doc_id", text_col="text", n_hashes=_N_MINHASH, shingle_k=3
+    )
+    pairs = lsh_candidate_pairs(
+        sig, id_col="doc_id", n_hashes=_N_MINHASH, bands=_LSH_BANDS
+    )
+    return verify_candidate_pairs(
+        pairs, t.documents, id_col="doc_id", text_col="text", shingle_k=3
+    )
+
+
+@query(
     "ngram_jaccard_block",
     # row_number cap mirrored on both sides: per block only the lowest
     # 1000 doc ids participate, so one hot block key at 100 TB bounds
@@ -3447,14 +3502,16 @@ def media_frame_fanout_q(spark: SparkSession, sf: str) -> DataFrame:
 # round-7 under-redaction finding).  That leaves 12 carry slots,
 # spent on the flagship join anchors (q3/q5) and the round-7 curation
 # chain the round-8 changes sit next to (keeper/LSH/CC, the chain
-# composition, packing/mixture, both n-gram decontamination variants,
-# chunking, ngram_overlap).  The other 35 r07-green queries demote
-# unchanged under source-hash pins in _DEMOTED_SOURCE_PINS.
-# Catalog: 85 queries.
+# composition, packing/mixture, n-gram + Bloom decontamination,
+# chunking).  A third must-gate query lands mid-round:
+# dedup_verify_pairs (NEW — exact-Jaccard rerank of LSH candidates),
+# taking the decontaminate_exact carry slot.  The other 36 r07-green
+# queries demote unchanged under source-hash pins in
+# _DEMOTED_SOURCE_PINS.  Catalog: 86 queries.
 #
-# Round-9 rotation plan: the 35 r07-pinned demotions will then hold
-# the oldest evidence — rotate them back (35 + the 2 wikidump anchors
-# leaves 13 carry slots; any round-9 additions displace more unchanged
+# Round-9 rotation plan: the 36 r07-pinned demotions will then hold
+# the oldest evidence — rotate them back (36 + the 2 wikidump anchors
+# leaves 12 carry slots; any round-9 additions displace more unchanged
 # r08-green queries), demoting in exchange whichever r08-gated queries
 # ship unchanged, pinned as usual.
 GATE_WINDOW = 50
@@ -3499,8 +3556,9 @@ ROTATION_SET: frozenset[str] = frozenset(
         "window_lag_pairs",
         "window_moving",
         "window_running",
-        # round-8 addition: brand-new query gates immediately
+        # round-8 additions: brand-new queries gate immediately
         "corpus_report_card",
+        "dedup_verify_pairs",
         # changed this round (case-insensitive email class + raw-text
         # mixed-case gate body): must re-verify
         "text_scrub_pii",
@@ -3573,12 +3631,15 @@ _GATE_ORDER: tuple[str, ...] = (
     # math, packing/mixture, all three decontamination variants, and
     # chunking
     "minhash_lsh_pairs",
+    # NEW this round — must gate immediately: exact-Jaccard rerank of
+    # the LSH candidates (decontaminate_exact demoted in exchange,
+    # r07-green and unchanged, pinned)
+    "dedup_verify_pairs",
     "dedup_clusters",
     "curate_pipeline",
     "dedup_keeper_quality",
     "pack_token_budget",
     "sample_mixture",
-    "decontaminate_exact",
     "decontaminate_ngram",
     "decontaminate_bloom",
     "chunk_documents",
