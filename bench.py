@@ -157,6 +157,7 @@ def main() -> None:
 # localCheckpoint materializations).
 _PIPELINE_EXTRAS = (
     "dedup_clusters",
+    "dedup_verify_pairs",
     "dedup_keeper_quality",
     "ngram_overlap",
     "text_repetition",

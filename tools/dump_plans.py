@@ -128,6 +128,14 @@ SHOWCASE = [
         " inside the scan projection — the plan is exchange-free.",
     ),
     (
+        "dedup_verify_pairs",
+        "Exact-Jaccard verification of LSH candidates: participating ids"
+        " broadcast into a left-semi join against the documents scan (the"
+        " corpus is never shuffled for the verify stage; shingle sets exist"
+        " only for paired docs), and the candidate side keeps its"
+        " WindowGroupLimit hot-bucket cap.",
+    ),
+    (
         "corpus_report_card",
         "Corpus data card (exact slice): per-doc metrics are row-local in"
         " the scan projection; ONE rollup aggregate computes every source"
