@@ -305,7 +305,7 @@ def test_curation_full_option_matrix_matches_composed_oracle(spark, tmp_path):
       CREATE TEMP TABLE scrubbed AS
       SELECT doc_id, source,
              regexp_replace(regexp_replace(regexp_replace(text,
-               '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
                '\d{9,}', '<ID>', 'g') AS text
       FROM documents""")

@@ -208,6 +208,11 @@ def test_y4m_backend_edge_cases(spark):
     # truncated final frame is dropped, not fatal
     frames = _y4m_frames(_y4m_bytes(n_frames=3, trunc_last=True), 1, 8)
     assert [i for i, _ in frames] == [0, 1]
+    # ... including truncation MID-marker (upload cut inside b"FRAME")
+    full = _y4m_bytes(n_frames=2)
+    cut = full[: full.rindex(b"FRAME") + 3]  # ends with b"FRA"
+    frames = _y4m_frames(cut, 1, 8)
+    assert [i for i, _ in frames] == [0]
     # 4:4:4 triples the chroma payload
     frames = _y4m_frames(_y4m_bytes(n_frames=1, chroma="444"), 1, 8)
     assert len(frames[0][1]) == 4 * 2 * 3

@@ -849,3 +849,33 @@ def test_verify_candidate_pairs_confirms_and_rejects(spark):
     assert (r.n_inter, r.verified) == (0, False)
     # doc 1: 4 shingles, doc 3 (7 tokens): 5 shingles, disjoint -> 9
     assert r.n_union == 9 and r.exact_jaccard == 0.0
+
+
+def test_scrub_pii_engine_parity_on_unicode_case(spark):
+    """The email classes must be explicit ASCII ranges, not (?i): Java
+    folds ASCII only while RE2 folds Unicode simple-case, so the flag
+    makes the engines disagree on U+017F (LATIN SMALL LETTER LONG S)
+    and U+212A (KELVIN SIGN) localparts.  With explicit ranges BOTH
+    engines treat those characters as outside the class — identical
+    (conservative) redaction spans, verified against DuckDB here."""
+    import duckdb
+
+    from wikihadoop_spark.functions.scrub import PII_PATTERNS, scrub_pii
+
+    texts = [
+        "plain Mixed.Case@Example.COM here",
+        "long-s ſtuff@example.com here",
+        "kelvin mailKa@example.com here",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "text"])
+    got = {r.i: r.s for r in df.select("i", scrub_pii(F.col("text")).alias("s")).collect()}
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        out = t
+        for _, pat, rep in PII_PATTERNS:
+            out = con.execute(
+                "SELECT regexp_replace(?, ?, ?, 'g')", [out, pat, rep]
+            ).fetchone()[0]
+        assert got[i] == out, (i, got[i], out)
+    # and the ASCII mixed-case address is actually redacted
+    assert got[0] == "plain <EMAIL> here"

@@ -360,10 +360,28 @@ def test_corpus_report_card_is_one_rollup_pass(spark):
 
 
 def test_verify_pairs_never_shuffles_the_corpus(spark):
-    """The exact-Jaccard rerank must stay candidate-bound: the shingle
-    sets side reaches the documents scan through a broadcast LEFT-SEMI
-    join (no corpus-wide exchange feeding it), and the LSH candidate
-    side keeps its WindowGroupLimit cap."""
+    """The exact-Jaccard rerank must stay candidate-bound.  Pinned on
+    the LAZY lineage (materialize=False): the shingle-sets side reaches
+    the documents scan through a broadcast LEFT-SEMI join (no
+    corpus-wide exchange feeding it) and the LSH candidate side keeps
+    its WindowGroupLimit cap.  The gated query's executed plan then
+    proves the round-8 reuse fix: candidates and sets are
+    localCheckpointed, so the final plan re-reads NO parquet — without
+    the checkpoints the candidate subtree evaluated 5x (once per
+    consumer leg, measured in the round-8 plan dump)."""
+    from wikihadoop_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures_rowwise,
+        verify_candidate_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sig = minhash_signatures_rowwise(docs, id_col="doc_id", text_col="text")
+    pairs = lsh_candidate_pairs(sig, id_col="doc_id")
+    lazy = verify_candidate_pairs(pairs, docs, materialize=False)
+    lp = lazy._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in lp and "BroadcastHashJoin" in lp
+    assert "WindowGroupLimit" in lp
+
     plan = plan_of(spark, "dedup_verify_pairs")
-    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
-    assert "WindowGroupLimit" in plan
+    assert "FileScan parquet" not in plan  # everything upstream materialized once

@@ -263,6 +263,11 @@ def _y4m_frames(
     pos, idx = nl + 1, 0
     while len(out) < max_frames and pos < len(payload):
         if not payload.startswith(b"FRAME", pos):
+            # an upload truncated mid-marker is truncation, not
+            # corruption: keep the complete prefix like the other two
+            # truncation positions (inside the marker line / payload)
+            if payload[pos:] == b"FRAME"[: len(payload) - pos]:
+                break
             raise ValueError(f"expected FRAME marker at offset {pos}")
         fnl = payload.find(b"\n", pos)
         if fnl < 0 or fnl + 1 + frame_bytes > len(payload):

@@ -69,9 +69,10 @@ def read_counter(obs: Observation, default: int | None = None) -> int:
             raise
         return default
     except Exception as exc:
-        from py4j.protocol import Py4JJavaError
-
-        pruned_row = isinstance(exc, Py4JJavaError) and (
+        # match by class NAME + message, not an import: importing py4j
+        # inside the handler would itself raise on distributions that
+        # ship without it (pyspark-connect), masking the real error
+        pruned_row = type(exc).__name__ == "Py4JJavaError" and (
             "toPyRow" in str(exc) and "AssertionError" in str(exc)
         )
         if default is None or not pruned_row:

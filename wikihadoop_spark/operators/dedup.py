@@ -306,6 +306,7 @@ def verify_candidate_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_k: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact-Jaccard verification (rerank) of LSH candidate pairs —
     the second half of a production MinHash pipeline: banding recalls
@@ -319,13 +320,27 @@ def verify_candidate_pairs(
     (integer cross-multiplied ``2·inter >= union``, i.e. true Jaccard
     >= 0.5, no float threshold drift).
 
-    Plan shape at 100 TB: the participating ids (candidate-bound — at
-    most 2 pairs rows) broadcast into a left-semi join against the
-    corpus scan, so the full corpus is never shuffled and shingle sets
-    are materialized ONLY for documents that appear in some pair;
-    everything after is equi-joins between candidate-sized frames.
-    Cost scales with the (capped, observable) candidate set, not the
-    corpus."""
+    Plan shape at 100 TB: the candidate frame is localCheckpointed
+    FIRST — its lineage (an LSH banding or blocking subtree, the most
+    expensive stage upstream) would otherwise re-evaluate once per
+    consumer below (the two ids-union legs, the output spine, and
+    through both set joins: 5×, measured in the round-8 plan dump).
+    The participating ids (candidate-bound — at most 2 pairs rows)
+    then broadcast into a left-semi join against the corpus scan, so
+    the full corpus is never shuffled and shingle sets are
+    materialized ONLY for documents that appear in some pair — and the
+    (tiny, semi-join-restricted) sets frame is checkpointed too, so
+    the corpus scan runs once rather than once per join leg.
+    Everything after is equi-joins between candidate-sized frames.
+    Cost: one candidate materialization + ONE corpus scan; scales with
+    the (capped, observable) candidate set, not the corpus.
+
+    ``materialize=False`` skips both checkpoints, exposing the full
+    lazy lineage — for plan inspection (tests pin the broadcast
+    semi-join shape through it) or callers that already persisted the
+    candidate frame."""
+    if materialize:
+        pairs = pairs.localCheckpoint(eager=True)
     ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
@@ -335,6 +350,8 @@ def verify_candidate_pairs(
         F.col(id_col),
         F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("__sh"),
     )
+    if materialize:
+        sets = sets.localCheckpoint(eager=True)
     a = sets.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
     b = sets.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
     inter = F.size(F.array_intersect("__sh_a", "__sh_b")).cast("bigint")

@@ -2193,9 +2193,12 @@ def chunk_documents_q(spark: SparkSession, sf: str) -> DataFrame:
     # deterministic PII injection on 1-in-5 docs (both engines build
     # the identical string) so the redaction rules demonstrably fire.
     # Round 8: the body is RAW text (no lower()) and the injected
-    # address is MIXED-CASE — the gate now proves the (?i) email class
-    # redacts what a real corpus contains, closing the round-7 gap
-    # where the lowercased body could never exercise case handling.
+    # address is MIXED-CASE — the gate now proves the explicit a-zA-Z
+    # email classes redact what a real corpus contains, closing the
+    # round-7 gap where the lowercased body could never exercise case
+    # handling.  (Explicit ranges, not (?i): Java folds ASCII only,
+    # RE2 folds Unicode — the flag would break engine parity on
+    # U+017F/U+212A.)
     oracle=r"""
     WITH txt AS (
       SELECT doc_id,
@@ -2207,11 +2210,11 @@ def chunk_documents_q(spark: SparkSession, sf: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id,
-           CAST(len(regexp_extract_all(body, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(body, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_email,
            CAST(len(regexp_extract_all(body, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
            CAST(len(regexp_extract_all(body, '\d{9,}')) AS BIGINT) AS n_id,
            md5(regexp_replace(regexp_replace(regexp_replace(body,
-                '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
                 '\d{9,}', '<ID>', 'g')) AS scrubbed_md5
     FROM txt
