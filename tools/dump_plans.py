@@ -129,11 +129,15 @@ SHOWCASE = [
     ),
     (
         "dedup_verify_pairs",
-        "Exact-Jaccard verification of LSH candidates: participating ids"
-        " broadcast into a left-semi join against the documents scan (the"
-        " corpus is never shuffled for the verify stage; shingle sets exist"
-        " only for paired docs), and the candidate side keeps its"
-        " WindowGroupLimit hot-bucket cap.",
+        "Exact-Jaccard verification of LSH candidates: the candidate frame"
+        " and the semi-join-restricted shingle sets are localCheckpointed"
+        " (each upstream stage runs ONCE — lazily, the candidate subtree"
+        " evaluated 5x, once per consumer leg), so the final plan joins"
+        " checkpoint scans with NO parquet re-read.  The lazy lineage —"
+        " participating ids broadcast into a left-semi join against the"
+        " documents scan, WindowGroupLimit intact on the candidate side —"
+        " is pinned separately in tests/test_plans.py via"
+        " materialize=False.",
     ),
     (
         "corpus_report_card",
