@@ -239,6 +239,10 @@ _SF1_SPOT_QUERIES = (
     # cross-doc overlap (checkpointed explode + two hash aggregates)
     "curation_e2e",
     "ngram_overlap",
+    # round 8: the exact-Jaccard rerank — candidate-bound by design,
+    # so its 10x ratio shows whether cost really tracks the capped
+    # candidate set rather than the corpus
+    "dedup_verify_pairs",
 )
 _SF1_COPIES = 10
 _SF1_SHIFT = 100_000_000  # beyond every key range in the sf0.1 tables

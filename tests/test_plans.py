@@ -385,3 +385,12 @@ def test_verify_pairs_never_shuffles_the_corpus(spark):
 
     plan = plan_of(spark, "dedup_verify_pairs")
     assert "FileScan parquet" not in plan  # everything upstream materialized once
+
+
+def test_decontaminate_report_broadcasts_eval_fingerprints(spark):
+    """The contamination audit must scan the corpus once with the eval
+    fingerprints broadcast — no corpus-wide shuffle before the join;
+    only the (eval-bounded) hit rows reach the aggregate exchange."""
+    plan = plan_of(spark, "decontaminate_report")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("FileScan parquet") == 2  # corpus + the eval sample scan

@@ -1997,6 +1997,60 @@ def decontaminate_exact(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "decontaminate_report",
+    # the AUDIT flip side of decontaminate_exact: per contaminated
+    # eval fingerprint, how many corpus docs carry it and from how
+    # many sources — what an eval-integrity review reads before
+    # deciding whether to drop corpus docs or retire the eval item
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, source,
+             md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
+      FROM documents),
+    bench AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 97 = 0)
+    SELECT fp.fingerprint,
+           CAST(COUNT(*) AS BIGINT) AS n_contaminated,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc_id,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM fp JOIN bench ON bench.fingerprint = fp.fingerprint
+    GROUP BY fp.fingerprint
+    """,
+)
+def decontaminate_report_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Contamination audit: for each eval-set fingerprint, count the
+    corpus documents sharing it (incl. the eval row itself when the
+    eval set is corpus-sampled), the smallest contaminated doc id, and
+    how many sources the contamination spans — the report a data-
+    governance review reads BEFORE running ``decontaminate_exact``'s
+    drop, since a benchmark item contaminating thousands of docs
+    across many sources usually means the ITEM is boilerplate and
+    should be retired, not the docs.
+
+    Plan: eval fingerprints broadcast into an inner hash join against
+    the corpus fingerprint projection (row-local md5, corpus scanned
+    once, never shuffled); only the HIT rows — eval-set-bounded, tiny —
+    reach the per-fingerprint aggregate exchange."""
+    from .plans.curation import content_fingerprint
+
+    t = Tables(spark, sf)
+    fp = t.documents.select(
+        "doc_id",
+        "source",
+        content_fingerprint(F.col("text")).alias("fingerprint"),
+    )
+    bench = fp.filter(F.col("doc_id") % 97 == 0).select("fingerprint").distinct()
+    return (
+        fp.join(F.broadcast(bench), "fingerprint")
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_contaminated"),
+            F.min("doc_id").cast("bigint").alias("first_doc_id"),
+            F.count_distinct(F.col("source")).cast("bigint").alias("n_sources"),
+        )
+    )
+
+
+@query(
     "text_quality_model",
     oracle=f"""
     SELECT doc_id,
@@ -3505,16 +3559,17 @@ def media_frame_fanout_q(spark: SparkSession, sf: str) -> DataFrame:
 # round-7 under-redaction finding).  That leaves 12 carry slots,
 # spent on the flagship join anchors (q3/q5) and the round-7 curation
 # chain the round-8 changes sit next to (keeper/LSH/CC, the chain
-# composition, packing/mixture, n-gram + Bloom decontamination,
-# chunking).  A third must-gate query lands mid-round:
-# dedup_verify_pairs (NEW — exact-Jaccard rerank of LSH candidates),
-# taking the decontaminate_exact carry slot.  The other 36 r07-green
-# queries demote unchanged under source-hash pins in
-# _DEMOTED_SOURCE_PINS.  Catalog: 86 queries.
+# composition, mixture, n-gram + Bloom decontamination, chunking).
+# Two more must-gate queries land mid-round: dedup_verify_pairs (NEW —
+# exact-Jaccard rerank of LSH candidates) taking the
+# decontaminate_exact carry slot, and decontaminate_report (NEW — the
+# contamination audit) taking pack_token_budget's.  The other 37
+# r07-green queries demote unchanged under source-hash pins in
+# _DEMOTED_SOURCE_PINS.  Catalog: 87 queries.
 #
-# Round-9 rotation plan: the 36 r07-pinned demotions will then hold
-# the oldest evidence — rotate them back (36 + the 2 wikidump anchors
-# leaves 12 carry slots; any round-9 additions displace more unchanged
+# Round-9 rotation plan: the 37 r07-pinned demotions will then hold
+# the oldest evidence — rotate them back (37 + the 2 wikidump anchors
+# leaves 11 carry slots; any round-9 additions displace more unchanged
 # r08-green queries), demoting in exchange whichever r08-gated queries
 # ship unchanged, pinned as usual.
 GATE_WINDOW = 50
@@ -3562,6 +3617,7 @@ ROTATION_SET: frozenset[str] = frozenset(
         # round-8 additions: brand-new queries gate immediately
         "corpus_report_card",
         "dedup_verify_pairs",
+        "decontaminate_report",
         # changed this round (case-insensitive email class + raw-text
         # mixed-case gate body): must re-verify
         "text_scrub_pii",
@@ -3641,9 +3697,12 @@ _GATE_ORDER: tuple[str, ...] = (
     "dedup_clusters",
     "curate_pipeline",
     "dedup_keeper_quality",
-    "pack_token_budget",
     "sample_mixture",
     "decontaminate_ngram",
+    # NEW this round — must gate immediately: the contamination AUDIT
+    # (pack_token_budget demoted in exchange, r07-green and unchanged,
+    # pinned)
+    "decontaminate_report",
     "decontaminate_bloom",
     "chunk_documents",
 )
