@@ -83,8 +83,8 @@ _DEMOTED_SOURCE_PINS = {
     "join_full_outer": "68f92d4e4cf403e9",
     "join_inner_agg": "fe54374f33db6a0d",
     "join_theta": "0ca20c452a95bd6b",
+    "decontaminate_ngram": "3ea1d9b42de8633e",
     "ngram_overlap": "1c16e089f005a2e7",
-    "pack_token_budget": "78e58e3fe3a7e621",
     "q1_pricing_summary": "0f80d1148a90ab59",
     "range_join_near_orders": "37dfb2b236d9964e",
     "sample_stratified": "0e84ac6e2232c519",

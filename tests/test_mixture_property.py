@@ -67,3 +67,22 @@ def test_waterfill_dominates_single_pass_and_respects_budget(totals, budget, w):
     # a budget covering the whole supply keeps everything
     full = mixture_thresholds_waterfill(totals, wt, sum(totals.values()))
     assert all(full[g] == SCALE for g, a in totals.items() if a > 0)
+
+
+def test_waterfill_zero_weight_groups_after_all_positive_cap():
+    """Regression: when every positive-weight group caps and only
+    weight-0 groups ('exclude this source') stay active, waterfill
+    previously divided by zero; the excluded groups must get threshold
+    0 — same as the single-pass formula."""
+    from wikihadoop_spark.operators.mixture import (
+        SCALE,
+        mixture_thresholds,
+        mixture_thresholds_waterfill,
+    )
+
+    totals = {"a": 4, "b": 10}
+    weights = {"a": 1, "b": 0}
+    wf = mixture_thresholds_waterfill(totals, weights, 5)
+    assert wf == {"a": SCALE, "b": 0}
+    sp = mixture_thresholds(totals, weights, 5)
+    assert wf["b"] == sp["b"] == 0

@@ -65,3 +65,24 @@ def test_ivf_clusters_partition_corpus(spark):
     counts = tagged.groupBy("cluster").count().collect()
     assert sum(r["count"] for r in counts) == emb.count()
     assert all(0 <= r.cluster < 8 for r in counts)
+
+
+def test_ivf_build_clamps_k_to_corpus_size(spark):
+    """Regression: a corpus with fewer vectors than k crashed with
+    IndexError on the first Lloyd iteration; k must clamp to the
+    corpus size, and an empty corpus must raise clearly."""
+    import pytest
+
+    from wikihadoop_spark.operators.similarity import cosine_topk_ivf, ivf_build
+
+    rows = [(i, [float(i), 1.0 - i / 10.0]) for i in range(5)]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    tagged, centroids = ivf_build(corpus, k=16, iterations=2)
+    assert len(centroids) == 5
+    assert tagged.count() == 5
+    out = cosine_topk_ivf(tagged, centroids, corpus, k=2, nprobe=3)
+    assert out.count() > 0
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    with pytest.raises(ValueError, match="empty corpus"):
+        ivf_build(empty, k=4)

@@ -485,3 +485,51 @@ def test_curate_stream_chunked_matches_batch(spark, tmp_path):
     q.stop()
     got = {key(r) for r in spark.sql("SELECT * FROM t_curchunk").collect()}
     assert got == batch
+
+
+def test_stateful_detector_timeout_branch_evicts_state():
+    """The idle-eviction branch (hasTimedOut) must remove the key's
+    state and emit nothing; with a timeout configured, each data batch
+    re-arms the timer.  Driven directly — a processing-time timer in a
+    processAllAvailable test would wait out the wall clock."""
+    import pandas as pd
+
+    from wikihadoop_spark.streaming.stateful import make_detector
+
+    class FakeState:
+        def __init__(self):
+            self.hasTimedOut = True
+            self.removed = False
+            self.exists = False
+
+        def remove(self):
+            self.removed = True
+
+    st = FakeState()
+    out = list(make_detector(10_000)((7,), iter([]), st))
+    assert out == [] and st.removed
+
+    class LiveState(FakeState):
+        def __init__(self):
+            super().__init__()
+            self.hasTimedOut = False
+            self.timeout_set = None
+            self.updated = None
+
+        def update(self, v):
+            self.updated = v
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_set = ms
+
+    st = LiveState()
+    pdf = pd.DataFrame(
+        {"ts": [1, 2], "event_id": [1, 2], "value": [1.0, 2.0]}
+    )
+    list(make_detector(10_000)((7,), iter([pdf]), st))
+    assert st.updated[0] == 2  # Welford count advanced
+    assert st.timeout_set == 10_000  # timer re-armed after the batch
+
+    st = LiveState()
+    list(make_detector(None)((7,), iter([pdf]), st))
+    assert st.timeout_set is None  # no timer without the knob

@@ -67,9 +67,11 @@ SHOWCASE = [
     (
         "pack_token_budget",
         "Distributed prefix sum: the cumulative window is partitioned by"
-        " `spark_partition_id` (never a single-partition global-order"
-        " window); the per-partition offsets arrive via a"
-        " `BroadcastHashJoin` of an O(partitions) frame.",
+        " a DATA-DERIVED range bucket (approx-quantile boundaries baked"
+        " in as literals — never a single-partition global-order window,"
+        " and no corpus checkpoint: every evaluation recomputes the same"
+        " buckets); the per-bucket offsets arrive via a"
+        " `BroadcastHashJoin` of an O(buckets) frame.",
     ),
     (
         "decontaminate_exact",

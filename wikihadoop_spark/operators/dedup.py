@@ -170,6 +170,38 @@ def minhash_signatures_rowwise(
     return out.select(F.col(id_col), *[F.col(c) for c in keep_cols], *sigs)
 
 
+def band_key_structs(
+    n_hashes: int, bands: int, field_prefix: str = "k"
+) -> list[Column]:
+    """The LSH band-key WIRE FORMAT: one struct per band, carrying the
+    band index plus that band's signature slice as ``{prefix}0..``.
+
+    Shared by the batch pair generator (:func:`lsh_candidate_pairs`),
+    the streaming signature index, and the stream probe
+    (`streaming/dedup_stream.py`) — one definition, because index and
+    probe must agree bit-for-bit: a drifted copy (band order, slice
+    offsets, a changed rows-per-band formula) would not error, it
+    would just make every probe miss and read as "no duplicates
+    found"."""
+    if n_hashes % bands:
+        raise ValueError(
+            f"bands ({bands}) must divide n_hashes ({n_hashes}): a "
+            "remainder would silently drop signature components from "
+            "every band key"
+        )
+    rows = n_hashes // bands
+    return [
+        F.struct(
+            F.lit(band).alias("band"),
+            *[
+                F.col(f"s{band * rows + r}").alias(f"{field_prefix}{r}")
+                for r in range(rows)
+            ],
+        )
+        for band in range(bands)
+    ]
+
+
 def lsh_candidate_pairs(
     sig: DataFrame,
     *,
@@ -213,26 +245,12 @@ def lsh_candidate_pairs(
     """
     from pyspark.sql import Window
 
-    rows = n_hashes // bands
     sig_struct = F.struct(
         F.col(id_col).alias("id"), *[F.col(f"s{i}") for i in range(n_hashes)]
     )
     band_entries = sig.select(
         sig_struct.alias("m"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).alias("band"),
-                        *[
-                            F.col(f"s{band * rows + r}").alias(f"k{r}")
-                            for r in range(rows)
-                        ],
-                    )
-                    for band in range(bands)
-                ]
-            )
-        ).alias("bk"),
+        F.explode(F.array(*band_key_structs(n_hashes, bands))).alias("bk"),
     )
     ranked = band_entries.withColumn(
         "__rn",

@@ -226,7 +226,15 @@ def mixture_thresholds_waterfill(
     out = {g: (SCALE if totals[g] > 0 else 0) for g in capped}
     sum_w = sum(weights[g] for g in active)
     for g in active:
-        out[g] = min(
-            SCALE, (remaining * weights[g] * SCALE) // (sum_w * totals[g])
+        # sum_w can hit 0 with groups still active: every POSITIVE-
+        # weight group capped and only weight-0 groups (weight 0 =
+        # "exclude this source") remain — their share is 0, matching
+        # the single-pass formula, not a division by zero
+        out[g] = (
+            0
+            if sum_w <= 0
+            else min(
+                SCALE, (remaining * weights[g] * SCALE) // (sum_w * totals[g])
+            )
         )
     return out

@@ -10,17 +10,32 @@ The naive formulation is a running-sum window with a GLOBAL order and
 no partition key, which Spark executes in ONE task — a scale-killer.
 This operator computes the same prefix sum distributed:
 
-1. range-repartition + sort within partitions on the order key (the
-   same machinery a global orderBy uses — data moves once),
-2. per-partition token totals (one tiny row per partition) collected
-   to the driver — O(partitions), broadcast state, not data,
-3. each partition's exclusive offset joined back (broadcast), then a
-   per-partition cumulative window (partitionBy spark_partition_id)
-   adds local prefix sums to the offset.
+1. pick range-bucket boundaries from an approx-quantile sketch of the
+   order key (one aggregate pass; the boundaries are collected ONCE
+   and embedded as literals, so the bucket id is a pure function of
+   the DATA — every re-evaluation lands each row in the same bucket),
+2. per-bucket token totals via an ordinary hash aggregate (map-side
+   combine — one tiny row per bucket reaches the driver; the corpus
+   itself does not shuffle for this pass) -> exclusive offsets,
+   O(buckets) broadcast state,
+3. each bucket's offset joined back (broadcast), then a per-bucket
+   cumulative window (partitionBy bucket) adds local prefix sums to
+   the offset — the ONE full-row shuffle in the plan.
+
+Because the bucket id derives from the data, not from
+``spark_partition_id`` over a sampled ``repartitionByRange``, no
+checkpoint is needed to pin a physical partitioning: every evaluation
+(and any fault-recovery recompute) is deterministic.  Earlier versions
+localCheckpointed the entire range-shuffled corpus to executor-local
+storage to stop the range sampler re-rolling between the totals pass
+and the final pass — at 100 TB that is a second full corpus copy in
+UNRELIABLE storage (an executor loss aborts the job with no recompute
+path); the data-derived bucket removes both the copy and the
+fragility.
 
 The result equals the single-partition window bit-for-bit (prefix sums
-don't depend on where partition boundaries land), which the tests pin
-by running both and by re-running under different partition counts.
+don't depend on where bucket boundaries land), which the tests pin by
+running both and by re-running under different partition counts.
 """
 
 from __future__ import annotations
@@ -57,20 +72,45 @@ def pack_token_budget(
     result."""
     if budget <= 0:
         raise ValueError(f"budget must be positive (got {budget})")
+    from pyspark.sql.types import NumericType
+
+    if not isinstance(df.schema[order_col].dataType, NumericType):
+        raise ValueError(
+            f"order_col {order_col!r} must be numeric: bucket boundaries "
+            "come from an approx-quantile sketch (use a surrogate numeric "
+            "order key, e.g. a dense id)"
+        )
     order_cols = [order_col] + ([tiebreak_col] if tiebreak_col else [])
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    # localCheckpoint pins ONE physical partitioning: repartitionByRange
-    # samples its boundaries per evaluation, and this plan is evaluated
-    # twice (partition totals, then the final cumsum) — without the pin
-    # the two evaluations can land rows in different partitions and the
-    # offsets silently misalign (caught by the sf0.1 parity gate).
-    arranged = (
-        df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
-        .sortWithinPartitions(*order_cols)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    # one tiny row per partition -> exclusive offsets on the driver
+    # data-derived range buckets: boundaries from one approx-quantile
+    # sketch, collected ONCE and embedded as literals — the bucket id
+    # is then a pure function of the row's order key, so the totals
+    # pass, the final pass, and any fault-recovery recompute all agree
+    # (no physical-partitioning pin, no corpus checkpoint).  The
+    # sketch's error only skews bucket SIZES, never correctness: the
+    # output is bucket-independent (tests pin partition-count
+    # invariance).  Ties on the order key share a bucket by
+    # construction; the tiebreak column orders them inside the window.
+    if n_parts > 1:
+        probs = [i / n_parts for i in range(1, n_parts)]
+        boundaries = sorted(
+            set(df.stat.approxQuantile(order_col, probs, 1.0 / (4 * n_parts)))
+        )
+    else:
+        boundaries = []
+    if boundaries:
+        blit = F.array(*[F.lit(float(b)) for b in boundaries])
+        bucket = F.aggregate(
+            blit,
+            F.lit(0),
+            lambda acc, b: acc
+            + F.when(F.col(order_col).cast("double") > b, 1).otherwise(0),
+        )
+    else:
+        bucket = F.lit(0)
+    arranged = df.withColumn("__pid", bucket)
+    # one tiny row per bucket via hash aggregate (map-side combine; the
+    # corpus does NOT shuffle for this pass) -> exclusive offsets
     totals = (
         arranged.groupBy("__pid")
         .agg(F.sum(tokens_col).alias("__tot"))

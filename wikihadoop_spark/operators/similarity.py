@@ -104,8 +104,10 @@ def cosine_topk_lsh(
 
     Trades recall for a corpus-partitionable equi-join on bucket id —
     the 100 TB-scale path (bucket the corpus once, broadcast bucketed
-    queries).  ``round_dp`` rounds the similarity before ranking so two
-    engines computing the same formula rank identical values."""
+    queries).  ``round_dp`` rounds the similarity before ranking so
+    two engines computing the same formula rank the same values in
+    practice (a similarity within an ulp of a rounding boundary could
+    still split — the driver's hash gate is the proof on real data)."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("__cvec"),
@@ -149,14 +151,22 @@ def ivf_build(
     The centroid table is K×D floats — driver-side between iterations
     by design (it is broadcast state, not data).  Returns (tagged
     corpus, centroids).  Deterministic: seeds are the first k vectors
-    by id.  ``round_dp`` rounds each centroid mean so another engine
-    computing the same means in a different summation order converges
-    to bit-identical centroids (oracle parity).
+    by id; a corpus with fewer than ``k`` vectors clamps k to the
+    corpus size (an empty corpus raises).  ``round_dp`` rounds each
+    centroid mean so another engine computing the same means in a
+    different summation order lands on the same value in practice —
+    rounding narrows the parity gap to means sitting within an ulp of
+    a rounding boundary (where engines could still diverge); the
+    driver's hash gate is what PROVES equality on the actual data, the
+    rounding is what makes that achievable.
     """
     c = corpus.select(
         F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v")
     )
     seeds = c.orderBy("__id").limit(k).collect()
+    if not seeds:
+        raise ValueError("ivf_build: empty corpus (no vectors to seed from)")
+    k = min(k, len(seeds))  # fewer vectors than requested clusters
     centroids = [list(r["__v"]) for r in seeds]
 
     mean = F.avg("__x")
@@ -267,5 +277,10 @@ def cosine_topk_ivf(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
+    # no pair dedup needed: _assign gives each corpus row exactly ONE
+    # cluster and a query's probed cluster ids are distinct (slice of
+    # a sorted sequence), so (query_id, neighbor_id) is already unique
+    # — a post-rank dropDuplicates would only add a shuffle, and if
+    # duplicates ever could occur it would nondeterministically punch
+    # gaps in the rank column (the dedup must happen BEFORE ranking)

@@ -3560,10 +3560,12 @@ def media_frame_fanout_q(spark: SparkSession, sf: str) -> DataFrame:
 # spent on the flagship join anchors (q3/q5) and the round-7 curation
 # chain the round-8 changes sit next to (keeper/LSH/CC, the chain
 # composition, mixture, n-gram + Bloom decontamination, chunking).
-# Two more must-gate queries land mid-round: dedup_verify_pairs (NEW —
-# exact-Jaccard rerank of LSH candidates) taking the
-# decontaminate_exact carry slot, and decontaminate_report (NEW — the
-# contamination audit) taking pack_token_budget's.  The other 37
+# Three more must-gate queries land mid-round: dedup_verify_pairs
+# (NEW — exact-Jaccard rerank of LSH candidates) taking the
+# decontaminate_exact carry slot, decontaminate_report (NEW — the
+# contamination audit), and pack_token_budget (its operator changed
+# mid-round: data-derived range buckets replaced the full-corpus
+# localCheckpoint) taking decontaminate_ngram's slot.  The other 37
 # r07-green queries demote unchanged under source-hash pins in
 # _DEMOTED_SOURCE_PINS.  Catalog: 87 queries.
 #
@@ -3621,6 +3623,9 @@ ROTATION_SET: frozenset[str] = frozenset(
         # changed this round (case-insensitive email class + raw-text
         # mixed-case gate body): must re-verify
         "text_scrub_pii",
+        # operator changed mid-round (packing: data-derived range
+        # buckets replace the full-corpus localCheckpoint): re-verify
+        "pack_token_budget",
     }
 )
 
@@ -3698,10 +3703,12 @@ _GATE_ORDER: tuple[str, ...] = (
     "curate_pipeline",
     "dedup_keeper_quality",
     "sample_mixture",
-    "decontaminate_ngram",
-    # NEW this round — must gate immediately: the contamination AUDIT
-    # (pack_token_budget demoted in exchange, r07-green and unchanged,
+    # packing operator changed mid-round (data-derived buckets, no
+    # corpus checkpoint) — pack_token_budget returns for re-gating and
+    # decontaminate_ngram demotes in exchange (r07-green, unchanged,
     # pinned)
+    "pack_token_budget",
+    # NEW this round — must gate immediately: the contamination AUDIT
     "decontaminate_report",
     "decontaminate_bloom",
     "chunk_documents",

@@ -66,18 +66,15 @@ def signature_index(
     attribution past the cap does not)."""
     from pyspark.sql import Window
 
+    from ..operators.dedup import band_key_structs
+
     rows = n_hashes // bands
-    entries = [
-        F.struct(
-            F.lit(band).alias("band"),
-            *[F.col(f"s{band * rows + r}").alias(f"key{r}") for r in range(rows)],
-        )
-        for band in range(bands)
-    ]
     flat = sig.select(
         F.col(id_col).alias("corpus_id"),
         *[F.col(f"s{i}").alias(f"cs{i}") for i in range(n_hashes)],
-        F.explode(F.array(*entries)).alias("bk"),
+        F.explode(
+            F.array(*band_key_structs(n_hashes, bands, field_prefix="key"))
+        ).alias("bk"),
     ).select(
         "bk.band",
         *[F.col(f"bk.key{r}") for r in range(rows)],
@@ -135,18 +132,15 @@ def stream_candidate_pairs(
         n_hashes=n_hashes,
         keep_cols=carry_cols,
     )
-    entries = [
-        F.struct(
-            F.lit(band).alias("band"),
-            *[F.col(f"s{band * rows + r}").alias(f"key{r}") for r in range(rows)],
-        )
-        for band in range(bands)
-    ]
+    from ..operators.dedup import band_key_structs
+
     probes = sig.select(
         F.col(id_col).alias("new_id"),
         *[F.col(c) for c in carry_cols],
         *[F.col(f"s{i}") for i in range(n_hashes)],
-        F.explode(F.array(*entries)).alias("bk"),
+        F.explode(
+            F.array(*band_key_structs(n_hashes, bands, field_prefix="key"))
+        ).alias("bk"),
     ).select(
         F.col("bk.band").alias("band"),
         *[F.col(f"bk.key{r}").alias(f"key{r}") for r in range(rows)],

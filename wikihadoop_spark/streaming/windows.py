@@ -13,8 +13,9 @@ Design notes for scale:
   adjacent sessions); the batch twin is operators/sessionize.py and
   their outputs are cross-checked in tests/test_streaming.py.
 - ``dropDuplicates`` with the event-time column in the key is the
-  streaming exactly-once dedup (reference O3's `sort -u`, but with
-  watermark-bounded state).
+  streaming dedup (reference O3's `sort -u` analog, but with
+  watermark-bounded state — and therefore weaker semantics for late
+  data: see :func:`streaming_dedup` for the precise contract).
 """
 
 from __future__ import annotations
@@ -95,7 +96,25 @@ def streaming_dedup(
     keys: tuple[str, ...] = ("event_id",),
     watermark: str = "1 hour",
 ) -> DataFrame:
-    """Exactly-once row dedup with watermark-bounded state."""
+    """Duplicate-row suppression with watermark-bounded state.
+
+    Semantics, stated precisely (the naive "exactly-once" label
+    overclaims on two axes):
+
+    - **Late data is dropped, not deduped**: a row whose event time is
+      older than the watermark is FILTERED OUT by streaming
+      ``dropDuplicates`` even if it is genuinely new — for rows later
+      than ``watermark``, this operator is at-most-once.  Size the
+      watermark to the pipeline's real lateness bound, and route
+      later-than-watermark data through a batch backfill.
+    - **First arrival wins within a key**: two rows sharing
+      ``(*keys, ts)`` but differing in payload columns keep whichever
+      arrived first, so payload columns of the survivor are
+      arrival-order-dependent (unlike the reference's batch
+      ``sort -u``, which is deterministic).  Keys should therefore
+      identify the payload (event_id does in this schema); dedup on a
+      proper subset of the payload identity only when any survivor is
+      acceptable."""
     return events.withWatermark(ts, watermark).dropDuplicates([*keys, ts])
 
 
