@@ -170,6 +170,8 @@ _PIPELINE_EXTRAS = (
     "text_quality_model",
     "chunk_documents",
     "text_scrub_pii",
+    # round 8: the checkpoint-free distributed prefix sum
+    "pack_token_budget",
 )
 
 

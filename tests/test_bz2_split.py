@@ -244,10 +244,14 @@ def test_page_spanning_many_blocks(spark, tmp_path):
         assert rows[21] == big_body, f"splitsize={splitsize}: big page corrupted"
 
 
-def test_truncated_bz2_yields_complete_blocks_only(tmp_path):
-    """A truncated .bz2 (mid-block EOF) decodes every complete block
-    and drops the torn tail instead of raising."""
+def test_truncated_bz2_strict_raises_tolerant_keeps_prefix(tmp_path):
+    """A truncated .bz2 (mid-block EOF) must be LOUD by default — a
+    silently shorter dump is data loss masquerading as a small corpus —
+    while tolerate_truncation=True (torn-shard ingest) decodes every
+    complete block and drops only the torn tail."""
     import random
+
+    import pytest
 
     rng = random.Random(5)
     raw = b"".join(
@@ -261,7 +265,14 @@ def test_truncated_bz2_yields_complete_blocks_only(tmp_path):
     cut = (blocks[-1][0] // 8) + 40
     path = tmp_path / "trunc.xml.bz2"
     path.write_bytes(comp[:cut])
+
     s = Bz2BlockStream(str(path), 0, 1 << 62)
+    with pytest.raises(ValueError, match="truncated or corrupt"):
+        while s.read():
+            pass
+    s.close()
+
+    s = Bz2BlockStream(str(path), 0, 1 << 62, tolerate_truncation=True)
     got = b""
     while chunk := s.read():
         got += chunk

@@ -236,3 +236,30 @@ def test_native_disabled_falls_back(monkeypatch):
     # un-poison the memoized loader state for later tests
     monkeypatch.delenv("WIKIHADOOP_NO_NATIVE")
     monkeypatch.setattr(native, "_loaded", False)
+
+
+def test_ops_check_udf_multi_op_rows(spark):
+    """Regression: under Arrow the ops cell is a numpy array, whose
+    truth value raises for length >= 2 — the old `o or []` therefore
+    crashed on any revision with a real (multi-op) edit; the gate dump
+    never produced one (its revisions are pure appends = one insert
+    op), so the bug was latent until a real dump hit it."""
+    from pyspark.sql import functions as F
+
+    from wikihadoop_spark.functions.diffs import ops_check_udf, token_diff
+
+    prev, curr = "alpha beta gamma delta", "alpha X gamma Y delta Z"
+    ops = list(token_diff(prev, curr))
+    assert len(ops) >= 2  # the shape that used to crash
+    df = spark.createDataFrame(
+        [(prev, curr, ops), (prev, prev, []),
+         (None, "new page", list(token_diff("", "new page")))],
+        "prev string, curr string, "
+        "ops array<struct<position:bigint, action:int, content:string>>",
+    )
+    rows = df.select(
+        ops_check_udf()(
+            F.coalesce("prev", F.lit("")), "curr", "ops"
+        ).alias("c")
+    ).collect()
+    assert all(r.c.roundtrip_ok and r.c.empty_iff_equal for r in rows)

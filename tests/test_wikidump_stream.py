@@ -279,3 +279,45 @@ def test_stream_late_shard_after_watermark_dropped(spark, tmp_path):
     assert ("2023-01-01T00:00:00", 1, 2) in got
     assert ("2023-01-03T00:00:00", 1, 1) in got
     assert not any(pid == 2 for _, pid, _ in got)
+
+
+def test_stream_partitions_plan_from_committed_offset_size(spark, tmp_path):
+    """Exactly-once replay: partitions(start, end) must plan byte
+    ranges from the size RECORDED in the offset, not a fresh stat — a
+    file appended to between latestOffset and execution (or before a
+    failed batch replays) would otherwise plan different ranges for
+    the same offset interval.  Also: .bz2 planning honors
+    bz2_split=false (one whole-file partition, like the batch path)."""
+    from pyspark.sql.types import StructType
+
+    from wikihadoop_spark.sources.wikidump import (
+        WikidumpStreamReader,
+        BASE_SCHEMA_DDL,
+    )
+
+    p = tmp_path / "shard.xml"
+    p.write_bytes(standard_dump().encode())
+    recorded = p.stat().st_size
+    # simulate an append AFTER the offset was recorded
+    with open(p, "ab") as fh:
+        fh.write(b" " * (recorded * 3))
+
+    rdr = WikidumpStreamReader(
+        StructType.fromDDL(BASE_SCHEMA_DDL),
+        {"path": str(tmp_path / "*.xml"), "splitsize": "200"},
+    )
+    parts = rdr.partitions({"files": {}}, {"files": {str(p): recorded}})
+    assert parts, "no partitions planned"
+    assert max(pt.end for pt in parts) == recorded  # not the grown size
+    assert all(pt.codec == "plain" for pt in parts)
+
+    bz = tmp_path / "shard.xml.bz2"
+    bz.write_bytes(bz2.compress(standard_dump().encode(), 1))
+    rdr2 = WikidumpStreamReader(
+        StructType.fromDDL(BASE_SCHEMA_DDL),
+        {"path": str(tmp_path / "*.bz2"), "bz2_split": "false"},
+    )
+    parts2 = rdr2.partitions(
+        {"files": {}}, {"files": {str(bz): bz.stat().st_size}}
+    )
+    assert [pt.codec for pt in parts2] == ["bz2"]

@@ -499,31 +499,16 @@ def diff_ops_udf():
 
         gc_was_enabled = gc.isenabled()
         gc.disable()
-        # batch-local tokenize memo: for consecutive revisions the
-        # current text of row i IS the previous text of row i+1, so
-        # every text would otherwise be tokenized twice (~25% of the
-        # diff cost on revision chains).  Capped by TOTAL cached tokens,
-        # not entry count — a chain of giant pages must not pin
-        # gigabytes of token lists in a worker.
-        memo: dict[str, list[str]] = {}
-        memo_tokens = 0
-
-        def tok(t: str) -> list[str]:
-            nonlocal memo_tokens
-            r = memo.get(t)
-            if r is None:
-                r = tokenize_wikitext(t)
-                if memo_tokens > 4_000_000 or len(memo) > 4096:
-                    memo.clear()
-                    memo_tokens = 0
-                memo[t] = r
-                memo_tokens += len(r)
-            return r
-
+        # No tokenize memo (an earlier version cached row i's token
+        # list for reuse as row i+1's prev): token_diff char-strips
+        # each PAIR to its edit region before tokenizing, so the
+        # strings reaching the tokenizer are pair-dependent and a
+        # text-keyed cache essentially never hits — it was dict upkeep
+        # plus up to 4M pinned tokens of dead substrings per batch.
         try:
             return pd.Series(
                 [
-                    list(token_diff(p or "", c or "", tokenize=tok))
+                    list(token_diff(p or "", c or ""))
                     for p, c in zip(prev.tolist(), curr.tolist())
                 ]
             )
@@ -554,8 +539,12 @@ def ops_check_udf():
         rt, em = [], []
         for p, c, o in zip(prev.tolist(), curr.tolist(), ops.tolist()):
             p, c = p or "", c or ""
+            # `o if o is not None else []`, NOT `o or []`: under Arrow
+            # the ops cell is a numpy array, whose truth value raises
+            # for length >= 2 (any row with a real edit)
             triples = [
-                (d["position"], d["action"], d["content"]) for d in (o or [])
+                (d["position"], d["action"], d["content"])
+                for d in (o if o is not None else [])
             ]
             rt.append(apply_diff(p, triples) == c)
             em.append((len(triples) == 0) == (p == c))

@@ -107,8 +107,18 @@ def build_diffdb(
         F.col("page_id"),
         F.col("ns").alias("namespace"),
         F.col("norm_title").alias("title"),
-        # X4: ISO-8601 -> Unix epoch seconds (fileformat.rst:17)
-        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("timestamp"),
+        # X4: ISO-8601 -> Unix epoch seconds (fileformat.rst:17).
+        # Dump timestamps are UTC wall-clock stored as timestamp_ntz;
+        # computed ARITHMETICALLY from the ntz fields (all tz-free) so
+        # the value is identical on any cluster timezone — a cast to
+        # TIMESTAMP would re-interpret the wall-clock in
+        # spark.sql.session.timeZone and shift every epoch off-UTC
+        (
+            F.unix_date(F.to_date("ts")).cast("bigint") * 86400
+            + F.hour("ts") * 3600
+            + F.minute("ts") * 60
+            + F.second("ts")
+        ).alias("timestamp"),
         F.col("comment"),
         F.col("minor"),
         F.col("user_id"),
@@ -245,7 +255,9 @@ def build_diffdb_grouped(revisions: DataFrame) -> DataFrame:
         for r in pdf.itertuples(index=False):
             text = r.text or ""
             ts = r.ts
-            epoch = int(ts.timestamp()) if ts is not None else None
+            # pd.notna: a missing <timestamp> arrives as NaT, and
+            # `NaT is not None` is True while NaT.timestamp() raises
+            epoch = int(ts.timestamp()) if pd.notna(ts) else None
             rows.append(
                 {
                     "rev_id": r.rev_id,

@@ -46,9 +46,14 @@ BLOCK_MAGIC = 0x314159265359
 EOS_MAGIC = 0x177245385090
 
 _SCAN_CHUNK = 4 << 20
-# try merging a failed block span with up to this many following spans
-# before declaring the starting magic a false positive
-_MAX_SPAN_MERGES = 3
+# Merge a failed block span forward over false-positive magics as long
+# as the merged span could still be ONE legal block: bzip2 compresses
+# at most 900k of input per block, so a compressed block can't exceed
+# ~1 MB even for incompressible data — 16 MB is a 16x-margin structural
+# bound.  A DATA bound (not the old fixed count of 3) means a cluster
+# of false positives inside one real block can never exhaust the merge
+# budget and silently drop the genuine block.
+_MAX_SPAN_BITS = (16 << 20) * 8
 
 
 def _patterns(magic: int):
@@ -195,7 +200,11 @@ class Bz2BlockStream:
     non-owned magic is reached — by then any caller offset past it is
     comparing against a set value."""
 
-    def __init__(self, path: str, start: int, end: int):
+    def __init__(
+        self, path: str, start: int, end: int,
+        tolerate_truncation: bool = False,
+    ):
+        self._tolerate_truncation = tolerate_truncation
         self._f = open(path, "rb")
         self._f.seek(0, 2)
         self._file_end_bit = self._f.tell() * 8
@@ -223,18 +232,50 @@ class Bz2BlockStream:
             # a false-positive magic — merge the span forward over it
             out = None
             merges = 0
-            for k in range(_MAX_SPAN_MERGES + 1):
+            saw_eos_after = False
+            reached_eof = False
+            k = 0
+            while True:
                 nxt = magics.peek(k)
                 cand_end = nxt[0] if nxt is not None else self._file_end_bit
+                if nxt is not None and nxt[1]:
+                    saw_eos_after = True
+                if cand_end - bit > _MAX_SPAN_BITS:
+                    break  # span can no longer be one legal block
                 try:
                     out = decode_block(self._f, bit, cand_end)
                     merges = k
                     break
                 except ValueError:
                     if nxt is None:
+                        reached_eof = True
                         break  # span already reaches EOF
+                    k += 1
             if out is None:
-                # start magic itself is a false positive: skip it
+                # Distinguish the two all-candidates-failed cases:
+                # - a FALSE-POSITIVE start magic mid-stream (the real
+                #   stream continues — an EOS magic exists beyond it,
+                #   or the 16 MB bound tripped before the file end):
+                #   skip it; the genuine blocks around it decode from
+                #   their own magics.
+                # - a TRUNCATED/CORRUPT tail (the span ran to EOF and
+                #   NO end-of-stream magic exists past this point, so
+                #   the bytes cannot be part of any intact stream):
+                #   raise instead of silently shrinking the dump —
+                #   silent loss here used to read as a smaller corpus.
+                if (
+                    reached_eof
+                    and not saw_eos_after
+                    and not self._tolerate_truncation
+                ):
+                    raise ValueError(
+                        f"bzip2 stream truncated or corrupt: block at bit "
+                        f"{bit} of {path!r} cannot be decoded to any "
+                        "consistent end and no end-of-stream magic follows "
+                        "(pass tolerate_truncation=True / the source's "
+                        "bz2_tolerate_truncation option to keep the "
+                        "complete prefix of a torn shard instead)"
+                    )
                 cur = magics.pop()
                 continue
             produced += len(out)

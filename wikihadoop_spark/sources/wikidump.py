@@ -397,7 +397,19 @@ class WikidumpReader(DataSourceReader):
         elif partition.codec == "bz2block":
             from wikihadoop_spark.sources.bz2blocks import Bz2BlockStream
 
-            f = Bz2BlockStream(partition.path, partition.start, partition.end)
+            f = Bz2BlockStream(
+                partition.path,
+                partition.start,
+                partition.end,
+                # default STRICT: a truncated shard raises instead of
+                # silently reading as a smaller dump; torn-shard ingest
+                # (e.g. a stream watching a directory mid-upload) opts
+                # in to keeping the complete prefix
+                tolerate_truncation=str(
+                    self._options.get("bz2_tolerate_truncation", "false")
+                ).lower()
+                == "true",
+            )
             # scanner offsets are decompressed-local; ownership ends at
             # the decompressed extent of this range's blocks, known by
             # the time any offset could exceed it
@@ -440,25 +452,14 @@ class WikidumpReader(DataSourceReader):
 
         if compute_ops:
             from wikihadoop_spark.functions.diffs import token_diff
-            from wikihadoop_spark.functions.tokenize import tokenize_wikitext
 
-            # partition-level tokenize memo: within a page chain, row
-            # i's text IS row i+1's prev_text.  Capped by total cached
-            # tokens so chains of giant pages cannot pin gigabytes.
-            memo: dict[str, list[str]] = {}
-            memo_tokens = 0
-
-            def tok(t: str) -> list[str]:
-                nonlocal memo_tokens
-                r = memo.get(t)
-                if r is None:
-                    r = tokenize_wikitext(t)
-                    if memo_tokens > 4_000_000 or len(memo) > 4096:
-                        memo.clear()
-                        memo_tokens = 0
-                    memo[t] = r
-                    memo_tokens += len(r)
-                return r
+            # No tokenize memo here (an earlier version cached row i's
+            # token list for reuse as row i+1's prev): token_diff
+            # char-strips each PAIR to its edit region before
+            # tokenizing, so the strings reaching the tokenizer are
+            # pair-dependent and a text-keyed cache essentially never
+            # hits — it was pure dict upkeep plus up to 4M pinned
+            # tokens of dead substrings per task.
 
         # cyclic GC off while parsing: the scanner allocates millions of
         # acyclic objects (fragments, field strings, row dicts) and
@@ -476,7 +477,6 @@ class WikidumpReader(DataSourceReader):
                         token_diff(
                             row.get("prev_text") or "",
                             row.get("text") or "",
-                            tokenize=tok,
                         )
                     )
                 batch_rows.append(row)
@@ -513,8 +513,15 @@ class WikidumpReader(DataSourceReader):
                 return
             tag_idx, _, header = found
             if exclude is not None and exclude.search(header):
-                # reference F1: skip the whole page before parsing any
-                # revision (StreamWikiDumpInputFormat.java:387-393)
+                # reference F1, byte-for-byte conformant: the pattern
+                # searches the RAW page-header bytes (title + ns + id +
+                # redirect, XML-ESCAPED — 'AT&T' appears as 'AT&amp;T',
+                # and a digit pattern can hit <id>/<ns> too), exactly
+                # like the reference's find() over the header string
+                # (StreamWikiDumpInputFormat.java:387-393).  For a
+                # clean unescaped-TITLE filter, use the plan-level
+                # rlike on the title column (plans/diffdb.py) instead
+                # — the two are different contracts on purpose.
                 if tag_idx == 0:
                     scanner.skip_to(PAGE_CLOSE)
                 continue
@@ -596,18 +603,45 @@ class WikidumpStreamReader(DataSourceStreamReader):
         return {"files": self._current_files()}
 
     def partitions(self, start: dict, end: dict):
+        # Plan from the size RECORDED in the committed offset, never a
+        # fresh os.path.getsize: a file appended to (or replaced)
+        # between latestOffset and execution — or before a failed batch
+        # replays — would otherwise plan different ranges for the SAME
+        # offset interval, breaking exactly-once replay (and a deleted
+        # file would crash planning instead of surfacing at read time).
         seen = start.get("files", {})
-        new = [p for p in end.get("files", {}) if p not in seen]
+        new = {
+            p: sz for p, sz in end.get("files", {}).items() if p not in seen
+        }
+        bz2_split = (
+            str(self._batch._options.get("bz2_split", "true")).lower()
+            == "true"
+        )
         parts: list[WikidumpPartition] = []
         for p in sorted(new):
-            size = os.path.getsize(p)
+            size = int(new[p])
+            # the batch planner leaves the LAST range open-ended (own
+            # everything to EOF — at batch planning time EOF == size);
+            # for a stream the ownership boundary must be the RECORDED
+            # size, so a replay of this offset interval owns exactly
+            # the same bytes even if the file has since grown
+            ranges = [
+                (s, min(e, size)) for s, e in self._batch._ranges(size)
+            ]
             if p.endswith(".bz2"):
-                for s, e in self._batch._ranges(size):
-                    parts.append(WikidumpPartition(p, s, e, "bz2block"))
+                if bz2_split:
+                    for s, e in ranges:
+                        parts.append(WikidumpPartition(p, s, e, "bz2block"))
+                else:
+                    # honor the batch reader's opt-out (single-stream
+                    # decode, one partition per file).  end stays
+                    # unbounded: for whole-file codecs it is compared
+                    # against DECOMPRESSED offsets, not file bytes
+                    parts.append(WikidumpPartition(p, 0, 1 << 62, "bz2"))
             elif p.endswith(".gz"):
                 parts.append(WikidumpPartition(p, 0, 1 << 62, "gz"))
             else:
-                for s, e in self._batch._ranges(size):
+                for s, e in ranges:
                     parts.append(WikidumpPartition(p, s, e, "plain"))
         return parts
 
