@@ -100,3 +100,44 @@ def test_curate_subcommand_keeper_and_waterfill_flags(tmp_path):
     assert n > 0
     cols = duckdb.sql(f"SELECT * FROM read_parquet('{out}/*.parquet') LIMIT 0").columns
     assert "chunk_idx" in cols and "chunk_text" in cols
+
+
+def test_curate_subcommand_jsonl_in_jsonl_out(tmp_path):
+    """The trainer interchange loop: *.jsonl.zst shards in, curated
+    gzip jsonl shards out, stage counters printed."""
+    from wikihadoop_spark.sources.jsonl import ensure_gate_jsonl
+
+    src = ensure_gate_jsonl(SF)
+    out = str(tmp_path / "curated")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "wikihadoop_spark", "curate",
+            "--input", f"{src}/*.jsonl.zst",
+            "--input-format", "jsonl",
+            "--output", out,
+            "--output-format", "jsonl",
+            "--output-shards", "3",
+        ],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "curated input:" in r.stdout
+    got = duckdb.sql(
+        f"SELECT COUNT(*), COUNT(DISTINCT doc_id) FROM read_json_auto('{out}/part-*.json.gz')"
+    ).fetchone()
+    assert got[0] > 0 and got[0] == got[1]
+    import glob as _g
+    assert len(_g.glob(f"{out}/part-*.json.gz")) == 3
+
+    # --shard-budget + jsonl output is an argparse error, not a crash
+    r2 = subprocess.run(
+        [
+            sys.executable, "-m", "wikihadoop_spark", "curate",
+            "--input", f"{src}/*.jsonl.zst", "--input-format", "jsonl",
+            "--output", out, "--output-format", "jsonl",
+            "--shard-budget", "2000",
+        ],
+        capture_output=True, text=True, timeout=120, env=env, cwd=REPO,
+    )
+    assert r2.returncode == 2 and "--shard-budget" in r2.stderr

@@ -75,6 +75,9 @@ _DEMOTED_SOURCE_PINS = {
     "agg_percentile": "da7e078703af57f1",
     "agg_stats": "35b21489747f25ae",
     "asof_join_events_orders": "73a4584ecbec5547",
+    # demoted mid-round for the jsonl_roundtrip slot (r07-green,
+    # operators/chunking.py and the query untouched this round)
+    "chunk_documents": "3f23f6ccee284755",
     "correlated_exists": "2180da0486b759ec",
     "decontaminate_exact": "2501e3996f48222b",
     "events_retention": "b765baa9b8e9a9e2",

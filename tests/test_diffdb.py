@@ -229,3 +229,26 @@ def test_in_source_diff_equivalent(spark, tmp_path):
         read_wikidump(spark, path, compute_diffs="true"), paired=True
     )
     assert key(via_udf) == key(via_source)
+
+
+def test_epoch_timezone_invariant(spark, tmp_path):
+    """The diffdb ``timestamp`` column is Unix epoch seconds of the
+    dump's UTC wall-clock and must NOT depend on
+    spark.sql.session.timeZone — unix_timestamp(cast('timestamp'))
+    would shift every epoch by the session offset (the exact bug
+    epoch_seconds_ntz exists to prevent)."""
+    path = write_dump(tmp_path, standard_dump())
+
+    def epochs():
+        df = build_diffdb(read_wikidump(spark, path), paired=False)
+        return sorted((r.rev_id, r.timestamp) for r in df.collect())
+
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    utc = epochs()
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        assert epochs() == utc
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kathmandu")
+        assert epochs() == utc  # non-whole-hour offset
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)

@@ -94,9 +94,21 @@ def main(argv: list[str] | None = None) -> int:
         help="full training-data curation: quality filter -> exact dedup -> "
              "near-dedup -> decontaminate -> mixture -> token-budget shards",
     )
-    c.add_argument("--input", required=True, help="parquet corpus (id/text/group columns)")
+    c.add_argument("--input", required=True, help="corpus (id/text/group columns)")
     c.add_argument("--output", required=True,
-                   help="destination: shard dirs with --shard-budget, else curated parquet")
+                   help="destination: shard dirs with --shard-budget, else curated corpus")
+    c.add_argument("--input-format", choices=["parquet", "jsonl"], default="parquet",
+                   help="jsonl reads *.jsonl[.gz|.zst] shards (explicit schema, "
+                        "no inference pass)")
+    c.add_argument("--input-schema", default=None,
+                   help="DDL schema for --input-format jsonl "
+                        "(default: the documents-table shape)")
+    c.add_argument("--output-format", choices=["parquet", "jsonl"], default="parquet",
+                   help="jsonl writes gzip line shards (trainer interchange layout); "
+                        "parquet-only with --shard-budget")
+    c.add_argument("--output-shards", type=int, default=None,
+                   help="output file count for --output-format jsonl (a compressed "
+                        "jsonl shard is non-splittable: files = next reader's tasks)")
     c.add_argument("--id-col", default="doc_id")
     c.add_argument("--text-col", default="text")
     c.add_argument("--group-col", default="source")
@@ -138,9 +150,18 @@ def main(argv: list[str] | None = None) -> int:
                 k: int(v)
                 for k, v in (kv.split("=", 1) for kv in args.weights.split(","))
             }
+        if args.shard_budget is not None and args.output_format == "jsonl":
+            ap.error("--shard-budget writes parquet shards; drop --output-format jsonl")
         spark = get_spark("wikihadoop-curate", cpus=args.cores)
         try:
-            docs = spark.read.parquet(args.input)
+            if args.input_format == "jsonl":
+                from .sources.jsonl import DOCUMENT_SCHEMA_DDL, read_corpus_jsonl
+
+                docs = read_corpus_jsonl(
+                    spark, args.input, args.input_schema or DOCUMENT_SCHEMA_DDL
+                )
+            else:
+                docs = spark.read.parquet(args.input)
             bench = spark.read.parquet(args.benchmark) if args.benchmark else None
             res = curate_corpus(
                 docs,
@@ -165,7 +186,17 @@ def main(argv: list[str] | None = None) -> int:
             if args.shard_budget is None:
                 # this write is the action that fires the stage counters
                 # (the shard path already fired them via its checkpoint)
-                res.curated.write.mode("overwrite").parquet(args.output)
+                if args.output_format == "jsonl":
+                    from .sources.jsonl import write_corpus_jsonl
+
+                    write_corpus_jsonl(
+                        res.curated,
+                        args.output,
+                        shards=args.output_shards,
+                        mode="overwrite",
+                    )
+                else:
+                    res.curated.write.mode("overwrite").parquet(args.output)
             stages = " -> ".join(f"{k}:{v}" for k, v in res.counts().items())
             print(f"curated {stages} -> {args.output}")
             return 0

@@ -31,6 +31,21 @@ from ..operators.pairing import pair_with_previous
 # MediaWiki namespace table (public standard namespace ids; the
 # reference embeds the same map in its mapper metaXML,
 # revision_differ.py:94-117).
+def epoch_seconds_ntz(col) -> "F.Column":
+    """Unix epoch seconds from a ``timestamp_ntz`` holding UTC
+    wall-clock (dump ``<timestamp>`` fields are always UTC).  Computed
+    ARITHMETICALLY from the tz-free fields so the value is identical on
+    any cluster timezone — ``unix_timestamp(cast('timestamp'))`` would
+    re-interpret the wall-clock in ``spark.sql.session.timeZone`` and
+    shift every epoch off-UTC."""
+    return (
+        F.unix_date(F.to_date(col)).cast("bigint") * 86400
+        + F.hour(col) * 3600
+        + F.minute(col) * 60
+        + F.second(col)
+    )
+
+
 NAMESPACES: dict[int, str] = {
     -2: "Media", -1: "Special", 0: "", 1: "Talk", 2: "User",
     3: "User talk", 4: "Wikipedia", 5: "Wikipedia talk", 6: "File",
@@ -107,18 +122,9 @@ def build_diffdb(
         F.col("page_id"),
         F.col("ns").alias("namespace"),
         F.col("norm_title").alias("title"),
-        # X4: ISO-8601 -> Unix epoch seconds (fileformat.rst:17).
-        # Dump timestamps are UTC wall-clock stored as timestamp_ntz;
-        # computed ARITHMETICALLY from the ntz fields (all tz-free) so
-        # the value is identical on any cluster timezone — a cast to
-        # TIMESTAMP would re-interpret the wall-clock in
-        # spark.sql.session.timeZone and shift every epoch off-UTC
-        (
-            F.unix_date(F.to_date("ts")).cast("bigint") * 86400
-            + F.hour("ts") * 3600
-            + F.minute("ts") * 60
-            + F.second("ts")
-        ).alias("timestamp"),
+        # X4: ISO-8601 -> Unix epoch seconds (fileformat.rst:17),
+        # timezone-invariant (see epoch_seconds_ntz)
+        epoch_seconds_ntz(F.col("ts")).alias("timestamp"),
         F.col("comment"),
         F.col("minor"),
         F.col("user_id"),

@@ -195,6 +195,7 @@ def _wikidump_gate(spark: SparkSession, sf: str, *, use_bz2: bool) -> DataFrame:
     to the parquet table, and emit metadata + parser/pairing/diff
     invariants the oracle states in closed form."""
     from .functions.diffs import diff_check_udf, ops_check_udf
+    from .plans.diffdb import epoch_seconds_ntz
     from .sources.gatedump import TRAILER, ensure_gate_dump
     from .sources.wikidump import read_wikidump
 
@@ -232,7 +233,10 @@ def _wikidump_gate(spark: SparkSession, sf: str, *, use_bz2: bool) -> DataFrame:
             F.col("page_id"),
             F.col("rev_seq").cast("int").alias("rev_seq"),
             F.col("title"),
-            F.unix_timestamp(F.col("ts").cast("timestamp")).alias("epoch"),
+            # timezone-invariant: the dump's <timestamp> is UTC
+            # wall-clock in an ntz column; unix_timestamp(cast) would
+            # shift it by the session timezone (plans/diffdb.py)
+            epoch_seconds_ntz(F.col("ts")).alias("epoch"),
             F.col("comment"),
             F.col("minor"),
             F.col("user_id"),
@@ -260,6 +264,53 @@ def wikidump_roundtrip_bz2(spark: SparkSession, sf: str) -> DataFrame:
     sources/bz2blocks.py): same rows as wikidump_roundtrip, read from a
     multi-block compressed file across several byte-range partitions."""
     return _wikidump_gate(spark, sf, use_bz2=True)
+
+
+@query(
+    "jsonl_roundtrip",
+    oracle="""
+    SELECT doc_id, 'gz' AS codec, lang, source, n_chars, true AS text_ok
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'zst', lang, source, n_chars, true
+    FROM documents
+    """,
+)
+def jsonl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """JSONL corpus ingest gate (sources/jsonl.py): materialize the
+    documents table as deterministic ``.jsonl.gz`` AND ``.jsonl.zst``
+    shards (the Pile/SlimPajama interchange layout), read both back
+    through the JVM JSON datasource with an explicit schema (no
+    inference pass) and the PERMISSIVE corrupt-line drop path, join to
+    the parquet table, and verify every field — text equality plus
+    lang/source/n_chars fidelity — under the oracle's hash."""
+    from .sources.jsonl import (
+        DOCUMENT_SCHEMA_DDL,
+        ensure_gate_jsonl,
+        read_corpus_jsonl,
+    )
+
+    base = ensure_gate_jsonl(sf)
+    docs = Tables(spark, sf).documents.select(
+        F.col("doc_id").alias("p_id"), F.col("text").alias("p_text")
+    )
+
+    def leg(glob: str, codec: str) -> DataFrame:
+        j = read_corpus_jsonl(spark, f"{base}/{glob}", DOCUMENT_SCHEMA_DDL)
+        return j.withColumn("codec", F.lit(codec))
+
+    both = leg("*.jsonl.gz", "gz").unionByName(leg("*.jsonl.zst", "zst"))
+    return (
+        both.join(docs, both.doc_id == F.col("p_id"))
+        .select(
+            "doc_id",
+            "codec",
+            "lang",
+            "source",
+            "n_chars",
+            (F.col("text") == F.col("p_text")).alias("text_ok"),
+        )
+    )
 
 
 # ===========================================================================
@@ -3626,6 +3677,8 @@ ROTATION_SET: frozenset[str] = frozenset(
         # operator changed mid-round (packing: data-derived range
         # buckets replace the full-corpus localCheckpoint): re-verify
         "pack_token_budget",
+        # new mid-round: JSONL ingest gate (new-query hygiene)
+        "jsonl_roundtrip",
     }
 )
 
@@ -3711,7 +3764,11 @@ _GATE_ORDER: tuple[str, ...] = (
     # NEW this round — must gate immediately: the contamination AUDIT
     "decontaminate_report",
     "decontaminate_bloom",
-    "chunk_documents",
+    # NEW this round — must gate immediately: JSONL corpus ingest
+    # roundtrip (gz + zstd shards through the JVM JSON datasource).
+    # chunk_documents demotes in exchange (r07-green, operator and
+    # query unchanged this round, pinned).
+    "jsonl_roundtrip",
 )
 
 
