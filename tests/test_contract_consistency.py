@@ -78,6 +78,9 @@ _DEMOTED_SOURCE_PINS = {
     # demoted mid-round for the jsonl_roundtrip slot (r07-green,
     # operators/chunking.py and the query untouched this round)
     "chunk_documents": "3f23f6ccee284755",
+    # demoted mid-round for the shuffle_pack slot (r07-green,
+    # operators/decontam.py and the query untouched this round)
+    "decontaminate_bloom": "bade0783dfc57627",
     "correlated_exists": "2180da0486b759ec",
     "decontaminate_exact": "2501e3996f48222b",
     "events_retention": "b765baa9b8e9a9e2",

@@ -128,6 +128,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="redistribute capped groups' unused mixture budget")
     c.add_argument("--shard-budget", type=int, default=None,
                    help="tokens per output shard (one parquet file per shard)")
+    c.add_argument("--shuffle-seed", type=int, default=None,
+                   help="pack shards in deterministic pseudo-random order "
+                        "(training shuffle; reproducible on any cluster)")
     c.add_argument("--scrub-pii", action="store_true",
                    help="redact emails/IPs/id runs BEFORE any stage derives "
                         "from the text (pii_redactions counter printed)")
@@ -182,6 +185,7 @@ def main(argv: list[str] | None = None) -> int:
                 scrub=args.scrub_pii,
                 chunk_tokens=args.chunk_tokens,
                 chunk_stride=args.chunk_stride,
+                shuffle_seed=args.shuffle_seed,
             )
             if args.shard_budget is None:
                 # this write is the action that fires the stage counters

@@ -40,8 +40,18 @@ running both and by re-running under different partition counts.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _tiebreaks(tiebreak_col: str | Sequence[str] | None) -> list[str]:
+    if tiebreak_col is None:
+        return []
+    if isinstance(tiebreak_col, str):
+        return [tiebreak_col]
+    return list(tiebreak_col)
 
 
 def pack_token_budget(
@@ -51,7 +61,7 @@ def pack_token_budget(
     tokens_col: str,
     budget: int,
     num_partitions: int | None = None,
-    tiebreak_col: str | None = None,
+    tiebreak_col: str | Sequence[str] | None = None,
 ) -> DataFrame:
     """Add ``cum_tokens`` (inclusive prefix sum of ``tokens_col`` in
     ``order_col`` order) and ``shard`` (= (cum_tokens - n) div budget:
@@ -61,8 +71,10 @@ def pack_token_budget(
     downstream).
 
     Determinism contract: the document order must be a TOTAL order —
-    ``order_col`` unique, or ``(order_col, tiebreak_col)`` unique with
-    ``tiebreak_col`` given.  With duplicate order keys and no tiebreak
+    ``order_col`` unique, or ``(order_col, *tiebreak_col)`` unique with
+    ``tiebreak_col`` given (a name or a sequence of names — e.g. a
+    seeded shuffle key orders by hash with ``(id, chunk_idx)`` breaking
+    the rare collisions).  With duplicate order keys and no tiebreak
     the prefix sum is partition-count-dependent (the range shuffle may
     split tied keys across partitions and the in-partition tie order is
     arbitrary), which silently breaks the bit-for-bit reproducibility
@@ -80,7 +92,7 @@ def pack_token_budget(
             "come from an approx-quantile sketch (use a surrogate numeric "
             "order key, e.g. a dense id)"
         )
-    order_cols = [order_col] + ([tiebreak_col] if tiebreak_col else [])
+    order_cols = [order_col] + _tiebreaks(tiebreak_col)
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     # data-derived range buckets: boundaries from one approx-quantile
     # sketch, collected ONCE and embedded as literals — the bucket id
@@ -150,7 +162,7 @@ def write_packed_shards(
     budget: int,
     fmt: str = "parquet",
     num_partitions: int | None = None,
-    tiebreak_col: str | None = None,
+    tiebreak_col: str | Sequence[str] | None = None,
 ) -> DataFrame:
     """Pack ``df`` into fixed-token-budget shards and write ONE file per
     shard under ``out_dir/shard=<id>/`` — the serialization step that
@@ -181,7 +193,7 @@ def write_packed_shards(
         num_partitions=num_partitions,
         tiebreak_col=tiebreak_col,
     )
-    order_cols = [order_col] + ([tiebreak_col] if tiebreak_col else [])
+    order_cols = [order_col] + _tiebreaks(tiebreak_col)
     (
         packed.repartition(F.col("shard"))
         .sortWithinPartitions("shard", *order_cols)

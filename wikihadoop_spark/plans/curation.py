@@ -128,6 +128,7 @@ def curate_corpus(
     scrub: bool = False,
     chunk_tokens: int | None = None,
     chunk_stride: int | None = None,
+    shuffle_seed: int | None = None,
 ) -> CurationResult:
     """Run the full curation chain over ``docs``.
 
@@ -150,6 +151,13 @@ def curate_corpus(
     (`operators/chunking.py`; ``chunk_stride`` defaults to disjoint)
     as the final pre-packing stage — shards then pack chunks in
     (id, chunk_idx) order via the packing tiebreak.
+
+    ``shuffle_seed`` (optional, needs ``shard_budget``): pack in
+    deterministic pseudo-random order instead of id order — the
+    training-order shuffle (`operators/shuffle.py`).  The key is a
+    pure row function of (seed, id), so the layout reproduces on any
+    cluster/partition count (``orderBy(rand(seed))`` does not); the
+    ``shuffle_order`` column rides along in the output as provenance.
 
     ``keeper``: which member survives a near-duplicate cluster —
     ``"min_id"`` (default, cheapest: the component label IS the
@@ -187,6 +195,12 @@ def curate_corpus(
             "skipped entirely without a budget, so the flag would "
             "silently no-op (pass token_budget to enable it)"
         )
+    if shuffle_seed is not None and shard_budget is None:
+        raise ValueError(
+            "shuffle_seed given without shard_budget: the shuffle orders "
+            "the packing stage, which doesn't run without a budget, so "
+            "the flag would silently no-op (pass shard_budget to enable it)"
+        )
     if token_budget is not None and mixture_weights is None:
         mixture_weights = {}  # uniform: every group gets default_weight
     if keeper not in ("min_id", "best_quality"):
@@ -203,6 +217,8 @@ def curate_corpus(
         reserved += ["chunk_idx", "chunk_text"]
     if shard_budget is not None:
         reserved += ["cum_tokens", "shard"]
+    if shuffle_seed is not None:
+        reserved += ["shuffle_order"]
     clash = [c for c in docs.columns if c in reserved]
     if clash:
         raise ValueError(
@@ -255,6 +271,7 @@ def curate_corpus(
             scrub=scrub,
             chunk_tokens=chunk_tokens,
             chunk_stride=chunk_stride,
+            shuffle_seed=shuffle_seed,
         )
     finally:
         if prev_excluded is None:
@@ -286,6 +303,7 @@ def _curate_corpus_impl(
     scrub: bool,
     chunk_tokens: int | None,
     chunk_stride: int | None,
+    shuffle_seed: int | None = None,
 ) -> CurationResult:
     obs: dict[str, Observation] = {}
     cur = _observed(docs, "input", obs)
@@ -458,23 +476,37 @@ def _curate_corpus_impl(
     if shard_budget is not None:
         # chunked corpora have several rows per doc id: chunk_idx
         # completes the total order so packing stays bit-reproducible
-        tiebreak = "chunk_idx" if chunk_tokens is not None else None
+        tiebreak = ["chunk_idx"] if chunk_tokens is not None else []
+        order = id_col
+        if shuffle_seed is not None:
+            # training order: deterministic seeded shuffle (a pure row
+            # function of (seed, id) — reproducible on any cluster and
+            # partition count, unlike orderBy(rand(seed))); shards then
+            # interleave sources instead of replaying ingest order.
+            # (id [, chunk_idx]) completes the total order across the
+            # astronomically-rare 60-bit hash ties.
+            from ..operators.shuffle import shuffle_order
+
+            cur = cur.withColumn(
+                "shuffle_order", shuffle_order(shuffle_seed, F.col(id_col))
+            )
+            order, tiebreak = "shuffle_order", [id_col] + tiebreak
         if out_dir is not None:
             packed = write_packed_shards(
                 cur,
                 out_dir,
-                order_col=id_col,
+                order_col=order,
                 tokens_col="n_tokens",
                 budget=shard_budget,
-                tiebreak_col=tiebreak,
+                tiebreak_col=tiebreak or None,
             )
         else:
             packed = pack_token_budget(
                 cur,
-                order_col=id_col,
+                order_col=order,
                 tokens_col="n_tokens",
                 budget=shard_budget,
-                tiebreak_col=tiebreak,
+                tiebreak_col=tiebreak or None,
             )
 
     return CurationResult(curated=cur, packed=packed, observations=obs, _cached=cached)

@@ -1944,6 +1944,51 @@ def pack_token_budget_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "shuffle_pack",
+    oracle="""
+    SELECT doc_id, lang, n_tokens, shuffle_order, cum_tokens,
+           CAST((cum_tokens - n_tokens) // 5000 AS BIGINT) AS shard
+    FROM (
+      SELECT doc_id, lang, n_tokens, shuffle_order,
+             CAST(SUM(n_tokens) OVER (ORDER BY shuffle_order, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM (SELECT doc_id, lang,
+                   CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+                   ('0x' || substr(md5('42:' || doc_id), 1, 15))::BIGINT AS shuffle_order
+            FROM documents))
+    """,
+)
+def shuffle_pack_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic training-order shuffle + packing
+    (operators/shuffle.py + packing.py): the order key is the portable
+    60-bit md5 hash of (seed, id) — a pure row function, so the packed
+    layout reproduces on any cluster and partition count (unlike
+    ``orderBy(rand(seed))``, which seeds per partition) — and the
+    oracle replays the hash, the shuffled prefix sum, and the shard
+    assignment bit-for-bit."""
+    from .operators.packing import pack_token_budget
+    from .operators.shuffle import shuffle_documents
+
+    t = Tables(spark, sf)
+    docs = shuffle_documents(
+        t.documents.select(
+            "doc_id",
+            "lang",
+            F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+        ),
+        id_col="doc_id",
+        seed=42,
+    )
+    return pack_token_budget(
+        docs,
+        order_col="shuffle_order",
+        tokens_col="n_tokens",
+        budget=5000,
+        tiebreak_col="doc_id",
+    )
+
+
+@query(
     "text_tfidf_topk",
     oracle=f"""
     WITH ex AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents),
@@ -3679,6 +3724,8 @@ ROTATION_SET: frozenset[str] = frozenset(
         "pack_token_budget",
         # new mid-round: JSONL ingest gate (new-query hygiene)
         "jsonl_roundtrip",
+        # new mid-round: seeded shuffle + packing (new-query hygiene)
+        "shuffle_pack",
     }
 )
 
@@ -3761,9 +3808,12 @@ _GATE_ORDER: tuple[str, ...] = (
     # decontaminate_ngram demotes in exchange (r07-green, unchanged,
     # pinned)
     "pack_token_budget",
+    # NEW this round — must gate immediately: seeded training-order
+    # shuffle + packing (decontaminate_bloom demotes in exchange —
+    # r07-green, operators/decontam.py and the query untouched)
+    "shuffle_pack",
     # NEW this round — must gate immediately: the contamination AUDIT
     "decontaminate_report",
-    "decontaminate_bloom",
     # NEW this round — must gate immediately: JSONL corpus ingest
     # roundtrip (gz + zstd shards through the JVM JSON datasource).
     # chunk_documents demotes in exchange (r07-green, operator and
