@@ -141,3 +141,54 @@ def test_curate_subcommand_jsonl_in_jsonl_out(tmp_path):
         capture_output=True, text=True, timeout=120, env=env, cwd=REPO,
     )
     assert r2.returncode == 2 and "--shard-budget" in r2.stderr
+
+    # --output-shards + --shard-budget is the same conflict class:
+    # token-budget packing owns the file layout, so the flag would be
+    # silently ignored — argparse error instead
+    r3 = subprocess.run(
+        [
+            sys.executable, "-m", "wikihadoop_spark", "curate",
+            "--input", f"{src}/*.jsonl.zst", "--input-format", "jsonl",
+            "--output", out,
+            "--shard-budget", "2000", "--output-shards", "3",
+        ],
+        capture_output=True, text=True, timeout=120, env=env, cwd=REPO,
+    )
+    assert r3.returncode == 2 and "--output-shards" in r3.stderr
+
+
+def test_curate_output_shards_parquet(tmp_path):
+    """--output-shards is honored for parquet output too (round-9 fix:
+    it was silently ignored), controlling the output file count."""
+    out = str(tmp_path / "curated_pq")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "wikihadoop_spark", "curate",
+            "--input", f"{SF}/documents.parquet",
+            "--output", out,
+            "--output-shards", "3",
+        ],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    import glob as _g
+    files = _g.glob(f"{out}/part-*.parquet")
+    assert len(files) == 3
+    n = duckdb.sql(f"SELECT COUNT(*) FROM read_parquet('{out}/*.parquet')").fetchone()[0]
+    assert n > 0
+
+
+def test_readme_documents_every_cli_flag():
+    """Doc-coverage guard for the CLI surface, mirroring the
+    query/COVERAGE.md guard: every flag registered in __main__.py must
+    appear in README.md's CLI section — README-vs-argparse drift
+    shipped twice before this guard existed."""
+    import re
+
+    src = open(os.path.join(REPO, "wikihadoop_spark", "__main__.py")).read()
+    flags = sorted(set(re.findall(r'"(--[a-z][a-z-]*)"', src)))
+    assert len(flags) > 25  # the regex really found the surface
+    readme = open(os.path.join(REPO, "README.md")).read()
+    missing = [f for f in flags if f"`{f}`" not in readme and f not in readme]
+    assert not missing, f"flags absent from README.md: {missing}"

@@ -168,8 +168,16 @@ def test_wav_backend_rejects_non_wav(spark, media):
 
 def _y4m_bytes(n_frames=10, w=4, h=2, chroma="420", trunc_last=False):
     """Deterministic uncompressed YUV4MPEG2 stream: frame k's planar
-    bytes are (k*16+i) % 256 so tests can assert exact payloads."""
-    fb = int(w * h * (1.5 if chroma.startswith("420") else 3.0 if chroma == "444" else 2.0 if chroma == "422" else 1.0))
+    bytes are (k*16+i) % 256 so tests can assert exact payloads.
+    Plane sizes use per-plane ceiling division (ffmpeg's layout), so
+    odd dimensions with subsampled chroma size correctly."""
+    if chroma.startswith("420"):
+        xd, yd = 2, 2
+    elif chroma == "422":
+        xd, yd = 2, 1
+    else:
+        xd, yd = 1, 1
+    fb = w * h + (0 if chroma == "mono" else 2 * (-(-w // xd)) * (-(-h // yd)))
     out = bytearray(f"YUV4MPEG2 W{w} H{h} F30:1 Ip A1:1 C{chroma}\n".encode())
     for k in range(n_frames):
         out += b"FRAME\n"
@@ -220,6 +228,30 @@ def test_y4m_backend_edge_cases(spark):
         _y4m_frames(b"RIFFnot a video", 1, 8)
     with _pytest.raises(ValueError, match="colorspace"):
         _y4m_frames(b"YUV4MPEG2 W4 H2 C411\nFRAME\n", 1, 8)
+    # odd dimensions with subsampled chroma: per-plane ceil sizing
+    # (a truncating w*h*ratio would mis-walk and false-alarm on the
+    # second FRAME marker)
+    for w, h, chroma, want in [
+        (5, 3, "420", 5 * 3 + 2 * 3 * 2),   # ceil(5/2)=3, ceil(3/2)=2
+        (5, 3, "422", 5 * 3 + 2 * 3 * 3),   # ceil(5/2)=3, h=3
+        (5, 3, "mono", 5 * 3),
+    ]:
+        frames = _y4m_frames(
+            _y4m_bytes(n_frames=3, w=w, h=h, chroma=chroma), 1, 8
+        )
+        assert [i for i, _ in frames] == [0, 1, 2], (w, h, chroma)
+        assert all(len(f) == want for _, f in frames), (w, h, chroma)
+
+
+def test_video_frame_sample_validates_stride(spark, media):
+    """A zero/negative stride or frame cap fails fast driver-side with
+    a clear message, not a ZeroDivisionError inside an executor."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="every_n_frames"):
+        video_frame_sample(media, every_n_frames=0)
+    with _pytest.raises(ValueError, match="every_n_frames"):
+        video_frame_sample(media, max_frames=0)
 
 
 def test_real_video_backend_with_av(spark, media):

@@ -112,7 +112,7 @@ def test_lsh_hot_bucket_cap(spark):
     blow up into one giant bucket row / O(n²) pairs: only the lowest
     ``bucket_cap`` ids per bucket pair up, deterministically, and the
     observation counts the truncated members."""
-    from pyspark.sql import Observation
+    from wikihadoop_spark.observability import TruncationCounter
 
     n_cluster, cap, n_hashes, bands = 5000, 50, 16, 4
     rows = [
@@ -127,7 +127,7 @@ def test_lsh_hot_bucket_cap(spark):
     sig = spark.createDataFrame(
         rows, ["doc_id"] + [f"s{i}" for i in range(n_hashes)]
     )
-    obs = Observation()
+    obs = TruncationCounter()
     pairs = lsh_candidate_pairs(
         sig, id_col="doc_id", n_hashes=n_hashes, bands=bands,
         bucket_cap=cap, observation=obs,
@@ -144,14 +144,14 @@ def test_capped_block_pairs_bounds_hot_block(spark):
     ``cap`` ids participate (deterministically), the worst block emits
     exactly C(cap, 2) pairs, and the observation counts the dropped
     members."""
-    from pyspark.sql import Observation
+    from wikihadoop_spark.observability import TruncationCounter
 
     n_hot, cap = 200, 10
     rows = [(i, "hot", i * 1.5) for i in range(n_hot)] + [
         (1000 + j, f"cold{j}", 0.0) for j in range(3)
     ]
     df = spark.createDataFrame(rows, ["id", "blk", "payload"])
-    obs = Observation()
+    obs = TruncationCounter()
     pairs = capped_block_pairs(
         df,
         block_cols=["blk"],
@@ -409,6 +409,86 @@ def test_pack_token_budget_empty_input(spark):
     assert out.columns == ["doc_id", "n_tokens", "cum_tokens", "shard"]
 
 
+def test_pack_bucket_search_matches_bisect():
+    """The balanced WHEN-tree bucket id must equal bisect_left (count of
+    boundaries strictly below the key) for random boundaries and keys,
+    including keys exactly ON a boundary and far outside the range."""
+    import bisect
+    import random
+
+    from wikihadoop_spark.operators.packing import _bucket_of
+    from wikihadoop_spark.session import get_spark
+
+    spark = get_spark("test", cpus=2)
+    rng = random.Random(9)
+    bs = sorted({round(rng.uniform(-100, 100), 3) for _ in range(57)})
+    keys = (
+        [rng.uniform(-150, 150) for _ in range(200)]
+        + bs[:10]          # exact boundary hits -> left bucket
+        + [-1e9, 1e9]      # outside the sketch range
+    )
+    df = spark.createDataFrame([(k,) for k in keys], "k double")
+    got = [
+        r.b for r in df.select(
+            _bucket_of(F.col("k"), bs, 0, len(bs)).alias("b"), "k"
+        ).collect()
+    ]
+    want = [bisect.bisect_left(bs, r) for r in [row.k for row in df.collect()]]
+    assert got == want
+
+
+def test_pack_token_budget_clamps_bucket_count(spark):
+    """num_partitions beyond MAX_BUCKETS must clamp (bucket count only
+    affects window-stage parallelism, never the result) and still equal
+    the naive global window."""
+    from pyspark.sql import Window
+    from wikihadoop_spark.operators.packing import MAX_BUCKETS, pack_token_budget
+
+    assert MAX_BUCKETS <= 8192  # per-row search depth log2 stays tiny
+    rows = [(i, 7 + (i % 13)) for i in range(211)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    naive = {
+        r.doc_id: r.cum
+        for r in df.select("doc_id", F.sum("n_tokens").over(w).alias("cum")).collect()
+    }
+    got = {
+        r.doc_id: r.cum_tokens
+        for r in pack_token_budget(
+            df, order_col="doc_id", tokens_col="n_tokens", budget=100,
+            num_partitions=10**6,
+        ).collect()
+    }
+    assert got == naive
+
+
+def test_pack_token_budget_fails_loudly_on_nondeterministic_input(spark):
+    """A frame whose order key re-rolls between the totals pass and the
+    final pass must RAISE (the offsets join is left + null-guarded),
+    never silently drop the rows that landed in a bucket the totals
+    pass did not see."""
+    import random
+
+    import pytest
+    from pyspark.sql.functions import udf
+    from wikihadoop_spark.operators.packing import pack_token_budget
+
+    jitter = udf(
+        lambda i: random.Random().randrange(1 << 30), "long"
+    ).asNondeterministic()
+    # ~60 scattered keys re-rolled per evaluation vs ~60 data-derived
+    # buckets: the final pass hits an unseen bucket with near-certainty
+    # (the totals pass fills at most 60 of 61 buckets; missing every
+    # empty one 60 times has probability < 1e-9)
+    df = spark.range(60).select(
+        jitter("id").alias("k"), F.lit(10).alias("n")
+    )
+    with pytest.raises(Exception, match="nondeterministic between"):
+        pack_token_budget(
+            df, order_col="k", tokens_col="n", budget=100, num_partitions=64
+        ).collect()
+
+
 def test_stream_probe_skips_self_pairs(spark):
     """A document whose id is already in the signature index must not
     be reported as a duplicate of itself when it re-arrives."""
@@ -646,7 +726,7 @@ def test_signature_index_caps_hot_band_key(spark):
     keep only the lowest bucket_cap members per (band, key) and count
     the dropped rows, so a probe fans out to at most bucket_cap rows
     per band instead of the whole family."""
-    from pyspark.sql import Observation
+    from wikihadoop_spark.observability import TruncationCounter
 
     from wikihadoop_spark.operators.dedup import minhash_signatures_rowwise
     from wikihadoop_spark.streaming.dedup_stream import (
@@ -659,7 +739,7 @@ def test_signature_index_caps_hot_band_key(spark):
         [(i, template) for i in range(200)], ["doc_id", "text"]
     )
     sig = minhash_signatures_rowwise(corpus, id_col="doc_id", text_col="text")
-    obs = Observation()
+    obs = TruncationCounter()
     index = signature_index(
         sig, id_col="doc_id", bucket_cap=25, observation=obs
     ).localCheckpoint(eager=True)

@@ -291,10 +291,10 @@ def test_capped_paths_keep_window_group_limit_when_observed(spark):
     WindowGroupLimit rewrite: a CollectMetrics node between the rank
     window and its filter blocks it, silently reverting a hot
     bucket/block to a single-task full sort.  All three capped paths
-    place the counter on a separate count aggregate instead — the
-    partial (pre-exchange) group limit must survive with an
-    Observation attached."""
-    from pyspark.sql import Observation
+    ride the counter on their own linear plan (total below the window,
+    kept above the filter) — the partial (pre-exchange) group limit
+    must survive with a TruncationCounter attached."""
+    from wikihadoop_spark.observability import TruncationCounter
 
     from wikihadoop_spark.catalog import load_table
     from wikihadoop_spark.operators.dedup import (
@@ -308,13 +308,13 @@ def test_capped_paths_keep_window_group_limit_when_observed(spark):
     sig = minhash_signatures_rowwise(docs, id_col="doc_id", text_col="text")
 
     p = (
-        lsh_candidate_pairs(sig, id_col="doc_id", observation=Observation())
+        lsh_candidate_pairs(sig, id_col="doc_id", observation=TruncationCounter())
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "WindowGroupLimit" in p and "Partial" in p
 
     p = (
-        signature_index(sig, id_col="doc_id", observation=Observation())
+        signature_index(sig, id_col="doc_id", observation=TruncationCounter())
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "WindowGroupLimit" in p and "Partial" in p
@@ -325,11 +325,81 @@ def test_capped_paths_keep_window_group_limit_when_observed(spark):
     p = (
         capped_block_pairs(
             flat, block_cols=["blk"], id_col="doc_id", payload_cols=[],
-            observation=Observation(),
+            observation=TruncationCounter(),
         )
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "WindowGroupLimit" in p and "Partial" in p
+
+
+def test_lsh_counter_evaluates_signatures_once(spark):
+    """The round-8 caveat is gone: attaching the truncation counter
+    must NOT re-evaluate the signature subtree.  Instrumented with an
+    accumulator-counting Arrow UDF in the signature projection — with
+    the counter ON, every input row passes the UDF exactly once (the
+    old count-aggregate branch re-ran the whole subtree, giving 2n);
+    the counter value itself stays exact."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import udf
+
+    from wikihadoop_spark.observability import TruncationCounter
+    from wikihadoop_spark.operators.dedup import lsh_candidate_pairs
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def _traced(v):
+        acc.add(1)
+        return v
+
+    traced = udf(_traced, "long")
+
+    n_cluster, cap, n_hashes = 60, 10, 16
+    rows = [tuple([i] + [7] * n_hashes) for i in range(n_cluster)]
+    sig = spark.createDataFrame(
+        rows, ["doc_id"] + [f"s{i}" for i in range(n_hashes)]
+    ).withColumn("s0", traced(F.col("s0")))
+    obs = TruncationCounter()
+    pairs = lsh_candidate_pairs(
+        sig, id_col="doc_id", n_hashes=n_hashes, bands=4,
+        bucket_cap=cap, observation=obs,
+    )
+    assert pairs.count() == cap * (cap - 1) // 2
+    assert obs.get["lsh_dropped_members"] == (n_cluster - cap) * 4
+    assert acc.value == n_cluster  # one evaluation, not one per branch
+
+
+def test_block_counter_shares_the_selfjoin_exchange(spark):
+    """capped_block_pairs' total observe sits below the window, inside
+    the map side both self-join legs share: the reused exchange must
+    evaluate it once — a per-leg evaluation would run the instrumented
+    UDF 2n times AND double-count total, corrupting
+    dropped = total - kept.  Both asserted."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import udf
+
+    from wikihadoop_spark.observability import TruncationCounter
+    from wikihadoop_spark.operators.dedup import capped_block_pairs
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def _traced(v):
+        acc.add(1)
+        return v
+
+    traced = udf(_traced, "long")
+
+    n_hot, cap = 40, 5
+    df = spark.createDataFrame(
+        [(i, "hot") for i in range(n_hot)], ["id", "blk"]
+    ).withColumn("id", traced(F.col("id")))
+    obs = TruncationCounter()
+    pairs = capped_block_pairs(
+        df, block_cols=["blk"], id_col="id", payload_cols=[],
+        cap=cap, observation=obs,
+    )
+    assert pairs.count() == cap * (cap - 1) // 2
+    assert obs.get["block_dropped_members"] == n_hot - cap
+    assert acc.value == n_hot  # one map-side evaluation shared by both legs
 
 
 def test_chunk_and_scrub_are_single_pass(spark):

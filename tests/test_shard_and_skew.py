@@ -159,7 +159,7 @@ def test_mega_cluster_dedup_drill(spark):
       id, with every fixpoint round bounded by the pair set, not the
       corpus.
     """
-    from pyspark.sql import Observation
+    from wikihadoop_spark.observability import TruncationCounter
     from pyspark.sql import functions as F
 
     from wikihadoop_spark.operators.components import (
@@ -180,7 +180,7 @@ def test_mega_cluster_dedup_drill(spark):
     sig = minhash_signatures(docs, id_col="doc_id", text_col="text", n_hashes=16)
 
     # cap below the family size: truncation observable, family fragments
-    obs = Observation()
+    obs = TruncationCounter()
     few = lsh_candidate_pairs(
         sig, id_col="doc_id", n_hashes=16, bands=4, bucket_cap=20, observation=obs
     )

@@ -107,8 +107,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="jsonl writes gzip line shards (trainer interchange layout); "
                         "parquet-only with --shard-budget")
     c.add_argument("--output-shards", type=int, default=None,
-                   help="output file count for --output-format jsonl (a compressed "
-                        "jsonl shard is non-splittable: files = next reader's tasks)")
+                   help="output file count, jsonl or parquet (a compressed "
+                        "jsonl shard is non-splittable: files = next reader's "
+                        "tasks); incompatible with --shard-budget, which "
+                        "derives file layout from the token budget")
     c.add_argument("--id-col", default="doc_id")
     c.add_argument("--text-col", default="text")
     c.add_argument("--group-col", default="source")
@@ -155,6 +157,11 @@ def main(argv: list[str] | None = None) -> int:
             }
         if args.shard_budget is not None and args.output_format == "jsonl":
             ap.error("--shard-budget writes parquet shards; drop --output-format jsonl")
+        if args.shard_budget is not None and args.output_shards is not None:
+            ap.error(
+                "--output-shards conflicts with --shard-budget: token-budget "
+                "packing derives one file per shard from the budget"
+            )
         spark = get_spark("wikihadoop-curate", cpus=args.cores)
         try:
             if args.input_format == "jsonl":
@@ -200,7 +207,14 @@ def main(argv: list[str] | None = None) -> int:
                         mode="overwrite",
                     )
                 else:
-                    res.curated.write.mode("overwrite").parquet(args.output)
+                    out_df = res.curated
+                    if args.output_shards is not None:
+                        # honored for parquet too (same knob as jsonl):
+                        # explicit output file count, one round-robin
+                        # shuffle — silently ignoring the flag would
+                        # mask the user's intent
+                        out_df = out_df.repartition(args.output_shards)
+                    out_df.write.mode("overwrite").parquet(args.output)
             stages = " -> ".join(f"{k}:{v}" for k, v in res.counts().items())
             print(f"curated {stages} -> {args.output}")
             return 0
@@ -242,9 +256,9 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "dedup":
-        from pyspark.sql import Observation
         from pyspark.sql import functions as F
 
+        from .observability import TruncationCounter
         from .operators.components import component_summary, connected_components
         from .operators.dedup import lsh_candidate_pairs, minhash_signatures
         from .session import get_spark
@@ -256,7 +270,7 @@ def main(argv: list[str] | None = None) -> int:
                 docs, id_col=args.id_col, text_col=args.text_col,
                 n_hashes=args.n_hashes,
             )
-            obs = Observation()
+            obs = TruncationCounter()
             pairs = lsh_candidate_pairs(
                 sig, id_col=args.id_col, n_hashes=args.n_hashes,
                 bands=args.bands, bucket_cap=args.bucket_cap, observation=obs,

@@ -218,17 +218,17 @@ def lsh_candidate_pairs(
     Plan shape: one explode (×bands) -> one shuffle (window rank +
     groupBy band key, same partitioning so one exchange) -> in-bucket
     pair generation with higher-order array functions -> pair dedup.
-    Without an ``observation`` the signature input is computed exactly
-    once — a band-wise self-join would recompute it per band per side.
-    WITH an ``observation``, the truncation counter rides a separate
-    uncached count-aggregate branch joined back to the output (it must
-    not sit between the rank window and its filter, or Spark drops the
-    WindowGroupLimit rewrite — see the comment below), so the
-    signature subtree is evaluated a second time for that branch:
-    persist/cache the frame ``sig`` derives from when the signature
-    computation is expensive (``curate_corpus`` does — its signatures
-    project off the already-persisted deduped corpus, so the second
-    evaluation re-reads cache, not the source).
+    The signature input is computed exactly once, with or without an
+    ``observation``: the truncation counter is a
+    :class:`~wikihadoop_spark.observability.TruncationCounter` whose
+    two components (total band entries below the window, kept entries
+    above the truncation filter) ride THIS single linear plan — no
+    second branch, no join-back, no re-evaluation of the signature
+    subtree (the round-8 design counted on a separate per-bucket
+    aggregate branch, which evaluated the signatures twice whenever
+    the counter was on).  Neither attach point sits between the rank
+    window and its filter, so the WindowGroupLimit rewrite below
+    still fires (plan-pinned in tests/test_plans.py).
 
     ``bucket_cap`` bounds hot buckets: a mega near-duplicate cluster
     (templated boilerplate at 100 TB) would otherwise put the whole
@@ -239,12 +239,21 @@ def lsh_candidate_pairs(
     beyond the cap appear in NO pairs from that bucket (near-identical
     docs usually share several band keys, so they often still surface
     via a less-crowded band); use the ``lsh_dropped_members`` counter
-    (pass an ``Observation``) to detect truncation, and raise the cap
-    or add bands when it is nonzero and full cluster connectivity
+    (pass a ``TruncationCounter``) to detect truncation, and raise the
+    cap or add bands when it is nonzero and full cluster connectivity
     matters.
     """
     from pyspark.sql import Window
 
+    from ..observability import TruncationCounter
+
+    if observation is not None and not isinstance(observation, TruncationCounter):
+        raise TypeError(
+            "pass observability.TruncationCounter, not Observation: the "
+            "dropped-member count needs two attach points (total below "
+            "the window, kept above the truncation filter) to ride the "
+            "single linear plan without re-evaluating the signatures"
+        )
     sig_struct = F.struct(
         F.col(id_col).alias("id"), *[F.col(f"s{i}") for i in range(n_hashes)]
     )
@@ -252,6 +261,12 @@ def lsh_candidate_pairs(
         sig_struct.alias("m"),
         F.explode(F.array(*band_key_structs(n_hashes, bands))).alias("bk"),
     )
+    if observation is not None:
+        # BELOW the window: counts every band entry, before the partial
+        # truncation the group-limit rewrite inserts above this node
+        band_entries = observation._observe_total(
+            band_entries, "lsh_dropped_members"
+        )
     ranked = band_entries.withColumn(
         "__rn",
         F.row_number().over(Window.partitionBy("bk").orderBy(F.col("m.id"))),
@@ -262,29 +277,17 @@ def lsh_candidate_pairs(
     # The truncation counter must therefore NOT sit between them: a
     # CollectMetrics node there blocks the rewrite, silently reverting
     # the hot bucket to a single-task full sort (plan pinned in
-    # tests/test_plans.py).  Instead the counter rides a separate
-    # combiner-friendly per-bucket COUNT aggregate (exact same number:
-    # sum of max(n - cap, 0)), attached to the output plan via a 1:1
-    # bucket-key join so it executes with the main action.
+    # tests/test_plans.py).  The counter's kept-side observe attaches
+    # ABOVE the filter instead; dropped = total - kept, both on this
+    # one linear plan.
+    kept = ranked.filter(F.col("__rn") <= bucket_cap)
+    if observation is not None:
+        kept = observation._observe_kept(kept)
     buckets = (
-        ranked.filter(F.col("__rn") <= bucket_cap)
-        .groupBy("bk")
+        kept.groupBy("bk")
         .agg(F.sort_array(F.collect_list("m")).alias("members"))
         .filter(F.size("members") > 1)
     )
-    if observation is not None:
-        overflow = (
-            band_entries.groupBy("bk")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .observe(
-                observation,
-                F.coalesce(
-                    F.sum(F.greatest(F.col("__n") - bucket_cap, F.lit(0))),
-                    F.lit(0),  # sum over an empty bucket frame is NULL
-                ).cast("long").alias("lsh_dropped_members"),
-            )
-        )
-        buckets = buckets.join(overflow.select("bk"), "bk")
     # all (i < j) member pairs, ids already ascending via sort_array
     pairs = buckets.select(
         F.explode(
@@ -409,42 +412,49 @@ def capped_block_pairs(
     100 TB (same contract as ``lsh_candidate_pairs``'s bucket_cap).
 
     Returns ``block_cols + [id_a, id_b] + [<p>_a, <p>_b ...]``.  Pass
-    an ``Observation`` to count members dropped by the cap (nonzero ⇒
-    raise the cap or choose a finer block key if full connectivity
-    matters).  Plan shape: one window rank on the block key, then a
-    block-key equi-join of the capped sides — never an uncapped
-    self-join.
+    a ``TruncationCounter`` to count members dropped by the cap
+    (nonzero ⇒ raise the cap or choose a finer block key if full
+    connectivity matters).  Plan shape: one window rank on the block
+    key, then a block-key equi-join of the capped sides — never an
+    uncapped self-join.
     """
     from pyspark.sql import Window
 
+    from ..observability import TruncationCounter
+
+    if observation is not None and not isinstance(observation, TruncationCounter):
+        raise TypeError(
+            "pass observability.TruncationCounter, not Observation: the "
+            "dropped-member count needs two attach points (total below "
+            "the window, kept above the truncation filter) to ride the "
+            "existing plan without re-evaluating the input"
+        )
+    if observation is not None:
+        # BELOW the window and below the exchange: the a/b sides both
+        # contain this node, but their map-side subtrees stay identical
+        # so exchange reuse evaluates it once (pinned in test_plans.py)
+        df = observation._observe_total(df, counter)
     w = Window.partitionBy(*block_cols).orderBy(id_col)
     ranked = df.withColumn("__rn", F.row_number().over(w))
     # rank filter directly above the window → WindowGroupLimit partial
-    # truncation before the exchange; the drop counter rides a separate
-    # per-block COUNT aggregate (same exact number), never a
-    # CollectMetrics between the two (it would block the rewrite and
-    # revert a hot block to a one-task full sort)
+    # truncation before the exchange; the drop counter never sits
+    # between the two (it would block the rewrite and revert a hot
+    # block to a one-task full sort).  dropped = total - kept; the
+    # kept observe attaches to the SHARED kept frame, so both self-join
+    # legs carry the identical named metrics node: Spark's observed
+    # self-join semantics report the one (necessarily equal) value, and
+    # the legs stay symmetric — an asymmetric attach blocks predicate
+    # pushdown on one leg only, defeating exchange reuse and
+    # re-evaluating the map side (caught by the accumulator pin in
+    # tests/test_plans.py).
     kept = ranked.filter(F.col("__rn") <= cap).drop("__rn")
+    if observation is not None:
+        kept = observation._observe_kept(kept)
     a = kept.select(
         *block_cols,
         F.col(id_col).alias("id_a"),
         *[F.col(c).alias(f"{c}_a") for c in payload_cols],
     )
-    if observation is not None:
-        overflow = (
-            df.groupBy(*block_cols)
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .observe(
-                observation,
-                F.coalesce(
-                    F.sum(F.greatest(F.col("__n") - cap, F.lit(0))),
-                    F.lit(0),  # sum over an empty block frame is NULL
-                )
-                .cast("long")
-                .alias(counter),
-            )
-        )
-        a = a.join(overflow.select(*block_cols), list(block_cols))
     b = kept.select(
         *block_cols,
         F.col(id_col).alias("id_b"),

@@ -42,8 +42,34 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+# Bucket-count ceiling.  More buckets only add parallelism to the
+# per-bucket window stage (correctness is bucket-independent, pinned by
+# the partition-count-invariance test), while each boundary costs plan
+# size (a literal + a WHEN node) and each row a comparison path — and
+# ``num_partitions`` defaults to ``defaultParallelism``, which on a
+# large cluster reaches tens of thousands.  4096 keeps the bucket
+# expression tree small (depth-12 binary search per row), the totals
+# collect at O(4k) driver rows, and the worst window task at
+# corpus/4096 (≈25 GB at 100 TB — a routine external sort).
+MAX_BUCKETS = 4096
+
+
+def _bucket_of(order: Column, boundaries: list[float], lo: int, hi: int) -> Column:
+    """Bucket id for a sorted boundary list via a balanced WHEN tree —
+    binary search, O(log B) comparisons per row (the previous
+    ``F.aggregate`` over the boundary-literal array was O(B) per row).
+    Returns ``lo`` + the count of ``boundaries[lo:hi]`` strictly below
+    the key; NULL keys take every ``otherwise`` branch and land in
+    bucket 0, matching the old linear fold."""
+    if lo >= hi:
+        return F.lit(lo)
+    mid = (lo + hi) // 2
+    return F.when(
+        order > F.lit(float(boundaries[mid])), _bucket_of(order, boundaries, mid + 1, hi)
+    ).otherwise(_bucket_of(order, boundaries, lo, mid))
 
 
 def _tiebreaks(tiebreak_col: str | Sequence[str] | None) -> list[str]:
@@ -94,6 +120,10 @@ def pack_token_budget(
         )
     order_cols = [order_col] + _tiebreaks(tiebreak_col)
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # more buckets past the ceiling only shrink window-stage tasks (see
+    # MAX_BUCKETS); clamping keeps the bucket expression and the driver
+    # offsets O(4k) when defaultParallelism is a big cluster's
+    n_parts = min(n_parts, MAX_BUCKETS)
     # data-derived range buckets: boundaries from one approx-quantile
     # sketch, collected ONCE and embedded as literals — the bucket id
     # is then a pure function of the row's order key, so the totals
@@ -110,16 +140,9 @@ def pack_token_budget(
         )
     else:
         boundaries = []
-    if boundaries:
-        blit = F.array(*[F.lit(float(b)) for b in boundaries])
-        bucket = F.aggregate(
-            blit,
-            F.lit(0),
-            lambda acc, b: acc
-            + F.when(F.col(order_col).cast("double") > b, 1).otherwise(0),
-        )
-    else:
-        bucket = F.lit(0)
+    bucket = _bucket_of(
+        F.col(order_col).cast("double"), boundaries, 0, len(boundaries)
+    )
     arranged = df.withColumn("__pid", bucket)
     # one tiny row per bucket via hash aggregate (map-side combine; the
     # corpus does NOT shuffle for this pass) -> exclusive offsets
@@ -145,8 +168,23 @@ def pack_token_budget(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = arranged.join(F.broadcast(offset_df), "__pid")
-    cum = (F.col("__off") + F.sum(tokens_col).over(w)).alias("cum_tokens")
+    # LEFT join + loud null guard: the offsets were computed from a
+    # separate evaluation of ``arranged`` — if the caller's frame is
+    # nondeterministic between the two passes (unpersisted rand(),
+    # sampled input, ...), a row can land in a bucket the totals pass
+    # never saw.  An inner join would silently DROP such rows; failing
+    # on the null offset makes the misalignment loss-loud instead.
+    local = arranged.join(F.broadcast(offset_df), "__pid", "left")
+    off = F.when(F.col("__off").isNotNull(), F.col("__off")).otherwise(
+        F.raise_error(
+            F.lit(
+                "pack_token_budget: row landed in a bucket absent from the "
+                "totals pass — the input frame is nondeterministic between "
+                "evaluations; persist/checkpoint it before packing"
+            )
+        )
+    )
+    cum = (off + F.sum(tokens_col).over(w)).alias("cum_tokens")
     out = local.select(*df.columns, cum)
     # integer division (no float rounding however large the corpus sum)
     shard = F.expr(f"(cum_tokens - {tokens_col}) div {int(budget)}")

@@ -28,6 +28,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
+from ..observability import TruncationCounter
 from ..operators.components import connected_components
 from ..operators.dedup import (
     hash64,
@@ -72,16 +73,20 @@ class CurationResult:
 
     curated: DataFrame
     packed: DataFrame | None
-    observations: dict[str, Observation] = field(default_factory=dict)
+    observations: dict[str, Observation | TruncationCounter] = field(
+        default_factory=dict
+    )
     _cached: DataFrame | None = None
 
     def counts(self) -> dict[str, int]:
         # each observation carries one metric (stage row count, or the
         # LSH truncation counter) — read it by position, not name.
-        # The truncation counter's branch is pruned by AQE exactly when
-        # no bucket held >1 member (cap >= 1, so nothing can have been
-        # dropped): a pruned read IS zero.  Stage counts re-raise on a
-        # poisoned read — that would be a real ordering bug.
+        # The truncation counter now rides the LSH plan itself (two
+        # attach points, total/kept), but AQE can still prune its kept
+        # observe when the corpus is degenerate-empty (every stage
+        # above the empty scan collapses): a pruned read IS zero.
+        # Stage counts re-raise on a poisoned read — that would be a
+        # real ordering bug.
         from ..observability import read_counter
 
         return {
@@ -370,7 +375,9 @@ def _curate_corpus_impl(
     sig = minhash_signatures_rowwise(
         cur, id_col=id_col, text_col=text_col, n_hashes=n_hashes
     )
-    lsh_obs = Observation("lsh")
+    # two-point total/kept counter riding the LSH plan itself — the
+    # signature subtree is evaluated exactly once, counter on or off
+    lsh_obs = TruncationCounter()
     obs["near_dedup_dropped_members"] = lsh_obs
     pairs = lsh_candidate_pairs(
         sig,

@@ -59,7 +59,7 @@ def signature_index(
     family per band — the unbounded skew the batch path caps via
     ``lsh_candidate_pairs``.  Same deterministic contract: the lowest
     ``bucket_cap`` corpus ids per (band, key) stay in the index; pass
-    an ``Observation`` to count dropped index rows
+    a ``TruncationCounter`` to count dropped index rows
     (``index_dropped_members`` — nonzero means a family bigger than
     the cap is under-indexed; probes still match its ``bucket_cap``
     representatives, so membership detection survives, but per-member
@@ -82,29 +82,29 @@ def signature_index(
         *[F.col(f"cs{i}") for i in range(n_hashes)],
     )
     key_cols = ["band"] + [f"key{r}" for r in range(rows)]
+    from ..observability import TruncationCounter
+
+    if observation is not None and not isinstance(observation, TruncationCounter):
+        raise TypeError(
+            "pass observability.TruncationCounter, not Observation: the "
+            "dropped-row count needs two attach points (total below the "
+            "window, kept above the truncation filter) to ride the "
+            "single linear plan without re-evaluating the signatures"
+        )
+    if observation is not None:
+        # BELOW the window: counts every index row before the partial
+        # truncation the group-limit rewrite inserts above this node
+        flat = observation._observe_total(flat, "index_dropped_members")
     w = Window.partitionBy(*key_cols).orderBy("corpus_id")
     ranked = flat.withColumn("__rn", F.row_number().over(w))
     # rank filter directly above the window → WindowGroupLimit partial
     # truncation before the exchange (a mega family never sorts in one
-    # task); the drop counter rides a separate per-key COUNT aggregate
-    # (same exact number) joined back 1:1, never a CollectMetrics
-    # between window and filter (it would block the rewrite)
+    # task); the drop counter never sits between window and filter (it
+    # would block the rewrite) — dropped = total - kept, the kept-side
+    # observe attaching above the filter on this same linear plan
     kept = ranked.filter(F.col("__rn") <= bucket_cap).drop("__rn")
     if observation is not None:
-        overflow = (
-            flat.groupBy(*key_cols)
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .observe(
-                observation,
-                F.coalesce(
-                    F.sum(F.greatest(F.col("__n") - bucket_cap, F.lit(0))),
-                    F.lit(0),  # sum over an empty key frame is NULL
-                )
-                .cast("long")
-                .alias("index_dropped_members"),
-            )
-        )
-        kept = kept.join(overflow.select(*key_cols), key_cols)
+        kept = observation._observe_kept(kept)
     return kept
 
 
