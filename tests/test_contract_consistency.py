@@ -56,61 +56,50 @@ def test_gate_window_contains_rotation_set():
 # These pins are the enforcement: any edit to a demoted query fails
 # here until the query is rotated back into _GATE_ORDER for the next
 # round (then re-pin the survivors).
-#
-# Round-6 set: the 18 queries demoted to make room for the r02-pinned
-# evidence refresh — every one of them is r05-green
-# (CORRECTNESS_r05.json), so the carried evidence is 1 round old —
-# plus the 5 stable r05-green queries demoted to make room for the
-# round-6 training-pipeline additions (dedup_clusters, ngram_overlap,
-# text_repetition, sample_stratified, text_tfidf_topk,
-# pack_token_budget — sessionize_events rotated out for the last).
 _DEMOTED_SOURCE_PINS = {
-    # round-8 demotions: all r07-green (CORRECTNESS_r07 50/50), code
-    # unchanged this round; the 34 r06-pinned queries rotated back in
-    # exchange so no catalog query's evidence is older than r07
-    "agg_approx_distinct": "6532e5a0c72c2a9f",
-    "agg_argmax": "3f03274d0f9f2f82",
-    "agg_distinct": "3cbde80dbf72ea87",
-    "agg_grouping_sets": "f685188aa1b82d0b",
-    "agg_percentile": "da7e078703af57f1",
-    "agg_stats": "35b21489747f25ae",
-    "asof_join_events_orders": "73a4584ecbec5547",
-    # demoted mid-round for the jsonl_roundtrip slot (r07-green,
-    # operators/chunking.py and the query untouched this round)
-    "chunk_documents": "3f23f6ccee284755",
-    # demoted mid-round for the shuffle_pack slot (r07-green,
-    # operators/decontam.py and the query untouched this round)
-    "decontaminate_bloom": "bade0783dfc57627",
-    "correlated_exists": "2180da0486b759ec",
-    "decontaminate_exact": "2501e3996f48222b",
-    "events_retention": "b765baa9b8e9a9e2",
-    "events_tumbling": "8aed8b9153c987fa",
-    "filter_regex": "cdc41d855536f9e2",
-    "join_full_outer": "68f92d4e4cf403e9",
-    "join_inner_agg": "fe54374f33db6a0d",
-    "join_theta": "0ca20c452a95bd6b",
-    "decontaminate_ngram": "3ea1d9b42de8633e",
-    "ngram_overlap": "1c16e089f005a2e7",
-    "q1_pricing_summary": "0f80d1148a90ab59",
-    "range_join_near_orders": "37dfb2b236d9964e",
-    "sample_stratified": "0e84ac6e2232c519",
-    "scalar_json": "66eb99cf08eecad7",
-    "scalar_math": "684488204dc95feb",
-    "scalar_string": "38a2e51423fc738b",
-    "scalar_subquery": "f9165f6bdfb772ca",
-    "scan_filter_project": "54ff3947f6a8a5c6",
-    "sessionize_events": "ae32bfec89f844b0",
-    "set_union_all": "44ca1532854c55e6",
-    "similarity_topk": "46518dcb0143d4fb",
-    "sort_topk_global": "22a29bc24d2cca0a",
-    "text_diff_adjacent": "c092d4fede978899",
-    "text_quality_model": "c1447a0a1f8d1ecc",
-    "text_repetition": "58fb8692579576f4",
-    "text_tfidf_topk": "5a1220387e5cfd1b",
-    "unpivot_lineitem": "391003271fd11185",
-    "window_distribution": "fdb6a74d11cb3944",
-    "window_rank_topk": "3b1c83b9e69021cf",
-    "window_value_functions": "338debe3795fa35c",
+    # round-9 demotions: all r08-green (CORRECTNESS_r08 50/50), code
+    # unchanged this round; the 39 r07-pinned queries rotated back in
+    # exchange so no catalog query's evidence is older than r08
+    "agg_cube": "734e8e961bba8096",
+    "agg_rollup": "4302c99ab1c8ecf4",
+    "corpus_report_card": "d26bb9a833b974b6",
+    "decontaminate_report": "000b42315b4fbfb3",
+    "dedup_clusters": "21cbf558840e3aeb",
+    "dedup_exact_rows": "e03df1abce283dc6",
+    "dedup_keeper_quality": "f8b3f5f7ba87b3ab",
+    "embedding_cosine_dedup": "fcd55f10bcff127a",
+    "events_pivot": "75e80b732e4758b0",
+    "events_sliding": "005b2a1c572097de",
+    "join_anti": "4ee8ad81a9ae5a5b",
+    "join_cross": "8e28519e77a707ad",
+    "join_left_agg": "16b29ffd5458f4c0",
+    "join_right_agg": "8c9d8995b1bab41a",
+    "join_semi": "051f79cdd64d54e2",
+    "jsonl_roundtrip": "217612d57cf3aa84",
+    "media_audio_features": "3b6a09ea33625b6c",
+    "media_image_metadata": "acb619d93a5d08bc",
+    "minhash_signatures": "fdcc19e47feb7674",
+    "ngram_jaccard_block": "c4605872af129943",
+    "q5_revenue_by_nation": "c86e1e193e35e5c2",
+    "sample_mixture": "2f30e5a765f37fe4",
+    "scalar_array": "a742a45ca902e45d",
+    "scalar_conditional": "d8381006df2721db",
+    "scalar_date": "88782a77498e0ab7",
+    "scalar_hash": "b146a2df0ad01a41",
+    "set_except": "3d8cbe4130707d5d",
+    "set_intersect": "d7ff616bcca89fcf",
+    "simhash_near_pairs": "4f2edff51a54f6d2",
+    "simhash_signatures": "720d8995662be958",
+    "similarity_topk_ivf": "325c5dc3b75e144f",
+    "similarity_topk_lsh": "1210c9254daa3722",
+    "text_fingerprint": "f4a767a9d53374dd",
+    "text_langid": "a98512ee2d3f1b78",
+    "text_quality": "5b4465eb015806fe",
+    "text_stopword_strip": "2eac56e392f87f76",
+    "text_tokens": "add226c7babdeb84",
+    "window_lag_pairs": "f729d197d47dcf48",
+    "window_moving": "0bd9d62107a76cee",
+    "window_running": "56a88253d1ea3ce3",
 }
 
 

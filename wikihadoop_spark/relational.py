@@ -313,6 +313,59 @@ def jsonl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "jsonl_corrupt_audit",
+    oracle="""
+    SELECT CAST(doc_id % 4 AS INT) AS shard,
+           CAST(SUM(CASE WHEN doc_id % 7 = 3 THEN 0 ELSE 1 END) AS BIGINT) AS kept_rows,
+           CAST(SUM(CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS corrupt_rows,
+           CAST(SUM(CASE WHEN doc_id % 7 = 3 THEN 0 ELSE n_chars END) AS BIGINT) AS kept_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def jsonl_corrupt_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """JSONL failure-policy gate (sources/jsonl.py,
+    ``on_corrupt="keep"``): shards carry DETERMINISTIC torn lines
+    (docs with ``doc_id % 7 == 3`` truncated mid-object — the
+    realistic web-scale ingest defect), read back PERMISSIVE with the
+    ``_corrupt_record`` column, and audited per shard: kept rows,
+    corrupt rows, and the kept rows' character total, the report an
+    operator reads before deciding whether a feed is torn or rotten.
+    The oracle replays the torn-line rule and the doc->shard layout in
+    closed form, so a parser that silently drops, double-counts, or
+    misclassifies any line hash-fails.  (``"drop"``/``"fail"`` modes
+    are locally tested in tests/test_jsonl.py; this gates the audit
+    path end-to-end.)"""
+    from .sources.jsonl import (
+        DOCUMENT_SCHEMA_DDL,
+        ensure_gate_jsonl_corrupt,
+        read_corpus_jsonl,
+    )
+
+    base = ensure_gate_jsonl_corrupt(sf)
+    j = read_corpus_jsonl(
+        spark, f"{base}/*.jsonl.gz", DOCUMENT_SCHEMA_DDL, on_corrupt="keep"
+    )
+    corrupt = F.col("_corrupt_record").isNotNull()
+    return (
+        j.withColumn(
+            "shard",
+            F.regexp_extract(F.input_file_name(), r"shard-(\d+)\.jsonl", 1).cast(
+                "int"
+            ),
+        )
+        .groupBy("shard")
+        .agg(
+            F.sum(F.when(corrupt, 0).otherwise(1)).alias("kept_rows"),
+            F.sum(F.when(corrupt, 1).otherwise(0)).alias("corrupt_rows"),
+            F.sum(F.when(corrupt, 0).otherwise(F.col("n_chars"))).alias(
+                "kept_chars"
+            ),
+        )
+    )
+
+
 # ===========================================================================
 # Aggregations  (reference A1-A2 counters; §2.8 hash-agg family)
 # ===========================================================================
@@ -2374,10 +2427,12 @@ def text_scrub_pii(spark: SparkSession, sf: str) -> DataFrame:
     """PII scrubbing (`functions/scrub.py`): redact emails / IPv4s /
     long id-like digit runs and report per-pattern match counts — the
     privacy pass of a training-data pipeline.  Patterns stay inside
-    the regex subset Java and RE2-style engines share (incl. the
-    inline ``(?i)`` flag), so the oracle replays the exact same
-    redactions (verified by the scrubbed text's md5, not just the
-    counts) — including mixed-case addresses in raw text.
+    the regex subset Java and RE2-style engines share — explicit
+    ``a-zA-Z`` classes, never the inline ``(?i)`` flag, which Java
+    case-folds ASCII-only while RE2 folds Unicode — so the oracle
+    replays the exact same redactions (verified by the scrubbed
+    text's md5, not just the counts), including mixed-case addresses
+    in raw text.
 
     Plan: a row-local regexp chain inside the scan projection — no
     shuffle, no UDF, one data pass at 100 TB (exchange-free, pinned in
@@ -3651,8 +3706,9 @@ def media_frame_fanout_q(spark: SparkSession, sf: str) -> DataFrame:
 # runs, no query's driver evidence is older than r07.  Two queries
 # must gate regardless: corpus_report_card is NEW (the data card's
 # exact integer slice — new-query hygiene), and text_scrub_pii CHANGED
-# (the (?i) email class + raw-text mixed-case gate body closing the
-# round-7 under-redaction finding).  That leaves 12 carry slots,
+# (the explicit-class case-insensitive email fix + raw-text
+# mixed-case gate body closing the round-7 under-redaction
+# finding).  That leaves 12 carry slots,
 # spent on the flagship join anchors (q3/q5) and the round-7 curation
 # chain the round-8 changes sit next to (keeper/LSH/CC, the chain
 # composition, mixture, n-gram + Bloom decontamination, chunking).
@@ -3665,11 +3721,24 @@ def media_frame_fanout_q(spark: SparkSession, sf: str) -> DataFrame:
 # r07-green queries demote unchanged under source-hash pins in
 # _DEMOTED_SOURCE_PINS.  Catalog: 87 queries.
 #
-# Round-9 rotation plan: the 37 r07-pinned demotions will then hold
-# the oldest evidence — rotate them back (37 + the 2 wikidump anchors
-# leaves 11 carry slots; any round-9 additions displace more unchanged
-# r08-green queries), demoting in exchange whichever r08-gated queries
-# ship unchanged, pinned as usual.
+# Round-9 rotation (executed): CORRECTNESS_r08 went 50/50 green, so
+# the 39 r07-pinned demotions hold the catalog's oldest evidence —
+# ALL of them rotate back into the window; after the gate runs no
+# query's driver evidence is older than r08.  With the 2 wikidump
+# anchors that leaves 9 slots.  Must-gate: minhash_lsh_pairs (operator
+# changed — the truncation counter now rides the LSH plan itself via
+# TruncationCounter, no second signature evaluation),
+# pack_token_budget and shuffle_pack (packing changed — MAX_BUCKETS
+# clamp, WHEN-tree binary-search bucket id, loss-loud left offsets
+# join), curate_pipeline and dedup_verify_pairs (compositions sitting
+# directly on the changed LSH/packing operators), media_frame_fanout
+# (y4m per-plane ceil frame sizing + stride validation),
+# text_scrub_pii (docstring corrected — source hash drifts), and
+# jsonl_corrupt_audit (NEW — the on_corrupt="keep" failure-policy
+# audit over deterministic torn shards; new-query hygiene).  The last
+# slot carries the flagship anchor q3_top_revenue.  The other 40
+# r08-green queries (q5_revenue_by_nation among them) demote
+# unchanged under source-hash pins.  Catalog: 90 queries.
 GATE_WINDOW = 50
 
 # The must-gate set for THIS round: every query re-entering the window
@@ -3677,55 +3746,62 @@ GATE_WINDOW = 50
 # gate prefix alongside the wikidump anchors.
 ROTATION_SET: frozenset[str] = frozenset(
     {
-        # all 34 r06-pinned demotions rotate back (evidence refresh)
-        "agg_cube",
-        "agg_rollup",
-        "embedding_cosine_dedup",
-        "events_pivot",
-        "events_sliding",
-        "dedup_exact_rows",
-        "join_anti",
-        "join_cross",
-        "join_left_agg",
-        "join_right_agg",
-        "join_semi",
-        "media_audio_features",
-        "minhash_signatures",
-        "media_frame_fanout",
-        "media_image_metadata",
-        "ngram_jaccard_block",
-        "scalar_array",
-        "scalar_conditional",
-        "scalar_date",
-        "scalar_hash",
-        "set_except",
-        "set_intersect",
-        "simhash_near_pairs",
-        "simhash_signatures",
-        "similarity_topk_ivf",
-        "similarity_topk_lsh",
-        "text_fingerprint",
-        "text_langid",
-        "text_tokens",
-        "text_quality",
-        "text_stopword_strip",
-        "window_lag_pairs",
-        "window_moving",
-        "window_running",
-        # round-8 additions: brand-new queries gate immediately
-        "corpus_report_card",
-        "dedup_verify_pairs",
-        "decontaminate_report",
-        # changed this round (case-insensitive email class + raw-text
-        # mixed-case gate body): must re-verify
-        "text_scrub_pii",
-        # operator changed mid-round (packing: data-derived range
-        # buckets replace the full-corpus localCheckpoint): re-verify
+        # all 39 r07-pinned demotions rotate back (evidence refresh)
+        "agg_approx_distinct",
+        "agg_argmax",
+        "agg_distinct",
+        "agg_grouping_sets",
+        "agg_percentile",
+        "agg_stats",
+        "asof_join_events_orders",
+        "chunk_documents",
+        "correlated_exists",
+        "decontaminate_bloom",
+        "decontaminate_exact",
+        "decontaminate_ngram",
+        "events_retention",
+        "events_tumbling",
+        "filter_regex",
+        "join_full_outer",
+        "join_inner_agg",
+        "join_theta",
+        "ngram_overlap",
+        "q1_pricing_summary",
+        "range_join_near_orders",
+        "sample_stratified",
+        "scalar_json",
+        "scalar_math",
+        "scalar_string",
+        "scalar_subquery",
+        "scan_filter_project",
+        "sessionize_events",
+        "set_union_all",
+        "similarity_topk",
+        "sort_topk_global",
+        "text_diff_adjacent",
+        "text_quality_model",
+        "text_repetition",
+        "text_tfidf_topk",
+        "unpivot_lineitem",
+        "window_distribution",
+        "window_rank_topk",
+        "window_value_functions",
+        # operator changed this round (TruncationCounter rides the LSH
+        # plan — no second signature evaluation): must re-verify
+        "minhash_lsh_pairs",
+        # packing changed (MAX_BUCKETS clamp, WHEN-tree bucket search,
+        # loss-loud left offsets join): re-verify it and both
+        # compositions that sit directly on it / the LSH change
         "pack_token_budget",
-        # new mid-round: JSONL ingest gate (new-query hygiene)
-        "jsonl_roundtrip",
-        # new mid-round: seeded shuffle + packing (new-query hygiene)
         "shuffle_pack",
+        "curate_pipeline",
+        "dedup_verify_pairs",
+        # media.py changed (y4m per-plane ceil + stride validation)
+        "media_frame_fanout",
+        # docstring corrected ((?i) claim) — source hash drifts
+        "text_scrub_pii",
+        # NEW this round: corrupt-line audit gate (new-query hygiene)
+        "jsonl_corrupt_audit",
     }
 )
 
@@ -3734,91 +3810,76 @@ _GATE_ORDER: tuple[str, ...] = (
     # every round
     "wikidump_roundtrip",
     "wikidump_roundtrip_bz2",
-    # ---- the 34 r06-pinned demotions rotate back (oldest evidence) --
-    # aggregation rollup/cube family
-    "agg_cube",
-    "agg_rollup",
-    # join kinds: left/right/semi/anti/cross
-    "join_left_agg",
-    "join_right_agg",
-    "join_semi",
-    "join_anti",
-    "join_cross",
-    # set ops
-    "set_intersect",
-    "set_except",
+    # ---- the 39 r07-pinned demotions rotate back (oldest evidence) --
+    # aggregation family
+    "agg_distinct",
+    "agg_stats",
+    "agg_approx_distinct",
+    "agg_percentile",
+    "agg_argmax",
+    "agg_grouping_sets",
+    "q1_pricing_summary",
+    # join kinds: inner/full/theta + as-of/range
+    "join_inner_agg",
+    "join_full_outer",
+    "join_theta",
+    "asof_join_events_orders",
+    "range_join_near_orders",
+    # set ops / sort / scan
+    "set_union_all",
+    "sort_topk_global",
+    "scan_filter_project",
+    "filter_regex",
     # scalar library
-    "scalar_array",
-    "scalar_conditional",
-    "scalar_date",
-    "scalar_hash",
-    # window running/moving/lag
-    "window_running",
-    "window_moving",
-    "window_lag_pairs",
-    # event-time analytics
-    "events_pivot",
-    "events_sliding",
-    # dedup family: exact, signatures, simhash, n-gram, embedding
-    "dedup_exact_rows",
-    "minhash_signatures",
-    "simhash_signatures",
-    "simhash_near_pairs",
-    "ngram_jaccard_block",
-    "embedding_cosine_dedup",
-    # similarity scale paths
-    "similarity_topk_lsh",
-    "similarity_topk_ivf",
-    # text analysis family
-    "text_tokens",
-    "text_quality",
-    "text_langid",
-    "text_fingerprint",
-    "text_stopword_strip",
-    # multimodal family
-    "media_image_metadata",
-    "media_audio_features",
-    "media_frame_fanout",
-    # ---- NEW this round — must gate immediately: the data card's
-    # exact integer slice (per-source + rollup-total docs/tokens/
-    # chars/kept through plans/report.py::report_frame)
-    "corpus_report_card",
-    # ---- CHANGED this round — must re-verify: (?i) email class and
-    # the raw-text mixed-case gate body (round-7 verdict item 3)
-    "text_scrub_pii",
-    # ---- carries (r07-green, kept in-window): flagship join anchors
-    "q3_top_revenue",
-    "q5_revenue_by_nation",
-    # the curation chain this round's changes sit next to: LSH pairs
-    # (dedup.py counter-branch persist note), CC resolution, the chain
-    # composition (curation.py eager-contract clarification), keeper
-    # math, packing/mixture, all three decontamination variants, and
-    # chunking
+    "scalar_string",
+    "scalar_math",
+    "scalar_json",
+    "scalar_subquery",
+    "correlated_exists",
+    # windows / sessionization / events
+    "window_rank_topk",
+    "window_value_functions",
+    "window_distribution",
+    "sessionize_events",
+    "events_tumbling",
+    "events_retention",
+    "unpivot_lineitem",
+    # training-pipeline tail
+    "ngram_overlap",
+    "text_repetition",
+    "sample_stratified",
+    "text_tfidf_topk",
+    "text_quality_model",
+    "text_diff_adjacent",
+    "similarity_topk",
+    "chunk_documents",
+    "decontaminate_exact",
+    "decontaminate_ngram",
+    "decontaminate_bloom",
+    # ---- CHANGED this round — must re-verify: the LSH truncation
+    # counter rides the plan itself now (TruncationCounter, no second
+    # signature evaluation)
     "minhash_lsh_pairs",
-    # NEW this round — must gate immediately: exact-Jaccard rerank of
-    # the LSH candidates (decontaminate_exact demoted in exchange,
-    # r07-green and unchanged, pinned)
-    "dedup_verify_pairs",
-    "dedup_clusters",
-    "curate_pipeline",
-    "dedup_keeper_quality",
-    "sample_mixture",
-    # packing operator changed mid-round (data-derived buckets, no
-    # corpus checkpoint) — pack_token_budget returns for re-gating and
-    # decontaminate_ngram demotes in exchange (r07-green, unchanged,
-    # pinned)
+    # packing changed (MAX_BUCKETS clamp, WHEN-tree binary-search
+    # bucket id, loss-loud left offsets join) — the operator query,
+    # the seeded-shuffle composition, and the two chain compositions
+    # sitting directly on the changed LSH/packing operators re-verify
     "pack_token_budget",
-    # NEW this round — must gate immediately: seeded training-order
-    # shuffle + packing (decontaminate_bloom demotes in exchange —
-    # r07-green, operators/decontam.py and the query untouched)
     "shuffle_pack",
-    # NEW this round — must gate immediately: the contamination AUDIT
-    "decontaminate_report",
-    # NEW this round — must gate immediately: JSONL corpus ingest
-    # roundtrip (gz + zstd shards through the JVM JSON datasource).
-    # chunk_documents demotes in exchange (r07-green, operator and
-    # query unchanged this round, pinned).
-    "jsonl_roundtrip",
+    "curate_pipeline",
+    "dedup_verify_pairs",
+    # media.py changed (y4m per-plane ceil frame sizing + stride
+    # validation): the frame-fanout gate re-verifies
+    "media_frame_fanout",
+    # docstring corrected ((?i) claim) — source hash drifts, so it
+    # stays in-window rather than tripping the demotion pin
+    "text_scrub_pii",
+    # ---- NEW this round — must gate immediately: the
+    # on_corrupt="keep" failure-policy audit over deterministic torn
+    # JSONL shards
+    "jsonl_corrupt_audit",
+    # ---- carry (r08-green, kept in-window): flagship join anchor
+    "q3_top_revenue",
 )
 
 

@@ -194,3 +194,57 @@ def ensure_gate_jsonl(sf_dir: str) -> str:
         # concurrent builder won the race; its content is identical
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+#: every doc whose id satisfies this is written TORN in the corrupt
+#: fixture (truncated to the first 10 bytes — always the unparseable
+#: prefix ``{"doc_id":``); the oracle replays the rule in SQL
+_CORRUPT_MOD, _CORRUPT_REM = 7, 3
+
+
+def ensure_gate_jsonl_corrupt(sf_dir: str) -> str:
+    """Build (once, atomically) ``_N_SHARDS`` ``.jsonl.gz`` shards from
+    documents.parquet with DETERMINISTIC torn lines: documents where
+    ``doc_id % 7 == 3`` are truncated mid-object (an upload cut / a
+    torn append — the realistic web-scale ingest defect), everything
+    else written intact.  Drives the ``on_corrupt="keep"`` audit gate:
+    which lines survive, which count as corrupt, and how they
+    distribute over shards are all closed-form functions of the
+    parquet table, so the DuckDB oracle hash-verifies the whole
+    failure-policy surface."""
+    import pyarrow.parquet as pq
+
+    out = gate_jsonl_dir(sf_dir) + "_corrupt"
+    if os.path.isdir(out):
+        return out
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    rows = sorted(tbl.to_pylist(), key=lambda r: r["doc_id"])
+    shard_lines: list[list[bytes]] = [[] for _ in range(_N_SHARDS)]
+    for r in rows:
+        line = json.dumps(
+            {
+                "doc_id": r["doc_id"],
+                "text": r["text"],
+                "lang": r["lang"],
+                "source": r["source"],
+                "n_chars": r["n_chars"],
+            }
+        ).encode()
+        if r["doc_id"] % _CORRUPT_MOD == _CORRUPT_REM:
+            line = line[:10]  # b'{"doc_id":' — never valid JSON
+        shard_lines[r["doc_id"] % _N_SHARDS].append(line + b"\n")
+
+    tmp = f"{out}.tmp{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    for i, lines in enumerate(shard_lines):
+        with gzip.open(os.path.join(tmp, f"shard-{i}.jsonl.gz"), "wb") as fh:
+            fh.write(b"".join(lines))
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
