@@ -172,6 +172,8 @@ _PIPELINE_EXTRAS = (
     "text_scrub_pii",
     # round 8: the checkpoint-free distributed prefix sum
     "pack_token_budget",
+    # round 9: C4-style segment-frequency (line) dedup
+    "dedup_line_frequency",
 )
 
 

@@ -80,6 +80,7 @@ _DEMOTED_SOURCE_PINS = {
     "media_image_metadata": "acb619d93a5d08bc",
     "minhash_signatures": "fdcc19e47feb7674",
     "ngram_jaccard_block": "c4605872af129943",
+    "q3_top_revenue": "f19aff5bad580d78",
     "q5_revenue_by_nation": "c86e1e193e35e5c2",
     "sample_mixture": "2f30e5a765f37fe4",
     "scalar_array": "a742a45ca902e45d",

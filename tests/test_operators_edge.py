@@ -959,3 +959,80 @@ def test_scrub_pii_engine_parity_on_unicode_case(spark):
         assert got[i] == out, (i, got[i], out)
     # and the ASCII mixed-case address is actually redacted
     assert got[0] == "plain <EMAIL> here"
+
+
+def test_segment_dedup_c4_keep_one(spark):
+    """Line-frequency dedup strips repeated boilerplate everywhere but
+    the corpus-first occurrence — including a repeat INSIDE the first
+    document (C4's all-but-one rule) — and unique lines pass through
+    untouched, in order."""
+    from wikihadoop_spark.operators.segdedup import segment_frequency_dedup
+
+    rows = [
+        (1, "alpha\nBANNER\nbeta\nBANNER"),
+        (2, "BANNER\ngamma"),
+        (3, "delta\nBANNER"),
+        (4, "unique only"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_segments, r.n_removed, r.text)
+        for r in segment_frequency_dedup(df).collect()
+    }
+    assert got[1] == (4, 1, "alpha\nBANNER\nbeta")  # in-doc repeat stripped
+    assert got[2] == (2, 1, "gamma")
+    assert got[3] == (2, 1, "delta")
+    assert got[4] == (1, 0, "unique only")
+
+
+def test_segment_dedup_token_windows_and_empty_doc(spark):
+    """Token-window segmentation (no newlines needed); a document whose
+    every segment is removed survives as an EMPTY row (dropping is a
+    downstream quality decision, not a dedup side effect)."""
+    from wikihadoop_spark.operators.segdedup import segment_frequency_dedup
+
+    rows = [(1, "a b c d x y"), (2, "a b c d"), (3, "a b c d")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_segments, r.n_removed, r.text)
+        for r in segment_frequency_dedup(
+            df, split_regex=None, tokens_per_segment=4
+        ).collect()
+    }
+    assert got[1] == (2, 0, "a b c d x y")  # first occurrence keeps
+    assert got[2] == (1, 1, "")
+    assert got[3] == (1, 1, "")
+
+
+def test_segment_dedup_partition_invariant(spark):
+    """The removal set and reassembled texts must not depend on the
+    physical partitioning (first ownership is min (id, idx), a pure
+    data function)."""
+    import random
+
+    from pyspark.sql import functions as F
+    from wikihadoop_spark.operators.segdedup import segment_frequency_dedup
+
+    rng = random.Random(31)
+    vocab = [f"w{i}" for i in range(12)]
+    boiler = "terms of service apply"
+    rows = []
+    for i in range(120):
+        lines = [" ".join(rng.choices(vocab, k=5)) for _ in range(3)]
+        if i % 4 == 0:
+            lines.insert(rng.randrange(3), boiler)
+        rows.append((i, "\n".join(lines)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    base = None
+    for n_parts in (1, 7):
+        got = sorted(
+            (r.doc_id, r.n_removed, r.text)
+            for r in segment_frequency_dedup(df.repartition(n_parts)).collect()
+        )
+        if base is None:
+            base = got
+        else:
+            assert got == base, n_parts
+    # the planted boilerplate survived exactly once corpus-wide
+    survivors = sum(1 for _, _, t in base if boiler in t.split("\n"))
+    assert survivors == 1

@@ -464,3 +464,15 @@ def test_decontaminate_report_broadcasts_eval_fingerprints(spark):
     plan = plan_of(spark, "decontaminate_report")
     assert "BroadcastHashJoin" in plan
     assert plan.count("FileScan parquet") == 2  # corpus + the eval sample scan
+
+
+def test_segment_dedup_plan_shape(spark):
+    """Line-frequency dedup must stay window-free and join-bounded: the
+    duplicated-segment table is an aggregate (map-side combined) joined
+    back by fingerprint — never a window over the segment key, never a
+    cross product; reassembly is an aggregate, not a global sort."""
+    plan = plan_of(spark, "dedup_line_frequency")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan  # frequency + reassembly are aggregates
+    assert "partial_min" in plan or "merge_min" in plan  # map-side combine
+    assert "Generate" in plan  # the one posexplode

@@ -74,6 +74,15 @@ SHOWCASE = [
         " `BroadcastHashJoin` of an O(buckets) frame.",
     ),
     (
+        "dedup_line_frequency",
+        "Segment-frequency (C4 line) dedup: one `Generate` (posexplode)"
+        " for segmentation, a two-level fingerprint aggregate with"
+        " map-side `partial_min`/`partial_count` before each exchange,"
+        " the df-filtered dup table joined back by fingerprint, and an"
+        " aggregate reassembly — no Window, no cross product, no global"
+        " sort.",
+    ),
+    (
         "decontaminate_exact",
         "Benchmark decontamination: the eval-set fingerprints build a"
         " `BroadcastHashJoin LeftAnti` — the corpus is scanned once and"

@@ -1,0 +1,155 @@
+"""Segment-frequency dedup — the C4 / RefinedWeb line-dedup family:
+remove from every document each SEGMENT (line, paragraph, or
+fixed-token window) that occurs in ``min_df``-or-more documents
+corpus-wide, keeping the first occurrence (minimum document id) so one
+copy of the boilerplate survives.
+
+This is a different axis from the document-level families already in
+the engine (exact row dedup, MinHash/SimHash near-dup, n-gram
+Jaccard): those drop WHOLE documents; this rewrites documents in
+place, stripping repeated boilerplate (cookie banners, navigation
+chrome, license headers) that document-level dedup can never touch
+because the surrounding prose differs.  C4 removed any three-sentence
+span occurring more than once in the dataset; RefinedWeb/FineWeb do
+the same at line granularity.
+
+Plan shape (100 TB):
+
+1. segmentation is ROW-LOCAL — higher-order array expressions build
+   the segment list inside the scan projection (split by a separator
+   regex, or non-overlapping ``tokens_per_segment`` windows), then ONE
+   posexplode;
+2. the duplicated-segment table is a partial+final hash aggregate on
+   the segment fingerprint (map-side combine pre-reduces a mega-hot
+   boilerplate segment to one row per map task — never a window over
+   the segment key), filtered to ``doc_freq >= min_df`` BEFORE the
+   join, so only genuinely repeated segments travel;
+3. a fingerprint equi-join (left) marks each exploded segment
+   kept/removed — AQE handles residual skew; nothing is ever
+   all-pairs;
+4. one hash aggregate by document reassembles the kept segments in
+   order (``array_sort`` of collected (idx, segment) structs — no
+   window, no global sort).
+
+Three shuffles total (segment agg, join, doc reassemble), each a plain
+hash exchange.  Fingerprints use the portable md5-based ``hash64``
+family so an external engine (the DuckDB gate oracle) replays every
+removal decision bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import hash64
+
+
+def _segments_col(text_col: str, split_regex: str | None, tokens_per_segment: int | None):
+    """Row-local segment list for one document (array<string>)."""
+    if (split_regex is None) == (tokens_per_segment is None):
+        raise ValueError(
+            "pass exactly one of split_regex (line/paragraph mode) or "
+            "tokens_per_segment (fixed token windows)"
+        )
+    if split_regex is not None:
+        return F.split(F.col(text_col), split_regex)
+    w = int(tokens_per_segment)
+    if w < 1:
+        raise ValueError(f"tokens_per_segment must be >= 1 (got {tokens_per_segment})")
+    toks = F.split(F.col(text_col), " ")
+    n_segs = F.ceil(F.size(toks) / F.lit(w)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(n_segs, F.lit(1)) - F.lit(1)),
+        lambda i: F.array_join(F.slice(toks, i * w + F.lit(1), w), " "),
+    )
+
+
+def segment_frequency_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    split_regex: str | None = "\n",
+    tokens_per_segment: int | None = None,
+    min_df: int = 2,
+    joiner: str | None = None,
+) -> DataFrame:
+    """Rewrite each document with corpus-frequent segments removed.
+
+    A segment is removed when it occurs (exact match after
+    segmentation) in at least ``min_df`` DISTINCT documents and this
+    occurrence is not the corpus-first one — minimum ``(id_col,
+    position)``, so exactly ONE copy survives, even of a segment
+    repeated inside its own first document (C4's "all but one" rule),
+    deterministic on any cluster.
+
+    Returns one row per input document:
+    ``(id_col, n_segments, n_removed, text_col)`` with ``text_col``
+    reassembled from the kept segments in original order (joined with
+    ``joiner``, default the line separator for regex mode / one space
+    for token-window mode).  Documents whose every segment was removed
+    come back with empty text rather than vanishing — dropping them is
+    a downstream quality-filter decision, not a dedup side effect.
+    """
+    if min_df < 2:
+        raise ValueError(f"min_df must be >= 2 (got {min_df})")
+    if joiner is None:
+        joiner = " " if tokens_per_segment is not None else "\n"
+    segs = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            _segments_col(text_col, split_regex, tokens_per_segment)
+        ).alias("__idx", "__seg"),
+    ).withColumn("__fp", hash64(F.col("__seg")))
+    # duplicated-segment table: distinct doc count + first owner per
+    # fingerprint, FILTERED before the join so only repeated segments
+    # travel; count_distinct is exact (a fingerprint can repeat inside
+    # one doc without making it corpus-frequent)
+    dups = (
+        segs.groupBy("__fp")
+        .agg(
+            F.count_distinct(F.col("__id")).alias("__df"),
+            F.min(
+                F.struct(F.col("__id").alias("i"), F.col("__idx").alias("x"))
+            ).alias("__first"),
+        )
+        .filter(F.col("__df") >= min_df)
+    )
+    marked = segs.join(dups, "__fp", "left").select(
+        "__id",
+        "__idx",
+        "__seg",
+        (
+            F.col("__df").isNull()
+            | (
+                (F.col("__first.i") == F.col("__id"))
+                & (F.col("__first.x") == F.col("__idx"))
+            )
+        ).alias("__keep"),
+    )
+    return (
+        marked.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum((~F.col("__keep")).cast("long")).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__keep"),
+                                F.struct(
+                                    F.col("__idx").alias("i"),
+                                    F.col("__seg").alias("s"),
+                                ),
+                            )
+                        )
+                    ),
+                    lambda x: x["s"],
+                ),
+                joiner,
+            ).alias(text_col),
+        )
+        .withColumnRenamed("__id", id_col)
+    )

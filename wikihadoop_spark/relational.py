@@ -1529,6 +1529,77 @@ def dedup_verify_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "dedup_line_frequency",
+    oracle="""
+    WITH built AS (
+      SELECT doc_id,
+             concat_ws(chr(10),
+               array_to_string(t[1:5], ' '),
+               'all visitors must accept the terms',
+               CASE WHEN doc_id % 3 = 0 THEN 'cookie consent required' END,
+               array_to_string(t[6:len(t)], ' ')) AS text
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    ), segs AS (
+      SELECT doc_id,
+             unnest(string_split(text, chr(10))) AS seg,
+             generate_subscripts(string_split(text, chr(10)), 1) AS idx
+      FROM built
+    ), freq AS (
+      SELECT seg, COUNT(DISTINCT doc_id) AS df, MIN(doc_id) AS o_id
+      FROM segs GROUP BY seg
+    ), firsts AS (
+      SELECT s.seg, f.o_id, MIN(s.idx) AS o_idx
+      FROM segs s JOIN freq f ON s.seg = f.seg AND s.doc_id = f.o_id
+      WHERE f.df >= 2
+      GROUP BY s.seg, f.o_id
+    ), marked AS (
+      SELECT s.doc_id, s.idx, s.seg,
+             (o.seg IS NULL OR (s.doc_id = o.o_id AND s.idx = o.o_idx)) AS keep
+      FROM segs s LEFT JOIN firsts o ON s.seg = o.seg
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_segments,
+           CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+           COALESCE(string_agg(CASE WHEN keep THEN seg END, chr(10) ORDER BY idx), '') AS text
+    FROM marked
+    GROUP BY doc_id
+    """,
+)
+def dedup_line_frequency(spark: SparkSession, sf: str) -> DataFrame:
+    """Segment-frequency dedup (operators/segdedup.py) — the
+    C4/RefinedWeb line-dedup family: strip every line occurring in >= 2
+    documents corpus-wide, keeping exactly the corpus-first occurrence
+    (min (doc_id, position)), so repeated boilerplate vanishes while
+    one copy survives.  The gate corpus is built deterministically from
+    the documents table: each doc becomes three-or-four lines (its
+    first five tokens / a boilerplate line shared by ALL docs / a
+    cookie line shared by every third doc / the rest), so the oracle
+    replays segmentation, frequency, first-ownership, and reassembly
+    line-for-line.  Plan: row-local segmentation -> one posexplode ->
+    partial+final fingerprint aggregate filtered to df >= 2 BEFORE the
+    join -> left fingerprint equi-join -> one doc-keyed reassembly
+    aggregate (array_sort of collected structs, no window)."""
+    from .operators.segdedup import segment_frequency_dedup
+
+    toks = F.split(F.col("text"), " ")
+    built = Tables(spark, sf).documents.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.array_join(F.slice(toks, 1, 5), " "),
+            F.lit("all visitors must accept the terms"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit("cookie consent required")
+            ),
+            F.array_join(F.slice(toks, 6, F.size(toks)), " "),
+        ).alias("text"),
+    )
+    return segment_frequency_dedup(
+        built, id_col="doc_id", text_col="text", split_regex="\n", min_df=2
+    )
+
+
+@query(
     "ngram_jaccard_block",
     # row_number cap mirrored on both sides: per block only the lowest
     # 1000 doc ids participate, so one hot block key at 100 TB bounds
@@ -3736,9 +3807,11 @@ def media_frame_fanout_q(spark: SparkSession, sf: str) -> DataFrame:
 # text_scrub_pii (docstring corrected — source hash drifts), and
 # jsonl_corrupt_audit (NEW — the on_corrupt="keep" failure-policy
 # audit over deterministic torn shards; new-query hygiene).  The last
-# slot carries the flagship anchor q3_top_revenue.  The other 40
-# r08-green queries (q5_revenue_by_nation among them) demote
-# unchanged under source-hash pins.  Catalog: 90 queries.
+# slot goes to dedup_line_frequency (NEW mid-round — C4/RefinedWeb
+# segment-frequency dedup, operators/segdedup.py), displacing the
+# q3_top_revenue carry.  The other 41 r08-green queries (q3 and q5
+# among them) demote unchanged under source-hash pins.
+# Catalog: 91 queries.
 GATE_WINDOW = 50
 
 # The must-gate set for THIS round: every query re-entering the window
@@ -3802,6 +3875,9 @@ ROTATION_SET: frozenset[str] = frozenset(
         "text_scrub_pii",
         # NEW this round: corrupt-line audit gate (new-query hygiene)
         "jsonl_corrupt_audit",
+        # NEW this round: C4-style line-frequency dedup (new-query
+        # hygiene; displaces the q3_top_revenue carry)
+        "dedup_line_frequency",
     }
 )
 
@@ -3878,8 +3954,10 @@ _GATE_ORDER: tuple[str, ...] = (
     # on_corrupt="keep" failure-policy audit over deterministic torn
     # JSONL shards
     "jsonl_corrupt_audit",
-    # ---- carry (r08-green, kept in-window): flagship join anchor
-    "q3_top_revenue",
+    # ---- NEW this round — must gate immediately: C4/RefinedWeb-style
+    # segment-frequency (line) dedup, taking the last slot from the
+    # q3_top_revenue carry (r08-green, unchanged, pinned)
+    "dedup_line_frequency",
 )
 
 
