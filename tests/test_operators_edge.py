@@ -1036,3 +1036,41 @@ def test_segment_dedup_partition_invariant(spark):
     # the planted boilerplate survived exactly once corpus-wide
     survivors = sum(1 for _, _, t in base if boiler in t.split("\n"))
     assert survivors == 1
+
+
+def test_strip_frequent_segments_guard_and_dedup_consistency(spark):
+    """The exact-index strip agrees with the batch dedup on every
+    non-owner document (the index owns the canonical copy), and an
+    oversized exact index fails fast toward the Bloom path."""
+    import pytest as _pytest
+
+    from wikihadoop_spark.operators.segdedup import (
+        MAX_EXACT_SEGMENTS,
+        frequent_segments,
+        segment_frequency_dedup,
+        strip_frequent_segments,
+    )
+
+    rows = [
+        (1, "alpha\nBANNER\nbeta"),
+        (2, "BANNER\ngamma"),
+        (3, "delta\nBANNER\nepsilon"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    idx = [r.segment for r in frequent_segments(df).collect()]
+    assert idx == ["BANNER"]
+    deduped = {
+        r.doc_id: r.text for r in segment_frequency_dedup(df).collect()
+    }
+    stripped = {
+        r.doc_id: r.text for r in strip_frequent_segments(df, idx).collect()
+    }
+    # non-owners agree exactly; the owner doc keeps its copy only in
+    # the batch dedup (the strip's contract: the index owns the copy)
+    assert stripped[2] == deduped[2] == "gamma"
+    assert stripped[3] == deduped[3] == "delta\nepsilon"
+    assert deduped[1] == "alpha\nBANNER\nbeta"
+    assert stripped[1] == "alpha\nbeta"
+
+    with _pytest.raises(ValueError, match="MAX_EXACT_SEGMENTS"):
+        strip_frequent_segments(df, [f"s{i}" for i in range(MAX_EXACT_SEGMENTS + 1)])

@@ -533,3 +533,83 @@ def test_stateful_detector_timeout_branch_evicts_state():
     st = LiveState()
     list(make_detector(None)((7,), iter([pdf]), st))
     assert st.timeout_set is None  # no timer without the knob
+
+
+def test_strip_frequent_segments_stream_matches_batch(spark, tmp_path):
+    """The streaming half of segment-frequency dedup: arriving docs
+    strip boilerplate against a static frequent-segment index with NO
+    state (append mode), and the streamed rows equal the batch
+    application exactly — for both the exact-array index and the
+    Bloom-packed one (which may only ever OVER-strip)."""
+    from wikihadoop_spark.operators.segdedup import (
+        build_segment_bloom,
+        frequent_segments,
+        strip_frequent_segments,
+    )
+
+    corpus = load_table(spark, SF, "documents")
+    boiler = "all visitors must accept the terms"
+    toks = F.split(F.col("text"), " ")
+    built = corpus.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.array_join(F.slice(toks, 1, 5), " "),
+            F.lit(boiler),
+            F.array_join(F.slice(toks, 6, F.size(toks)), " "),
+        ).alias("text"),
+    )
+    freq = frequent_segments(built)
+    idx = [r.segment for r in freq.collect()]
+    assert boiler in idx
+
+    batch = {
+        (r.doc_id, r.n_removed, r.text)
+        for r in strip_frequent_segments(built, idx).collect()
+    }
+    assert batch and all(boiler not in t for _, _, t in batch)
+
+    src = str(tmp_path / "arriving_docs")
+    built.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(built.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        strip_frequent_segments(stream, idx)
+        .writeStream.format("memory")
+        .queryName("t_segstrip")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.doc_id, r.n_removed, r.text)
+        for r in spark.sql("SELECT * FROM t_segstrip").collect()
+    }
+    assert got == batch
+
+    # Bloom-packed index on the same stream: everything the exact index
+    # strips is stripped (no false negatives); extras are FP over-strips
+    bloom = build_segment_bloom(freq)
+    qb = (
+        strip_frequent_segments(stream, bloom)
+        .writeStream.format("memory")
+        .queryName("t_segstrip_bloom")
+        .outputMode("append")
+        .start()
+    )
+    qb.processAllAvailable()
+    qb.stop()
+    bloomed = {
+        r.doc_id: (r.n_removed, r.text)
+        for r in spark.sql("SELECT * FROM t_segstrip_bloom").collect()
+    }
+    exact = {d: (n, t) for d, n, t in batch}
+    assert set(bloomed) == set(exact)
+    for d, (n, t) in exact.items():
+        nb, tb = bloomed[d]
+        assert nb >= n, d  # over-strip only
+        assert boiler not in tb, d

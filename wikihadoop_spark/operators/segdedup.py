@@ -39,6 +39,8 @@ removal decision bit-for-bit.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -153,3 +155,156 @@ def segment_frequency_dedup(
         )
         .withColumnRenamed("__id", id_col)
     )
+
+
+def frequent_segments(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    split_regex: str | None = "\n",
+    tokens_per_segment: int | None = None,
+    min_df: int = 2,
+) -> DataFrame:
+    """The corpus-frequent segment table: one row per segment occurring
+    in at least ``min_df`` distinct documents — the static boilerplate
+    index the streaming strip probes.  Build it as a batch job over the
+    existing corpus (two map-side-combined aggregate levels, same plan
+    as :func:`segment_frequency_dedup`'s dup table); write it out /
+    Bloom-pack it, and arriving documents strip against it statelessly.
+    Returns ``(segment, df)``."""
+    if min_df < 2:
+        raise ValueError(f"min_df must be >= 2 (got {min_df})")
+    segs = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            _segments_col(text_col, split_regex, tokens_per_segment)
+        ).alias("segment"),
+    )
+    return (
+        segs.groupBy("segment")
+        .agg(F.count_distinct(F.col("__id")).alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+
+
+@dataclass(frozen=True)
+class SegmentBloom:
+    """Driver-held Bloom state for the frequent-segment index — the
+    packed word list plus the probe parameters.  Field names match
+    ``decontam.NgramBloom`` so :func:`decontam.might_contain` probes it
+    unchanged (it reads only ``n_bits``/``n_hashes``)."""
+
+    words: tuple[int, ...]
+    n_bits: int
+    n_hashes: int
+    n_items: int
+
+
+def build_segment_bloom(
+    frequent: DataFrame,
+    *,
+    segment_col: str = "segment",
+    bits_per_item: int = 12,
+    n_hashes: int = 4,
+) -> SegmentBloom:
+    """Bloom-pack a frequent-segment table for the stateless strip —
+    the same distributed bit-set construction as
+    ``decontam.build_ngram_bloom`` (explode positions → per-word
+    ``bit_or`` partial+final aggregate → collect only the packed
+    words), keyed by the raw segment string.  Use when the index
+    outgrows the exact broadcast array (~tens of thousands of
+    segments); false positives OVER-strip only — a Bloom filter has no
+    false negatives, so every truly frequent segment is caught."""
+    from .decontam import WORD_BITS, _positions, _pow2
+
+    if bits_per_item < 1 or n_hashes < 1:
+        raise ValueError("bits_per_item and n_hashes must be >= 1")
+    sdf = frequent.select(F.col(segment_col).alias("s")).distinct()
+    n_items = sdf.count()
+    n_words = max(1, (n_items * bits_per_item + WORD_BITS - 1) // WORD_BITS)
+    n_bits = n_words * WORD_BITS
+    pow2 = _pow2()
+    rows = (
+        sdf.select(
+            F.explode(F.array(*_positions(F.col("s"), n_bits, n_hashes))).alias("p")
+        )
+        .select(
+            F.floor(F.col("p") / WORD_BITS).cast("int").alias("w"),
+            F.element_at(pow2, (F.col("p") % WORD_BITS).cast("int") + 1).alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("mask"))
+        .collect()
+    )
+    words = [0] * n_words
+    for r in rows:
+        words[r["w"]] = r["mask"]
+    return SegmentBloom(
+        words=tuple(words), n_bits=n_bits, n_hashes=n_hashes, n_items=n_items
+    )
+
+
+#: exact-array strip guard: past this many index segments the per-row
+#: linear membership scan dominates — Bloom-pack instead
+MAX_EXACT_SEGMENTS = 20_000
+
+
+def strip_frequent_segments(
+    docs: DataFrame,
+    index: "list[str] | SegmentBloom",
+    *,
+    text_col: str = "text",
+    split_regex: str | None = "\n",
+    tokens_per_segment: int | None = None,
+    joiner: str | None = None,
+) -> DataFrame:
+    """Strip every indexed segment from each document — STATELESS, so
+    it runs identically on a stream (no aggregation, no state, append
+    mode): the streaming half of segment-frequency dedup.  The batch
+    corpus owns the canonical first occurrence (it was deduped with
+    :func:`segment_frequency_dedup`); arriving documents keep NO copy
+    of an indexed segment.
+
+    ``index``: the collected frequent-segment strings (exact, capped at
+    ``MAX_EXACT_SEGMENTS``), or a :class:`SegmentBloom` (row-local
+    ``might_contain`` probe against one broadcast word array — false
+    positives over-strip only).  Segmentation, membership, and
+    reassembly are all row-local expressions inside the projection;
+    the Bloom variant's only plan addition is the broadcast cross join
+    of the single word-array row (the ``decontaminate_ngram_bloom``
+    shape, proven stream-static safe).
+
+    Appends ``n_segments`` / ``n_removed`` and rewrites ``text_col``.
+    """
+    if joiner is None:
+        joiner = " " if tokens_per_segment is not None else "\n"
+    segs = _segments_col(text_col, split_regex, tokens_per_segment)
+    out_cols = [c for c in docs.columns if c != text_col]
+
+    if isinstance(index, SegmentBloom):
+        from .decontam import might_contain
+
+        bf = docs.sparkSession.createDataFrame(
+            [(list(index.words),)], "__bloom array<bigint>"
+        )
+        docs = docs.crossJoin(F.broadcast(bf))
+        kept = F.filter(
+            segs, lambda s: ~might_contain(s, F.col("__bloom"), index)
+        )
+    else:
+        index = list(index)
+        if len(index) > MAX_EXACT_SEGMENTS:
+            raise ValueError(
+                f"{len(index)} index segments exceeds MAX_EXACT_SEGMENTS "
+                f"({MAX_EXACT_SEGMENTS}): the per-row linear scan would "
+                "dominate — Bloom-pack the index (build_segment_bloom)"
+            )
+        lit_idx = F.array(*[F.lit(s) for s in index])
+        kept = F.filter(segs, lambda s: ~F.array_contains(lit_idx, s))
+    return docs.select(
+        *out_cols,
+        F.size(segs).alias("n_segments"),
+        (F.size(segs) - F.size(kept)).alias("n_removed"),
+        F.array_join(kept, joiner).alias(text_col),
+    ).drop("__bloom")
