@@ -416,3 +416,46 @@ def test_curation_full_option_matrix_matches_composed_oracle(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == len(got)
     assert res.counts()["pii_redactions"] >= 0
+
+
+def test_curation_strip_boilerplate_stage(spark):
+    """With strip_boilerplate=True the chain removes corpus-frequent
+    lines (keeping the corpus-first copy) BEFORE near-dup signatures —
+    two documents identical except for shared boilerplate must still
+    both survive near-dedup on their distinct prose, the counter must
+    record the stripped segments, and n_tokens must reflect the
+    stripped text."""
+    from pyspark.sql import functions as F
+
+    banner = "subscribe to our newsletter today"
+    rows = [
+        (1, f"{banner}\nthe quick brown fox jumps over the lazy dog", "a"),
+        (2, f"{banner}\nan entirely different discussion of spark plans", "a"),
+        (3, f"{banner}\nthird unique prose about distributed joins", "b"),
+        (4, "no boilerplate here at all just words", "b"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    res = curate_corpus(
+        docs, quality_threshold=-(10**9), strip_boilerplate=True
+    )
+    got = {r.doc_id: r.text for r in res.curated.collect()}
+    res.unpersist()
+    assert set(got) == {1, 2, 3, 4}  # nothing near-dup-collapsed
+    assert got[1] == f"{banner}\nthe quick brown fox jumps over the lazy dog"
+    assert got[2] == "an entirely different discussion of spark plans"
+    assert got[3] == "third unique prose about distributed joins"
+    assert got[4] == "no boilerplate here at all just words"
+    c = res.counts()
+    assert c["boilerplate_segments_removed"] == 2  # docs 2 and 3
+    # n_tokens derives from the STRIPPED text
+    nt = {r.doc_id: r.n_tokens for r in res.curated.select("doc_id", "n_tokens").collect()}
+    assert nt[2] == 7 and nt[3] == 6
+
+    # without the stage the shared banner glues docs into near-dup
+    # clusters only if prose is similar — regardless, the flag off
+    # must keep the banner everywhere
+    res2 = curate_corpus(docs, quality_threshold=-(10**9))
+    got2 = {r.doc_id: r.text for r in res2.curated.collect()}
+    res2.unpersist()
+    assert all(banner in t for d, t in got2.items() if d != 4)
+    assert "boilerplate_segments_removed" not in res2.counts()

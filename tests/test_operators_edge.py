@@ -1074,3 +1074,49 @@ def test_strip_frequent_segments_guard_and_dedup_consistency(spark):
 
     with _pytest.raises(ValueError, match="MAX_EXACT_SEGMENTS"):
         strip_frequent_segments(df, [f"s{i}" for i in range(MAX_EXACT_SEGMENTS + 1)])
+
+
+def test_segment_dedup_matches_python_model_randomized(spark):
+    """Randomized corpora with heavy line collisions: the distributed
+    result (counts + reassembled text) must equal a transparent
+    pure-Python model of the all-but-one rule, across several seeds and
+    including duplicate lines within documents and empty lines."""
+    import random
+    from collections import defaultdict
+
+    from wikihadoop_spark.operators.segdedup import segment_frequency_dedup
+
+    def model(rows, min_df=2):
+        occ = defaultdict(list)
+        segs = {d: t.split("\n") for d, t in rows}
+        for d in sorted(segs):
+            for i, s in enumerate(segs[d]):
+                occ[s].append((d, i))
+        freq = {
+            s for s, lst in occ.items() if len({d for d, _ in lst}) >= min_df
+        }
+        out = {}
+        for d, t in rows:
+            kept, removed = [], 0
+            for i, s in enumerate(segs[d]):
+                if s in freq and (d, i) != min(occ[s]):
+                    removed += 1
+                else:
+                    kept.append(s)
+            out[d] = (len(segs[d]), removed, "\n".join(kept))
+        return out
+
+    pool = [f"line {i}" for i in range(9)] + [""]
+    for seed in (3, 17, 92, 260814):
+        rng = random.Random(seed)
+        rows = [
+            (d, "\n".join(rng.choices(pool, k=rng.randrange(1, 7))))
+            for d in range(rng.randrange(5, 40))
+        ]
+        got = {
+            r.doc_id: (r.n_segments, r.n_removed, r.text)
+            for r in segment_frequency_dedup(
+                spark.createDataFrame(rows, ["doc_id", "text"])
+            ).collect()
+        }
+        assert got == model(rows), seed

@@ -133,6 +133,10 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--shuffle-seed", type=int, default=None,
                    help="pack shards in deterministic pseudo-random order "
                         "(training shuffle; reproducible on any cluster)")
+    c.add_argument("--strip-boilerplate", action="store_true",
+                   help="segment-frequency dedup: strip lines occurring in "
+                        ">=2 docs corpus-wide (first copy kept) before "
+                        "near-dedup and token counts")
     c.add_argument("--scrub-pii", action="store_true",
                    help="redact emails/IPs/id runs BEFORE any stage derives "
                         "from the text (pii_redactions counter printed)")
@@ -190,6 +194,7 @@ def main(argv: list[str] | None = None) -> int:
                 shard_budget=args.shard_budget,
                 out_dir=args.output if args.shard_budget else None,
                 scrub=args.scrub_pii,
+                strip_boilerplate=args.strip_boilerplate,
                 chunk_tokens=args.chunk_tokens,
                 chunk_stride=args.chunk_stride,
                 shuffle_seed=args.shuffle_seed,

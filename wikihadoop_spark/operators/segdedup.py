@@ -76,6 +76,7 @@ def segment_frequency_dedup(
     tokens_per_segment: int | None = None,
     min_df: int = 2,
     joiner: str | None = None,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Rewrite each document with corpus-frequent segments removed.
 
@@ -93,57 +94,70 @@ def segment_frequency_dedup(
     for token-window mode).  Documents whose every segment was removed
     come back with empty text rather than vanishing — dropping them is
     a downstream quality-filter decision, not a dedup side effect.
+    ``keep_cols`` (per-document constants, e.g. a source or quality
+    column) ride through the explode and the reassembly grouping.
     """
     if min_df < 2:
         raise ValueError(f"min_df must be >= 2 (got {min_df})")
     if joiner is None:
         joiner = " " if tokens_per_segment is not None else "\n"
+    internal = {"__sd_id", "__sd_idx", "__sd_seg", "__sd_fp",
+                "__sd_df", "__sd_first", "n_segments", "n_removed"}
+    clash = internal & set([id_col, *keep_cols])
+    if clash:
+        raise ValueError(
+            f"columns collide with segment-dedup working names: {sorted(clash)}"
+        )
     segs = df.select(
-        F.col(id_col).alias("__id"),
+        F.col(id_col).alias("__sd_id"),
+        *keep_cols,
         F.posexplode(
             _segments_col(text_col, split_regex, tokens_per_segment)
-        ).alias("__idx", "__seg"),
-    ).withColumn("__fp", hash64(F.col("__seg")))
+        ).alias("__sd_idx", "__sd_seg"),
+    ).withColumn("__sd_fp", hash64(F.col("__sd_seg")))
     # duplicated-segment table: distinct doc count + first owner per
     # fingerprint, FILTERED before the join so only repeated segments
     # travel; count_distinct is exact (a fingerprint can repeat inside
     # one doc without making it corpus-frequent)
     dups = (
-        segs.groupBy("__fp")
+        segs.groupBy("__sd_fp")
         .agg(
-            F.count_distinct(F.col("__id")).alias("__df"),
+            F.count_distinct(F.col("__sd_id")).alias("__sd_df"),
             F.min(
-                F.struct(F.col("__id").alias("i"), F.col("__idx").alias("x"))
-            ).alias("__first"),
+                F.struct(
+                    F.col("__sd_id").alias("i"), F.col("__sd_idx").alias("x")
+                )
+            ).alias("__sd_first"),
         )
-        .filter(F.col("__df") >= min_df)
+        .filter(F.col("__sd_df") >= min_df)
     )
-    marked = segs.join(dups, "__fp", "left").select(
-        "__id",
-        "__idx",
-        "__seg",
+    marked = segs.join(dups, "__sd_fp", "left").select(
+        "__sd_id",
+        *keep_cols,
+        "__sd_idx",
+        "__sd_seg",
         (
-            F.col("__df").isNull()
+            F.col("__sd_df").isNull()
             | (
-                (F.col("__first.i") == F.col("__id"))
-                & (F.col("__first.x") == F.col("__idx"))
+                (F.col("__sd_first.i") == F.col("__sd_id"))
+                & (F.col("__sd_first.x") == F.col("__sd_idx"))
             )
-        ).alias("__keep"),
+        ).alias("__sd_keep"),
     )
     return (
-        marked.groupBy("__id")
+        marked.groupBy("__sd_id", *keep_cols)
         .agg(
             F.count(F.lit(1)).alias("n_segments"),
-            F.sum((~F.col("__keep")).cast("long")).alias("n_removed"),
+            F.sum((~F.col("__sd_keep")).cast("long")).alias("n_removed"),
             F.array_join(
                 F.transform(
                     F.array_sort(
                         F.collect_list(
                             F.when(
-                                F.col("__keep"),
+                                F.col("__sd_keep"),
                                 F.struct(
-                                    F.col("__idx").alias("i"),
-                                    F.col("__seg").alias("s"),
+                                    F.col("__sd_idx").alias("i"),
+                                    F.col("__sd_seg").alias("s"),
                                 ),
                             )
                         )
@@ -153,7 +167,7 @@ def segment_frequency_dedup(
                 joiner,
             ).alias(text_col),
         )
-        .withColumnRenamed("__id", id_col)
+        .withColumnRenamed("__sd_id", id_col)
     )
 
 

@@ -131,6 +131,9 @@ def curate_corpus(
     eager: bool = True,
     keeper: str = "min_id",
     scrub: bool = False,
+    strip_boilerplate: bool = False,
+    boilerplate_min_df: int = 2,
+    boilerplate_split: str = "\n",
     chunk_tokens: int | None = None,
     chunk_stride: int | None = None,
     shuffle_seed: int | None = None,
@@ -151,7 +154,16 @@ def curate_corpus(
     FIRST, before anything derives from the text — fingerprints,
     signatures, and shards all see scrubbed text only, so PII never
     leaks into persisted dedup state; the ``pii_redactions`` counter
-    records total matches.  ``chunk_tokens`` (optional): split the
+    records total matches.
+
+    ``strip_boilerplate``: run segment-frequency dedup
+    (`operators/segdedup.py`) on the exact-deduped corpus — every line
+    (``boilerplate_split`` separated) occurring in
+    ``boilerplate_min_df``-or-more documents is removed except its
+    corpus-first copy, BEFORE near-dup signatures and token counts, so
+    boilerplate neither clusters unrelated documents nor inflates
+    shard budgets; the ``boilerplate_segments_removed`` counter
+    records stripped segments.  ``chunk_tokens`` (optional): split the
     curated documents into training-sequence windows
     (`operators/chunking.py`; ``chunk_stride`` defaults to disjoint)
     as the final pre-packing stage — shards then pack chunks in
@@ -216,6 +228,8 @@ def curate_corpus(
     reserved = ["__q", "__fp", "n_tokens"]
     if scrub:
         reserved += ["__pii"]
+    if strip_boilerplate:
+        reserved += ["n_segments", "n_removed"]
     if token_budget is not None:
         reserved += ["bucket", "keep_threshold"]
     if chunk_tokens is not None:
@@ -274,6 +288,9 @@ def curate_corpus(
             eager=eager,
             keeper=keeper,
             scrub=scrub,
+            strip_boilerplate=strip_boilerplate,
+            boilerplate_min_df=boilerplate_min_df,
+            boilerplate_split=boilerplate_split,
             chunk_tokens=chunk_tokens,
             chunk_stride=chunk_stride,
             shuffle_seed=shuffle_seed,
@@ -309,6 +326,9 @@ def _curate_corpus_impl(
     chunk_tokens: int | None,
     chunk_stride: int | None,
     shuffle_seed: int | None = None,
+    strip_boilerplate: bool = False,
+    boilerplate_min_df: int = 2,
+    boilerplate_split: str = "\n",
 ) -> CurationResult:
     obs: dict[str, Observation] = {}
     cur = _observed(docs, "input", obs)
@@ -370,6 +390,43 @@ def _curate_corpus_impl(
     # two-document corpus exposed it (drill in tests/test_curation.py).
     # Observations keep their FIRST completion, so pinning first wins.
     cached.count()
+
+    # 2.5 boilerplate strip (optional): segment-frequency dedup over
+    # the persisted exact-deduped corpus — BEFORE signatures and token
+    # counts, so repeated boilerplate neither clusters unrelated
+    # documents in the near-dup stage nor inflates shard budgets.  The
+    # operator's two passes (dup table + rewrite join) both re-read
+    # the cache; the counter records stripped segments, not rows (the
+    # stage never drops a document — empty survivors fall to the
+    # quality gate a caller applies downstream if desired).
+    if strip_boilerplate:
+        from ..operators.segdedup import segment_frequency_dedup
+
+        keep = [c for c in cur.columns if c not in (id_col, text_col)]
+        seg_obs = Observation("segments")
+        obs["boilerplate_segments_removed"] = seg_obs
+        stripped = (
+            segment_frequency_dedup(
+                cur,
+                id_col=id_col,
+                text_col=text_col,
+                split_regex=boilerplate_split,
+                min_df=boilerplate_min_df,
+                keep_cols=tuple(keep),
+            )
+            .observe(
+                seg_obs,
+                F.coalesce(F.sum("n_removed"), F.lit(0)).alias("segments"),
+            )
+            .drop("n_segments", "n_removed")
+        )
+        # the stripped frame replaces the exact-deduped one as the
+        # chain's multi-consumer point: persist it (materializing also
+        # pins the segments counter), then release the superseded cache
+        stripped = stripped.persist()
+        stripped.count()
+        cached.unpersist()
+        cur = cached = stripped
 
     # 3. near-dedup: row-local signatures -> capped LSH pairs -> CC keepers
     sig = minhash_signatures_rowwise(
