@@ -247,6 +247,10 @@ _SF1_SPOT_QUERIES = (
     # so its 10x ratio shows whether cost really tracks the capped
     # candidate set rather than the corpus
     "dedup_verify_pairs",
+    # round 9: segment-frequency dedup — the explode + two-level
+    # aggregate + join + reassembly chain; its 10x ratio shows the
+    # dup-table aggregate and the rewrite join scaling together
+    "dedup_line_frequency",
 )
 _SF1_COPIES = 10
 _SF1_SHIFT = 100_000_000  # beyond every key range in the sf0.1 tables

@@ -613,3 +613,52 @@ def test_strip_frequent_segments_stream_matches_batch(spark, tmp_path):
         nb, tb = bloomed[d]
         assert nb >= n, d  # over-strip only
         assert boiler not in tb, d
+
+
+def test_curate_stream_with_segment_strip_matches_batch(spark, tmp_path):
+    """curate_stream with a frequent-segment index strips boilerplate
+    BEFORE quality/decontamination/token-count — still stateless
+    append mode, still exactly the batch result on the same rows, and
+    n_tokens reflects the stripped text."""
+    from wikihadoop_spark.operators.segdedup import frequent_segments
+    from wikihadoop_spark.streaming.curate_stream import curate_stream
+
+    docs = load_table(spark, SF, "documents")
+    banner = "subscribe to our newsletter today"
+    built = docs.select(
+        "doc_id",
+        F.concat_ws("\n", F.lit(banner), F.col("text")).alias("text"),
+        "source",
+    )
+    idx = [r.segment for r in frequent_segments(built).collect()]
+    assert banner in idx
+
+    batch = {
+        (r.doc_id, r.quality, r.n_tokens, r.text)
+        for r in curate_stream(
+            built, strip_index=idx, quality_threshold=-(10**12)
+        ).collect()
+    }
+    assert batch and all(banner not in t for _, _, _, t in batch)
+
+    src = str(tmp_path / "arriving_strip")
+    built.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(built.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        curate_stream(stream, strip_index=idx, quality_threshold=-(10**12))
+        .writeStream.format("memory")
+        .queryName("t_curstrip")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.doc_id, r.quality, r.n_tokens, r.text)
+        for r in spark.sql("SELECT * FROM t_curstrip").collect()
+    }
+    assert got == batch

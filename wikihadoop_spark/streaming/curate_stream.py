@@ -41,6 +41,8 @@ def curate_stream(
     *,
     quality_threshold: int = 0,
     bloom: NgramBloom | None = None,
+    strip_index=None,
+    strip_split: str = "\n",
     text_col: str = "text",
     id_col: str = "doc_id",
     chunk_tokens: int | None = None,
@@ -58,8 +60,22 @@ def curate_stream(
     (the equivalence test runs both).  The Bloom filter must be
     PRE-BUILT from the eval set
     (`operators/decontam.py:build_ngram_bloom`) — building it is a
-    batch job over static data, probing it is the streaming part."""
-    out = docs.withColumn("quality", quality_score(F.col(text_col))).filter(
+    batch job over static data, probing it is the streaming part.
+    ``strip_index`` (optional): a frequent-segment index — the
+    collected segment list or a ``SegmentBloom``
+    (`operators/segdedup.py`) — stripped from arriving documents FIRST
+    (row-local, stateless), so quality scores, decontamination
+    shingles, and token counts all see boilerplate-free text; like the
+    Bloom filter, building the index is a batch job over the existing
+    corpus."""
+    out = docs
+    if strip_index is not None:
+        from ..operators.segdedup import strip_frequent_segments
+
+        out = strip_frequent_segments(
+            out, strip_index, text_col=text_col, split_regex=strip_split
+        ).drop("n_segments", "n_removed")
+    out = out.withColumn("quality", quality_score(F.col(text_col))).filter(
         F.col("quality") > quality_threshold
     )
     if bloom is not None:
