@@ -95,6 +95,11 @@ _DEMOTED_SOURCE_PINS = {
     "similarity_topk_lsh": "1210c9254daa3722",
     "text_fingerprint": "f4a767a9d53374dd",
     "text_langid": "a98512ee2d3f1b78",
+    # NEW in round 9 while the gate window was full (every slot a
+    # rotation or changed-operator re-gate): carries local DuckDB
+    # parity (test_parity + a dedicated oracle test) and MUST take a
+    # round-10 gate slot for first driver evidence
+    "text_lm_surprisal": "dc44591283a8a272",
     "text_quality": "5b4465eb015806fe",
     "text_stopword_strip": "2eac56e392f87f76",
     "text_tokens": "add226c7babdeb84",

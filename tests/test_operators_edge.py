@@ -1120,3 +1120,98 @@ def test_segment_dedup_matches_python_model_randomized(spark):
             ).collect()
         }
         assert got == model(rows), seed
+
+
+def test_lm_surprisal_score_model_and_properties(spark):
+    """Whole-bit unigram surprisal: hand-checked scores on a tiny
+    corpus, the predictable-vs-gibberish ordering the CCNet-style
+    filter exists for, unseen-token ceiling, and empty-doc survival."""
+    from wikihadoop_spark.operators.lm_score import (
+        lm_surprisal_score,
+        unigram_model,
+    )
+
+    ref = spark.createDataFrame(
+        [(1, "the the the the cat"), (2, "the dog")], ["doc_id", "text"]
+    )
+    model = unigram_model(ref)
+    counts = {r.token: r["count"] for r in model.collect()}
+    assert counts == {"the": 5, "cat": 1, "dog": 1}
+    # N=7 -> bitlen 3; bits(the)=3-3=0, bits(cat|dog)=3-1=2, unseen=3
+    docs = spark.createDataFrame(
+        [
+            (10, "the the"),        # fully predictable: 0
+            (11, "cat dog"),        # rare: (2+2)*1000 div 2 = 2000
+            (12, "zqx"),            # unseen: 3000
+            (13, ""),               # empty: 0 tokens, score 0
+            (14, "the zqx"),        # (0+3)*1000 div 2 = 1500
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.lm_bits)
+        for r in lm_surprisal_score(docs, model).collect()
+    }
+    assert got == {
+        10: (2, 0),
+        11: (2, 2000),
+        12: (1, 3000),
+        13: (0, 0),
+        14: (2, 1500),
+    }
+    # shuffle-join path must agree with the broadcast path exactly
+    got2 = {
+        r.doc_id: (r.n_tokens, r.lm_bits)
+        for r in lm_surprisal_score(docs, model, broadcast_model=False).collect()
+    }
+    assert got2 == got
+
+
+def test_lm_surprisal_matches_duckdb_oracle(spark):
+    """Local engine-parity pin (the shape the driver gate would run):
+    DuckDB replays the model counts, the bin-length surprisal, the
+    unseen ceiling, and the milli-bit integer division bit-for-bit on
+    the real documents table — self-scored, every value compared."""
+    import duckdb
+
+    from wikihadoop_spark.operators.lm_score import (
+        lm_surprisal_score,
+        unigram_model,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    model = unigram_model(docs)
+    got = {
+        (r.doc_id, r.n_tokens, r.lm_bits)
+        for r in lm_surprisal_score(docs, model).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    want = set(
+        map(
+            tuple,
+            con.execute(
+                """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+          FROM documents
+        ), model AS (
+          SELECT token, COUNT(*) AS c FROM toks GROUP BY token
+        ), n AS (SELECT length(bin(SUM(c))) AS ceil FROM model)
+        SELECT t.doc_id,
+               COUNT(*) AS n_tokens,
+               CAST(SUM(n.ceil - length(bin(m.c))) * 1000 // COUNT(*) AS BIGINT)
+                 AS lm_bits
+        FROM toks t JOIN model m USING (token), n
+        GROUP BY t.doc_id
+        """
+            ).fetchall(),
+        )
+    )
+    # self-scoring: every token is in the model, so no unseen branch;
+    # docs with zero tokens (none at this SF) would differ by design
+    assert got == want and len(got) > 100

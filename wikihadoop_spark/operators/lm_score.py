@@ -1,0 +1,140 @@
+"""N-gram language-model surprisal scoring — the CCNet-style quality
+axis: score each document by how SURPRISING its tokens are under a
+unigram language model, so downstream filters can drop both tails
+(gibberish scores high; boilerplate/templated text scores low).
+CCNet ranks Common Crawl by KenLM perplexity; the hashed linear
+classifier already in the engine (``text_quality_model``) is the
+fasttext-style complement — this is the LM half.
+
+Engine-portable by construction: real log-probabilities are float
+(and ``log`` is libm — not bit-identical across engines), so the
+model works in WHOLE BITS instead.  A token with corpus count ``c``
+out of ``N`` total tokens has surprisal
+
+    bits(token) = bitlen(N) - bitlen(c)          (≈ -log2 c/N)
+
+where ``bitlen(n) = length(bin(n))`` is the binary-magnitude length —
+an exact integer both Spark (``F.bin``) and any SQL oracle
+(DuckDB ``bin``) compute identically, no floating point anywhere.
+The per-document score is average surprisal in milli-bits,
+
+    score = Σ bits(token_i) * 1000  div  n_tokens
+
+— integer division, deterministic on any engine and cluster.
+Unseen tokens (scoring against a REFERENCE model built from another
+corpus) take ``bitlen(N)`` bits, the "count 1" ceiling.
+
+Plan shape (100 TB):
+
+1. the model is ONE hash aggregate over the exploded reference corpus
+   (map-side combine pre-reduces hot tokens like "the" to a row per
+   map task before the exchange) — vocabulary-sized output, bounded
+   (~1e6-1e8 rows of (token, count)), independent of corpus size;
+2. scoring joins the exploded document tokens to the model by token —
+   a broadcast hash join while the vocabulary fits (tens of MB for
+   1e6 tokens), an ordinary shuffle equi-join past that (AQE handles
+   the "the"-token skew via its skew-join split, and the doc-side
+   aggregate below pre-combines);
+3. one hash aggregate by document folds the bits back to a score.
+
+Nothing is all-pairs, nothing is a window, and the model never
+re-derives per query — :func:`unigram_model` is a frame callers
+persist/write once and score against many times (the CCNet shape: the
+reference model is trained on Wikipedia, applied to Common Crawl).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import tokens
+
+
+def _bitlen(n: Column) -> Column:
+    """Binary-magnitude length of a positive integer — exact in every
+    engine (``length(bin(n))``), the whole-bits stand-in for
+    ``floor(log2 n) + 1``."""
+    return F.length(F.bin(n))
+
+
+def unigram_model(
+    corpus: DataFrame, *, text_col: str = "text"
+) -> DataFrame:
+    """Token counts over the reference corpus: ``(token, count)`` —
+    one map-side-combined aggregate; vocabulary-sized, not
+    corpus-sized.  Persist or write this once and score against it."""
+    return (
+        corpus.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def lm_surprisal_score(
+    docs: DataFrame,
+    model: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Score each document by average unigram surprisal in milli-bits
+    (integer; lower = more predictable under the model).
+
+    Appends ``n_tokens`` and ``lm_bits`` (= Σ per-token whole-bit
+    surprisal * 1000 div n_tokens; empty docs score 0).  Tokens absent
+    from the model cost the full ``bitlen(N)`` bits — one bit above a
+    count-1 token — so out-of-domain text scores high rather than
+    crashing or scoring 0.
+
+    ``broadcast_model=True`` (default) broadcasts the vocabulary into
+    the join — correct while the model fits the broadcast limit; pass
+    False for huge vocabularies to take the shuffle equi-join.
+    """
+    internal = {"__lm_id", "__lm_tok", "token", "count", "n_tokens", "lm_bits"}
+    clash = internal & set([id_col, *keep_cols])
+    if clash:
+        raise ValueError(
+            f"columns collide with LM-score working names: {sorted(clash)}"
+        )
+    # N = total reference tokens: one scalar, computed with the same
+    # map-side-combined aggregate and broadcast as a literal
+    total = model.agg(F.sum("count").alias("n")).collect()[0]["n"] or 0
+    ceiling = int(total).bit_length() if total else 1
+    exploded = docs.select(
+        F.col(id_col).alias("__lm_id"),
+        *keep_cols,
+        F.explode(tokens(F.col(text_col))).alias("__lm_tok"),
+    )
+    m = F.broadcast(model) if broadcast_model else model
+    joined = exploded.join(
+        m, exploded["__lm_tok"] == m["token"], "left"
+    ).select(
+        "__lm_id",
+        *keep_cols,
+        F.coalesce(
+            F.lit(ceiling) - _bitlen(F.col("count")), F.lit(ceiling)
+        ).alias("__bits"),
+    )
+    scored = joined.groupBy("__lm_id", *keep_cols).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.expr("sum(__bits) * 1000 div count(1)").alias("lm_bits"),
+    )
+    # empty documents explode to zero rows — restore them with score 0
+    # (an empty doc is a LENGTH-filter concern, not an LM one)
+    base = docs.select(F.col(id_col).alias("__lm_id"), *keep_cols)
+    return (
+        base.join(scored, ["__lm_id", *keep_cols], "left")
+        .select(
+            F.col("__lm_id").alias(id_col),
+            *keep_cols,
+            F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias(
+                "n_tokens"
+            ),
+            F.coalesce(F.col("lm_bits"), F.lit(0).cast("long")).alias(
+                "lm_bits"
+            ),
+        )
+    )

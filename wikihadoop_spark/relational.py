@@ -1600,6 +1600,48 @@ def dedup_line_frequency(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "text_lm_surprisal",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+      FROM documents
+    ), model AS (
+      SELECT token, COUNT(*) AS c FROM toks
+      WHERE doc_id % 2 = 0 GROUP BY token
+    ), n AS (SELECT length(bin(SUM(c))) AS ceil FROM model)
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(COALESCE(n.ceil - length(bin(m.c)), n.ceil)) * 1000
+                  // COUNT(*) AS BIGINT) AS lm_bits
+    FROM toks t LEFT JOIN model m USING (token), n
+    GROUP BY t.doc_id
+    """,
+)
+def text_lm_surprisal(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style LM quality scoring (operators/lm_score.py): rank
+    documents by average unigram surprisal under a reference model —
+    here built from the even-id half of the corpus, so the odd half
+    genuinely exercises the unseen-token ceiling.  The model works in
+    WHOLE BITS (surprisal = bitlen(N) - bitlen(count), an exact
+    integer via length(bin(n)) in both engines) because real
+    log-probabilities are libm floats no two engines agree on
+    bit-for-bit; the score is milli-bits via integer division.  Plan:
+    one vocabulary-sized model aggregate (map-side combined), a
+    broadcast token join, one per-doc aggregate — never a window,
+    never all-pairs.  NEW in round 9 (gate window full: every slot is
+    a rotation or a changed-operator re-gate) — carries local DuckDB
+    parity (tests/test_parity.py + the dedicated oracle test in
+    tests/test_operators_edge.py) and enters the driver gate in the
+    round-10 rotation."""
+    from .operators.lm_score import lm_surprisal_score, unigram_model
+
+    docs = Tables(spark, sf).documents
+    model = unigram_model(docs.filter(F.col("doc_id") % 2 == 0))
+    return lm_surprisal_score(docs, model)
+
+
+@query(
     "ngram_jaccard_block",
     # row_number cap mirrored on both sides: per block only the lowest
     # 1000 doc ids participate, so one hot block key at 100 TB bounds
