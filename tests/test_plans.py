@@ -476,3 +476,36 @@ def test_segment_dedup_plan_shape(spark):
     assert "Window" not in plan  # frequency + reassembly are aggregates
     assert "partial_min" in plan or "merge_min" in plan  # map-side combine
     assert "Generate" in plan  # the one posexplode
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """At 100 TB the fact table is date/source-partitioned storage, and
+    a selective dim filter must prune fact PARTITIONS at runtime —
+    Spark's dynamic partition pruning.  Pinned: the fact scan carries a
+    dynamicpruning subquery in its partition filters, and the
+    pruned-read row count equals the selective result (reading every
+    partition would still be correct, so only the plan shows the
+    difference)."""
+    from pyspark.sql import functions as F
+
+    fact = str(tmp_path / "fact_part")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    orders.withColumn(
+        "bucket", (F.col("o_custkey") % 7).cast("int")
+    ).write.partitionBy("bucket").mode("overwrite").parquet(fact)
+    dim = spark.createDataFrame(
+        [(b, f"grp{b}") for b in range(7)], "bucket int, name string"
+    ).filter(F.col("name") == "grp3")
+
+    prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    try:
+        j = spark.read.parquet(fact).join(dim, "bucket").select("o_orderkey")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan, plan[:2000]
+        want = spark.read.parquet(fact).filter(F.col("bucket") == 3).count()
+        assert j.count() == want > 0
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled", prev
+        )
