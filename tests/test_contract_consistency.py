@@ -99,6 +99,7 @@ _DEMOTED_SOURCE_PINS = {
     # rotation or changed-operator re-gate): carries local DuckDB
     # parity (test_parity + a dedicated oracle test) and MUST take a
     # round-10 gate slot for first driver evidence
+    "text_lm_bigram": "7571e8075fde8dcc",
     "text_lm_surprisal": "dc44591283a8a272",
     "text_quality": "5b4465eb015806fe",
     "text_stopword_strip": "2eac56e392f87f76",

@@ -1215,3 +1215,120 @@ def test_lm_surprisal_matches_duckdb_oracle(spark):
     # self-scoring: every token is in the model, so no unseen branch;
     # docs with zero tokens (none at this SF) would differ by design
     assert got == want and len(got) > 100
+
+
+def test_bigram_surprisal_backoff_hand_checked(spark):
+    """Bigram surprisal with whole-bit backoff, hand-computed: seen
+    bigrams cost the conditional bits, unseen bigrams one backoff bit
+    plus unigram bits, first tokens unigram bits, empty docs 0."""
+    from wikihadoop_spark.operators.lm_score import (
+        bigram_model,
+        bigram_surprisal_score,
+        unigram_model,
+    )
+
+    ref = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran")], ["doc_id", "text"]
+    )
+    uni, bi = unigram_model(ref), bigram_model(ref)
+    assert {(r.w1, r.w2, r["count"]) for r in bi.collect()} == {
+        ("the", "cat", 2), ("cat", "sat", 1), ("cat", "ran", 1)
+    }
+    docs = spark.createDataFrame(
+        [
+            (10, "the cat sat"),  # (1 + 0 + 1)*1000 div 3 = 666
+            (11, "cat the"),      # (1 + 1+1)*1000 div 2 = 1500
+            (12, "zz"),           # ceiling 3 -> 3000
+            (13, "sat zz"),       # (2 + 1+3)*1000 div 2 = 3000
+            (14, ""),             # empty -> 0
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.lm2_bits)
+        for r in bigram_surprisal_score(docs, uni, bi).collect()
+    }
+    assert got == {
+        10: (3, 666), 11: (2, 1500), 12: (1, 3000), 13: (2, 3000), 14: (0, 0)
+    }
+    got2 = {
+        r.doc_id: (r.n_tokens, r.lm2_bits)
+        for r in bigram_surprisal_score(
+            docs, uni, bi, broadcast_model=False
+        ).collect()
+    }
+    assert got2 == got
+
+
+def test_bigram_surprisal_matches_duckdb_oracle(spark):
+    """Engine parity on the real documents table, models from the
+    even-id half so the odd half exercises backoff and unseen paths —
+    DuckDB replays pair construction, both models, the three-way
+    conditional, and the milli-bit division exactly."""
+    import duckdb
+
+    from wikihadoop_spark.operators.lm_score import (
+        bigram_model,
+        bigram_surprisal_score,
+        unigram_model,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF, "documents")
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    got = {
+        (r.doc_id, r.n_tokens, r.lm2_bits)
+        for r in bigram_surprisal_score(
+            docs, unigram_model(half), bigram_model(half)
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    want = set(
+        map(
+            tuple,
+            con.execute(
+                """
+        WITH toks AS (
+          SELECT doc_id, t.token, t.i
+          FROM (SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+                FROM documents),
+               LATERAL (SELECT unnest(l) AS token,
+                               generate_subscripts(l, 1) AS i) t
+        ), pairs AS (
+          SELECT a.doc_id, a.i,
+                 b.token AS prev, a.token AS cur
+          FROM toks a LEFT JOIN toks b
+            ON a.doc_id = b.doc_id AND b.i = a.i - 1
+        ), uni AS (
+          SELECT token, COUNT(*) AS c FROM toks
+          WHERE doc_id % 2 = 0 GROUP BY token
+        ), bi AS (
+          SELECT b.prev, b.cur, COUNT(*) AS c
+          FROM pairs b WHERE b.doc_id % 2 = 0 AND b.prev IS NOT NULL
+          GROUP BY b.prev, b.cur
+        ), n AS (SELECT length(bin(SUM(c))) AS ceil FROM uni)
+        SELECT p.doc_id, COUNT(*) AS n_tokens,
+               CAST(SUM(
+                 CASE
+                   WHEN p.prev IS NULL THEN
+                     COALESCE(n.ceil - length(bin(uc.c)), n.ceil)
+                   WHEN bi.c IS NOT NULL THEN
+                     length(bin(up.c)) - length(bin(bi.c))
+                   ELSE 1 + COALESCE(n.ceil - length(bin(uc.c)), n.ceil)
+                 END) * 1000 // COUNT(*) AS BIGINT) AS lm2_bits
+        FROM pairs p
+        LEFT JOIN bi ON bi.prev = p.prev AND bi.cur = p.cur
+        LEFT JOIN uni up ON up.token = p.prev
+        LEFT JOIN uni uc ON uc.token = p.cur
+        CROSS JOIN n
+        GROUP BY p.doc_id
+        """
+            ).fetchall(),
+        )
+    )
+    assert got == want and len(got) > 100

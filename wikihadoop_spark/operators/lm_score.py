@@ -138,3 +138,123 @@ def lm_surprisal_score(
             ),
         )
     )
+
+
+def bigram_model(
+    corpus: DataFrame, *, text_col: str = "text"
+) -> DataFrame:
+    """Adjacent-token-pair counts over the reference corpus:
+    ``(w1, w2, count)`` — one map-side-combined aggregate, bounded by
+    the observed-bigram vocabulary (far below |V|²: natural text uses
+    a tiny fraction of the possible pairs).  Pairs are built row-
+    locally (no self-join, no window)."""
+    t = tokens(F.col(text_col))
+    pairs = F.transform(
+        F.sequence(F.lit(2), F.greatest(F.size(t), F.lit(1))),
+        lambda i: F.struct(
+            F.element_at(t, i - 1).alias("w1"), F.element_at(t, i).alias("w2")
+        ),
+    )
+    return (
+        corpus.select(
+            F.explode(F.when(F.size(t) >= 2, pairs).otherwise(F.array())).alias(
+                "p"
+            )
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def bigram_surprisal_score(
+    docs: DataFrame,
+    unigrams: DataFrame,
+    bigrams: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Average bigram surprisal in milli-bits with whole-bit backoff —
+    the two-gram step toward CCNet's KenLM ranking, still exact
+    integers end-to-end.  Per token position ``i``:
+
+    * first token (no history): unigram bits
+      (``bitlen(N) − bitlen(c_uni)``; ``bitlen(N)`` when unseen);
+    * bigram seen: ``bitlen(c_uni(w_{i-1})) − bitlen(c_bi)``
+      (≈ −log2 of the conditional probability);
+    * bigram unseen: 1 backoff bit + the unigram bits of ``w_i``.
+
+    Appends ``n_tokens`` and ``lm2_bits``; empty docs score 0.  Plan:
+    row-local pair construction + one posexplode, THREE vocabulary
+    joins (bigram on (w1,w2); unigram on the history word for the
+    conditional denominator; unigram on the current word for backoff —
+    broadcast while the models fit, shuffle equi-joins past that), one
+    per-doc aggregate."""
+    internal = {"__lm_id", "n_tokens", "lm2_bits"}
+    if id_col in internal:
+        raise ValueError(f"id_col collides with working names: {id_col!r}")
+    total = unigrams.agg(F.sum("count").alias("n")).collect()[0]["n"] or 0
+    ceiling = int(total).bit_length() if total else 1
+    t = tokens(F.col(text_col))
+    entries = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t), F.lit(1))),
+        lambda i: F.struct(
+            F.when(i > 1, F.element_at(t, i - 1)).alias("prev"),
+            F.element_at(t, i).alias("cur"),
+        ),
+    )
+    exploded = docs.select(
+        F.col(id_col).alias("__lm_id"),
+        F.explode(F.when(F.size(t) >= 1, entries).otherwise(F.array())).alias(
+            "e"
+        ),
+    ).select("__lm_id", F.col("e.prev").alias("prev"), F.col("e.cur").alias("cur"))
+
+    def b(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_model else df
+
+    uni_cur = b(
+        unigrams.select(F.col("token").alias("cur"), F.col("count").alias("__cu"))
+    )
+    uni_prev = b(
+        unigrams.select(
+            F.col("token").alias("prev"), F.col("count").alias("__cp")
+        )
+    )
+    bi = b(
+        bigrams.select(
+            F.col("w1").alias("prev"),
+            F.col("w2").alias("cur"),
+            F.col("count").alias("__cb"),
+        )
+    )
+    uni_bits_cur = F.coalesce(
+        F.lit(ceiling) - _bitlen(F.col("__cu")), F.lit(ceiling)
+    )
+    bits = (
+        F.when(F.col("prev").isNull(), uni_bits_cur)  # first token
+        .when(
+            F.col("__cb").isNotNull(),
+            _bitlen(F.col("__cp")) - _bitlen(F.col("__cb")),
+        )
+        .otherwise(F.lit(1) + uni_bits_cur)  # backoff
+    )
+    scored = (
+        exploded.join(bi, ["prev", "cur"], "left")
+        .join(uni_prev, "prev", "left")
+        .join(uni_cur, "cur", "left")
+        .select("__lm_id", bits.alias("__bits"))
+        .groupBy("__lm_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.expr("sum(__bits) * 1000 div count(1)").alias("lm2_bits"),
+        )
+    )
+    base = docs.select(F.col(id_col).alias("__lm_id"))
+    return base.join(scored, "__lm_id", "left").select(
+        F.col("__lm_id").alias(id_col),
+        F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias("n_tokens"),
+        F.coalesce(F.col("lm2_bits"), F.lit(0).cast("long")).alias("lm2_bits"),
+    )

@@ -1642,6 +1642,72 @@ def text_lm_surprisal(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "text_lm_bigram",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token,
+             generate_subscripts(
+               regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS i
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id, a.i, b.token AS prev, a.token AS cur
+      FROM toks a LEFT JOIN toks b
+        ON a.doc_id = b.doc_id AND b.i = a.i - 1
+    ), uni AS (
+      SELECT token, COUNT(*) AS c FROM toks
+      WHERE doc_id % 2 = 0 GROUP BY token
+    ), bi AS (
+      SELECT prev, cur, COUNT(*) AS c
+      FROM pairs WHERE doc_id % 2 = 0 AND prev IS NOT NULL
+      GROUP BY prev, cur
+    ), n AS (SELECT length(bin(SUM(c))) AS ceil FROM uni)
+    SELECT p.doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(
+             CASE
+               WHEN p.prev IS NULL THEN
+                 COALESCE(n.ceil - length(bin(uc.c)), n.ceil)
+               WHEN bi.c IS NOT NULL THEN
+                 length(bin(up.c)) - length(bin(bi.c))
+               ELSE 1 + COALESCE(n.ceil - length(bin(uc.c)), n.ceil)
+             END) * 1000 // COUNT(*) AS BIGINT) AS lm2_bits
+    FROM pairs p
+    LEFT JOIN bi ON bi.prev = p.prev AND bi.cur = p.cur
+    LEFT JOIN uni up ON up.token = p.prev
+    LEFT JOIN uni uc ON uc.token = p.cur
+    CROSS JOIN n
+    GROUP BY p.doc_id
+    """,
+)
+def text_lm_bigram(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram LM surprisal with whole-bit backoff
+    (operators/lm_score.py::bigram_surprisal_score) — the two-gram
+    step toward CCNet's KenLM ranking: seen bigrams cost the exact
+    conditional bits (bitlen(c_uni(prev)) - bitlen(c_bi)), unseen
+    bigrams one backoff bit plus the current token's unigram bits,
+    first tokens their unigram bits — all exact integers, milli-bit
+    integer-division score.  Models built from the even-id half so the
+    odd half exercises backoff and the unseen ceiling.  Like
+    `text_lm_surprisal`, NEW in round 9 with the gate window full:
+    local DuckDB parity at 3 SFs now, a round-10 gate slot next.
+    Empty-doc rows (none at the gate SFs) would keep score 0 on the
+    Spark side while the oracle's explode drops them — the gate
+    corpora have no empty documents, and the dedicated oracle test
+    pins the semantics."""
+    from .operators.lm_score import (
+        bigram_model,
+        bigram_surprisal_score,
+        unigram_model,
+    )
+
+    docs = Tables(spark, sf).documents
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    return bigram_surprisal_score(
+        docs, unigram_model(half), bigram_model(half)
+    )
+
+
+@query(
     "ngram_jaccard_block",
     # row_number cap mirrored on both sides: per block only the lowest
     # 1000 doc ids participate, so one hot block key at 100 TB bounds
