@@ -98,9 +98,13 @@ _DEMOTED_SOURCE_PINS = {
     # NEW in round 9 while the gate window was full (every slot a
     # rotation or changed-operator re-gate): carries local DuckDB
     # parity (test_parity + a dedicated oracle test) and MUST take a
-    # round-10 gate slot for first driver evidence
-    "text_lm_bigram": "7571e8075fde8dcc",
-    "text_lm_surprisal": "dc44591283a8a272",
+    # round-10 gate slot for first driver evidence.  These two pins are
+    # freshness markers, not r08 evidence: re-pinned late in round 9
+    # after a review fixed the null-unsafe restore join, moved
+    # bitlen(N) in-plan, persisted the models, and gave both oracles a
+    # documents spine (token-free docs -> (id, 0, 0) structurally)
+    "text_lm_bigram": "91fbd90086d4fb21",
+    "text_lm_surprisal": "b67c53adb3163f00",
     "text_quality": "5b4465eb015806fe",
     "text_stopword_strip": "2eac56e392f87f76",
     "text_tokens": "add226c7babdeb84",

@@ -459,3 +459,34 @@ def test_curation_strip_boilerplate_stage(spark):
     res2.unpersist()
     assert all(banner in t for d, t in got2.items() if d != 4)
     assert "boilerplate_segments_removed" not in res2.counts()
+
+
+def test_curation_strip_recomputes_fingerprint_and_quality(spark):
+    """The boilerplate strip rewrites text, so the decontamination
+    fingerprint and the best_quality keeper score must describe the
+    POST-strip bytes: a document that becomes byte-identical to a
+    benchmark row only after the banner is stripped must still be
+    removed by stage 4 (regression: the chain once filtered on the
+    pre-strip __fp and leaked the eval text verbatim)."""
+    banner = "subscribe to our newsletter today"
+    secret = "the secret benchmark answer text nobody should train on"
+    rows = [
+        (1, f"{banner}\nthe quick brown fox jumps over the lazy dog", "a"),
+        (2, f"{banner}\n{secret}", "a"),
+        (3, f"{banner}\nthird unique prose about distributed joins", "b"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    bench = spark.createDataFrame([(secret,)], ["text"])
+    res = curate_corpus(
+        docs,
+        quality_threshold=-(10**9),
+        strip_boilerplate=True,
+        benchmark=bench,
+    )
+    got = {r.doc_id: r.text for r in res.curated.collect()}
+    c = res.counts()
+    res.unpersist()
+    assert 2 not in got, "post-strip benchmark-identical doc leaked"
+    assert set(got) == {1, 3}
+    assert c["near_dedup"] - c["decontaminate"] == 1
+    assert all(secret not in t for t in got.values())

@@ -1332,3 +1332,68 @@ def test_bigram_surprisal_matches_duckdb_oracle(spark):
         )
     )
     assert got == want and len(got) > 100
+
+
+def test_lm_surprisal_null_keep_col_still_scores(spark):
+    """keep_cols ride the base spine and never enter the restore-join
+    key: a NULL in a keep column must not un-match the join (regression:
+    the doc silently came back n_tokens=0 / lm_bits=0)."""
+    from wikihadoop_spark.operators.lm_score import (
+        lm_surprisal_score,
+        unigram_model,
+    )
+
+    ref = spark.createDataFrame(
+        [(1, "the the the the cat"), (2, "the dog")], ["doc_id", "text"]
+    )
+    model = unigram_model(ref)
+    docs = spark.createDataFrame(
+        [(10, "the cat", None), (11, "the cat", "y")],
+        "doc_id bigint, text string, src string",
+    )
+    got = {
+        r.doc_id: (r.src, r.n_tokens, r.lm_bits)
+        for r in lm_surprisal_score(docs, model, keep_cols=("src",)).collect()
+    }
+    # N=7 -> ceiling 3; bits(the)=0, bits(cat)=2 -> (0+2)*1000 div 2
+    assert got == {10: (None, 2, 1000), 11: ("y", 2, 1000)}
+
+
+def test_segment_dedup_null_text_survives(spark):
+    """A NULL-text document must come back (id, 0, 0, '') — not vanish
+    (regression: split(NULL) explodes to zero rows and the doc was
+    dropped, breaking the one-row-per-input contract the curation
+    chain's strip stage relies on)."""
+    from wikihadoop_spark.operators.segdedup import (
+        segment_frequency_dedup,
+        strip_frequent_segments,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a\nb", "s"), (2, None, "s"), (3, "a\nz", "s")],
+        "doc_id bigint, text string, source string",
+    )
+    got = {
+        r.doc_id: (r.n_segments, r.n_removed, r.text, r.source)
+        for r in segment_frequency_dedup(
+            docs, keep_cols=("source",)
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[2] == (0, 0, "", "s")
+    assert got[1] == (2, 0, "a\nb", "s")       # corpus-first 'a' kept
+    assert got[3] == (2, 1, "z", "s")
+    # token-window mode and the stateless strip: same survival contract
+    got_w = {
+        r.doc_id: (r.n_segments, r.text)
+        for r in segment_frequency_dedup(
+            docs, split_regex=None, tokens_per_segment=2, min_df=2
+        ).collect()
+    }
+    assert got_w[2] == (0, "")
+    stripped = {
+        r.doc_id: (r.n_segments, r.n_removed, r.text)
+        for r in strip_frequent_segments(docs, ["a"]).collect()
+    }
+    assert stripped[2] == (0, 0, "")
+    assert stripped[3] == (2, 1, "z")

@@ -93,32 +93,40 @@ def lm_surprisal_score(
     the join — correct while the model fits the broadcast limit; pass
     False for huge vocabularies to take the shuffle equi-join.
     """
-    internal = {"__lm_id", "__lm_tok", "token", "count", "n_tokens", "lm_bits"}
+    internal = {"__lm_id", "__lm_tok", "__lm_ceil", "token", "count",
+                "n_tokens", "lm_bits"}
     clash = internal & set([id_col, *keep_cols])
     if clash:
         raise ValueError(
             f"columns collide with LM-score working names: {sorted(clash)}"
         )
-    # N = total reference tokens: one scalar, computed with the same
-    # map-side-combined aggregate and broadcast as a literal
-    total = model.agg(F.sum("count").alias("n")).collect()[0]["n"] or 0
-    ceiling = int(total).bit_length() if total else 1
+    # N = total reference tokens, folded to bitlen(N) IN-PLAN: a one-row
+    # aggregate broadcast-cross-joined onto the token stream (the
+    # oracle's "n" CTE shape).  No driver collect — and when the model
+    # is an unpersisted aggregate, its shuffle exchange is IDENTICAL in
+    # the total branch and the scoring join, so Spark's ReusedExchange
+    # evaluates the corpus-sized explode+partial-agg ONCE for both.
+    n_row = model.agg(
+        # empty model: SUM is NULL -> ceiling 1 (the count-1 floor)
+        F.coalesce(F.length(F.bin(F.sum("count"))), F.lit(1)).alias("__lm_ceil")
+    )
+    # keep_cols are per-document constants: they stay on the base spine
+    # and NEVER enter the join keys — a NULL in a keep column must not
+    # un-match the restore join (doc would silently score 0/0)
     exploded = docs.select(
         F.col(id_col).alias("__lm_id"),
-        *keep_cols,
         F.explode(tokens(F.col(text_col))).alias("__lm_tok"),
-    )
+    ).crossJoin(F.broadcast(n_row))
     m = F.broadcast(model) if broadcast_model else model
     joined = exploded.join(
         m, exploded["__lm_tok"] == m["token"], "left"
     ).select(
         "__lm_id",
-        *keep_cols,
         F.coalesce(
-            F.lit(ceiling) - _bitlen(F.col("count")), F.lit(ceiling)
+            F.col("__lm_ceil") - _bitlen(F.col("count")), F.col("__lm_ceil")
         ).alias("__bits"),
     )
-    scored = joined.groupBy("__lm_id", *keep_cols).agg(
+    scored = joined.groupBy("__lm_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.expr("sum(__bits) * 1000 div count(1)").alias("lm_bits"),
     )
@@ -126,7 +134,7 @@ def lm_surprisal_score(
     # (an empty doc is a LENGTH-filter concern, not an LM one)
     base = docs.select(F.col(id_col).alias("__lm_id"), *keep_cols)
     return (
-        base.join(scored, ["__lm_id", *keep_cols], "left")
+        base.join(scored, "__lm_id", "left")
         .select(
             F.col("__lm_id").alias(id_col),
             *keep_cols,
@@ -192,11 +200,16 @@ def bigram_surprisal_score(
     conditional denominator; unigram on the current word for backoff —
     broadcast while the models fit, shuffle equi-joins past that), one
     per-doc aggregate."""
-    internal = {"__lm_id", "n_tokens", "lm2_bits"}
+    internal = {"__lm_id", "__lm_ceil", "n_tokens", "lm2_bits"}
     if id_col in internal:
         raise ValueError(f"id_col collides with working names: {id_col!r}")
-    total = unigrams.agg(F.sum("count").alias("n")).collect()[0]["n"] or 0
-    ceiling = int(total).bit_length() if total else 1
+    # bitlen(N) in-plan (see lm_surprisal_score): the unigram model's
+    # shuffle exchange is shared by this branch and both vocabulary
+    # joins via ReusedExchange when the model is an unpersisted
+    # aggregate — one corpus pass, no driver collect
+    n_row = unigrams.agg(
+        F.coalesce(F.length(F.bin(F.sum("count"))), F.lit(1)).alias("__lm_ceil")
+    )
     t = tokens(F.col(text_col))
     entries = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(t), F.lit(1))),
@@ -210,7 +223,9 @@ def bigram_surprisal_score(
         F.explode(F.when(F.size(t) >= 1, entries).otherwise(F.array())).alias(
             "e"
         ),
-    ).select("__lm_id", F.col("e.prev").alias("prev"), F.col("e.cur").alias("cur"))
+    ).select(
+        "__lm_id", F.col("e.prev").alias("prev"), F.col("e.cur").alias("cur")
+    ).crossJoin(F.broadcast(n_row))
 
     def b(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if broadcast_model else df
@@ -231,7 +246,7 @@ def bigram_surprisal_score(
         )
     )
     uni_bits_cur = F.coalesce(
-        F.lit(ceiling) - _bitlen(F.col("__cu")), F.lit(ceiling)
+        F.col("__lm_ceil") - _bitlen(F.col("__cu")), F.col("__lm_ceil")
     )
     bits = (
         F.when(F.col("prev").isNull(), uni_bits_cur)  # first token

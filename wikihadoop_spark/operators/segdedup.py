@@ -48,23 +48,30 @@ from .dedup import hash64
 
 
 def _segments_col(text_col: str, split_regex: str | None, tokens_per_segment: int | None):
-    """Row-local segment list for one document (array<string>)."""
+    """Row-local segment list for one document (array<string>).  NULL
+    text segments to the EMPTY array (never NULL, never a phantom
+    segment) so a null-text document flows through the rewrite and
+    comes back with empty text instead of vanishing or crashing."""
     if (split_regex is None) == (tokens_per_segment is None):
         raise ValueError(
             "pass exactly one of split_regex (line/paragraph mode) or "
             "tokens_per_segment (fixed token windows)"
         )
     if split_regex is not None:
-        return F.split(F.col(text_col), split_regex)
-    w = int(tokens_per_segment)
-    if w < 1:
-        raise ValueError(f"tokens_per_segment must be >= 1 (got {tokens_per_segment})")
-    toks = F.split(F.col(text_col), " ")
-    n_segs = F.ceil(F.size(toks) / F.lit(w)).cast("int")
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(n_segs, F.lit(1)) - F.lit(1)),
-        lambda i: F.array_join(F.slice(toks, i * w + F.lit(1), w), " "),
-    )
+        expr = F.split(F.col(text_col), split_regex)
+    else:
+        w = int(tokens_per_segment)
+        if w < 1:
+            raise ValueError(
+                f"tokens_per_segment must be >= 1 (got {tokens_per_segment})"
+            )
+        toks = F.split(F.col(text_col), " ")
+        n_segs = F.ceil(F.size(toks) / F.lit(w)).cast("int")
+        expr = F.transform(
+            F.sequence(F.lit(0), F.greatest(n_segs, F.lit(1)) - F.lit(1)),
+            lambda i: F.array_join(F.slice(toks, i * w + F.lit(1), w), " "),
+        )
+    return F.when(F.col(text_col).isNull(), F.array()).otherwise(expr)
 
 
 def segment_frequency_dedup(
@@ -93,7 +100,8 @@ def segment_frequency_dedup(
     ``joiner``, default the line separator for regex mode / one space
     for token-window mode).  Documents whose every segment was removed
     come back with empty text rather than vanishing — dropping them is
-    a downstream quality-filter decision, not a dedup side effect.
+    a downstream quality-filter decision, not a dedup side effect; a
+    NULL-text document likewise survives as ``(id, 0, 0, "")``.
     ``keep_cols`` (per-document constants, e.g. a source or quality
     column) ride through the explode and the reassembly grouping.
     """
@@ -108,10 +116,15 @@ def segment_frequency_dedup(
         raise ValueError(
             f"columns collide with segment-dedup working names: {sorted(clash)}"
         )
+    # posexplode_OUTER: a null-text document segments to the empty
+    # array, which must still emit its (NULL, NULL) spine row — a plain
+    # posexplode would drop the document entirely, breaking the
+    # one-row-per-input contract (the aggregate below counts and
+    # collects only non-null positions, so the doc reassembles to '')
     segs = df.select(
         F.col(id_col).alias("__sd_id"),
         *keep_cols,
-        F.posexplode(
+        F.posexplode_outer(
             _segments_col(text_col, split_regex, tokens_per_segment)
         ).alias("__sd_idx", "__sd_seg"),
     ).withColumn("__sd_fp", hash64(F.col("__sd_seg")))
@@ -147,14 +160,19 @@ def segment_frequency_dedup(
     return (
         marked.groupBy("__sd_id", *keep_cols)
         .agg(
-            F.count(F.lit(1)).alias("n_segments"),
-            F.sum((~F.col("__sd_keep")).cast("long")).alias("n_removed"),
+            # count the POSITION column: the null-text spine row from
+            # posexplode_outer is not a segment
+            F.count("__sd_idx").alias("n_segments"),
+            F.coalesce(
+                F.sum((~F.col("__sd_keep")).cast("long")), F.lit(0)
+            ).alias("n_removed"),
             F.array_join(
                 F.transform(
                     F.array_sort(
                         F.collect_list(
                             F.when(
-                                F.col("__sd_keep"),
+                                F.col("__sd_keep")
+                                & F.col("__sd_idx").isNotNull(),
                                 F.struct(
                                     F.col("__sd_idx").alias("i"),
                                     F.col("__sd_seg").alias("s"),

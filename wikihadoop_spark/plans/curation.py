@@ -419,6 +419,15 @@ def _curate_corpus_impl(
                 F.coalesce(F.sum("n_removed"), F.lit(0)).alias("segments"),
             )
             .drop("n_segments", "n_removed")
+            # the strip REWROTE the text: the fingerprint and quality
+            # score riding along from stages 1-2 describe the pre-strip
+            # bytes.  Recompute both (row-local, folded into the same
+            # persist materialization) so stage 4's benchmark anti-join
+            # matches the text that actually ships — a stripped doc
+            # byte-equal to a benchmark row must HIT — and the
+            # best_quality keeper ranks post-strip quality.
+            .withColumn("__fp", content_fingerprint(F.col(text_col)))
+            .withColumn("__q", quality_score(F.col(text_col)))
         )
         # the stripped frame replaces the exact-deduped one as the
         # chain's multi-consumer point: persist it (materializing also
@@ -466,9 +475,9 @@ def _curate_corpus_impl(
         near_keepers = cc.filter(F.col(id_col) == F.col("component")).select(id_col)
     cur = _observed(cur.join(near_keepers, id_col, "left_semi"), "near_dedup", obs)
 
-    # 4. benchmark decontamination: broadcast anti-join on the __fp
-    # column stage 2 already computed (cached — no second
-    # normalize+hash pass over the full text)
+    # 4. benchmark decontamination: broadcast anti-join on the cached
+    # __fp column — computed by stage 2, or recomputed by stage 2.5
+    # when the strip rewrote the text (either way no extra pass here)
     if benchmark is not None:
         bench_fp = (
             benchmark.select(content_fingerprint(F.col(text_col)).alias("__fp"))

@@ -1609,13 +1609,21 @@ def dedup_line_frequency(spark: SparkSession, sf: str) -> DataFrame:
     ), model AS (
       SELECT token, COUNT(*) AS c FROM toks
       WHERE doc_id % 2 = 0 GROUP BY token
-    ), n AS (SELECT length(bin(SUM(c))) AS ceil FROM model)
-    SELECT t.doc_id,
-           COUNT(*) AS n_tokens,
-           CAST(SUM(COALESCE(n.ceil - length(bin(m.c)), n.ceil)) * 1000
-                  // COUNT(*) AS BIGINT) AS lm_bits
-    FROM toks t LEFT JOIN model m USING (token), n
-    GROUP BY t.doc_id
+    ), n AS (SELECT length(bin(SUM(c))) AS ceil FROM model),
+    scored AS (
+      SELECT t.doc_id,
+             COUNT(*) AS n_tokens,
+             CAST(SUM(COALESCE(n.ceil - length(bin(m.c)), n.ceil)) * 1000
+                    // COUNT(*) AS BIGINT) AS lm_bits
+      FROM toks t LEFT JOIN model m USING (token), n
+      GROUP BY t.doc_id
+    )
+    -- document spine: a token-free document yields no toks row, but the
+    -- Spark side restores it as (id, 0, 0) — mirror that structurally
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(s.lm_bits, 0) AS BIGINT) AS lm_bits
+    FROM documents d LEFT JOIN scored s USING (doc_id)
     """,
 )
 def text_lm_surprisal(spark: SparkSession, sf: str) -> DataFrame:
@@ -1637,7 +1645,11 @@ def text_lm_surprisal(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.lm_score import lm_surprisal_score, unigram_model
 
     docs = Tables(spark, sf).documents
-    model = unigram_model(docs.filter(F.col("doc_id") % 2 == 0))
+    # persist the vocabulary-sized model: the scorer's in-plan bitlen(N)
+    # branch and the broadcast join then share ONE evaluation of the
+    # reference-corpus aggregate (at real scale you'd write it out —
+    # the CCNet shape: train the model once, score many corpora)
+    model = unigram_model(docs.filter(F.col("doc_id") % 2 == 0)).persist()
     return lm_surprisal_score(docs, model)
 
 
@@ -1661,22 +1673,30 @@ def text_lm_surprisal(spark: SparkSession, sf: str) -> DataFrame:
       SELECT prev, cur, COUNT(*) AS c
       FROM pairs WHERE doc_id % 2 = 0 AND prev IS NOT NULL
       GROUP BY prev, cur
-    ), n AS (SELECT length(bin(SUM(c))) AS ceil FROM uni)
-    SELECT p.doc_id, COUNT(*) AS n_tokens,
-           CAST(SUM(
-             CASE
-               WHEN p.prev IS NULL THEN
-                 COALESCE(n.ceil - length(bin(uc.c)), n.ceil)
-               WHEN bi.c IS NOT NULL THEN
-                 length(bin(up.c)) - length(bin(bi.c))
-               ELSE 1 + COALESCE(n.ceil - length(bin(uc.c)), n.ceil)
-             END) * 1000 // COUNT(*) AS BIGINT) AS lm2_bits
-    FROM pairs p
-    LEFT JOIN bi ON bi.prev = p.prev AND bi.cur = p.cur
-    LEFT JOIN uni up ON up.token = p.prev
-    LEFT JOIN uni uc ON uc.token = p.cur
-    CROSS JOIN n
-    GROUP BY p.doc_id
+    ), n AS (SELECT length(bin(SUM(c))) AS ceil FROM uni),
+    scored AS (
+      SELECT p.doc_id, COUNT(*) AS n_tokens,
+             CAST(SUM(
+               CASE
+                 WHEN p.prev IS NULL THEN
+                   COALESCE(n.ceil - length(bin(uc.c)), n.ceil)
+                 WHEN bi.c IS NOT NULL THEN
+                   length(bin(up.c)) - length(bin(bi.c))
+                 ELSE 1 + COALESCE(n.ceil - length(bin(uc.c)), n.ceil)
+               END) * 1000 // COUNT(*) AS BIGINT) AS lm2_bits
+      FROM pairs p
+      LEFT JOIN bi ON bi.prev = p.prev AND bi.cur = p.cur
+      LEFT JOIN uni up ON up.token = p.prev
+      LEFT JOIN uni uc ON uc.token = p.cur
+      CROSS JOIN n
+      GROUP BY p.doc_id
+    )
+    -- document spine, as in text_lm_surprisal: token-free docs come
+    -- back (id, 0, 0) on both engines
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(s.lm2_bits, 0) AS BIGINT) AS lm2_bits
+    FROM documents d LEFT JOIN scored s USING (doc_id)
     """,
 )
 def text_lm_bigram(spark: SparkSession, sf: str) -> DataFrame:
@@ -1690,10 +1710,9 @@ def text_lm_bigram(spark: SparkSession, sf: str) -> DataFrame:
     odd half exercises backoff and the unseen ceiling.  Like
     `text_lm_surprisal`, NEW in round 9 with the gate window full:
     local DuckDB parity at 3 SFs now, a round-10 gate slot next.
-    Empty-doc rows (none at the gate SFs) would keep score 0 on the
-    Spark side while the oracle's explode drops them — the gate
-    corpora have no empty documents, and the dedicated oracle test
-    pins the semantics."""
+    Both sides left-join a documents spine, so a token-free document
+    is (id, 0, 0) on both engines STRUCTURALLY — the contract does not
+    depend on the gate corpora happening to lack empty documents."""
     from .operators.lm_score import (
         bigram_model,
         bigram_surprisal_score,
@@ -1702,8 +1721,11 @@ def text_lm_bigram(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = Tables(spark, sf).documents
     half = docs.filter(F.col("doc_id") % 2 == 0)
+    # persist both models: the unigram aggregate feeds THREE plan
+    # branches (bitlen(N), the history join, the current-token join) —
+    # cached, the reference corpus is aggregated once per model
     return bigram_surprisal_score(
-        docs, unigram_model(half), bigram_model(half)
+        docs, unigram_model(half).persist(), bigram_model(half).persist()
     )
 
 
