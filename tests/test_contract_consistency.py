@@ -67,6 +67,10 @@ _DEMOTED_SOURCE_PINS = {
     "dedup_clusters": "21cbf558840e3aeb",
     "dedup_exact_rows": "e03df1abce283dc6",
     "dedup_keeper_quality": "f8b3f5f7ba87b3ab",
+    # NEW late in round 9 (same deal as the two lm pins below): local
+    # 3-SF DuckDB parity + a dedicated oracle test now, a round-10
+    # gate slot for first driver evidence
+    "dsir_weights": "16d40007f648f5da",
     "embedding_cosine_dedup": "fcd55f10bcff127a",
     "events_pivot": "75e80b732e4758b0",
     "events_sliding": "005b2a1c572097de",

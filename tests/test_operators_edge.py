@@ -1397,3 +1397,99 @@ def test_segment_dedup_null_text_survives(spark):
     }
     assert stripped[2] == (0, 0, "")
     assert stripped[3] == (2, 1, "z")
+
+
+def test_dsir_weights_hand_checked_and_properties(spark):
+    """Whole-bit DSIR: (a) a degenerate target (= the whole corpus)
+    gives every document weight exactly 0 — bitlen(t+1)=bitlen(r+1)
+    and the totals cancel; (b) feature counts are 2*len-1; (c) a
+    target-only gram pulls weights positive for docs containing it and
+    negative for docs of pure raw-only grams; (d) feature-free and
+    NULL-text docs survive as (0, 0); (e) NULL keep_cols don't
+    un-match the restore join."""
+    from pyspark.sql import functions as F
+
+    from wikihadoop_spark.operators.dsir import (
+        bucket_distributions,
+        dsir_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha beta alpha", "t", None),
+            (2, "gamma delta gamma delta gamma", "r", "y"),
+            (3, "", "r", "y"),
+            (4, None, "r", None),
+        ],
+        "doc_id bigint, text string, grp string, src string",
+    )
+    # (a) target == raw -> all-zero weights, n_feats = 2*len(tokens)-1
+    dist_all = bucket_distributions(docs, F.lit(True))
+    got = {
+        r.doc_id: (r.src, r.n_feats, r.dsir_bits)
+        for r in dsir_weights(docs, dist_all, keep_cols=("src",)).collect()
+    }
+    assert got == {
+        1: (None, 9, 0),  # 5 unigrams + 4 bigrams
+        2: ("y", 9, 0),
+        3: ("y", 0, 0),
+        4: (None, 0, 0),
+    }
+    # (c) genuine target: whole-bit lambdas move only when a bitlen
+    # boundary is crossed, so give the raw corpus enough mass that
+    # R+B crosses a power of two above T+B (raw-exclusive grams then
+    # cost bits, target grams with t=r earn the boundary bit) — doc 1
+    # is pure target-exclusive text, the fillers pure raw-exclusive
+    filler = [
+        (100 + i, "gamma delta gamma delta gamma gamma delta", "r", "y")
+        for i in range(20)
+    ]
+    # epsilon/zeta chosen collision-free vs the gamma/delta family in
+    # 128 buckets (alpha collides with gamma at bucket 123 — a real
+    # 1-in-128 hit that originally flipped this test's sign)
+    corpus = spark.createDataFrame(
+        [
+            (1, "epsilon zeta epsilon zeta epsilon", "t", None),
+            (3, "", "r", "y"),
+            (4, None, "r", None),
+            *filler,
+        ],
+        "doc_id bigint, text string, grp string, src string",
+    )
+    dist = bucket_distributions(corpus, F.col("grp") == "t")
+    w = {r.doc_id: r.dsir_bits for r in dsir_weights(corpus, dist).collect()}
+    assert w[1] > 0 > w[100], w
+    assert w[3] == 0 and w[4] == 0
+    # unigram-only mode drops the bigram features on both sides
+    dist_u = bucket_distributions(docs, F.lit(True), use_bigrams=False)
+    nf = {
+        r.doc_id: r.n_feats
+        for r in dsir_weights(docs, dist_u, use_bigrams=False).collect()
+    }
+    assert nf == {1: 5, 2: 5, 3: 0, 4: 0}
+
+
+def test_dsir_weights_matches_duckdb_oracle(spark):
+    """Local engine-parity pin on the real documents table (the shape
+    the driver gate would run): DuckDB replays the hashing, bucketing,
+    conditional aggregation, bit-ratio lambda, and restore spine
+    bit-for-bit at sf0.001 — every value compared."""
+    import duckdb
+
+    from wikihadoop_spark.relational import ORACLE, QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.doc_id: (r.n_feats, r.dsir_bits)
+        for r in QUERIES["dsir_weights"](spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = {
+        int(d): (int(n), int(b))
+        for d, n, b in con.execute(ORACLE["dsir_weights"]).fetchall()
+    }
+    assert got == want
+    assert any(b != 0 for _, b in got.values())  # a real signal, not all-zero

@@ -1730,6 +1730,74 @@ def text_lm_bigram(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "dsir_weights",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ), feats AS (
+      SELECT doc_id, lang, unnest(t) AS g FROM toks
+      UNION ALL
+      SELECT doc_id, lang,
+             unnest([t[i-1] || ' ' || t[i] FOR i IN range(2, len(t)+1)]) AS g
+      FROM toks
+    ), bucketed AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(g), 1, 15))::BIGINT % 128 AS b
+      FROM feats
+    ), dist AS (
+      SELECT b,
+             CAST(COUNT(*) FILTER (lang = 'en') AS BIGINT) AS tc,
+             CAST(COUNT(*) AS BIGINT) AS rc
+      FROM bucketed GROUP BY b
+    ), totals AS (
+      SELECT length(bin(COALESCE(SUM(tc), 0) + 128)) AS tt,
+             length(bin(COALESCE(SUM(rc), 0) + 128)) AS rt
+      FROM dist
+    ), lam AS (
+      SELECT s.b,
+             length(bin(COALESCE(d.tc, 0) + 1)) - totals.tt
+               - length(bin(COALESCE(d.rc, 0) + 1)) + totals.rt AS l
+      FROM (SELECT unnest(range(0, 128)) AS b) s
+      LEFT JOIN dist d USING (b), totals
+    ), scored AS (
+      SELECT f.doc_id, COUNT(*) AS n_feats,
+             CAST(SUM(lam.l) AS BIGINT) AS dsir_bits
+      FROM bucketed f JOIN lam ON lam.b = f.b
+      GROUP BY f.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_feats, 0) AS BIGINT) AS n_feats,
+           CAST(COALESCE(s.dsir_bits, 0) AS BIGINT) AS dsir_bits
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """,
+)
+def dsir_weights_q(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR-style importance weights (operators/dsir.py — Xie et al.
+    2023, arXiv:2302.03169, made engine-portable in whole bits): hashed
+    unigram+bigram features (60-bit md5 mod 128 buckets), target
+    distribution fitted on the English documents, raw on the whole
+    corpus — BOTH from one conditional-aggregation pass — and each
+    document scored by the summed per-bucket bit-ratio
+    ``bitlen(t_b+1) - bitlen(T+B) - bitlen(r_b+1) + bitlen(R+B)``
+    (positive = target-like, exact integers end-to-end).  Plan: one
+    B-row model aggregate (persisted), a broadcast lambda join over the
+    row-locally exploded features, one per-doc aggregate, and a
+    documents spine restoring feature-free docs as (0, 0) — never a
+    window, never all-pairs, model size independent of corpus size.
+    Selection composes downstream (sort_topk_global / thresholds);
+    DSIR's Gumbel resampling is deliberately left nondeterministic-free.
+    NEW late in round 9 (gate window full): local DuckDB parity at 3
+    SFs plus a dedicated oracle test now, a round-10 gate slot next."""
+    from .operators.dsir import bucket_distributions, dsir_weights
+
+    docs = Tables(spark, sf).documents
+    dist = bucket_distributions(docs, F.col("lang") == "en").persist()
+    return dsir_weights(docs, dist)
+
+
+@query(
     "ngram_jaccard_block",
     # row_number cap mirrored on both sides: per block only the lowest
     # 1000 doc ids participate, so one hot block key at 100 TB bounds
@@ -3941,7 +4009,11 @@ def media_frame_fanout_q(spark: SparkSession, sf: str) -> DataFrame:
 # segment-frequency dedup, operators/segdedup.py), displacing the
 # q3_top_revenue carry.  The other 41 r08-green queries (q3 and q5
 # among them) demote unchanged under source-hash pins.
-# Catalog: 91 queries.
+# Catalog: 94 queries — the three added after the rotation froze
+# (text_lm_surprisal, text_lm_bigram, dsir_weights) ship with local
+# 3-SF DuckDB parity + dedicated oracle tests and take round-10 gate
+# slots (7 are free after the 41-pin rotation) for first driver
+# evidence.
 GATE_WINDOW = 50
 
 # The must-gate set for THIS round: every query re-entering the window
