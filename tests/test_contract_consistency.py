@@ -71,6 +71,7 @@ _DEMOTED_SOURCE_PINS = {
     # 3-SF DuckDB parity + a dedicated oracle test now, a round-10
     # gate slot for first driver evidence
     "dsir_weights": "16d40007f648f5da",
+    "sketch_count_min": "91545db655108fa4",
     "embedding_cosine_dedup": "fcd55f10bcff127a",
     "events_pivot": "75e80b732e4758b0",
     "events_sliding": "005b2a1c572097de",

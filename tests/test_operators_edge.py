@@ -1493,3 +1493,82 @@ def test_dsir_weights_matches_duckdb_oracle(spark):
     }
     assert got == want
     assert any(b != 0 for _, b in got.values())  # a real signal, not all-zero
+
+
+def test_count_min_sketch_properties(spark):
+    """CMS invariants on a hand-built stream: (a) with a wide sketch
+    (no collisions) every estimate is EXACT; (b) with a tiny sketch
+    estimates never underestimate; (c) cell-wise merge of two shard
+    sketches equals the sketch of the union; (d) heavy_hitters returns
+    a superset of the true >= total/k tokens and never misses one;
+    (e) NULL tokens are ignored."""
+    from pyspark.sql import functions as F
+
+    from wikihadoop_spark.operators.sketch import (
+        cms_lookup,
+        cms_merge,
+        count_min_sketch,
+        heavy_hitters,
+    )
+
+    stream = (
+        ["alpha"] * 40 + ["beta"] * 20 + ["gamma"] * 6 + ["delta"] * 2
+        + ["eps"] * 1
+    )
+    items = spark.createDataFrame(
+        [(t,) for t in stream] + [(None,)], "token string"
+    )
+    exact = {"alpha": 40, "beta": 20, "gamma": 6, "delta": 2, "eps": 1}
+    probes = spark.createDataFrame([(t,) for t in exact], "token string")
+
+    wide = count_min_sketch(items, depth=4, width=1024)
+    got_wide = {
+        r.token: r.cms_count
+        for r in cms_lookup(probes, wide, depth=4, width=1024).collect()
+    }
+    assert got_wide == exact  # no collisions -> exact
+
+    tiny = count_min_sketch(items, depth=2, width=2)
+    got_tiny = {
+        r.token: r.cms_count
+        for r in cms_lookup(probes, tiny, depth=2, width=2).collect()
+    }
+    assert all(got_tiny[t] >= c for t, c in exact.items())  # never under
+    assert sum(got_tiny.values()) > sum(exact.values())  # collisions real
+
+    # (c) shard merge: sketch(first half) + sketch(second half)
+    half = len(stream) // 2
+    a = count_min_sketch(
+        spark.createDataFrame([(t,) for t in stream[:half]], "token string"),
+        depth=4, width=8,
+    )
+    b = count_min_sketch(
+        spark.createDataFrame([(t,) for t in stream[half:]], "token string"),
+        depth=4, width=8,
+    )
+    merged = {(r.row, r.col): r.cnt for r in cms_merge(a, b).collect()}
+    whole = {
+        (r.row, r.col): r.cnt
+        for r in count_min_sketch(items, depth=4, width=8).collect()
+    }
+    assert merged == whole
+
+    # (d) total=69, k=5 -> threshold 13: true heavy hitters alpha+beta
+    hh = {
+        r.token for r in heavy_hitters(items, k=5, depth=4, width=8).collect()
+    }
+    assert {"alpha", "beta"} <= hh  # no false negatives, ever
+    assert "eps" not in hh or True  # false positives allowed by design
+
+
+def test_sketch_count_min_gate_query_overestimates_only(spark):
+    """The gate query's comparison table on real data: cms_count is
+    never below exact_count, and the deliberately tiny 4x16 sketch
+    produces at least one genuine collision overestimate at sf0.01
+    (vocabulary 31 > width 16 forces one by pigeonhole)."""
+    from wikihadoop_spark.relational import QUERIES
+
+    rows = QUERIES["sketch_count_min"](spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    assert all(r.cms_count >= r.exact_count for r in rows)
+    assert any(r.cms_count > r.exact_count for r in rows)

@@ -1798,6 +1798,63 @@ def dsir_weights_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "sketch_count_min",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+      FROM documents
+    ), exact AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_count
+      FROM toks GROUP BY token
+    ), rows_ AS (SELECT unnest(range(0, 4)) AS r),
+    cms AS (
+      SELECT r,
+             ('0x' || substr(md5('cms' || r || '#' || token), 1, 15))::BIGINT
+               % 16 AS c,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks, rows_ GROUP BY r, c
+    ), est AS (
+      SELECT e.token, MIN(COALESCE(cms.cnt, 0)) AS cms_count
+      FROM (SELECT token,
+                   r,
+                   ('0x' || substr(md5('cms' || r || '#' || token), 1, 15))
+                     ::BIGINT % 16 AS c
+            FROM exact, rows_) e
+      LEFT JOIN cms ON cms.r = e.r AND cms.c = e.c
+      GROUP BY e.token
+    )
+    SELECT e.token, e.exact_count,
+           CAST(est.cms_count AS BIGINT) AS cms_count
+    FROM exact e JOIN est USING (token)
+    """,
+)
+def sketch_count_min(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min sketch vs ground truth (operators/sketch.py — Cormode
+    & Muthukrishnan 2005): build a deliberately tiny 4x16 sketch over
+    the corpus token stream (small width forces real collisions), probe
+    every distinct token, and emit the full comparison table
+    ``(token, exact_count, cms_count)`` — the oracle replays the salted
+    md5 row hashes, the cell aggregate, and the min-probe bit-for-bit,
+    pinning that ``cms_count >= exact_count`` always (no-underestimate)
+    and that the overestimates are the exact deterministic collisions.
+    The exact side exists for the verification pairing; the production
+    path is the sketch alone — ONE map-side-combined aggregate whose
+    state is depth*width cells regardless of vocabulary (URLs, n-grams,
+    adversarial text), mergeable cell-wise across shards/days
+    (``cms_merge``), with ``heavy_hitters`` deriving a no-false-negative
+    candidate set at ``total div k``.  NEW late in round 9 (gate window
+    full): local DuckDB parity at 3 SFs + dedicated tests now, a
+    round-10 gate slot next."""
+    from .operators.sketch import cms_lookup, count_min_sketch
+
+    docs = Tables(spark, sf).documents
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+    sketch = count_min_sketch(toks, depth=4, width=16)
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_count"))
+    return cms_lookup(exact, sketch, depth=4, width=16)
+
+
+@query(
     "ngram_jaccard_block",
     # row_number cap mirrored on both sides: per block only the lowest
     # 1000 doc ids participate, so one hot block key at 100 TB bounds
@@ -4009,8 +4066,9 @@ def media_frame_fanout_q(spark: SparkSession, sf: str) -> DataFrame:
 # segment-frequency dedup, operators/segdedup.py), displacing the
 # q3_top_revenue carry.  The other 41 r08-green queries (q3 and q5
 # among them) demote unchanged under source-hash pins.
-# Catalog: 94 queries — the three added after the rotation froze
-# (text_lm_surprisal, text_lm_bigram, dsir_weights) ship with local
+# Catalog: 95 queries — the four added after the rotation froze
+# (text_lm_surprisal, text_lm_bigram, dsir_weights, sketch_count_min)
+# ship with local
 # 3-SF DuckDB parity + dedicated oracle tests and take round-10 gate
 # slots (7 are free after the 41-pin rotation) for first driver
 # evidence.
