@@ -70,6 +70,7 @@ _DEMOTED_SOURCE_PINS = {
     # NEW late in round 9 (same deal as the two lm pins below): local
     # 3-SF DuckDB parity + a dedicated oracle test now, a round-10
     # gate slot for first driver evidence
+    "corpus_delta": "a31d7abc9b2dc420",
     "dsir_weights": "16d40007f648f5da",
     "sketch_count_min": "91545db655108fa4",
     "embedding_cosine_dedup": "fcd55f10bcff127a",

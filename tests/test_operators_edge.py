@@ -1572,3 +1572,61 @@ def test_sketch_count_min_gate_query_overestimates_only(spark):
     assert rows
     assert all(r.cms_count >= r.exact_count for r in rows)
     assert any(r.cms_count > r.exact_count for r in rows)
+
+
+def test_corpus_delta_classification_and_null_transitions(spark):
+    """Hand-checked delta: added/removed/changed/unchanged, whitespace-
+    only churn NOT counted as change under the normalized fingerprint
+    (but counted with normalized=False), and NULL<->''/text transitions
+    always 'changed' (the sentinel regression: a bare coalesce would
+    call NULL -> '' unchanged)."""
+    from wikihadoop_spark.operators.delta import corpus_delta, delta_counts
+
+    old = spark.createDataFrame(
+        [
+            (1, "same text"),
+            (2, "old words"),
+            (3, "going away"),
+            (4, "Same   TEXT!"),   # normalized-equal to new
+            (5, None),
+            (6, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "same text"),
+            (2, "new words"),
+            (4, "same text"),
+            (5, ""),
+            (6, None),
+            (7, "brand new"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: r.status for r in corpus_delta(old, new).collect()
+    }
+    assert got == {
+        2: "changed",
+        3: "removed",
+        5: "changed",  # NULL -> ''
+        6: "changed",  # '' -> NULL
+        7: "added",
+    }
+    full = {
+        r.doc_id: r.status
+        for r in corpus_delta(old, new, include_unchanged=True).collect()
+    }
+    assert full[1] == "unchanged" and full[4] == "unchanged"
+    # byte-level identity: punctuation churn now counts
+    raw = {
+        r.doc_id: r.status
+        for r in corpus_delta(old, new, normalized=False).collect()
+    }
+    assert raw[4] == "changed"
+    counts = {
+        r.status: r.n_docs
+        for r in delta_counts(corpus_delta(old, new)).collect()
+    }
+    assert counts == {"changed": 3, "removed": 1, "added": 1}

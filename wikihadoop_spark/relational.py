@@ -1855,6 +1855,65 @@ def sketch_count_min(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "corpus_delta",
+    oracle="""
+    WITH old_ AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+      FROM documents
+    ), new_docs AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' revised' ELSE text END
+               AS text
+      FROM documents WHERE doc_id % 13 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' new'
+      FROM documents WHERE doc_id % 11 = 0
+    ), new_ AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+      FROM new_docs
+    )
+    SELECT * FROM (
+      SELECT doc_id,
+             CASE WHEN o.fp IS NULL THEN 'added'
+                  WHEN n.fp IS NULL THEN 'removed'
+                  WHEN o.fp <> n.fp THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM old_ o FULL OUTER JOIN new_ n USING (doc_id)
+    ) WHERE status <> 'unchanged'
+    """,
+)
+def corpus_delta_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental snapshot delta (operators/delta.py): classify every
+    document id across two corpus versions as added / removed /
+    changed by NORMALIZED content fingerprint — the building block
+    that lets a re-crawl re-run dedup/quality/packing over the delta
+    only.  Snapshot B derives deterministically from the table so the
+    oracle replays it: ids % 13 == 0 dropped (removed), % 7 == 0
+    revised (changed), % 11 == 0 cloned at id+1000000 (added).  Plan:
+    row-local fingerprints inside both scan projections, ONE full-outer
+    equi-join on the id (exchange-free when both snapshots are bucketed
+    by id), a row-local CASE — the unchanged majority is filtered, not
+    materialized.  NEW late in round 9 (gate window full): local DuckDB
+    parity at 3 SFs + dedicated tests now, a round-10 gate slot next."""
+    from .operators.delta import corpus_delta
+
+    docs = Tables(spark, sf).documents.select("doc_id", "text")
+    revised = docs.filter(F.col("doc_id") % 13 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" revised"))
+        ).otherwise(F.col("text")),
+    )
+    cloned = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" new")).alias("text"),
+    )
+    return corpus_delta(docs, revised.unionByName(cloned))
+
+
+@query(
     "ngram_jaccard_block",
     # row_number cap mirrored on both sides: per block only the lowest
     # 1000 doc ids participate, so one hot block key at 100 TB bounds
@@ -4066,9 +4125,9 @@ def media_frame_fanout_q(spark: SparkSession, sf: str) -> DataFrame:
 # segment-frequency dedup, operators/segdedup.py), displacing the
 # q3_top_revenue carry.  The other 41 r08-green queries (q3 and q5
 # among them) demote unchanged under source-hash pins.
-# Catalog: 95 queries — the four added after the rotation froze
-# (text_lm_surprisal, text_lm_bigram, dsir_weights, sketch_count_min)
-# ship with local
+# Catalog: 96 queries — the five added after the rotation froze
+# (text_lm_surprisal, text_lm_bigram, dsir_weights, sketch_count_min,
+# corpus_delta) ship with local
 # 3-SF DuckDB parity + dedicated oracle tests and take round-10 gate
 # slots (7 are free after the 41-pin rotation) for first driver
 # evidence.
