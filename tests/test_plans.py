@@ -509,3 +509,41 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
         spark.conf.set(
             "spark.sql.optimizer.dynamicPartitionPruning.enabled", prev
         )
+
+
+def test_dsir_weights_plan_shape(spark):
+    """DSIR scoring must be model-broadcast and window-free: the B-row
+    lambda table rides a BroadcastHashJoin onto the exploded features
+    (the corpus side never shuffles for the model), the distributions
+    come from one map-side-combined aggregate, and the only nested-loop
+    joins are the one-row totals / B-row spine broadcasts — never a
+    corpus-sided cartesian."""
+    plan = plan_of(spark, "dsir_weights")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # lambda + restore joins
+    # conditional aggregation is partial+final (map-side combine)
+    assert "partial_count" in plan or "partial_count_if" in plan
+
+
+def test_sketch_count_min_plan_shape(spark):
+    """The CMS build must be ONE map-side-combined aggregate over the
+    exploded cells (bounded d*w output regardless of vocabulary) and the
+    probe side must broadcast the sketch — the corpus never shuffles to
+    meet the sketch, and nothing windows or goes cartesian."""
+    plan = plan_of(spark, "sketch_count_min")
+    assert "Window" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # probe-side sketch broadcast
+    assert "partial_count" in plan  # cell aggregate map-side combine
+
+
+def test_corpus_delta_is_one_join_no_window(spark):
+    """The delta is ONE full-outer id equi-join with row-local
+    fingerprints — no window, no cartesian, no second pass over either
+    snapshot; the unchanged filter rides above the join."""
+    plan = plan_of(spark, "corpus_delta")
+    assert "Window" not in plan and "CartesianProduct" not in plan
+    assert plan.count("FullOuter") == 1 and (
+        "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    )
+    assert "md5" in optimized_of(spark, "corpus_delta")  # row-local fp
