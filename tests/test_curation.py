@@ -490,3 +490,44 @@ def test_curation_strip_recomputes_fingerprint_and_quality(spark):
     assert set(got) == {1, 3}
     assert c["near_dedup"] - c["decontaminate"] == 1
     assert all(secret not in t for t in got.values())
+
+
+def test_curation_dsir_stage_filters_off_target_docs(spark):
+    """With a fitted lambda table, stage 1.5 drops below-threshold
+    documents right after the quality gate and the dsir counter
+    records survivors; with the knob off the chain is unchanged."""
+    from pyspark.sql import functions as F
+
+    from wikihadoop_spark.operators.dsir import (
+        bucket_distributions,
+        collect_lambda_table,
+        dsir_score_rowwise,
+    )
+
+    rows = [(1, "epsilon zeta epsilon zeta epsilon", "t")] + [
+        (100 + i, "gamma delta gamma delta gamma gamma delta", "r")
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    dist = bucket_distributions(docs, F.col("source") == "t").persist()
+    lam = collect_lambda_table(dist)
+    scores = {
+        r.doc_id: r.dsir_bits for r in dsir_score_rowwise(docs, lam).collect()
+    }
+    dist.unpersist()
+    assert scores[1] > 0 > scores[100]  # the fixture separates cleanly
+
+    res = curate_corpus(
+        docs, quality_threshold=-(10**9), dsir_lambda=lam, dsir_min_bits=0
+    )
+    kept = {r.doc_id for r in res.curated.collect()}
+    c = res.counts()
+    res.unpersist()
+    assert kept == {1}
+    assert c["dsir"] == 1 and c["quality"] == 21
+
+    res2 = curate_corpus(docs, quality_threshold=-(10**9))
+    kept2 = {r.doc_id for r in res2.curated.collect()}
+    res2.unpersist()
+    assert 1 in kept2 and 100 in kept2  # near-dedup collapses the
+    assert "dsir" not in res2.counts()  # identical fillers, not doc 1

@@ -1630,3 +1630,36 @@ def test_corpus_delta_classification_and_null_transitions(spark):
         for r in delta_counts(corpus_delta(old, new)).collect()
     }
     assert counts == {"changed": 3, "removed": 1, "added": 1}
+
+
+def test_dsir_rowwise_matches_distributed_scoring(spark):
+    """The stateless row-local fold (literal lambda table) must agree
+    bit-for-bit with the distributed explode+join+aggregate path over
+    the same fitted distributions — the equivalence that lets the
+    batch curation chain and the streaming chain run the SAME stage."""
+    from pyspark.sql import functions as F
+
+    from wikihadoop_spark.catalog import load_table
+    from wikihadoop_spark.operators.dsir import (
+        bucket_distributions,
+        collect_lambda_table,
+        dsir_score_rowwise,
+        dsir_weights,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text", "lang"
+    )
+    dist = bucket_distributions(docs, F.col("lang") == "en").persist()
+    want = {
+        r.doc_id: r.dsir_bits for r in dsir_weights(docs, dist).collect()
+    }
+    lam = collect_lambda_table(dist)
+    assert len(lam) == 128
+    got = {
+        r.doc_id: r.dsir_bits
+        for r in dsir_score_rowwise(docs, lam).collect()
+    }
+    dist.unpersist()
+    assert got == want
+    assert any(v != 0 for v in got.values())

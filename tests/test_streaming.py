@@ -662,3 +662,64 @@ def test_curate_stream_with_segment_strip_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM t_curstrip").collect()
     }
     assert got == batch
+
+
+def test_curate_stream_with_dsir_matches_batch(spark, tmp_path):
+    """The DSIR selection stage is a literal-array row-local fold, so
+    it must run identically on the append-mode stream and on a batch
+    frame of the same rows — and actually drop off-target documents."""
+    from wikihadoop_spark.operators.dsir import (
+        bucket_distributions,
+        collect_lambda_table,
+    )
+    from wikihadoop_spark.streaming.curate_stream import curate_stream
+
+    docs = load_table(spark, SF, "documents")
+    # fit batch-side: English as the target distribution
+    dist = bucket_distributions(docs, F.col("lang") == "en").persist()
+    lam = collect_lambda_table(dist)
+    dist.unpersist()
+
+    # threshold at the batch-side median score: selection must be
+    # genuine (whole-bit lambdas sit mostly at -1/0 here, so absolute
+    # thresholds like 0 are degenerate on this fixture)
+    from wikihadoop_spark.operators.dsir import dsir_score_rowwise
+
+    vals = sorted(
+        r.dsir_bits for r in dsir_score_rowwise(docs, lam).collect()
+    )
+    thr = vals[len(vals) // 2]
+    kwargs = dict(
+        quality_threshold=-(10**9), dsir_lambda=lam, dsir_min_bits=thr
+    )
+    batch = {
+        (r.doc_id, r.n_tokens)
+        for r in curate_stream(docs, **kwargs)
+        .select("doc_id", "n_tokens")
+        .collect()
+    }
+    n_docs = docs.count()
+    assert 0 < len(batch) < n_docs  # the threshold genuinely selects
+
+    src = str(tmp_path / "arriving")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        curate_stream(stream, **kwargs)
+        .select("doc_id", "n_tokens")
+        .writeStream.format("memory")
+        .queryName("t_dsirstream")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.doc_id, r.n_tokens)
+        for r in spark.sql("SELECT * FROM t_dsirstream").collect()
+    }
+    assert got == batch

@@ -151,6 +151,33 @@ SHOWCASE = [
         " materialize=False.",
     ),
     (
+        "dsir_weights",
+        "DSIR importance weighting: the 128-row lambda table and the"
+        " one-row bitlen totals ride `BroadcastHashJoin`/broadcast"
+        " nested-loop builds onto the row-locally exploded features — the"
+        " corpus never shuffles to meet the model; one conditional"
+        " aggregate fits target AND raw distributions in a single pass"
+        " (`partial_count` map-side combine), one per-doc aggregate folds"
+        " the weight, and the id-only spine restores feature-free docs.",
+    ),
+    (
+        "sketch_count_min",
+        "Count-min sketch vs exact: the sketch build is ONE"
+        " map-side-combined aggregate whose output is bounded at"
+        " depth*width cells regardless of vocabulary; the probe side"
+        " broadcasts the sketch (`BroadcastHashJoin`) and min-folds per"
+        " token — no window, no cartesian, the corpus never shuffles for"
+        " the sketch.",
+    ),
+    (
+        "corpus_delta",
+        "Incremental snapshot delta: normalized fingerprints are"
+        " row-local `md5(regexp_replace(...))` inside both scan"
+        " projections; classification is ONE full-outer id equi-join"
+        " plus a row-local CASE, with the unchanged majority filtered"
+        " above the join — never materialized.",
+    ),
+    (
         "corpus_report_card",
         "Corpus data card (exact slice): per-doc metrics are row-local in"
         " the scan projection; ONE rollup aggregate computes every source"

@@ -189,3 +189,64 @@ def dsir_weights(
             "dsir_bits"
         ),
     )
+
+
+def collect_lambda_table(
+    distributions: DataFrame, *, n_buckets: int = 128
+) -> list[int]:
+    """Fold a fitted ``(bucket, target_count, raw_count)`` frame into
+    the driver-held per-bucket lambda list (length ``n_buckets``) —
+    the same whole-bit ratio :func:`dsir_weights` computes in-plan,
+    evaluated once in Python ints (``int.bit_length`` ==
+    ``length(bin(n))`` for positive n).  Bounded state: B integers.
+    This is the batch-fitted index the STATELESS scoring path probes —
+    the SegmentBloom / exact-segment-list pattern."""
+    rows = distributions.select(
+        "bucket", "target_count", "raw_count"
+    ).collect()
+    t = {r["bucket"]: int(r["target_count"]) for r in rows}
+    r_ = {r["bucket"]: int(r["raw_count"]) for r in rows}
+    tt = (sum(t.values()) + n_buckets).bit_length()
+    rt = (sum(r_.values()) + n_buckets).bit_length()
+    return [
+        (t.get(b, 0) + 1).bit_length()
+        - tt
+        - (r_.get(b, 0) + 1).bit_length()
+        + rt
+        for b in range(n_buckets)
+    ]
+
+
+def dsir_score_rowwise(
+    docs: DataFrame,
+    lam: list[int],
+    *,
+    text_col: str = "text",
+    out_col: str = "dsir_bits",
+    use_bigrams: bool = True,
+) -> DataFrame:
+    """Append the DSIR weight as a ROW-LOCAL fold over the feature
+    array against the literal lambda table — no explode, no aggregate,
+    no join, so it runs identically on a STREAM (append mode, zero
+    state) and adds zero shuffles to a batch chain.  Agrees bit-for-bit
+    with :func:`dsir_weights`'s ``dsir_bits`` when ``lam`` came from
+    :func:`collect_lambda_table` over the same distributions
+    (equivalence pinned in tests).  Feature-free / NULL-text docs
+    score 0."""
+    n_buckets = len(lam)
+    if n_buckets < 2:
+        raise ValueError(f"lambda table too short ({n_buckets})")
+    if out_col in docs.columns:
+        raise ValueError(f"output column {out_col!r} already exists")
+    lam_arr = F.array(*[F.lit(int(v)) for v in lam])
+    feats = ngram_bucket_features(
+        F.col(text_col), n_buckets=n_buckets, use_bigrams=use_bigrams
+    )
+    return docs.withColumn(
+        out_col,
+        F.aggregate(
+            feats,
+            F.lit(0).cast("bigint"),
+            lambda acc, b: acc + F.element_at(lam_arr, b + 1),
+        ),
+    )

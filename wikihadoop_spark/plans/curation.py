@@ -134,6 +134,8 @@ def curate_corpus(
     strip_boilerplate: bool = False,
     boilerplate_min_df: int = 2,
     boilerplate_split: str = "\n",
+    dsir_lambda: list[int] | None = None,
+    dsir_min_bits: int = 0,
     chunk_tokens: int | None = None,
     chunk_stride: int | None = None,
     shuffle_seed: int | None = None,
@@ -168,6 +170,16 @@ def curate_corpus(
     (`operators/chunking.py`; ``chunk_stride`` defaults to disjoint)
     as the final pre-packing stage — shards then pack chunks in
     (id, chunk_idx) order via the packing tiebreak.
+
+    ``dsir_lambda`` (optional): the driver-held per-bucket DSIR
+    lambda table (`operators/dsir.py::collect_lambda_table`, fitted
+    once as a batch job over a target/raw split) — documents whose
+    row-local whole-bit importance weight falls below
+    ``dsir_min_bits`` are dropped right after the quality gate, so
+    every expensive downstream stage sees target-like text only; the
+    ``dsir`` counter records survivors.  Zero shuffles (a literal-array
+    fold), and the identical stage runs statelessly on the streaming
+    chain.
 
     ``shuffle_seed`` (optional, needs ``shard_budget``): pack in
     deterministic pseudo-random order instead of id order — the
@@ -291,6 +303,8 @@ def curate_corpus(
             strip_boilerplate=strip_boilerplate,
             boilerplate_min_df=boilerplate_min_df,
             boilerplate_split=boilerplate_split,
+            dsir_lambda=dsir_lambda,
+            dsir_min_bits=dsir_min_bits,
             chunk_tokens=chunk_tokens,
             chunk_stride=chunk_stride,
             shuffle_seed=shuffle_seed,
@@ -329,6 +343,8 @@ def _curate_corpus_impl(
     strip_boilerplate: bool = False,
     boilerplate_min_df: int = 2,
     boilerplate_split: str = "\n",
+    dsir_lambda: list[int] | None = None,
+    dsir_min_bits: int = 0,
 ) -> CurationResult:
     obs: dict[str, Observation] = {}
     cur = _observed(docs, "input", obs)
@@ -361,6 +377,25 @@ def _curate_corpus_impl(
         "quality",
         obs,
     )
+
+    # 1.5 DSIR target-likeness selection (optional): a row-local fold
+    # against the driver-held lambda table (fitted once as a batch job
+    # — operators/dsir.py::collect_lambda_table), zero shuffles, the
+    # same stage the streaming chain runs statelessly.  Early, so every
+    # expensive stage downstream (signatures, CC, packing) only sees
+    # target-like documents.
+    if dsir_lambda is not None:
+        from ..operators.dsir import dsir_score_rowwise
+
+        cur = _observed(
+            dsir_score_rowwise(
+                cur, dsir_lambda, text_col=text_col, out_col="__dsir"
+            )
+            .filter(F.col("__dsir") >= dsir_min_bits)
+            .drop("__dsir"),
+            "dsir",
+            obs,
+        )
 
     # 2. exact dedup: deterministic min-id keeper per fingerprint
     fp = cur.withColumn("__fp", content_fingerprint(F.col(text_col)))

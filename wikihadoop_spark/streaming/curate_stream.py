@@ -43,6 +43,8 @@ def curate_stream(
     bloom: NgramBloom | None = None,
     strip_index=None,
     strip_split: str = "\n",
+    dsir_lambda: list[int] | None = None,
+    dsir_min_bits: int = 0,
     text_col: str = "text",
     id_col: str = "doc_id",
     chunk_tokens: int | None = None,
@@ -67,7 +69,10 @@ def curate_stream(
     (row-local, stateless), so quality scores, decontamination
     shingles, and token counts all see boilerplate-free text; like the
     Bloom filter, building the index is a batch job over the existing
-    corpus."""
+    corpus.  ``dsir_lambda`` (optional): the driver-held DSIR lambda
+    table (`operators/dsir.py::collect_lambda_table`, fitted batch-side)
+    — arriving documents scoring below ``dsir_min_bits`` are dropped by
+    the same row-local fold the batch chain runs (stage 1.5)."""
     out = docs
     if strip_index is not None:
         from ..operators.segdedup import strip_frequent_segments
@@ -78,6 +83,18 @@ def curate_stream(
     out = out.withColumn("quality", quality_score(F.col(text_col))).filter(
         F.col("quality") > quality_threshold
     )
+    if dsir_lambda is not None:
+        from ..operators.dsir import dsir_score_rowwise
+
+        # the batch chain's stage 1.5, verbatim: a literal-array fold —
+        # row-local, zero state, so it streams in append mode
+        out = (
+            dsir_score_rowwise(
+                out, dsir_lambda, text_col=text_col, out_col="__dsir"
+            )
+            .filter(F.col("__dsir") >= dsir_min_bits)
+            .drop("__dsir")
+        )
     if bloom is not None:
         out = decontaminate_ngram_bloom(out, bloom, text_col=text_col)
     if chunk_tokens is not None:
