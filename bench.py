@@ -174,6 +174,8 @@ _PIPELINE_EXTRAS = (
     "pack_token_budget",
     # round 9: C4-style segment-frequency (line) dedup
     "dedup_line_frequency",
+    # round 9: DSIR importance weighting (model fit + scoring pass)
+    "dsir_weights",
 )
 
 
@@ -251,6 +253,10 @@ _SF1_SPOT_QUERIES = (
     # aggregate + join + reassembly chain; its 10x ratio shows the
     # dup-table aggregate and the rewrite join scaling together
     "dedup_line_frequency",
+    # round 9: DSIR weighting — one conditional model aggregate + the
+    # broadcast lambda join over the exploded features; its 10x ratio
+    # shows the model fit and the scoring pass scaling together
+    "dsir_weights",
 )
 _SF1_COPIES = 10
 _SF1_SHIFT = 100_000_000  # beyond every key range in the sf0.1 tables
