@@ -73,6 +73,7 @@ _DEMOTED_SOURCE_PINS = {
     "corpus_delta": "a31d7abc9b2dc420",
     "dsir_weights": "16d40007f648f5da",
     "sketch_count_min": "91545db655108fa4",
+    "dedup_span_exact": "c0c55bbffc491c42",
     "embedding_cosine_dedup": "fcd55f10bcff127a",
     "events_pivot": "75e80b732e4758b0",
     "events_sliding": "005b2a1c572097de",

@@ -478,6 +478,22 @@ def test_segment_dedup_plan_shape(spark):
     assert "Generate" in plan  # the one posexplode
 
 
+def test_span_dedup_plan_shape(spark):
+    """Exact-substring span dedup must stay window-free and
+    join-bounded: the duplicated-window table is a map-side-combined
+    aggregate INNER-joined back by fingerprint (unique windows never
+    travel past the partial aggregate), masking/merging/reassembly are
+    row-local higher-order expressions — never a window over positions,
+    never a cross product, no global sort."""
+    plan = plan_of(spark, "dedup_span_exact")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+    assert "partial_min" in plan or "merge_min" in plan  # map-side combine
+    assert "Generate" in plan  # the one window explode
+    # the dup filter sits on the aggregate side, before the join back
+    assert "Inner" in plan
+
+
 def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     """At 100 TB the fact table is date/source-partitioned storage, and
     a selective dim filter must prune fact PARTITIONS at runtime —

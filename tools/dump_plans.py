@@ -83,6 +83,17 @@ SHOWCASE = [
         " sort.",
     ),
     (
+        "dedup_span_exact",
+        "Exact-substring span dedup: one `Generate` explodes the"
+        " row-local positional k-gram windows, the duplicated-window"
+        " table is a map-side-combined `partial_min`/`partial_count`"
+        " aggregate filtered BEFORE an INNER join back by fingerprint"
+        " (unique windows never travel), starts aggregate per document,"
+        " and interval merge + mask + reassembly are higher-order"
+        " expressions in the final projection — no Window, no cross"
+        " product, no global sort.",
+    ),
+    (
         "decontaminate_exact",
         "Benchmark decontamination: the eval-set fingerprints build a"
         " `BroadcastHashJoin LeftAnti` — the corpus is scanned once and"

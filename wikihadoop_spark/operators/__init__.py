@@ -24,6 +24,7 @@ from .mixture import (
     mixture_thresholds_waterfill,
 )
 from .packing import pack_token_budget, write_packed_shards
+from .spandedup import duplicated_spans, exact_span_dedup
 from .components import (
     component_summary,
     connected_components,
@@ -50,4 +51,6 @@ __all__ = [
     "mixture_thresholds_waterfill",
     "pack_token_budget",
     "write_packed_shards",
+    "exact_span_dedup",
+    "duplicated_spans",
 ]

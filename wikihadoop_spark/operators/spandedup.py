@@ -1,0 +1,271 @@
+"""Exact-substring span dedup — the suffix-array dedup family of Lee
+et al. 2022 ("Deduplicating Training Data Makes Language Models
+Better", arXiv:2107.06499), re-expressed for a shared-nothing engine:
+remove from every document each duplicated TOKEN SPAN, keeping exactly
+the corpus-first occurrence, where a duplicated span is detected as a
+run of ``k``-token shingles whose fingerprints occur ``min_count``-or-
+more times corpus-wide.
+
+The reference method builds one suffix array over the concatenated
+corpus — inherently single-machine (their released impl is a Rust
+program over a memory-mapped byte array).  The distributed equivalent
+used here is POSITIONAL shingle fingerprinting: every token position
+opens a k-gram window; a window whose fingerprint repeats anywhere in
+the corpus marks its k tokens for removal (except at the one owner
+position).  Consecutive duplicated windows merge into maximal spans,
+so a 200-token boilerplate block shared by two documents is removed as
+ONE span from the non-owner — exactly the ExactSubstr semantics at
+k-token resolution (spans shorter than ``k`` tokens are invisible, the
+knob the suffix array does not need; Lee et al. use a 50-token
+threshold anyway, far above any useful ``k``).
+
+This is the third dedup axis in the engine, orthogonal to the other
+two: document-level (exact rows, MinHash/SimHash near-dup) drops whole
+documents; segment-level (``segdedup``) rewrites at line/paragraph
+boundaries; span-level rewrites at ARBITRARY token offsets — the only
+one that catches a license header pasted mid-paragraph.
+
+Plan shape (100 TB):
+
+1. tokenization and the positional k-gram fingerprints are ROW-LOCAL
+   (one ``transform`` over the token array inside the scan
+   projection), then ONE posexplode-equivalent — no window, no
+   self-join;
+2. the duplicated-window table is a partial+final hash aggregate on
+   the fingerprint (map-side combine collapses a mega-hot span to one
+   row per map task), filtered to ``count >= min_count`` BEFORE the
+   join so only genuinely repeated windows travel;
+3. an INNER fingerprint equi-join keeps only duplicated occurrences
+   (the overwhelming majority of windows are unique and never
+   shuffle past the aggregate), non-owner positions aggregate into a
+   sorted per-document start list;
+4. one left join hands each document its start list; interval
+   merging, masking, and text reassembly are all row-local
+   higher-order expressions — per-document cost is
+   O(tokens x merged_spans + starts x merged_spans), never
+   O(tokens x starts).
+
+Three shuffles total (window agg, start agg, document join), same
+budget as ``segdedup``.  Fingerprints use the portable md5-based
+``hash64`` so the DuckDB gate oracle replays every removal decision
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import hash64
+
+
+def positional_window_fps(toks: Column, k: int) -> Column:
+    """Row-local positional k-gram fingerprints for one document:
+    ``array<struct<p:int, fp:bigint>>`` with 0-based start position
+    ``p`` — one entry per token position opening a full k-window.
+    Documents shorter than ``k`` tokens yield the empty array."""
+    windows = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(k - 1)),
+        lambda i: F.struct(
+            (i - 1).cast("int").alias("p"),
+            hash64(F.concat_ws(" ", F.slice(toks, i, k))).alias("fp"),
+        ),
+    )
+    return F.when(F.size(toks) >= k, windows).otherwise(
+        F.array().cast("array<struct<p:int,fp:bigint>>")
+    )
+
+
+def merge_starts(starts: Column, k: int) -> Column:
+    """Fold a SORTED array of span starts into disjoint merged
+    intervals ``array<struct<lo:int, hi:int>>`` (token index range
+    [lo, hi), 0-based): a start ``s`` extends the last interval when
+    ``s <= hi`` (its window overlaps or abuts it), else opens a new
+    one.  Because starts ascend, the running ``hi`` is always
+    ``last_start + k``, so the fold rebuilds only the tail struct —
+    O(starts x intervals) worst case, O(starts) when spans are few."""
+    empty = F.array().cast("array<struct<lo:int,hi:int>>")
+    return F.aggregate(
+        starts,
+        empty,
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (s <= F.element_at(acc, -1)["hi"]),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["lo"].alias("lo"),
+                        (s + k).cast("int").alias("hi"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(s.cast("int").alias("lo"), (s + k).cast("int").alias("hi"))
+                ),
+            )
+        ),
+    )
+
+
+def exact_span_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_count: int = 2,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Rewrite each document with corpus-duplicated token spans removed.
+
+    Tokens are the space-split words of ``text_col`` (the lossless
+    segmentation ``segdedup``'s token-window mode uses — reassembly
+    joins with one space).  A token is removed when it lies inside the
+    k-window of a duplicated fingerprint occurrence that is not the
+    corpus-first one — minimum ``(id_col, position)`` owns each
+    fingerprint, so exactly one copy of every duplicated span
+    survives, deterministic on any cluster.  A phrase repeated inside
+    a single document collapses the same way (the run of identical
+    windows keeps only the owner position).
+
+    Returns one row per input document: ``(id_col, *keep_cols,
+    n_tokens, n_removed, n_spans, text_col)`` — ``n_spans`` counts the
+    merged removal intervals, ``text_col`` is reassembled from the
+    kept tokens in order.  Documents shorter than ``k`` tokens pass
+    through untouched; a NULL-text document survives as
+    ``(id, 0, 0, 0, "")``.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2 (got {k}); k=1 is token dedup")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2 (got {min_count})")
+    internal = {"__xs_id", "__xs_toks", "__xs_w", "__xs_p", "__xs_fp",
+                "__xs_cnt", "__xs_first", "__xs_starts", "__xs_iv",
+                "n_tokens", "n_removed", "n_spans"}
+    clash = internal & set([id_col, text_col, *keep_cols])
+    if clash:
+        raise ValueError(
+            f"columns collide with span-dedup working names: {sorted(clash)}"
+        )
+    toks = F.when(
+        F.col(text_col).isNull(), F.array().cast("array<string>")
+    ).otherwise(F.split(F.col(text_col), " "))
+    base = df.select(
+        F.col(id_col).alias("__xs_id"), *keep_cols, toks.alias("__xs_toks")
+    )
+    occ = base.select(
+        "__xs_id",
+        F.explode(positional_window_fps(F.col("__xs_toks"), k)).alias("__xs_w"),
+    ).select(
+        "__xs_id",
+        F.col("__xs_w.p").alias("__xs_p"),
+        F.col("__xs_w.fp").alias("__xs_fp"),
+    )
+    # duplicated-window table: total occurrence count (a span repeated
+    # inside ONE document still dedups — the ExactSubstr rule, unlike
+    # segdedup's distinct-document df) + the owning first occurrence,
+    # filtered BEFORE the join so unique windows never travel
+    dups = (
+        occ.groupBy("__xs_fp")
+        .agg(
+            F.count(F.lit(1)).alias("__xs_cnt"),
+            F.min(
+                F.struct(
+                    F.col("__xs_id").alias("i"), F.col("__xs_p").alias("x")
+                )
+            ).alias("__xs_first"),
+        )
+        .filter(F.col("__xs_cnt") >= min_count)
+    )
+    starts = (
+        occ.join(dups, "__xs_fp")
+        .filter(
+            ~(
+                (F.col("__xs_first.i") == F.col("__xs_id"))
+                & (F.col("__xs_first.x") == F.col("__xs_p"))
+            )
+        )
+        .groupBy("__xs_id")
+        .agg(F.array_sort(F.collect_list("__xs_p")).alias("__xs_starts"))
+    )
+    iv = merge_starts(F.coalesce(F.col("__xs_starts"), F.array()), k)
+    kept = F.filter(
+        F.col("__xs_toks"),
+        lambda t, j: ~F.exists(
+            F.col("__xs_iv"), lambda v: (j >= v["lo"]) & (j < v["hi"])
+        ),
+    )
+    return (
+        base.join(starts, "__xs_id", "left")
+        .withColumn("__xs_iv", iv)
+        .select(
+            F.col("__xs_id").alias(id_col),
+            *keep_cols,
+            F.size("__xs_toks").cast("long").alias("n_tokens"),
+            (F.size("__xs_toks") - F.size(kept)).cast("long").alias("n_removed"),
+            F.size("__xs_iv").cast("long").alias("n_spans"),
+            F.array_join(kept, " ").alias(text_col),
+        )
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """The audit view: one row per NON-OWNER duplicated-span occurrence
+    BEFORE interval merging — ``(id_col, position, fp, n_occurrences,
+    owner_id, owner_position)``.  What a pipeline inspects to size
+    ``k``/``min_count`` (and what a contamination review reads) without
+    rewriting anything."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2 (got {k})")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2 (got {min_count})")
+    toks = F.when(
+        F.col(text_col).isNull(), F.array().cast("array<string>")
+    ).otherwise(F.split(F.col(text_col), " "))
+    occ = df.select(
+        F.col(id_col).alias("__xs_id"),
+        F.explode(positional_window_fps(toks, k)).alias("__xs_w"),
+    ).select(
+        "__xs_id",
+        F.col("__xs_w.p").alias("__xs_p"),
+        F.col("__xs_w.fp").alias("__xs_fp"),
+    )
+    dups = (
+        occ.groupBy("__xs_fp")
+        .agg(
+            F.count(F.lit(1)).alias("__xs_cnt"),
+            F.min(
+                F.struct(
+                    F.col("__xs_id").alias("i"), F.col("__xs_p").alias("x")
+                )
+            ).alias("__xs_first"),
+        )
+        .filter(F.col("__xs_cnt") >= min_count)
+    )
+    return (
+        occ.join(dups, "__xs_fp")
+        .filter(
+            ~(
+                (F.col("__xs_first.i") == F.col("__xs_id"))
+                & (F.col("__xs_first.x") == F.col("__xs_p"))
+            )
+        )
+        .select(
+            F.col("__xs_id").alias(id_col),
+            F.col("__xs_p").alias("position"),
+            F.col("__xs_fp").alias("fp"),
+            F.col("__xs_cnt").alias("n_occurrences"),
+            F.col("__xs_first.i").alias("owner_id"),
+            F.col("__xs_first.x").alias("owner_position"),
+        )
+    )

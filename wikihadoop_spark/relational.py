@@ -1600,6 +1600,102 @@ def dedup_line_frequency(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "dedup_span_exact",
+    # the oracle replays tokenization, positional 5-gram windows,
+    # ownership, the exists-over-starts mask (the union the Spark side
+    # computes via merged intervals), and reassembly token-for-token;
+    # n_spans counts interval heads (i=1 or a gap > k past the
+    # previous start — the previous interval's hi is always
+    # prev_start + k)
+    oracle="""
+    WITH built AS (
+      SELECT doc_id,
+             concat_ws(' ',
+               array_to_string(t[1:5], ' '),
+               'this license header is shared by every document verbatim',
+               array_to_string(t[6:len(t)], ' ')) AS text
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    ), toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM built
+    ), occ AS (
+      SELECT doc_id, p, fp FROM (
+        SELECT doc_id,
+               unnest([{'p': i - 1,
+                        'fp': ('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 15))::BIGINT}
+                       FOR i IN range(1, greatest(len(t) - 3, 1))],
+                      recursive := true)
+        FROM toks
+      )
+    ), freq AS (
+      SELECT fp, COUNT(*) AS cnt, MIN(doc_id) AS o_id
+      FROM occ GROUP BY fp HAVING COUNT(*) >= 2
+    ), firsts AS (
+      SELECT o.fp, f.o_id, MIN(o.p) AS o_p
+      FROM occ o JOIN freq f ON o.fp = f.fp AND o.doc_id = f.o_id
+      GROUP BY o.fp, f.o_id
+    ), starts AS (
+      SELECT o.doc_id, list_sort(list(o.p)) AS st
+      FROM occ o JOIN firsts x ON o.fp = x.fp
+      WHERE NOT (o.doc_id = x.o_id AND o.p = x.o_p)
+      GROUP BY o.doc_id
+    ), masked AS (
+      SELECT t.doc_id, t.t, COALESCE(s.st, []) AS st
+      FROM toks t LEFT JOIN starts s USING (doc_id)
+    ), reassembled AS (
+      SELECT doc_id, t, st,
+             [t[j] FOR j IN range(1, len(t) + 1)
+                IF len([x FOR x IN st IF x <= j - 1 AND j - 1 < x + 5]) = 0]
+               AS kept,
+             len([i FOR i IN range(1, len(st) + 1)
+                IF i = 1 OR st[i] > st[i-1] + 5]) AS n_spans
+      FROM masked
+    )
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(t) - len(kept) AS BIGINT) AS n_removed,
+           CAST(n_spans AS BIGINT) AS n_spans,
+           -- array_to_string([]) is NULL in DuckDB; Spark's
+           -- array_join([]) is '' — coalesce the fully-removed docs
+           COALESCE(array_to_string(kept, ' '), '') AS text
+    FROM reassembled
+    """,
+)
+def dedup_span_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-substring span dedup (operators/spandedup.py) — the Lee
+    et al. 2022 suffix-array dedup family at k-token resolution:
+    every token span whose 5-gram windows repeat corpus-wide is
+    removed at arbitrary token offsets, keeping exactly the
+    corpus-first occurrence (min (doc_id, position) owns each window).
+    The third dedup axis: document-level dedup drops whole documents,
+    segdedup rewrites at line boundaries, this rewrites mid-sentence —
+    the only one that catches a license header pasted into running
+    prose.  The gate corpus splices a 9-token header between each
+    document's first five tokens and its remainder, so the non-owner
+    rewrite, run-collapse inside documents, and untouched owner are
+    all hash-verified.  NEW in round 9 with the gate window full:
+    local DuckDB parity at 3 SFs now, a round-10 gate slot next.
+    Plan: row-local positional windows -> one explode -> partial+final
+    fingerprint aggregate filtered BEFORE the join -> inner equi-join
+    (unique windows never travel) -> per-doc sorted start list ->
+    row-local interval merge + mask + reassembly."""
+    from .operators.spandedup import exact_span_dedup
+
+    toks = F.split(F.col("text"), " ")
+    built = Tables(spark, sf).documents.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.array_join(F.slice(toks, 1, 5), " "),
+            F.lit("this license header is shared by every document verbatim"),
+            F.array_join(F.slice(toks, 6, F.size(toks)), " "),
+        ).alias("text"),
+    )
+    return exact_span_dedup(
+        built, id_col="doc_id", text_col="text", k=5, min_count=2
+    )
+
+
+@query(
     "text_lm_surprisal",
     oracle="""
     WITH toks AS (
