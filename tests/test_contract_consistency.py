@@ -74,6 +74,7 @@ _DEMOTED_SOURCE_PINS = {
     "dsir_weights": "16d40007f648f5da",
     "sketch_count_min": "91545db655108fa4",
     "dedup_span_exact": "c0c55bbffc491c42",
+    "semantic_dedup": "f8d4e9e44c5d3800",
     "embedding_cosine_dedup": "fcd55f10bcff127a",
     "events_pivot": "75e80b732e4758b0",
     "events_sliding": "005b2a1c572097de",

@@ -86,3 +86,43 @@ def test_ivf_build_clamps_k_to_corpus_size(spark):
     empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
     with pytest.raises(ValueError, match="empty corpus"):
         ivf_build(empty, k=4)
+
+
+def test_semantic_dedup_composition_keeper_semantics(spark):
+    """SemDeDup composition on crafted vectors: two near-identical
+    embeddings collapse to one keeper (min id), an orthogonal vector
+    stays its own singleton component — the pair stage, the closure,
+    and the keeper flag working together on known geometry."""
+    from pyspark.sql import functions as F
+
+    from wikihadoop_spark.operators.components import (
+        component_summary,
+        connected_components,
+    )
+    from wikihadoop_spark.operators.dedup import capped_block_pairs
+    from wikihadoop_spark.operators.similarity import cosine
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0]),      # orthogonal
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, e array<double>")
+    # one shared block: at 3 vectors blocking is irrelevant, the test
+    # pins the threshold + closure + keeper semantics
+    v = emb.withColumn("bkt", F.lit(0))
+    pairs = (
+        capped_block_pairs(
+            v, block_cols=["bkt"], id_col="vec_id", payload_cols=["e"], cap=10
+        )
+        .withColumn("cosine_sim", cosine(F.col("e_a"), F.col("e_b")))
+        .filter(F.col("cosine_sim") >= 0.35)
+        .select("id_a", "id_b")
+    )
+    cc = connected_components(emb.select("vec_id"), pairs, id_col="vec_id")
+    out = {
+        r["vec_id"]: r for r in component_summary(cc, id_col="vec_id").collect()
+    }
+    assert out[1]["is_keeper"] and out[1]["n_members"] == 2
+    assert not out[2]["is_keeper"] and out[2]["component"] == 1
+    assert out[3]["is_keeper"] and out[3]["n_members"] == 1

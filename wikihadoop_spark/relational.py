@@ -3662,6 +3662,70 @@ def embedding_cosine_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "semantic_dedup",
+    # the pair CTEs replay embedding_cosine_dedup's oracle verbatim
+    # (that query is demotion-pinned, so its SQL cannot be factored
+    # into a shared helper without forcing a re-gate); the recursive
+    # reachability closure then mirrors dedup_clusters' oracle over
+    # vec_id
+    oracle=f"""
+    WITH RECURSIVE v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), vb AS (
+      SELECT vec_id, e, {_lsh_bucket_sql('e')} AS bkt FROM v
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY bkt ORDER BY vec_id) AS rn FROM vb
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM r a JOIN r b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+      WHERE a.rn <= 1000 AND b.rn <= 1000
+        AND round(list_dot_product(a.e, b.e)
+              / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 9) >= 0.35
+    ), ed AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach(node, lbl) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT ed.d, reach.lbl FROM reach JOIN ed ON ed.s = reach.node
+    ), cc AS (
+      SELECT node AS vec_id, MIN(lbl) AS component FROM reach GROUP BY node
+    )
+    SELECT vec_id, component,
+           CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS n_members,
+           vec_id = component AS is_keeper
+    FROM cc
+    """,
+)
+def semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) resolution: the
+    embedding-space twin of ``dedup_clusters`` — semantic near-dup
+    PAIRS (hyperplane-LSH-bucketed cosine >= 0.35, the gated
+    ``embedding_cosine_dedup`` stage) resolve through connected
+    components into per-vector cluster id, size, and keeper flag, so
+    paraphrased duplicates that share no shingles (invisible to
+    MinHash/SimHash) still collapse to one representative.  SemDeDup's
+    k-means coarse stage is replaced by the deterministic hyperplane
+    buckets the ANN path already uses — same recall/cost trade, but
+    engine-portable so the oracle replays bucketing, cosine, and the
+    reachability closure exactly.  NEW in round 9 with the gate window
+    full: local DuckDB parity at 3 SFs now, a round-10 gate slot next.
+    Plan: the pair stage is bucket-equi-join bounded (cap 1000), the
+    closure touches edge-touched nodes only (operators/components.py),
+    and member counts are a hash-aggregate joined back — never a count
+    window over a mega-component."""
+    from .operators.components import component_summary, connected_components
+
+    t = Tables(spark, sf)
+    pairs = embedding_cosine_dedup(spark, sf).select("id_a", "id_b")
+    cc = connected_components(
+        t.embeddings.select("vec_id"), pairs, id_col="vec_id"
+    )
+    return component_summary(cc, id_col="vec_id")
+
+
+@query(
     "scalar_subquery",
     oracle="""
     SELECT c_custkey, c_name, c_acctbal
