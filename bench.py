@@ -176,6 +176,15 @@ _PIPELINE_EXTRAS = (
     "dedup_line_frequency",
     # round 9: DSIR importance weighting (model fit + scoring pass)
     "dsir_weights",
+    # round 9: exact-substring span dedup (positional window explode +
+    # dup aggregate + rewrite) and SemDeDup resolution (capped
+    # embedding pairs + iterative components).  semantic_dedup must
+    # NOT join the sf1 spot: the 10x replica copies embeddings
+    # verbatim (only vec_id shifts), so identical vectors pair across
+    # copies and the pair count grows quadratically in the replication
+    # factor — a data artifact, not engine scaling.
+    "dedup_span_exact",
+    "semantic_dedup",
 )
 
 
@@ -257,6 +266,11 @@ _SF1_SPOT_QUERIES = (
     # broadcast lambda join over the exploded features; its 10x ratio
     # shows the model fit and the scoring pass scaling together
     "dsir_weights",
+    # round 9: exact-substring span dedup — its 10x ratio shows the
+    # positional-window explode, the dup aggregate, and the rewrite
+    # join scaling together (the injected header's fingerprints go
+    # 10x hotter, exercising the map-side combine)
+    "dedup_span_exact",
 )
 _SF1_COPIES = 10
 _SF1_SHIFT = 100_000_000  # beyond every key range in the sf0.1 tables

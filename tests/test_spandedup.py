@@ -152,3 +152,49 @@ def test_audit_view_matches_rewrite(spark):
         for r in exact_span_dedup(df, k=3, min_count=2).collect()
     }[2]
     assert row["n_removed"] == len(covered)
+
+
+def test_strip_duplicated_spans_matches_batch_dedup_for_new_docs(spark):
+    """The stateless strip against a frequent-window index removes the
+    same spans exact_span_dedup would remove from a NON-OWNER document
+    (the batch corpus owns every first occurrence), and an empty index
+    strips nothing."""
+    from wikihadoop_spark.operators.spandedup import (
+        collect_window_fps,
+        frequent_windows,
+        strip_duplicated_spans,
+    )
+
+    corpus = _docs(
+        spark,
+        [
+            (1, "alpha beta SHARED SPAN OF SIX TOKENS tail one"),
+            (2, "gamma delta SHARED SPAN OF SIX TOKENS tail two"),
+        ],
+    )
+    freq = frequent_windows(corpus, k=3, min_count=2)
+    fps = collect_window_fps(freq)
+    assert fps
+    arriving = _docs(spark, [(9, "prefix SHARED SPAN OF SIX TOKENS suffix")])
+    row = strip_duplicated_spans(arriving, fps, k=3).collect()[0]
+    assert "SHARED" not in row["text"]
+    assert row["text"].startswith("prefix")
+    assert row["n_spans"] == 1 and row["n_removed"] > 0
+    # arriving doc keeps NO copy: stricter than the batch owner rule
+    untouched = strip_duplicated_spans(arriving, [], k=3).collect()[0]
+    assert untouched["n_removed"] == 0
+    assert untouched["text"] == "prefix SHARED SPAN OF SIX TOKENS suffix"
+
+
+def test_strip_duplicated_spans_exact_cap_and_validation(spark):
+    import wikihadoop_spark.operators.spandedup as sd
+
+    arriving = _docs(spark, [(1, "x y z")])
+    with pytest.raises(ValueError, match="MAX_EXACT_WINDOWS"):
+        sd.strip_duplicated_spans(
+            arriving, list(range(sd.MAX_EXACT_WINDOWS + 1)), k=2
+        )
+    with pytest.raises(ValueError, match="k must be >= 2"):
+        sd.strip_duplicated_spans(arriving, [], k=1)
+    with pytest.raises(ValueError, match="min_count must be >= 2"):
+        sd.frequent_windows(arriving, min_count=0)

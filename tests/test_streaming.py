@@ -723,3 +723,84 @@ def test_curate_stream_with_dsir_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM t_dsirstream").collect()
     }
     assert got == batch
+
+
+def test_strip_duplicated_spans_stream_matches_batch(spark, tmp_path):
+    """The streaming half of exact-substring span dedup: arriving docs
+    strip duplicated spans against a static frequent-window index with
+    NO state (append mode), and the streamed rows equal the batch
+    application exactly — for both the exact fingerprint index and the
+    Bloom over the window strings (which may only ever OVER-strip)."""
+    from wikihadoop_spark.operators.segdedup import build_segment_bloom
+    from wikihadoop_spark.operators.spandedup import (
+        collect_window_fps,
+        frequent_windows,
+        strip_duplicated_spans,
+    )
+
+    corpus = load_table(spark, SF, "documents")
+    header = "this license header is shared by every document verbatim"
+    toks = F.split(F.col("text"), " ")
+    built = corpus.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.array_join(F.slice(toks, 1, 5), " "),
+            F.lit(header),
+            F.array_join(F.slice(toks, 6, F.size(toks)), " "),
+        ).alias("text"),
+    )
+    freq = frequent_windows(built, k=5, min_count=2)
+    fps = collect_window_fps(freq)
+    assert fps
+
+    batch = {
+        (r.doc_id, r.n_removed, r.text)
+        for r in strip_duplicated_spans(built, fps, k=5).collect()
+    }
+    assert batch and all(header not in t for _, _, t in batch)
+
+    src = str(tmp_path / "arriving_docs_span")
+    built.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(built.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        strip_duplicated_spans(stream, fps, k=5)
+        .writeStream.format("memory")
+        .queryName("t_spanstrip")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.doc_id, r.n_removed, r.text)
+        for r in spark.sql("SELECT * FROM t_spanstrip").collect()
+    }
+    assert got == batch
+
+    # Bloom over the window strings on the same stream: no false
+    # negatives (every indexed span stripped); extras over-strip only
+    bloom = build_segment_bloom(freq, segment_col="window")
+    qb = (
+        strip_duplicated_spans(stream, bloom, k=5)
+        .writeStream.format("memory")
+        .queryName("t_spanstrip_bloom")
+        .outputMode("append")
+        .start()
+    )
+    qb.processAllAvailable()
+    qb.stop()
+    bloomed = {
+        r.doc_id: (r.n_removed, r.text)
+        for r in spark.sql("SELECT * FROM t_spanstrip_bloom").collect()
+    }
+    exact = {d: (n, t) for d, n, t in batch}
+    assert set(bloomed) == set(exact)
+    for d, (n, t) in exact.items():
+        nb, tb = bloomed[d]
+        assert nb >= n, d  # over-strip only
+        assert header not in tb, d

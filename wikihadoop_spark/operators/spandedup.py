@@ -212,6 +212,140 @@ def exact_span_dedup(
     )
 
 
+def frequent_windows(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    k: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """The duplicated k-gram window table as STRINGS: one row per
+    window occurring ``min_count``-or-more times corpus-wide —
+    ``(window, n_occurrences)``.  The static index the streaming strip
+    probes: build it as a batch job over the existing (already
+    span-deduped) corpus, then arriving documents strip against it
+    statelessly.  Same two-level plan as :func:`exact_span_dedup`'s
+    dup table (map-side combine collapses hot windows per task)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2 (got {k})")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2 (got {min_count})")
+    toks = F.when(
+        F.col(text_col).isNull(), F.array().cast("array<string>")
+    ).otherwise(F.split(F.col(text_col), " "))
+    windows = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.explode(windows).alias("window"))
+        .groupBy("window")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= min_count)
+    )
+
+
+#: exact-index strip guard: past this many window fingerprints the
+#: per-position linear bigint scan dominates — Bloom-pack instead
+#: (higher than segdedup's string cap: a fingerprint compare is one
+#: long-vs-long, not a string equality)
+MAX_EXACT_WINDOWS = 100_000
+
+
+def collect_window_fps(frequent: DataFrame, *, window_col: str = "window") -> list[int]:
+    """Fold a :func:`frequent_windows` table into the driver-held
+    fingerprint list the exact strip probes — hash64 computed in-plan
+    (one projection), only the bigints collected.  Bounded state: one
+    long per duplicated window."""
+    rows = frequent.select(
+        hash64(F.col(window_col)).alias("fp")
+    ).collect()
+    return [r["fp"] for r in rows]
+
+
+def strip_duplicated_spans(
+    docs: DataFrame,
+    index,
+    *,
+    text_col: str = "text",
+    k: int = 5,
+    joiner: str = " ",
+) -> DataFrame:
+    """Strip every indexed duplicated span from each document —
+    STATELESS, so it runs identically on a stream (append mode, no
+    aggregation, no state): the streaming half of exact-substring span
+    dedup.  The batch corpus owns the canonical first occurrence (it
+    was deduped with :func:`exact_span_dedup`); arriving documents
+    keep NO copy of an indexed span.
+
+    ``index``: the collected window fingerprints (``list[int]`` from
+    :func:`collect_window_fps`, exact, capped at
+    ``MAX_EXACT_WINDOWS``), or a ``segdedup.SegmentBloom`` built over
+    the window STRINGS (``build_segment_bloom(frequent_windows(...),
+    segment_col="window")``) — Bloom false positives OVER-strip only.
+    Window probing, interval merging, masking, and reassembly are all
+    row-local expressions; the Bloom variant's only plan addition is
+    the broadcast cross join of the single word-array row.
+
+    Appends ``n_tokens`` / ``n_removed`` / ``n_spans`` and rewrites
+    ``text_col``.
+    """
+    from .segdedup import SegmentBloom
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2 (got {k})")
+    toks = F.when(
+        F.col(text_col).isNull(), F.array().cast("array<string>")
+    ).otherwise(F.split(F.col(text_col), " "))
+    pos = F.when(
+        F.size(toks) >= k, F.sequence(F.lit(0), F.size(toks) - F.lit(k))
+    ).otherwise(F.array().cast("array<int>"))
+    window_at = lambda p: F.concat_ws(" ", F.slice(toks, p + 1, k))  # noqa: E731
+    out_cols = [c for c in docs.columns if c != text_col]
+
+    if isinstance(index, SegmentBloom):
+        from .decontam import might_contain
+
+        bf = docs.sparkSession.createDataFrame(
+            [(list(index.words),)], "__bloom array<bigint>"
+        )
+        docs = docs.crossJoin(F.broadcast(bf))
+        starts = F.filter(
+            pos, lambda p: might_contain(window_at(p), F.col("__bloom"), index)
+        )
+    else:
+        index = [int(x) for x in index]
+        if len(index) > MAX_EXACT_WINDOWS:
+            raise ValueError(
+                f"{len(index)} index fingerprints exceeds MAX_EXACT_WINDOWS "
+                f"({MAX_EXACT_WINDOWS}): the per-position linear scan would "
+                "dominate — Bloom-pack the window strings instead "
+                "(build_segment_bloom over frequent_windows)"
+            )
+        if index:
+            lit_idx = F.array(*[F.lit(x) for x in index])
+            starts = F.filter(
+                pos, lambda p: F.array_contains(lit_idx, hash64(window_at(p)))
+            )
+        else:  # empty index: nothing to strip (array() would be void-typed)
+            starts = F.array().cast("array<int>")
+    iv = merge_starts(starts, k)
+    kept = F.filter(
+        toks,
+        lambda t, j: ~F.exists(iv, lambda v: (j >= v["lo"]) & (j < v["hi"])),
+    )
+    return docs.select(
+        *out_cols,
+        F.size(toks).cast("long").alias("n_tokens"),
+        (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
+        F.size(iv).cast("long").alias("n_spans"),
+        F.array_join(kept, joiner).alias(text_col),
+    ).drop("__bloom")
+
+
 def duplicated_spans(
     df: DataFrame,
     *,
