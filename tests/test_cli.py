@@ -192,3 +192,33 @@ def test_readme_documents_every_cli_flag():
     readme = open(os.path.join(REPO, "README.md")).read()
     missing = [f for f in flags if f"`{f}`" not in readme and f not in readme]
     assert not missing, f"flags absent from README.md: {missing}"
+
+
+def test_curate_dedup_spans_flags(tmp_path):
+    """--dedup-spans runs the span stage (counter printed); span knobs
+    without the flag are an argparse error, not a silent no-op."""
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "wikihadoop_spark", "curate",
+            "--input", f"{SF}/documents.parquet",
+            "--output", str(tmp_path / "out"),
+            "--quality-threshold", "-1000000000",
+            "--dedup-spans", "--span-k", "5",
+        ],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "span_tokens_removed:" in r.stdout
+
+    bad = subprocess.run(
+        [
+            sys.executable, "-m", "wikihadoop_spark", "curate",
+            "--input", f"{SF}/documents.parquet",
+            "--output", str(tmp_path / "out2"),
+            "--span-k", "5",
+        ],
+        capture_output=True, text=True, timeout=120, env=env, cwd=REPO,
+    )
+    assert bad.returncode != 0
+    assert "--dedup-spans" in bad.stderr

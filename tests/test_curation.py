@@ -531,3 +531,53 @@ def test_curation_dsir_stage_filters_off_target_docs(spark):
     res2.unpersist()
     assert 1 in kept2 and 100 in kept2  # near-dedup collapses the
     assert "dsir" not in res2.counts()  # identical fillers, not doc 1
+
+
+def test_curation_dedup_spans_stage(spark):
+    """With dedup_spans=True the chain removes duplicated k-token spans
+    at arbitrary offsets (keeping the corpus-first copy) BEFORE
+    near-dup signatures; the counter records removed TOKENS, the stage
+    never drops a document, and the decontamination fingerprint
+    describes the post-rewrite bytes."""
+    header = "all rights reserved by the original author"  # 7 tokens
+    rows = [
+        (1, f"alpha prose one {header} unique tail alpha", "a"),
+        (2, f"beta different words {header} other ending beta", "a"),
+        (3, "no duplicated span in this document at all", "b"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    res = curate_corpus(
+        docs, quality_threshold=-(10**9), dedup_spans=True, span_k=3
+    )
+    got = {r.doc_id: r.text for r in res.curated.collect()}
+    c = res.counts()
+    res.unpersist()
+    assert set(got) == {1, 2, 3}  # the stage never drops a document
+    assert got[1] == f"alpha prose one {header} unique tail alpha"  # owner
+    assert got[2] == "beta different words other ending beta"
+    assert got[3] == "no duplicated span in this document at all"
+    assert c["span_tokens_removed"] == 7  # doc 2's header, one span
+
+    # flag off: header retained everywhere, no counter
+    res2 = curate_corpus(docs, quality_threshold=-(10**9))
+    got2 = {r.doc_id: r.text for r in res2.curated.collect()}
+    res2.unpersist()
+    assert header in got2[1] and header in got2[2]
+    assert "span_tokens_removed" not in res2.counts()
+
+    # the rewrite recomputes __fp: a doc byte-identical to a benchmark
+    # row only AFTER span removal must still be decontaminated
+    bench = spark.createDataFrame(
+        [("beta different words other ending beta",)], ["text"]
+    )
+    res3 = curate_corpus(
+        docs,
+        quality_threshold=-(10**9),
+        dedup_spans=True,
+        span_k=3,
+        benchmark=bench,
+    )
+    got3 = {r.doc_id: r.text for r in res3.curated.collect()}
+    res3.unpersist()
+    assert 2 not in got3, "post-rewrite benchmark-identical doc leaked"
+    assert set(got3) == {1, 3}

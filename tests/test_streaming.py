@@ -738,7 +738,12 @@ def test_strip_duplicated_spans_stream_matches_batch(spark, tmp_path):
         strip_duplicated_spans,
     )
 
-    corpus = load_table(spark, SF, "documents")
+    # subsample: the exact index is a per-position linear literal scan,
+    # and the full 500-doc fixture makes this parity test pay minutes
+    # for no extra coverage
+    corpus = load_table(spark, SF, "documents").filter(
+        F.col("doc_id") % 5 == 0
+    )
     header = "this license header is shared by every document verbatim"
     toks = F.split(F.col("text"), " ")
     built = corpus.select(
@@ -804,3 +809,62 @@ def test_strip_duplicated_spans_stream_matches_batch(spark, tmp_path):
         nb, tb = bloomed[d]
         assert nb >= n, d  # over-strip only
         assert header not in tb, d
+
+
+def test_curate_stream_with_span_strip_matches_batch(spark, tmp_path):
+    """curate_stream with a duplicated-window index strips spans
+    BEFORE quality/token-count — stateless append mode, exactly the
+    batch result on the same rows, and n_tokens reflects the stripped
+    text."""
+    from wikihadoop_spark.operators.spandedup import (
+        collect_window_fps,
+        frequent_windows,
+    )
+    from wikihadoop_spark.streaming.curate_stream import curate_stream
+
+    # subsample: the exact index is a per-position linear literal scan,
+    # so the full 500-doc fixture makes this stream-parity test pay
+    # ~5 minutes for no extra coverage
+    docs = load_table(spark, SF, "documents").filter(
+        F.col("doc_id") % 5 == 0
+    )
+    header = "this license header is shared by every document verbatim"
+    built = docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.lit(header), F.col("text")).alias("text"),
+        "source",
+    )
+    fps = collect_window_fps(frequent_windows(built, k=5, min_count=2))
+    assert fps
+
+    batch = {
+        (r.doc_id, r.quality, r.n_tokens, r.text)
+        for r in curate_stream(
+            built, span_index=fps, span_k=5, quality_threshold=-(10**12)
+        ).collect()
+    }
+    assert batch and all(header not in t for _, _, _, t in batch)
+
+    src = str(tmp_path / "arriving_spanstrip")
+    built.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(built.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        curate_stream(
+            stream, span_index=fps, span_k=5, quality_threshold=-(10**12)
+        )
+        .writeStream.format("memory")
+        .queryName("t_curspanstrip")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.doc_id, r.quality, r.n_tokens, r.text)
+        for r in spark.sql("SELECT * FROM t_curspanstrip").collect()
+    }
+    assert got == batch

@@ -137,6 +137,16 @@ def main(argv: list[str] | None = None) -> int:
                    help="segment-frequency dedup: strip lines occurring in "
                         ">=2 docs corpus-wide (first copy kept) before "
                         "near-dedup and token counts")
+    c.add_argument("--dedup-spans", action="store_true",
+                   help="exact-substring span dedup: remove duplicated "
+                        "k-token spans at arbitrary offsets (first copy "
+                        "kept) before near-dedup and token counts")
+    c.add_argument("--span-k", type=int, default=None,
+                   help="span-dedup window size in tokens "
+                        "(default 5; requires --dedup-spans)")
+    c.add_argument("--span-min-count", type=int, default=None,
+                   help="occurrences for a window to count as duplicated "
+                        "(default 2; requires --dedup-spans)")
     c.add_argument("--scrub-pii", action="store_true",
                    help="redact emails/IPs/id runs BEFORE any stage derives "
                         "from the text (pii_redactions counter printed)")
@@ -165,6 +175,13 @@ def main(argv: list[str] | None = None) -> int:
             ap.error(
                 "--output-shards conflicts with --shard-budget: token-budget "
                 "packing derives one file per shard from the budget"
+            )
+        if (args.span_k is not None or args.span_min_count is not None) \
+                and not args.dedup_spans:
+            ap.error(
+                "--span-k/--span-min-count configure span dedup, which "
+                "only runs with --dedup-spans — silently ignoring them "
+                "would mask the intent"
             )
         spark = get_spark("wikihadoop-curate", cpus=args.cores)
         try:
@@ -195,6 +212,13 @@ def main(argv: list[str] | None = None) -> int:
                 out_dir=args.output if args.shard_budget else None,
                 scrub=args.scrub_pii,
                 strip_boilerplate=args.strip_boilerplate,
+                dedup_spans=args.dedup_spans,
+                span_k=args.span_k if args.span_k is not None else 5,
+                span_min_count=(
+                    args.span_min_count
+                    if args.span_min_count is not None
+                    else 2
+                ),
                 chunk_tokens=args.chunk_tokens,
                 chunk_stride=args.chunk_stride,
                 shuffle_seed=args.shuffle_seed,

@@ -134,6 +134,9 @@ def curate_corpus(
     strip_boilerplate: bool = False,
     boilerplate_min_df: int = 2,
     boilerplate_split: str = "\n",
+    dedup_spans: bool = False,
+    span_k: int = 5,
+    span_min_count: int = 2,
     dsir_lambda: list[int] | None = None,
     dsir_min_bits: int = 0,
     chunk_tokens: int | None = None,
@@ -165,7 +168,18 @@ def curate_corpus(
     corpus-first copy, BEFORE near-dup signatures and token counts, so
     boilerplate neither clusters unrelated documents nor inflates
     shard budgets; the ``boilerplate_segments_removed`` counter
-    records stripped segments.  ``chunk_tokens`` (optional): split the
+    records stripped segments.
+
+    ``dedup_spans``: run exact-substring span dedup
+    (`operators/spandedup.py`) after the (optional) boilerplate strip
+    and before near-dup signatures — every duplicated ``span_k``-token
+    span (``span_min_count``-or-more occurrences corpus-wide) is
+    removed at arbitrary token offsets except its corpus-first copy,
+    so mid-sentence duplicated passages neither cluster unrelated
+    documents nor inflate shard budgets; the ``span_tokens_removed``
+    counter records removed tokens.  The stage never drops a document.
+
+    ``chunk_tokens`` (optional): split the
     curated documents into training-sequence windows
     (`operators/chunking.py`; ``chunk_stride`` defaults to disjoint)
     as the final pre-packing stage — shards then pack chunks in
@@ -242,6 +256,8 @@ def curate_corpus(
         reserved += ["__pii"]
     if strip_boilerplate:
         reserved += ["n_segments", "n_removed"]
+    if dedup_spans:
+        reserved += ["n_removed", "n_spans"]
     if token_budget is not None:
         reserved += ["bucket", "keep_threshold"]
     if chunk_tokens is not None:
@@ -303,6 +319,9 @@ def curate_corpus(
             strip_boilerplate=strip_boilerplate,
             boilerplate_min_df=boilerplate_min_df,
             boilerplate_split=boilerplate_split,
+            dedup_spans=dedup_spans,
+            span_k=span_k,
+            span_min_count=span_min_count,
             dsir_lambda=dsir_lambda,
             dsir_min_bits=dsir_min_bits,
             chunk_tokens=chunk_tokens,
@@ -343,6 +362,9 @@ def _curate_corpus_impl(
     strip_boilerplate: bool = False,
     boilerplate_min_df: int = 2,
     boilerplate_split: str = "\n",
+    dedup_spans: bool = False,
+    span_k: int = 5,
+    span_min_count: int = 2,
     dsir_lambda: list[int] | None = None,
     dsir_min_bits: int = 0,
 ) -> CurationResult:
@@ -471,6 +493,43 @@ def _curate_corpus_impl(
         stripped.count()
         cached.unpersist()
         cur = cached = stripped
+
+    # 2.6 exact-substring span dedup (optional): duplicated k-token
+    # spans removed at arbitrary offsets (operators/spandedup.py),
+    # AFTER the line-level boilerplate strip (coarse first: a stripped
+    # line never feeds window fingerprints) and BEFORE signatures and
+    # token counts — the same persist-swap discipline as 2.5.  Never
+    # drops a document; the counter records removed TOKENS.
+    if dedup_spans:
+        from ..operators.spandedup import exact_span_dedup
+
+        keep = [c for c in cur.columns if c not in (id_col, text_col)]
+        span_obs = Observation("spans")
+        obs["span_tokens_removed"] = span_obs
+        despanned = (
+            exact_span_dedup(
+                cur,
+                id_col=id_col,
+                text_col=text_col,
+                k=span_k,
+                min_count=span_min_count,
+                keep_cols=tuple(keep),
+            )
+            .observe(
+                span_obs,
+                F.coalesce(F.sum("n_removed"), F.lit(0)).alias("tokens"),
+            )
+            .drop("n_tokens", "n_removed", "n_spans")
+            # the rewrite invalidates the riding fingerprint and
+            # quality score — recompute both so the benchmark anti-join
+            # and the best_quality keeper see the text that ships
+            .withColumn("__fp", content_fingerprint(F.col(text_col)))
+            .withColumn("__q", quality_score(F.col(text_col)))
+        )
+        despanned = despanned.persist()
+        despanned.count()
+        cached.unpersist()
+        cur = cached = despanned
 
     # 3. near-dedup: row-local signatures -> capped LSH pairs -> CC keepers
     sig = minhash_signatures_rowwise(

@@ -43,6 +43,8 @@ def curate_stream(
     bloom: NgramBloom | None = None,
     strip_index=None,
     strip_split: str = "\n",
+    span_index=None,
+    span_k: int = 5,
     dsir_lambda: list[int] | None = None,
     dsir_min_bits: int = 0,
     text_col: str = "text",
@@ -69,7 +71,15 @@ def curate_stream(
     (row-local, stateless), so quality scores, decontamination
     shingles, and token counts all see boilerplate-free text; like the
     Bloom filter, building the index is a batch job over the existing
-    corpus.  ``dsir_lambda`` (optional): the driver-held DSIR lambda
+    corpus.  ``span_index`` (optional): a duplicated-window index —
+    the collected window fingerprints
+    (`operators/spandedup.py::collect_window_fps`) or a
+    ``SegmentBloom`` over the window strings — duplicated
+    ``span_k``-token spans are stripped from arriving documents right
+    after the (optional) segment strip, row-locally and statelessly;
+    arriving documents keep NO copy of an indexed span (the batch
+    corpus owns every first occurrence).  ``dsir_lambda`` (optional):
+    the driver-held DSIR lambda
     table (`operators/dsir.py::collect_lambda_table`, fitted batch-side)
     — arriving documents scoring below ``dsir_min_bits`` are dropped by
     the same row-local fold the batch chain runs (stage 1.5)."""
@@ -80,6 +90,14 @@ def curate_stream(
         out = strip_frequent_segments(
             out, strip_index, text_col=text_col, split_regex=strip_split
         ).drop("n_segments", "n_removed")
+    if span_index is not None:
+        from ..operators.spandedup import strip_duplicated_spans
+
+        # the batch chain's stage 2.6, statelessly: coarse line strip
+        # first (above), then duplicated spans at token offsets
+        out = strip_duplicated_spans(
+            out, span_index, text_col=text_col, k=span_k
+        ).drop("n_tokens", "n_removed", "n_spans")
     out = out.withColumn("quality", quality_score(F.col(text_col))).filter(
         F.col("quality") > quality_threshold
     )
