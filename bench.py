@@ -266,11 +266,12 @@ _SF1_SPOT_QUERIES = (
     # broadcast lambda join over the exploded features; its 10x ratio
     # shows the model fit and the scoring pass scaling together
     "dsir_weights",
-    # round 9: exact-substring span dedup — its 10x ratio shows the
-    # positional-window explode, the dup aggregate, and the rewrite
-    # join scaling together (the injected header's fingerprints go
-    # 10x hotter, exercising the map-side combine)
-    "dedup_span_exact",
+    # dedup_span_exact must NOT join the sf1 spot either: the replica
+    # mutation only substitutes 'e', so every e-free 5-token window
+    # (~8% of all windows, measured) is byte-identical across the 10
+    # copies and becomes corpus-duplicated ONLY at sf1 — the ratio
+    # would read as super-linear engine scaling when it is the same
+    # replication artifact that excludes semantic_dedup.
 )
 _SF1_COPIES = 10
 _SF1_SHIFT = 100_000_000  # beyond every key range in the sf0.1 tables

@@ -73,7 +73,7 @@ _DEMOTED_SOURCE_PINS = {
     "corpus_delta": "a31d7abc9b2dc420",
     "dsir_weights": "16d40007f648f5da",
     "sketch_count_min": "91545db655108fa4",
-    "dedup_span_exact": "c0c55bbffc491c42",
+    "dedup_span_exact": "b34d92ac6798934f",
     "semantic_dedup": "f8d4e9e44c5d3800",
     "embedding_cosine_dedup": "fcd55f10bcff127a",
     "events_pivot": "75e80b732e4758b0",

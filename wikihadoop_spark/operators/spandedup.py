@@ -110,6 +110,57 @@ def merge_starts(starts: Column, k: int) -> Column:
     )
 
 
+def _split_tokens(text_col: str) -> Column:
+    """Space-split tokens with NULL text segmenting to the EMPTY array
+    (never NULL) so null-text documents flow through rewrites."""
+    return F.when(
+        F.col(text_col).isNull(), F.array().cast("array<string>")
+    ).otherwise(F.split(F.col(text_col), " "))
+
+
+def _window_occurrences(df: DataFrame, id_col, toks: Column, k: int) -> DataFrame:
+    """One row per positional k-window occurrence:
+    ``(__xs_id, __xs_p, __xs_fp)``."""
+    return df.select(
+        F.col(id_col).alias("__xs_id") if isinstance(id_col, str) else id_col,
+        F.explode(positional_window_fps(toks, k)).alias("__xs_w"),
+    ).select(
+        "__xs_id",
+        F.col("__xs_w.p").alias("__xs_p"),
+        F.col("__xs_w.fp").alias("__xs_fp"),
+    )
+
+
+def _nonowner_occurrences(occ: DataFrame, min_count: int) -> DataFrame:
+    """The span-dedup removal semantics, defined EXACTLY ONCE (shared
+    by the rewrite and the audit view): the duplicated-window table is
+    a map-side-combined aggregate — TOTAL occurrence count (a span
+    repeated inside one document still dedups, the ExactSubstr rule,
+    unlike segdedup's distinct-document df) plus the owning first
+    occurrence (min (id, position)) — filtered to ``min_count`` BEFORE
+    the join so unique windows never travel; the inner join back keeps
+    only duplicated occurrences, and the owner occurrence is excluded.
+    Returns ``(__xs_id, __xs_p, __xs_fp, __xs_cnt, __xs_first)``."""
+    dups = (
+        occ.groupBy("__xs_fp")
+        .agg(
+            F.count(F.lit(1)).alias("__xs_cnt"),
+            F.min(
+                F.struct(
+                    F.col("__xs_id").alias("i"), F.col("__xs_p").alias("x")
+                )
+            ).alias("__xs_first"),
+        )
+        .filter(F.col("__xs_cnt") >= min_count)
+    )
+    return occ.join(dups, "__xs_fp").filter(
+        ~(
+            (F.col("__xs_first.i") == F.col("__xs_id"))
+            & (F.col("__xs_first.x") == F.col("__xs_p"))
+        )
+    )
+
+
 def exact_span_dedup(
     df: DataFrame,
     *,
@@ -150,44 +201,14 @@ def exact_span_dedup(
         raise ValueError(
             f"columns collide with span-dedup working names: {sorted(clash)}"
         )
-    toks = F.when(
-        F.col(text_col).isNull(), F.array().cast("array<string>")
-    ).otherwise(F.split(F.col(text_col), " "))
     base = df.select(
-        F.col(id_col).alias("__xs_id"), *keep_cols, toks.alias("__xs_toks")
+        F.col(id_col).alias("__xs_id"),
+        *keep_cols,
+        _split_tokens(text_col).alias("__xs_toks"),
     )
-    occ = base.select(
-        "__xs_id",
-        F.explode(positional_window_fps(F.col("__xs_toks"), k)).alias("__xs_w"),
-    ).select(
-        "__xs_id",
-        F.col("__xs_w.p").alias("__xs_p"),
-        F.col("__xs_w.fp").alias("__xs_fp"),
-    )
-    # duplicated-window table: total occurrence count (a span repeated
-    # inside ONE document still dedups — the ExactSubstr rule, unlike
-    # segdedup's distinct-document df) + the owning first occurrence,
-    # filtered BEFORE the join so unique windows never travel
-    dups = (
-        occ.groupBy("__xs_fp")
-        .agg(
-            F.count(F.lit(1)).alias("__xs_cnt"),
-            F.min(
-                F.struct(
-                    F.col("__xs_id").alias("i"), F.col("__xs_p").alias("x")
-                )
-            ).alias("__xs_first"),
-        )
-        .filter(F.col("__xs_cnt") >= min_count)
-    )
+    occ = _window_occurrences(base, "__xs_id", F.col("__xs_toks"), k)
     starts = (
-        occ.join(dups, "__xs_fp")
-        .filter(
-            ~(
-                (F.col("__xs_first.i") == F.col("__xs_id"))
-                & (F.col("__xs_first.x") == F.col("__xs_p"))
-            )
-        )
+        _nonowner_occurrences(occ, min_count)
         .groupBy("__xs_id")
         .agg(F.array_sort(F.collect_list("__xs_p")).alias("__xs_starts"))
     )
@@ -222,17 +243,18 @@ def frequent_windows(
     """The duplicated k-gram window table as STRINGS: one row per
     window occurring ``min_count``-or-more times corpus-wide —
     ``(window, n_occurrences)``.  The static index the streaming strip
-    probes: build it as a batch job over the existing (already
-    span-deduped) corpus, then arriving documents strip against it
-    statelessly.  Same two-level plan as :func:`exact_span_dedup`'s
-    dup table (map-side combine collapses hot windows per task)."""
+    probes.  Build it over the ORIGINAL (pre-rewrite) corpus — the
+    same frame :func:`exact_span_dedup` ran on, NOT its output: after
+    the rewrite every previously-duplicated window survives exactly
+    once (the owner copy), so no window reaches ``min_count >= 2`` and
+    the index would be empty, silently stripping nothing from the
+    stream.  Same two-level plan as :func:`exact_span_dedup`'s dup
+    table (map-side combine collapses hot windows per task)."""
     if k < 2:
         raise ValueError(f"k must be >= 2 (got {k})")
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2 (got {min_count})")
-    toks = F.when(
-        F.col(text_col).isNull(), F.array().cast("array<string>")
-    ).otherwise(F.split(F.col(text_col), " "))
+    toks = _split_tokens(text_col)
     windows = F.when(
         F.size(toks) >= k,
         F.transform(
@@ -249,10 +271,12 @@ def frequent_windows(
 
 
 #: exact-index strip guard: past this many window fingerprints the
-#: per-position linear bigint scan dominates — Bloom-pack instead
-#: (higher than segdedup's string cap: a fingerprint compare is one
-#: long-vs-long, not a string equality)
-MAX_EXACT_WINDOWS = 100_000
+#: per-position linear bigint scan dominates — Bloom-pack instead.
+#: Tighter than a naive scale-up of segdedup's 20k string cap would
+#: suggest: the strip probes at EVERY token position (a 1,000-token
+#: document is ~1,000 probes), not once per segment, so the density
+#: increase eats the long-vs-string compare advantage
+MAX_EXACT_WINDOWS = 10_000
 
 
 def collect_window_fps(frequent: DataFrame, *, window_col: str = "window") -> list[int]:
@@ -297,9 +321,7 @@ def strip_duplicated_spans(
 
     if k < 2:
         raise ValueError(f"k must be >= 2 (got {k})")
-    toks = F.when(
-        F.col(text_col).isNull(), F.array().cast("array<string>")
-    ).otherwise(F.split(F.col(text_col), " "))
+    toks = _split_tokens(text_col)
     pos = F.when(
         F.size(toks) >= k, F.sequence(F.lit(0), F.size(toks) - F.lit(k))
     ).otherwise(F.array().cast("array<int>"))
@@ -363,43 +385,12 @@ def duplicated_spans(
         raise ValueError(f"k must be >= 2 (got {k})")
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2 (got {min_count})")
-    toks = F.when(
-        F.col(text_col).isNull(), F.array().cast("array<string>")
-    ).otherwise(F.split(F.col(text_col), " "))
-    occ = df.select(
-        F.col(id_col).alias("__xs_id"),
-        F.explode(positional_window_fps(toks, k)).alias("__xs_w"),
-    ).select(
-        "__xs_id",
-        F.col("__xs_w.p").alias("__xs_p"),
-        F.col("__xs_w.fp").alias("__xs_fp"),
-    )
-    dups = (
-        occ.groupBy("__xs_fp")
-        .agg(
-            F.count(F.lit(1)).alias("__xs_cnt"),
-            F.min(
-                F.struct(
-                    F.col("__xs_id").alias("i"), F.col("__xs_p").alias("x")
-                )
-            ).alias("__xs_first"),
-        )
-        .filter(F.col("__xs_cnt") >= min_count)
-    )
-    return (
-        occ.join(dups, "__xs_fp")
-        .filter(
-            ~(
-                (F.col("__xs_first.i") == F.col("__xs_id"))
-                & (F.col("__xs_first.x") == F.col("__xs_p"))
-            )
-        )
-        .select(
-            F.col("__xs_id").alias(id_col),
-            F.col("__xs_p").alias("position"),
-            F.col("__xs_fp").alias("fp"),
-            F.col("__xs_cnt").alias("n_occurrences"),
-            F.col("__xs_first.i").alias("owner_id"),
-            F.col("__xs_first.x").alias("owner_position"),
-        )
+    occ = _window_occurrences(df, id_col, _split_tokens(text_col), k)
+    return _nonowner_occurrences(occ, min_count).select(
+        F.col("__xs_id").alias(id_col),
+        F.col("__xs_p").alias("position"),
+        F.col("__xs_fp").alias("fp"),
+        F.col("__xs_cnt").alias("n_occurrences"),
+        F.col("__xs_first.i").alias("owner_id"),
+        F.col("__xs_first.x").alias("owner_position"),
     )

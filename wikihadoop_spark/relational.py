@@ -1532,12 +1532,19 @@ def dedup_verify_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
     "dedup_line_frequency",
     oracle="""
     WITH built AS (
+      -- the remainder slice mirrors Spark's array_join semantics: for
+      -- a doc with <= 5 tokens Spark keeps the EMPTY last line, while
+      -- DuckDB's array_to_string of an empty slice is NULL and
+      -- concat_ws would skip it — coalesce restores the '' (NULL text
+      -- stays NULL on both engines)
       SELECT doc_id,
              concat_ws(chr(10),
                array_to_string(t[1:5], ' '),
                'all visitors must accept the terms',
                CASE WHEN doc_id % 3 = 0 THEN 'cookie consent required' END,
-               array_to_string(t[6:len(t)], ' ')) AS text
+               CASE WHEN t IS NULL THEN NULL
+                    ELSE COALESCE(array_to_string(t[6:len(t)], ' '), '')
+               END) AS text
       FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
     ), segs AS (
       SELECT doc_id,
@@ -1609,11 +1616,19 @@ def dedup_line_frequency(spark: SparkSession, sf: str) -> DataFrame:
     # prev_start + k)
     oracle="""
     WITH built AS (
+      -- the remainder slice must mirror Spark's array_join: for a doc
+      -- with <= 5 tokens Spark keeps the EMPTY third part (trailing
+      -- separator + empty token after split), while DuckDB's
+      -- array_to_string of an empty slice is NULL and concat_ws would
+      -- skip it — coalesce restores the '' (NULL text stays NULL on
+      -- both engines: split of NULL is NULL there and here)
       SELECT doc_id,
              concat_ws(' ',
                array_to_string(t[1:5], ' '),
                'this license header is shared by every document verbatim',
-               array_to_string(t[6:len(t)], ' ')) AS text
+               CASE WHEN t IS NULL THEN NULL
+                    ELSE COALESCE(array_to_string(t[6:len(t)], ' '), '')
+               END) AS text
       FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
     ), toks AS (
       SELECT doc_id, string_split(text, ' ') AS t FROM built
