@@ -176,6 +176,9 @@ _PIPELINE_EXTRAS = (
     "dedup_line_frequency",
     # round 9: DSIR importance weighting (model fit + scoring pass)
     "dsir_weights",
+    # round 9: C4 line-rule cleaning (row-local rule pass — its cost
+    # IS the scan)
+    "text_c4_clean",
     # round 9: exact-substring span dedup (positional window explode +
     # dup aggregate + rewrite) and SemDeDup resolution (capped
     # embedding pairs + iterative components).  semantic_dedup must

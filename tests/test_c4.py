@@ -1,0 +1,88 @@
+"""C4 line-rule cleaning (functions/c4.py) edge cases the gate corpus
+can't isolate: each rule in isolation, the page flag as flag-not-drop,
+null/empty text, and custom knobs."""
+
+from __future__ import annotations
+
+import pytest
+
+from wikihadoop_spark.functions.c4 import c4_clean
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_each_rule_fires_in_isolation(spark):
+    rows = [
+        (1, "this line is long enough and ends properly."),
+        (2, "too short."),                      # < 3 words
+        (3, "three words here no terminal punctuation"),
+        (4, "please enable JavaScript to continue browsing!"),  # blocklist
+        (5, 'he said "stop right there."'),     # closing quote terminal? ends '."' -> '"'
+    ]
+    out = {r["doc_id"]: r for r in c4_clean(_docs(spark, rows)).collect()}
+    assert out[1]["n_kept"] == 1 and out[1]["text"] == rows[0][1]
+    assert out[2]["n_kept"] == 0 and out[2]["text"] == ""
+    assert out[3]["n_kept"] == 0
+    assert out[4]["n_kept"] == 0  # javascript line dropped despite form
+    assert out[5]["n_kept"] == 1  # quotation mark IS terminal punctuation
+    # every doc survives as a row — the operator is a rewrite, not a drop
+    assert set(out) == {1, 2, 3, 4, 5}
+
+
+def test_page_flag_is_flag_not_drop(spark):
+    rows = [
+        (1, "perfectly fine prose that ends with a period."),
+        (2, "lorem ipsum dolor sit amet filler text here."),
+        (3, "function f() { return 1; } and prose after it."),
+    ]
+    out = {r["doc_id"]: r for r in c4_clean(_docs(spark, rows)).collect()}
+    assert out[1]["c4_keep_page"] is True
+    assert out[2]["c4_keep_page"] is False  # lorem ipsum
+    assert out[3]["c4_keep_page"] is False  # curly brace
+    # flagged pages still come back rewritten, the caller owns the drop
+    assert out[2]["n_lines"] == 1 and out[2]["n_kept"] == 1
+
+
+def test_null_and_empty_text(spark):
+    out = {
+        r["doc_id"]: r
+        for r in c4_clean(_docs(spark, [(1, None), (2, "")])).collect()
+    }
+    assert (out[1]["n_lines"], out[1]["n_kept"], out[1]["text"]) == (0, 0, "")
+    assert out[1]["c4_keep_page"] is True
+    assert (out[2]["n_lines"], out[2]["n_kept"], out[2]["text"]) == (1, 0, "")
+
+
+def test_multiline_keeps_order_and_counts(spark):
+    text = "\n".join(
+        [
+            "the first proper sentence of the page ends here.",
+            "click here",
+            "the second proper sentence also ends with a mark!",
+        ]
+    )
+    row = c4_clean(_docs(spark, [(1, text)])).collect()[0]
+    assert row["n_lines"] == 3 and row["n_kept"] == 2
+    assert row["text"].splitlines() == [
+        "the first proper sentence of the page ends here.",
+        "the second proper sentence also ends with a mark!",
+    ]
+
+
+def test_knobs_and_validation(spark):
+    df = _docs(spark, [(1, "two words.")])
+    # min_words=2 admits what the default rejects
+    assert c4_clean(df, min_words=2).collect()[0]["n_kept"] == 1
+    # empty terminal set disables the punctuation rule
+    assert (
+        c4_clean(
+            _docs(spark, [(1, "three words here")]), terminal_punct=()
+        ).collect()[0]["n_kept"]
+        == 1
+    )
+    with pytest.raises(ValueError, match="min_words"):
+        c4_clean(df, min_words=0)
+    with pytest.raises(ValueError, match="already exists"):
+        c4_clean(df.withColumn("n_lines", df.doc_id))

@@ -494,6 +494,17 @@ def test_span_dedup_plan_shape(spark):
     assert "Inner" in plan
 
 
+def test_c4_clean_plan_is_exchange_free(spark):
+    """The C4 rule pass must cost a scan and nothing else: one
+    projection of row-local higher-order expressions — no exchange, no
+    aggregate, no join, no window, so it composes in front of any
+    chain stage for free and streams as-is."""
+    plan = plan_of(spark, "text_c4_clean")
+    assert "Exchange" not in plan
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("FileScan parquet") == 1
+
+
 def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     """At 100 TB the fact table is date/source-partitioned storage, and
     a selective dim filter must prune fact PARTITIONS at runtime —

@@ -94,6 +94,14 @@ SHOWCASE = [
         " product, no global sort.",
     ),
     (
+        "text_c4_clean",
+        "C4 line-rule cleaning: the whole rule pass — line split, word"
+        " counts, terminal-punctuation suffix tests, blocklists, page"
+        " flags, reassembly — is ONE `Project` of higher-order"
+        " expressions over the scan; no Exchange, no Join, no Window,"
+        " no aggregate anywhere in the plan.",
+    ),
+    (
         "decontaminate_exact",
         "Benchmark decontamination: the eval-set fingerprints build a"
         " `BroadcastHashJoin LeftAnti` — the corpus is scanned once and"

@@ -1711,6 +1711,75 @@ def dedup_span_exact(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "text_c4_clean",
+    oracle="""
+    WITH built AS (
+      -- remainder slice mirrors Spark's array_join ('' kept, never
+      -- NULL-skipped) — same structural guard as the dedup builders
+      SELECT doc_id,
+             concat_ws(chr(10),
+               array_to_string(t[1:8], ' ') || '.',
+               'click here',
+               'Please enable JavaScript to view this page.',
+               CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum dolor sit amet.' END,
+               CASE WHEN t IS NULL THEN NULL
+                    ELSE COALESCE(array_to_string(t[9:len(t)], ' '), '')
+               END) AS text
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    ), lined AS (
+      SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM built
+    ), cleaned AS (
+      SELECT doc_id, ls,
+             [l FOR l IN ls IF len(string_split(l, ' ')) >= 3
+                AND (ends_with(l, '.') OR ends_with(l, '!')
+                     OR ends_with(l, '?') OR ends_with(l, '"'))
+                AND NOT contains(lower(l), 'javascript')] AS kept,
+             NOT (contains(lower(text), 'lorem ipsum')
+                  OR contains(lower(text), '{')) AS keep_page
+      FROM lined
+    )
+    SELECT doc_id,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           keep_page AS c4_keep_page,
+           COALESCE(array_to_string(kept, chr(10)), '') AS text
+    FROM cleaned
+    """,
+)
+def text_c4_clean(spark: SparkSession, sf: str) -> DataFrame:
+    """C4 line-rule cleaning (functions/c4.py, Raffel et al. 2020
+    §2.2): keep only lines with >= 3 words ending in terminal
+    punctuation, drop javascript-banner lines, flag lorem-ipsum /
+    curly-brace pages — the rule pass C4 ran before its span dedup
+    (which `dedup_span_exact` provides).  The gate corpus splices a
+    proper sentence, a too-short line, a javascript banner, and (every
+    seventh doc) a lorem-ipsum marker into each document, so every
+    rule fires and the oracle replays line split, word count, suffix
+    tests, blocklists, the page flag, and reassembly byte-for-byte.
+    NEW in round 9 with the gate window full: local DuckDB parity at
+    3 SFs now, a round-10 gate slot next.  Plan: everything row-local
+    in one projection — zero shuffles, zero state (streams as-is)."""
+    from .functions.c4 import c4_clean
+
+    toks = F.split(F.col("text"), " ")
+    built = Tables(spark, sf).documents.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.array_join(F.slice(toks, 1, 8), " "), F.lit(".")),
+            F.lit("click here"),
+            F.lit("Please enable JavaScript to view this page."),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit("lorem ipsum dolor sit amet."),
+            ),
+            F.array_join(F.slice(toks, 9, F.size(toks)), " "),
+        ).alias("text"),
+    )
+    return c4_clean(built)
+
+
+@query(
     "text_lm_surprisal",
     oracle="""
     WITH toks AS (
