@@ -581,3 +581,30 @@ def test_curation_dedup_spans_stage(spark):
     res3.unpersist()
     assert 2 not in got3, "post-rewrite benchmark-identical doc leaked"
     assert set(got3) == {1, 3}
+
+
+def test_curation_c4_rules_stage(spark):
+    """With c4_rules=True the chain removes rule-failing lines and
+    drops blocklisted pages BEFORE the quality gate; both counters
+    fire, and the quality score describes the cleaned text."""
+    rows = [
+        (1, "a proper sentence that ends with a period.\nclick here", "a"),
+        (2, "lorem ipsum dolor sit amet and then prose.", "a"),
+        (3, "please enable javascript in your browser!\nreal prose that survives the rules.", "b"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    res = curate_corpus(docs, quality_threshold=-(10**9), c4_rules=True)
+    got = {r.doc_id: r.text for r in res.curated.collect()}
+    c = res.counts()
+    res.unpersist()
+    assert 2 not in got  # lorem-ipsum page dropped
+    assert got[1] == "a proper sentence that ends with a period."
+    assert got[3] == "real prose that survives the rules."
+    assert c["c4_pages"] == 2
+    # doc1: 'click here' + doc3: javascript line = 2 lines removed
+    assert c["c4_lines_removed"] == 2
+    # flag off: no counters, pages intact
+    res2 = curate_corpus(docs, quality_threshold=-(10**9))
+    assert "c4_pages" not in res2.counts()
+    assert res2.curated.count() == 3
+    res2.unpersist()

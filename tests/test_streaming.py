@@ -868,3 +868,54 @@ def test_curate_stream_with_span_strip_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM t_curspanstrip").collect()
     }
     assert got == batch
+
+
+def test_curate_stream_c4_rules_matches_batch(spark, tmp_path):
+    """The C4 rule stage is row-local, so it must run identically on
+    the append-mode stream and a batch frame of the same rows — and
+    actually remove lines / drop blocklisted pages."""
+    from wikihadoop_spark.streaming.curate_stream import curate_stream
+
+    docs = load_table(spark, SF, "documents")
+    built = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.col("text"), F.lit(".")),
+            F.lit("click here"),
+            F.when(F.col("doc_id") % 9 == 0, F.lit("lorem ipsum filler.")),
+        ).alias("text"),
+        "source",
+    )
+    batch = {
+        (r.doc_id, r.quality, r.n_tokens, r.text)
+        for r in curate_stream(
+            built, c4_rules=True, quality_threshold=-(10**12)
+        ).collect()
+    }
+    assert batch
+    ids = {d for d, _, _, _ in batch}
+    assert not any(d % 9 == 0 for d in ids)  # blocklisted pages dropped
+    assert all("click here" not in t for _, _, _, t in batch)
+
+    src = str(tmp_path / "arriving_c4")
+    built.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(built.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        curate_stream(stream, c4_rules=True, quality_threshold=-(10**12))
+        .writeStream.format("memory")
+        .queryName("t_curc4")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.doc_id, r.quality, r.n_tokens, r.text)
+        for r in spark.sql("SELECT * FROM t_curc4").collect()
+    }
+    assert got == batch

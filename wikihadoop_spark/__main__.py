@@ -147,6 +147,11 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--span-min-count", type=int, default=None,
                    help="occurrences for a window to count as duplicated "
                         "(default 2; requires --dedup-spans)")
+    c.add_argument("--c4-rules", action="store_true",
+                   help="C4 line rules: keep only >=3-word lines ending in "
+                        "terminal punctuation, drop javascript lines and "
+                        "lorem-ipsum/curly-brace pages (before the quality "
+                        "gate)")
     c.add_argument("--scrub-pii", action="store_true",
                    help="redact emails/IPs/id runs BEFORE any stage derives "
                         "from the text (pii_redactions counter printed)")
@@ -211,6 +216,7 @@ def main(argv: list[str] | None = None) -> int:
                 shard_budget=args.shard_budget,
                 out_dir=args.output if args.shard_budget else None,
                 scrub=args.scrub_pii,
+                c4_rules=args.c4_rules,
                 strip_boilerplate=args.strip_boilerplate,
                 dedup_spans=args.dedup_spans,
                 span_k=args.span_k if args.span_k is not None else 5,

@@ -131,6 +131,7 @@ def curate_corpus(
     eager: bool = True,
     keeper: str = "min_id",
     scrub: bool = False,
+    c4_rules: bool = False,
     strip_boilerplate: bool = False,
     boilerplate_min_df: int = 2,
     boilerplate_split: str = "\n",
@@ -160,6 +161,15 @@ def curate_corpus(
     signatures, and shards all see scrubbed text only, so PII never
     leaks into persisted dedup state; the ``pii_redactions`` counter
     records total matches.
+
+    ``c4_rules``: apply the C4 line rules (`functions/c4.py`, Raffel
+    et al. 2020 §2.2) right after the scrub and before the quality
+    gate — lines failing the min-words / terminal-punctuation /
+    javascript tests are removed, pages flagged by the page blocklist
+    are dropped, and every later stage (quality, fingerprints,
+    signatures, budgets) sees rule-cleaned text; row-local, so the
+    stage adds no exchange.  Counters: ``c4_lines_removed`` (lines)
+    and ``c4_pages`` (surviving rows).
 
     ``strip_boilerplate``: run segment-frequency dedup
     (`operators/segdedup.py`) on the exact-deduped corpus — every line
@@ -254,6 +264,8 @@ def curate_corpus(
     reserved = ["__q", "__fp", "n_tokens"]
     if scrub:
         reserved += ["__pii"]
+    if c4_rules:
+        reserved += ["n_lines", "n_kept", "c4_keep_page"]
     if strip_boilerplate:
         reserved += ["n_segments", "n_removed"]
     if dedup_spans:
@@ -316,6 +328,7 @@ def curate_corpus(
             eager=eager,
             keeper=keeper,
             scrub=scrub,
+            c4_rules=c4_rules,
             strip_boilerplate=strip_boilerplate,
             boilerplate_min_df=boilerplate_min_df,
             boilerplate_split=boilerplate_split,
@@ -359,6 +372,7 @@ def _curate_corpus_impl(
     chunk_tokens: int | None,
     chunk_stride: int | None,
     shuffle_seed: int | None = None,
+    c4_rules: bool = False,
     strip_boilerplate: bool = False,
     boilerplate_min_df: int = 2,
     boilerplate_split: str = "\n",
@@ -388,6 +402,28 @@ def _curate_corpus_impl(
             .observe(scrub_obs, F.coalesce(F.sum("__pii"), F.lit(0)).alias("pii"))
             .withColumn(text_col, scrub_pii(F.col(text_col)))
             .drop("__pii")
+        )
+
+    # 0.5 C4 line rules (optional): row-local rewrite + page drop,
+    # BEFORE the quality gate so the score (and everything after)
+    # describes rule-cleaned text; the lines counter rides the plan
+    if c4_rules:
+        from ..functions.c4 import c4_clean
+
+        c4_obs = Observation("c4_lines")
+        obs["c4_lines_removed"] = c4_obs
+        cur = _observed(
+            c4_clean(cur, text_col=text_col)
+            .observe(
+                c4_obs,
+                F.coalesce(
+                    F.sum(F.col("n_lines") - F.col("n_kept")), F.lit(0)
+                ).alias("lines"),
+            )
+            .filter(F.col("c4_keep_page"))
+            .drop("n_lines", "n_kept", "c4_keep_page"),
+            "c4_pages",
+            obs,
         )
 
     # 1. model-based quality filter: row-local, no shuffle (the score

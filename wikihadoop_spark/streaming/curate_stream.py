@@ -45,6 +45,7 @@ def curate_stream(
     strip_split: str = "\n",
     span_index=None,
     span_k: int = 5,
+    c4_rules: bool = False,
     dsir_lambda: list[int] | None = None,
     dsir_min_bits: int = 0,
     text_col: str = "text",
@@ -78,7 +79,12 @@ def curate_stream(
     ``span_k``-token spans are stripped from arriving documents right
     after the (optional) segment strip, row-locally and statelessly;
     arriving documents keep NO copy of an indexed span (the batch
-    corpus owns every first occurrence).  ``dsir_lambda`` (optional):
+    corpus owns every first occurrence).  ``c4_rules``: apply the C4
+    line rules (`functions/c4.py`) after the strips — lines failing
+    the min-words / terminal-punctuation / javascript tests are
+    removed and pages flagged by the page blocklist are DROPPED (on a
+    stream there is no downstream audit pass, so the flag is applied
+    here); row-local, stateless.  ``dsir_lambda`` (optional):
     the driver-held DSIR lambda
     table (`operators/dsir.py::collect_lambda_table`, fitted batch-side)
     — arriving documents scoring below ``dsir_min_bits`` are dropped by
@@ -98,6 +104,14 @@ def curate_stream(
         out = strip_duplicated_spans(
             out, span_index, text_col=text_col, k=span_k
         ).drop("n_tokens", "n_removed", "n_spans")
+    if c4_rules:
+        from ..functions.c4 import c4_clean
+
+        out = (
+            c4_clean(out, text_col=text_col)
+            .filter(F.col("c4_keep_page"))
+            .drop("n_lines", "n_kept", "c4_keep_page")
+        )
     out = out.withColumn("quality", quality_score(F.col(text_col))).filter(
         F.col("quality") > quality_threshold
     )
