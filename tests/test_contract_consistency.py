@@ -74,6 +74,7 @@ _DEMOTED_SOURCE_PINS = {
     "dsir_weights": "16d40007f648f5da",
     "sketch_count_min": "91545db655108fa4",
     "dedup_span_exact": "b34d92ac6798934f",
+    "dedup_span_audit": "feeea3cd1f658f7f",
     "semantic_dedup": "f8d4e9e44c5d3800",
     "text_c4_clean": "260571c7386d5394",
     "embedding_cosine_dedup": "fcd55f10bcff127a",

@@ -1711,6 +1711,77 @@ def dedup_span_exact(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "dedup_span_audit",
+    # same built corpus and window/ownership CTEs as dedup_span_exact,
+    # but selecting the NON-OWNER occurrence rows the audit view
+    # exposes (what a pipeline reads to size k/min_count before
+    # committing to a rewrite)
+    oracle="""
+    WITH built AS (
+      SELECT doc_id,
+             concat_ws(' ',
+               array_to_string(t[1:5], ' '),
+               'this license header is shared by every document verbatim',
+               CASE WHEN t IS NULL THEN NULL
+                    ELSE COALESCE(array_to_string(t[6:len(t)], ' '), '')
+               END) AS text
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    ), toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM built
+    ), occ AS (
+      SELECT doc_id, p, fp FROM (
+        SELECT doc_id,
+               unnest([{'p': i - 1,
+                        'fp': ('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 15))::BIGINT}
+                       FOR i IN range(1, greatest(len(t) - 3, 1))],
+                      recursive := true)
+        FROM toks
+      )
+    ), freq AS (
+      SELECT fp, COUNT(*) AS cnt, MIN(doc_id) AS o_id
+      FROM occ GROUP BY fp HAVING COUNT(*) >= 2
+    ), firsts AS (
+      SELECT o.fp, f.o_id, f.cnt, MIN(o.p) AS o_p
+      FROM occ o JOIN freq f ON o.fp = f.fp AND o.doc_id = f.o_id
+      GROUP BY o.fp, f.o_id, f.cnt
+    )
+    SELECT o.doc_id, o.p AS position, o.fp,
+           CAST(x.cnt AS BIGINT) AS n_occurrences,
+           x.o_id AS owner_id, x.o_p AS owner_position
+    FROM occ o JOIN firsts x ON o.fp = x.fp
+    WHERE NOT (o.doc_id = x.o_id AND o.p = x.o_p)
+    """,
+)
+def dedup_span_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """The span-dedup AUDIT view (operators/spandedup.py::
+    duplicated_spans) over the same gate corpus as ``dedup_span_exact``:
+    one row per non-owner duplicated-window occurrence, carrying the
+    fingerprint, total occurrence count, and the owning (id, position)
+    — what a pipeline inspects to size k/min_count (and what a
+    contamination review reads) BEFORE committing to a rewrite.
+    Shares the rewrite's tokenize/occurrence/ownership subplan
+    (defined once, `_nonowner_occurrences`), so gating this view also
+    pins the exact removal decisions the rewrite makes.  NEW in round
+    9 with the gate window full: local DuckDB parity at 3 SFs now, a
+    round-10 gate slot next."""
+    from .operators.spandedup import duplicated_spans
+
+    toks = F.split(F.col("text"), " ")
+    built = Tables(spark, sf).documents.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.array_join(F.slice(toks, 1, 5), " "),
+            F.lit("this license header is shared by every document verbatim"),
+            F.array_join(F.slice(toks, 6, F.size(toks)), " "),
+        ).alias("text"),
+    )
+    return duplicated_spans(
+        built, id_col="doc_id", text_col="text", k=5, min_count=2
+    )
+
+
+@query(
     "text_c4_clean",
     oracle="""
     WITH built AS (
