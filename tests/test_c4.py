@@ -86,3 +86,28 @@ def test_knobs_and_validation(spark):
         c4_clean(df, min_words=0)
     with pytest.raises(ValueError, match="already exists"):
         c4_clean(df.withColumn("n_lines", df.doc_id))
+
+
+def test_review_regressions_wordcount_blocklist_joiner(spark):
+    """Three review-confirmed defects pinned: (a) empty tokens from
+    irregular spacing must not count as words; (b) a non-lowercase
+    blocklist phrase must still match (both sides lowered); (c) the
+    split regex and the literal joiner are separate parameters — a
+    regex-metacharacter separator must not corrupt the document."""
+    # (a) 'word1  word2.' is TWO words — double space adds no word
+    row = c4_clean(_docs(spark, [(1, "word1  word2.")])).collect()[0]
+    assert row["n_kept"] == 0
+    # (b) blocklist phrase given in mixed case still fires
+    row = c4_clean(
+        _docs(spark, [(1, "please enable javascript right now!")]),
+        line_blocklist=("JavaScript",),
+    ).collect()[0]
+    assert row["n_kept"] == 0
+    # (c) '|'-separated lines: split_regex escapes it, joiner is literal
+    row = c4_clean(
+        _docs(spark, [(1, "a fine sentence here.|another fine one too.")]),
+        split_regex="[|]",
+        joiner="|",
+    ).collect()[0]
+    assert row["n_lines"] == 2 and row["n_kept"] == 2
+    assert row["text"] == "a fine sentence here.|another fine one too."

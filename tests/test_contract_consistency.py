@@ -76,7 +76,7 @@ _DEMOTED_SOURCE_PINS = {
     "dedup_span_exact": "b34d92ac6798934f",
     "dedup_span_audit": "feeea3cd1f658f7f",
     "semantic_dedup": "f8d4e9e44c5d3800",
-    "text_c4_clean": "260571c7386d5394",
+    "text_c4_clean": "3b75667b664ce2b5",
     "embedding_cosine_dedup": "fcd55f10bcff127a",
     "events_pivot": "75e80b732e4758b0",
     "events_sliding": "005b2a1c572097de",

@@ -44,7 +44,11 @@ def _line_ok(
     terminal_punct: tuple[str, ...],
     line_blocklist: tuple[str, ...],
 ) -> Column:
-    ok = F.size(F.split(line, " ")) >= min_words
+    # count NON-EMPTY words: a bare size(split) counts the '' tokens
+    # consecutive/leading/trailing spaces produce, under-filtering
+    # irregularly spaced web text against the whitespace-word rule
+    words = F.filter(F.split(line, " "), lambda w: w != F.lit(""))
+    ok = F.size(words) >= min_words
     if terminal_punct:
         ends = [line.endswith(p) for p in terminal_punct]
         terminal = ends[0]
@@ -52,7 +56,9 @@ def _line_ok(
             terminal = terminal | e
         ok = ok & terminal
     for phrase in line_blocklist:
-        ok = ok & ~F.contains(F.lower(line), F.lit(phrase))
+        # lowercase BOTH sides: the line is lowered in-plan, so a
+        # non-lowercase blocklist phrase would silently never match
+        ok = ok & ~F.contains(F.lower(line), F.lit(phrase.lower()))
     return ok
 
 
@@ -64,28 +70,36 @@ def c4_clean(
     terminal_punct: tuple[str, ...] = TERMINAL_PUNCT,
     line_blocklist: tuple[str, ...] = LINE_BLOCKLIST,
     page_blocklist: tuple[str, ...] = PAGE_BLOCKLIST,
-    joiner: str = "\n",
+    split_regex: str = "\n",
+    joiner: str | None = None,
 ) -> DataFrame:
     """Apply the C4 line rules to each document, row-locally.
 
     Appends ``n_lines`` / ``n_kept`` / ``c4_keep_page`` and rewrites
-    ``text_col`` to the kept lines (original order, ``joiner``-joined).
-    A line survives when it has at least ``min_words`` space-separated
-    words AND ends in one of ``terminal_punct`` AND contains no
-    ``line_blocklist`` phrase (case-insensitive).  ``c4_keep_page`` is
-    False when the ORIGINAL page contains any ``page_blocklist``
-    phrase (case-insensitive) — returned as a flag, never applied, so
-    the caller owns the drop and the audit trail.  NULL text survives
-    as ``(0, 0, true, "")``.
+    ``text_col`` to the kept lines (original order, joined with
+    ``joiner``, default the newline; it is a SEPARATE parameter from
+    ``split_regex``, segdedup-style, because the split treats its
+    argument as a Java regex while the join is literal — one shared
+    value would corrupt documents for any regex-metacharacter
+    separator).  A line
+    survives when it has at least ``min_words`` non-empty
+    space-separated words AND ends in one of ``terminal_punct`` AND
+    contains no ``line_blocklist`` phrase (case-insensitive).
+    ``c4_keep_page`` is False when the ORIGINAL page contains any
+    ``page_blocklist`` phrase (case-insensitive) — returned as a flag,
+    never applied, so the caller owns the drop and the audit trail.
+    NULL text survives as ``(0, 0, true, "")``.
     """
     if min_words < 1:
         raise ValueError(f"min_words must be >= 1 (got {min_words})")
+    if joiner is None:
+        joiner = "\n"
     for c in ("n_lines", "n_kept", "c4_keep_page"):
         if c in df.columns:
             raise ValueError(f"column {c!r} already exists on the input")
     lines = F.when(
         F.col(text_col).isNull(), F.array().cast("array<string>")
-    ).otherwise(F.split(F.col(text_col), joiner))
+    ).otherwise(F.split(F.col(text_col), split_regex))
     kept = F.filter(
         lines,
         lambda l: _line_ok(l, min_words, terminal_punct, line_blocklist),

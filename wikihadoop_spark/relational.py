@@ -1801,7 +1801,10 @@ def dedup_span_audit(spark: SparkSession, sf: str) -> DataFrame:
       SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM built
     ), cleaned AS (
       SELECT doc_id, ls,
-             [l FOR l IN ls IF len(string_split(l, ' ')) >= 3
+             -- NON-EMPTY word count, mirroring the Spark side's
+             -- filter(split(...), w != '') whitespace-word rule
+             [l FOR l IN ls
+                IF len([w FOR w IN string_split(l, ' ') IF w != '']) >= 3
                 AND (ends_with(l, '.') OR ends_with(l, '!')
                      OR ends_with(l, '?') OR ends_with(l, '"'))
                 AND NOT contains(lower(l), 'javascript')] AS kept,

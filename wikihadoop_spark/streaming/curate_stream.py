@@ -80,16 +80,31 @@ def curate_stream(
     after the (optional) segment strip, row-locally and statelessly;
     arriving documents keep NO copy of an indexed span (the batch
     corpus owns every first occurrence).  ``c4_rules``: apply the C4
-    line rules (`functions/c4.py`) after the strips — lines failing
-    the min-words / terminal-punctuation / javascript tests are
-    removed and pages flagged by the page blocklist are DROPPED (on a
-    stream there is no downstream audit pass, so the flag is applied
-    here); row-local, stateless.  ``dsir_lambda`` (optional):
+    line rules (`functions/c4.py`) FIRST, before the strips — the
+    batch chain's stage 0.5 position, so a document cleans identically
+    on both chains; lines failing the min-words /
+    terminal-punctuation / javascript tests are removed and pages
+    flagged by the page blocklist are DROPPED (on a stream there is no
+    downstream audit pass, so the flag is applied here); row-local,
+    stateless.  ``dsir_lambda`` (optional):
     the driver-held DSIR lambda
     table (`operators/dsir.py::collect_lambda_table`, fitted batch-side)
     — arriving documents scoring below ``dsir_min_bits`` are dropped by
     the same row-local fold the batch chain runs (stage 1.5)."""
     out = docs
+    if c4_rules:
+        from ..functions.c4 import c4_clean
+
+        # BEFORE the strips — the batch chain's stage 0.5 position —
+        # so a document cleans identically on both chains: the strips
+        # can delete a line's terminal punctuation, and running the
+        # rules after them would then delete lines the batch chain
+        # (rules-first) keeps
+        out = (
+            c4_clean(out, text_col=text_col)
+            .filter(F.col("c4_keep_page"))
+            .drop("n_lines", "n_kept", "c4_keep_page")
+        )
     if strip_index is not None:
         from ..operators.segdedup import strip_frequent_segments
 
@@ -104,14 +119,6 @@ def curate_stream(
         out = strip_duplicated_spans(
             out, span_index, text_col=text_col, k=span_k
         ).drop("n_tokens", "n_removed", "n_spans")
-    if c4_rules:
-        from ..functions.c4 import c4_clean
-
-        out = (
-            c4_clean(out, text_col=text_col)
-            .filter(F.col("c4_keep_page"))
-            .drop("n_lines", "n_kept", "c4_keep_page")
-        )
     out = out.withColumn("quality", quality_score(F.col(text_col))).filter(
         F.col("quality") > quality_threshold
     )
