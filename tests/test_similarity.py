@@ -126,3 +126,32 @@ def test_semantic_dedup_composition_keeper_semantics(spark):
     assert out[1]["is_keeper"] and out[1]["n_members"] == 2
     assert not out[2]["is_keeper"] and out[2]["component"] == 1
     assert out[3]["is_keeper"] and out[3]["n_members"] == 1
+
+
+def test_multiprobe_pairs_recover_family_split_pair(spark):
+    """Recall mechanics on known geometry: family A's hyperplane
+    splits a near-identical pair (opposite signs on dim 0), family B
+    co-buckets it (same sign on dim 1) — one family misses the pair,
+    the union finds it exactly once, and an orthogonal vector pairs
+    with nobody."""
+    from wikihadoop_spark.operators.similarity import multiprobe_pairs
+
+    rows = [
+        (1, [0.1, 1.0]),
+        (2, [-0.1, 1.0]),   # cosine(1,2) ~ 0.98, split by plane [1,0]
+        (3, [1.0, -0.2]),   # near-orthogonal to both
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    fam_a = [[1.0, 0.0]]
+    fam_b = [[0.0, 1.0]]
+
+    only_a = multiprobe_pairs(emb, [fam_a], threshold=0.5).collect()
+    assert only_a == []  # family A alone misses the near-pair
+
+    both = multiprobe_pairs(emb, [fam_a, fam_b], threshold=0.5).collect()
+    assert [(r.id_a, r.id_b) for r in both] == [(1, 2)]  # found once
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one plane family"):
+        multiprobe_pairs(emb, [])

@@ -134,6 +134,53 @@ def cosine_topk_lsh(
     )
 
 
+def multiprobe_pairs(
+    corpus: DataFrame,
+    plane_families: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    cap: int = 1000,
+    round_dp: int = 9,
+) -> DataFrame:
+    """Same-bucket cosine pairs UNIONED over several independent
+    hyperplane families — the recall knob for embedding near-dup
+    (SemDeDup) blocking: a close pair split by one family's
+    hyperplane co-buckets under another with independent probability,
+    so recall approaches 1 geometrically in the family count while
+    cost grows only linearly (one bucketed, capped pair pass per
+    family — never all-pairs).  Pairs found by several families
+    deduplicate exactly on (id_a, id_b); the cosine is a pure function
+    of the vectors, so the kept row is identical whichever family
+    found it.  Returns (id_a, id_b, cosine_sim).
+    """
+    if not plane_families:
+        raise ValueError("multiprobe_pairs: need at least one plane family")
+    from .dedup import capped_block_pairs
+
+    v = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("e"),
+    )
+    per_family = []
+    for planes in plane_families:
+        b = v.withColumn("bkt", hyperplane_bucket(F.col("e"), planes))
+        pairs = capped_block_pairs(
+            b, block_cols=["bkt"], id_col="vec_id", payload_cols=["e"], cap=cap
+        )
+        sim = F.round(cosine(F.col("e_a"), F.col("e_b")), round_dp)
+        per_family.append(
+            pairs.select("id_a", "id_b", sim.alias("cosine_sim")).filter(
+                F.col("cosine_sim") >= threshold
+            )
+        )
+    out = per_family[0]
+    for p in per_family[1:]:
+        out = out.unionByName(p)
+    return out.dropDuplicates(["id_a", "id_b"])
+
+
 def ivf_build(
     corpus: DataFrame,
     *,
