@@ -111,3 +111,21 @@ def test_review_regressions_wordcount_blocklist_joiner(spark):
     ).collect()[0]
     assert row["n_lines"] == 2 and row["n_kept"] == 2
     assert row["text"] == "a fine sentence here.|another fine one too."
+
+
+def test_crlf_and_page_blocklist_case(spark):
+    """CRLF documents split cleanly under the default split regex (a
+    bare newline split would leave '\\r' on every line and silently
+    empty the doc), and a non-lowercase page-blocklist phrase still
+    flags the page."""
+    crlf = "a proper sentence ends here.\r\nanother good one follows!\r\n"
+    row = c4_clean(_docs(spark, [(1, crlf)])).collect()[0]
+    assert row["n_kept"] == 2
+    assert row["text"] == (
+        "a proper sentence ends here.\nanother good one follows!"
+    )
+    flagged = c4_clean(
+        _docs(spark, [(1, "buy Viagra for sale right now.")]),
+        page_blocklist=("Viagra",),
+    ).collect()[0]
+    assert flagged["c4_keep_page"] is False

@@ -70,7 +70,7 @@ def c4_clean(
     terminal_punct: tuple[str, ...] = TERMINAL_PUNCT,
     line_blocklist: tuple[str, ...] = LINE_BLOCKLIST,
     page_blocklist: tuple[str, ...] = PAGE_BLOCKLIST,
-    split_regex: str = "\n",
+    split_regex: str = "\r?\n",
     joiner: str | None = None,
 ) -> DataFrame:
     """Apply the C4 line rules to each document, row-locally.
@@ -81,7 +81,11 @@ def c4_clean(
     ``split_regex``, segdedup-style, because the split treats its
     argument as a Java regex while the join is literal — one shared
     value would corrupt documents for any regex-metacharacter
-    separator).  A line
+    separator).  The default ``split_regex`` is ``\\r?\\n`` so CRLF
+    web text splits cleanly — with a bare ``\\n`` every line would
+    keep its trailing ``\\r``, fail the terminal-punctuation test,
+    and the document would silently empty; rejoining with the default
+    joiner normalizes line endings to ``\\n``.  A line
     survives when it has at least ``min_words`` non-empty
     space-separated words AND ends in one of ``terminal_punct`` AND
     contains no ``line_blocklist`` phrase (case-insensitive).
@@ -106,8 +110,12 @@ def c4_clean(
     )
     page_ok = F.lit(True)
     for phrase in page_blocklist:
+        # lowercase BOTH sides (same trap as the line blocklist): the
+        # page text is lowered in-plan, so a non-lowercase phrase
+        # would silently never match
         page_ok = page_ok & ~F.contains(
-            F.lower(F.coalesce(F.col(text_col), F.lit(""))), F.lit(phrase)
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+            F.lit(phrase.lower()),
         )
     out_cols = [c for c in df.columns if c != text_col]
     return df.select(

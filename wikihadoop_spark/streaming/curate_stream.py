@@ -68,7 +68,8 @@ def curate_stream(
     batch job over static data, probing it is the streaming part.
     ``strip_index`` (optional): a frequent-segment index — the
     collected segment list or a ``SegmentBloom``
-    (`operators/segdedup.py`) — stripped from arriving documents FIRST
+    (`operators/segdedup.py`) — stripped from arriving documents
+    after the (optional) C4 rules and before everything else
     (row-local, stateless), so quality scores, decontamination
     shingles, and token counts all see boilerplate-free text; like the
     Bloom filter, building the index is a batch job over the existing
