@@ -4443,160 +4443,172 @@ def media_frame_fanout_q(spark: SparkSession, sf: str) -> DataFrame:
 # segment-frequency dedup, operators/segdedup.py), displacing the
 # q3_top_revenue carry.  The other 41 r08-green queries (q3 and q5
 # among them) demote unchanged under source-hash pins.
-# Catalog: 96 queries — the five added after the rotation froze
-# (text_lm_surprisal, text_lm_bigram, dsir_weights, sketch_count_min,
-# corpus_delta) ship with local
-# 3-SF DuckDB parity + dedicated oracle tests and take round-10 gate
-# slots (7 are free after the 41-pin rotation) for first driver
-# evidence.
+# Catalog at round-9 close: 100 queries — NINE added after the
+# rotation froze (dedup_span_exact, dedup_span_audit, text_c4_clean,
+# text_lm_surprisal, text_lm_bigram, dsir_weights, sketch_count_min,
+# corpus_delta, semantic_dedup) shipped with local 3-SF DuckDB parity
+# + dedicated oracle tests only.
+#
+# Round-10 rotation (executed): CORRECTNESS_r09 went 50/50 green.
+# The must-gate set is exactly full: the 9 round-9 late additions have
+# NO driver evidence at all (new-query hygiene, one round deferred by
+# a full window), and the 41 r08-pinned demotions hold the catalog's
+# oldest evidence — 41 + 9 = 50, every slot spoken for.  The two
+# wikidump anchors therefore demote for ONE round under source-hash
+# pins: they are seven-rounds-green (r03..r09), unchanged this round,
+# and their semantics stay pinned locally by the golden/property/
+# stress suites (tests/test_wikidump*.py, tests/test_bz2_split.py)
+# which exercise the same multi-partition roundtrips every run.
+# After the gate runs, no catalog query's driver evidence is older
+# than r09.  The 50 r09-green queries demote unchanged under
+# source-hash pins in _DEMOTED_SOURCE_PINS.  Operator-file edits this
+# round that touch a demoted query's call path are behavior-preserving
+# by construction and re-proven by the local parity suite
+# (tests/test_parity.py replays every demoted oracle at 3 SFs):
+# functions/c4.py gained an OPT-IN min_sentences page rule (default
+# None = off; the pinned curate_pipeline call path is bit-identical)
+# and operators/spandedup.py had a docstring guarantee softened
+# (no code change).  Queries whose BEHAVIOR changed this round all
+# sit inside the window already (text_c4_clean now exercises the
+# paper-faithful C4 thresholds; sketch_count_min's operator module
+# gained a cardinality-preserving cms_lookup).
+# Catalog: 101 queries — mixture_waterfill (the waterfill
+# redistribution branch of operators/mixture.py, the one branch of a
+# gated operator family with no driver evidence — round-9 verdict
+# item 4) was added after this rotation was sized; it ships with
+# local 3-SF DuckDB parity + a dedicated oracle test and takes a
+# round-11 gate slot for first driver evidence (the verdict's own
+# done-condition: "green CORRECTNESS row in r10 or r11").
 GATE_WINDOW = 50
 
-# The must-gate set for THIS round: every query re-entering the window
-# after a demotion (evidence refresh) — validated to sit inside the
-# gate prefix alongside the wikidump anchors.
+# The must-gate set for THIS round: the 9 round-9 late additions
+# taking their first-ever driver gate, plus the 41 r08-pinned
+# demotions rotating back for an evidence refresh — validated to sit
+# inside the gate prefix.
 ROTATION_SET: frozenset[str] = frozenset(
     {
-        # all 39 r07-pinned demotions rotate back (evidence refresh)
-        "agg_approx_distinct",
-        "agg_argmax",
-        "agg_distinct",
-        "agg_grouping_sets",
-        "agg_percentile",
-        "agg_stats",
-        "asof_join_events_orders",
-        "chunk_documents",
-        "correlated_exists",
-        "decontaminate_bloom",
-        "decontaminate_exact",
-        "decontaminate_ngram",
-        "events_retention",
-        "events_tumbling",
-        "filter_regex",
-        "join_full_outer",
-        "join_inner_agg",
-        "join_theta",
-        "ngram_overlap",
-        "q1_pricing_summary",
-        "range_join_near_orders",
-        "sample_stratified",
-        "scalar_json",
-        "scalar_math",
-        "scalar_string",
-        "scalar_subquery",
-        "scan_filter_project",
-        "sessionize_events",
-        "set_union_all",
-        "similarity_topk",
-        "sort_topk_global",
-        "text_diff_adjacent",
-        "text_quality_model",
-        "text_repetition",
-        "text_tfidf_topk",
-        "unpivot_lineitem",
-        "window_distribution",
-        "window_rank_topk",
-        "window_value_functions",
-        # operator changed this round (TruncationCounter rides the LSH
-        # plan — no second signature evaluation): must re-verify
-        "minhash_lsh_pairs",
-        # packing changed (MAX_BUCKETS clamp, WHEN-tree bucket search,
-        # loss-loud left offsets join): re-verify it and both
-        # compositions that sit directly on it / the LSH change
-        "pack_token_budget",
-        "shuffle_pack",
-        "curate_pipeline",
-        "dedup_verify_pairs",
-        # media.py changed (y4m per-plane ceil + stride validation)
-        "media_frame_fanout",
-        # docstring corrected ((?i) claim) — source hash drifts
-        "text_scrub_pii",
-        # NEW this round: corrupt-line audit gate (new-query hygiene)
-        "jsonl_corrupt_audit",
-        # NEW this round: C4-style line-frequency dedup (new-query
-        # hygiene; displaces the q3_top_revenue carry)
-        "dedup_line_frequency",
+        # ---- first driver evidence: the 9 round-9 late additions
+        "dedup_span_exact",
+        "dedup_span_audit",
+        "text_c4_clean",
+        "text_lm_surprisal",
+        "text_lm_bigram",
+        "dsir_weights",
+        "sketch_count_min",
+        "corpus_delta",
+        "semantic_dedup",
+        # ---- all 41 r08-pinned demotions rotate back (oldest evidence)
+        "agg_cube",
+        "agg_rollup",
+        "corpus_report_card",
+        "decontaminate_report",
+        "dedup_clusters",
+        "dedup_exact_rows",
+        "dedup_keeper_quality",
+        "embedding_cosine_dedup",
+        "events_pivot",
+        "events_sliding",
+        "join_anti",
+        "join_cross",
+        "join_left_agg",
+        "join_right_agg",
+        "join_semi",
+        "jsonl_roundtrip",
+        "media_audio_features",
+        "media_image_metadata",
+        "minhash_signatures",
+        "ngram_jaccard_block",
+        "q3_top_revenue",
+        "q5_revenue_by_nation",
+        "sample_mixture",
+        "scalar_array",
+        "scalar_conditional",
+        "scalar_date",
+        "scalar_hash",
+        "set_except",
+        "set_intersect",
+        "simhash_near_pairs",
+        "simhash_signatures",
+        "similarity_topk_ivf",
+        "similarity_topk_lsh",
+        "text_fingerprint",
+        "text_langid",
+        "text_quality",
+        "text_stopword_strip",
+        "text_tokens",
+        "window_lag_pairs",
+        "window_moving",
+        "window_running",
     }
 )
 
 _GATE_ORDER: tuple[str, ...] = (
-    # wikidump source gate anchors (S1-S5, R1/R2, P1, D1/D3) — gated
-    # every round
-    "wikidump_roundtrip",
-    "wikidump_roundtrip_bz2",
-    # ---- the 39 r07-pinned demotions rotate back (oldest evidence) --
-    # aggregation family
-    "agg_distinct",
-    "agg_stats",
-    "agg_approx_distinct",
-    "agg_percentile",
-    "agg_argmax",
-    "agg_grouping_sets",
-    "q1_pricing_summary",
-    # join kinds: inner/full/theta + as-of/range
-    "join_inner_agg",
-    "join_full_outer",
-    "join_theta",
-    "asof_join_events_orders",
-    "range_join_near_orders",
-    # set ops / sort / scan
-    "set_union_all",
-    "sort_topk_global",
-    "scan_filter_project",
-    "filter_regex",
+    # ---- the 9 round-9 late additions: first driver evidence ever
+    # (new-query hygiene, deferred one round by a full window) — the
+    # three dedup axes' missing member (span), its audit view, the C4
+    # rule pass, both LM scores, DSIR, the sketch, the snapshot delta,
+    # and SemDeDup
+    "dedup_span_exact",
+    "dedup_span_audit",
+    "text_c4_clean",
+    "text_lm_surprisal",
+    "text_lm_bigram",
+    "dsir_weights",
+    "sketch_count_min",
+    "corpus_delta",
+    "semantic_dedup",
+    # ---- the 41 r08-pinned demotions rotate back (oldest evidence) --
+    # flagship joins + aggregation family
+    "q3_top_revenue",
+    "q5_revenue_by_nation",
+    "agg_rollup",
+    "agg_cube",
+    # join kinds
+    "join_left_agg",
+    "join_right_agg",
+    "join_semi",
+    "join_anti",
+    "join_cross",
+    # set ops
+    "set_intersect",
+    "set_except",
     # scalar library
-    "scalar_string",
-    "scalar_math",
-    "scalar_json",
-    "scalar_subquery",
-    "correlated_exists",
-    # windows / sessionization / events
-    "window_rank_topk",
-    "window_value_functions",
-    "window_distribution",
-    "sessionize_events",
-    "events_tumbling",
-    "events_retention",
-    "unpivot_lineitem",
-    # training-pipeline tail
-    "ngram_overlap",
-    "text_repetition",
-    "sample_stratified",
-    "text_tfidf_topk",
-    "text_quality_model",
-    "text_diff_adjacent",
-    "similarity_topk",
-    "chunk_documents",
-    "decontaminate_exact",
-    "decontaminate_ngram",
-    "decontaminate_bloom",
-    # ---- CHANGED this round — must re-verify: the LSH truncation
-    # counter rides the plan itself now (TruncationCounter, no second
-    # signature evaluation)
-    "minhash_lsh_pairs",
-    # packing changed (MAX_BUCKETS clamp, WHEN-tree binary-search
-    # bucket id, loss-loud left offsets join) — the operator query,
-    # the seeded-shuffle composition, and the two chain compositions
-    # sitting directly on the changed LSH/packing operators re-verify
-    "pack_token_budget",
-    "shuffle_pack",
-    "curate_pipeline",
-    "dedup_verify_pairs",
-    # media.py changed (y4m per-plane ceil frame sizing + stride
-    # validation): the frame-fanout gate re-verifies
-    "media_frame_fanout",
-    # docstring corrected ((?i) claim) — source hash drifts, so it
-    # stays in-window rather than tripping the demotion pin
-    "text_scrub_pii",
-    # ---- NEW this round — must gate immediately: the
-    # on_corrupt="keep" failure-policy audit over deterministic torn
-    # JSONL shards
-    "jsonl_corrupt_audit",
-    # ---- NEW this round — must gate immediately: C4/RefinedWeb-style
-    # segment-frequency (line) dedup, taking the last slot from the
-    # q3_top_revenue carry (r08-green, unchanged, pinned)
-    "dedup_line_frequency",
+    "scalar_array",
+    "scalar_conditional",
+    "scalar_date",
+    "scalar_hash",
+    # windows / events
+    "window_lag_pairs",
+    "window_running",
+    "window_moving",
+    "events_sliding",
+    "events_pivot",
+    # text analysis
+    "text_tokens",
+    "text_langid",
+    "text_quality",
+    "text_fingerprint",
+    "text_stopword_strip",
+    # dedup / similarity family
+    "dedup_exact_rows",
+    "minhash_signatures",
+    "simhash_signatures",
+    "simhash_near_pairs",
+    "ngram_jaccard_block",
+    "embedding_cosine_dedup",
+    "dedup_clusters",
+    "dedup_keeper_quality",
+    "similarity_topk_lsh",
+    "similarity_topk_ivf",
+    # curation / reporting tail
+    "sample_mixture",
+    "decontaminate_report",
+    "corpus_report_card",
+    "jsonl_roundtrip",
+    # multimodal
+    "media_image_metadata",
+    "media_audio_features",
 )
-
 
 def _rotate_gate_window() -> None:
     # explicit raises, not assert: this validation must survive
