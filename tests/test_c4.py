@@ -129,3 +129,77 @@ def test_crlf_and_page_blocklist_case(spark):
         page_blocklist=("Viagra",),
     ).collect()[0]
     assert flagged["c4_keep_page"] is False
+
+
+def test_min_sentences_page_rule(spark):
+    """The opt-in paper-faithful page rule (Raffel et al. §2.2 kept
+    pages with >= 3 sentences): sentences are counted as [.!?] marks
+    over KEPT lines only, a dropped line's sentences never count, the
+    blocklist flag composes with AND, NULL/emptied pages fail the
+    minimum, and the default (min_sentences=None) stays the shipped
+    lax behavior bit-for-bit."""
+    import pytest
+
+    from wikihadoop_spark.functions.c4 import c4_clean
+
+    three = (
+        "the first proper sentence sits here.\n"
+        "the second proper sentence follows it!\n"
+        "does the third proper sentence close?"
+    )
+    two_plus_dropped = (
+        "the first proper sentence sits here.\n"
+        "short one here.\n"  # 3 words < 5: dropped, its '.' must NOT count
+        "the second proper sentence follows it!"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in c4_clean(
+            _docs(
+                spark,
+                [
+                    (1, three),
+                    (2, two_plus_dropped),
+                    (3, None),
+                    (4, "lorem ipsum a. b! c? d. padded words here."),
+                ],
+            ),
+            min_words=5,
+            min_sentences=3,
+        ).collect()
+    }
+    assert rows[1]["c4_keep_page"] is True
+    assert rows[2]["c4_keep_page"] is False  # only 2 kept sentences
+    assert rows[2]["n_kept"] == 2
+    assert rows[3]["c4_keep_page"] is False  # NULL text: zero sentences
+    assert rows[4]["c4_keep_page"] is False  # blocklist still ANDs in
+
+    # multi-mark lines count every mark: one kept line, three sentences
+    row = c4_clean(
+        _docs(spark, [(1, "one two three! four five six? seven eight nine.")]),
+        min_sentences=3,
+    ).collect()[0]
+    assert row["c4_keep_page"] is True
+
+    # default off: identical to the pre-rule behavior on an empty page
+    row = c4_clean(_docs(spark, [(1, None)])).collect()[0]
+    assert row["c4_keep_page"] is True
+
+    with pytest.raises(ValueError, match="min_sentences"):
+        c4_clean(_docs(spark, [(1, "x.")]), min_sentences=0)
+
+
+def test_gate_fixture_sentence_rule_fires_both_ways(spark):
+    """The driver-gate query must exercise the sentence minimum in both
+    directions at the gate's own scale factor: some pages pass, some
+    fail on sentence count alone (not merely via the blocklist)."""
+    from wikihadoop_spark.relational import QUERIES
+
+    rows = QUERIES["text_c4_clean"](spark, "/root/testdata/sf0.001").collect()
+    kept = [r for r in rows if r.c4_keep_page]
+    dropped_clean = [
+        r
+        for r in rows
+        if not r.c4_keep_page and r.doc_id % 7 != 0  # not blocklisted
+    ]
+    assert kept and dropped_clean

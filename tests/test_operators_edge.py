@@ -1561,6 +1561,50 @@ def test_count_min_sketch_properties(spark):
     assert "eps" not in hh or True  # false positives allowed by design
 
 
+def test_cms_lookup_preserves_probe_cardinality_and_null_tokens(spark):
+    """cms_lookup's append contract (round-9 advisor item): duplicate
+    probe rows — same token AND same carried columns — each keep their
+    own output row (a transient per-row key rides the cell fan-out),
+    and a NULL probe token yields cms_count NULL, not a
+    false-certainty 0 (the build ignores NULLs, so no counter ever saw
+    one).  Also pins the reserved-name guard for the row key."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from wikihadoop_spark.operators.sketch import cms_lookup, count_min_sketch
+
+    items = spark.createDataFrame(
+        [("alpha",)] * 5 + [("beta",)] * 3, "token string"
+    )
+    sketch = count_min_sketch(items, depth=4, width=1024)
+
+    probes = spark.createDataFrame(
+        [
+            ("alpha", "first"),
+            ("alpha", "first"),  # exact duplicate row — must survive
+            ("alpha", "second"),
+            (None, "nulltok"),
+            (None, "nulltok"),  # duplicate NULL-token row too
+            ("unseen", "miss"),
+        ],
+        "token string, tag string",
+    )
+    out = cms_lookup(probes, sketch, depth=4, width=1024).collect()
+    assert len(out) == probes.count()  # cardinality preserved exactly
+    by_tag = {}
+    for r in out:
+        by_tag.setdefault((r.token, r.tag), []).append(r.cms_count)
+    assert by_tag[("alpha", "first")] == [5, 5]  # both duplicates, both scored
+    assert by_tag[("alpha", "second")] == [5]
+    assert by_tag[(None, "nulltok")] == [None, None]  # NULL, never 0
+    assert by_tag[("unseen", "miss")] == [0]  # a real miss IS certainty-0
+
+    with pytest.raises(ValueError, match="__cms_probe_row"):
+        cms_lookup(
+            probes.withColumn("__cms_probe_row", F.lit(1)), sketch
+        )
+
+
 def test_sketch_count_min_gate_query_overestimates_only(spark):
     """The gate query's comparison table on real data: cms_count is
     never below exact_count, and the deliberately tiny 4x16 sketch

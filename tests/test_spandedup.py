@@ -198,3 +198,36 @@ def test_strip_duplicated_spans_exact_cap_and_validation(spark):
         sd.strip_duplicated_spans(arriving, [], k=1)
     with pytest.raises(ValueError, match="min_count must be >= 2"):
         sd.frequent_windows(arriving, min_count=0)
+
+
+def test_overlapping_distinct_fingerprints_can_rewrite_an_owner(spark):
+    """The guarantee is positional, PER FINGERPRINT (round-9 advisor
+    item — the docstring used to overclaim "exactly one copy of every
+    duplicated span survives"): an owner occurrence's tokens are never
+    removed for their OWN fingerprint, but a different duplicated
+    fingerprint whose non-owner occurrence overlaps them can still
+    rewrite those positions — in this adversarial layout NO intact
+    copy of the "x y" span survives anywhere."""
+    df = _docs(
+        spark,
+        [
+            (0, "q y z r"),   # owns (y z): (0, pos 1)
+            (1, "x y z w"),   # owns (x y) at pos 0; its (y z) at pos 1
+                              # is a NON-owner of doc 0's fingerprint
+            (2, "x y s t"),   # non-owner of (x y): removed
+        ],
+    )
+    out = {
+        r["doc_id"]: r for r in exact_span_dedup(df, k=2, min_count=2).collect()
+    }
+    assert out[0]["text"] == "q y z r"  # the (y z) owner is intact
+    # doc 1 owned (x y), yet y (and z) fell to doc 0's (y z) ownership:
+    # the owner position was partially destroyed by the OVERLAPPING
+    # distinct fingerprint
+    assert out[1]["text"] == "x w"
+    assert out[1]["n_removed"] == 2
+    # and doc 2's (x y) was removed as a plain non-owner — so no intact
+    # "x y" survives in the corpus, which is exactly the softened claim
+    assert out[2]["text"] == "s t"
+    survivors = " | ".join(r["text"] for r in out.values())
+    assert "x y" not in survivors

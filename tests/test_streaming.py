@@ -617,9 +617,11 @@ def test_strip_frequent_segments_stream_matches_batch(spark, tmp_path):
 
 def test_curate_stream_with_segment_strip_matches_batch(spark, tmp_path):
     """curate_stream with a frequent-segment index strips boilerplate
-    BEFORE quality/decontamination/token-count — still stateless
-    append mode, still exactly the batch result on the same rows, and
-    n_tokens reflects the stripped text."""
+    AFTER the quality gate (the batch chain's stage order) but before
+    decontamination/token-count — still stateless append mode, still
+    exactly the batch result on the same rows, n_tokens reflects the
+    stripped text, and the riding quality score is the post-strip
+    recompute."""
     from wikihadoop_spark.operators.segdedup import frequent_segments
     from wikihadoop_spark.streaming.curate_stream import curate_stream
 
@@ -919,3 +921,138 @@ def test_curate_stream_c4_rules_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM t_curc4").collect()
     }
     assert got == batch
+
+
+def test_curate_stream_gate_order_matches_batch(spark, tmp_path):
+    """Gate-order parity with the BATCH chain (round-9 advisor item,
+    medium): quality (stage 1) and DSIR (stage 1.5) must fire on
+    PRE-strip text on BOTH chains — the stream used to strip first and
+    gate second, so a document whose boilerplate banner pushed its
+    score across the threshold passed one chain and failed the other.
+    This fixture makes that sensitivity real (the chosen threshold
+    separates pre- and post-strip scores for at least one document),
+    runs strip_index + quality + dsir TOGETHER, and requires the
+    survivor set of the stream, the batch chain, and an independent
+    pre-strip score computation to coincide exactly."""
+    from wikihadoop_spark.operators.dsir import (
+        bucket_distributions,
+        collect_lambda_table,
+        dsir_score_rowwise,
+    )
+    from wikihadoop_spark.operators.segdedup import frequent_segments
+    from wikihadoop_spark.plans.curation import curate_corpus, quality_score
+    from wikihadoop_spark.streaming.curate_stream import curate_stream
+
+    docs = load_table(spark, SF, "documents")
+    banner = "buy now limited offer exclusive deal"
+    built = docs.select(
+        "doc_id",
+        F.concat_ws("\n", F.lit(banner), F.col("text")).alias("text"),
+        "source",
+    ).persist()
+
+    # pre-strip score = banner + text; post-strip = the original text
+    # (the banner line is in every document, so both strip paths remove
+    # it).  Any threshold separating the two distributions makes the
+    # gate ORDER observable.
+    scored = {
+        r.doc_id: (r.q_pre, r.q_post)
+        for r in built.join(
+            docs.select("doc_id", F.col("text").alias("orig")), "doc_id"
+        )
+        .select(
+            "doc_id",
+            quality_score(F.col("text")).alias("q_pre"),
+            quality_score(F.col("orig")).alias("q_post"),
+        )
+        .collect()
+    }
+    n = len(scored)
+
+    # DSIR fitted batch-side (English target), gated at the median of
+    # the PRE-strip scores so the selection is genuine
+    dist = bucket_distributions(docs, F.col("lang") == "en").persist()
+    lam = collect_lambda_table(dist)
+    dist.unpersist()
+    dsir_pre = {
+        r.doc_id: r.dsir_bits
+        for r in dsir_score_rowwise(built, lam).select(
+            "doc_id", "dsir_bits"
+        ).collect()
+    }
+    vals = sorted(dsir_pre.values())
+    dthr = vals[len(vals) // 2]
+    dsir_pass = {d for d in scored if dsir_pre[d] >= dthr}
+
+    # pick the quality threshold so that at least one DSIR-passing
+    # document sits BETWEEN its post- and pre-strip scores: that
+    # document survives iff the gate fires pre-strip, so it
+    # distinguishes the two orderings end-to-end
+    thr = None
+    for cand in sorted({q for pair in scored.values() for q in pair}):
+        pre = {d for d, (qp, _) in scored.items() if qp > cand}
+        sens = {
+            d for d, (qp, qq) in scored.items() if (qp > cand) != (qq > cand)
+        }
+        if 0 < len(pre) < n and sens & dsir_pass:
+            thr = cand
+            break
+    assert thr is not None, "fixture lost gate-order sensitivity"
+
+    expected = {
+        d
+        for d, (qp, _) in scored.items()
+        if qp > thr and dsir_pre[d] >= dthr
+    }
+    assert 0 < len(expected) < n
+
+    # batch chain: frequency-based strip (min_df=2 catches the banner),
+    # near-dup disabled (threshold > 1 can never match), unique texts
+    # so exact dedup drops nothing — survivors are exactly the two
+    # pre-strip gates
+    res = curate_corpus(
+        built,
+        quality_threshold=thr,
+        near_dup_threshold=1.01,
+        strip_boilerplate=True,
+        boilerplate_min_df=2,
+        dsir_lambda=lam,
+        dsir_min_bits=dthr,
+    )
+    batch_ids = {r.doc_id for r in res.curated.select("doc_id").collect()}
+    res.unpersist()
+    assert batch_ids == expected
+
+    idx = [r.segment for r in frequent_segments(built).collect()]
+    assert banner in idx
+    src = str(tmp_path / "arriving_gateorder")
+    built.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(built.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        curate_stream(
+            stream,
+            strip_index=idx,
+            quality_threshold=thr,
+            dsir_lambda=lam,
+            dsir_min_bits=dthr,
+        )
+        .writeStream.format("memory")
+        .queryName("t_gateorder")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = {
+        r.doc_id: r.text
+        for r in spark.sql("SELECT * FROM t_gateorder").collect()
+    }
+    built.unpersist()
+    assert set(out) == expected
+    # the stream's index strip removes every banner occurrence (the
+    # batch keeps only the corpus-first copy); survivors ship stripped
+    assert all(banner not in t for t in out.values())

@@ -107,24 +107,41 @@ def cms_lookup(
     """Estimate each probe token's count: min over its ``depth`` cells
     (untouched cells read 0).  ``depth``/``width`` must match the
     build — the caller owns that contract.  Appends ``cms_count`` to
-    the probe frame's columns; the sketch (<= d*w rows) is broadcast,
-    so probing never shuffles the corpus side."""
+    the probe frame's columns, PRESERVING probe cardinality: duplicate
+    probe rows (same token and same other columns) each keep their own
+    output row — a transient per-row key rides the explode/re-aggregate
+    so the fan-out collapses back to exactly the input rows.  A NULL
+    probe token gets ``cms_count`` NULL (its cells hash to NULL and can
+    never have been counted by the build, which ignores NULLs — a
+    silent 0 would misread as "seen zero times with certainty").  The
+    sketch (<= d*w rows) is broadcast, so probing never shuffles the
+    corpus side."""
     _check(depth, width)
     keep = [c for c in probes.columns if c != token_col]
-    if "cms_count" in probes.columns or {"row", "col", "cnt"} & set(keep):
+    reserved = {"row", "col", "cnt", "cms_count", "__cms_probe_row"}
+    if reserved & set(probes.columns):
         raise ValueError(
             "probe columns collide with sketch working names "
-            "(row/col/cnt/cms_count)"
+            "(row/col/cnt/cms_count/__cms_probe_row)"
         )
-    cells = probes.select(
+    keyed = probes.withColumn("__cms_probe_row", F.monotonically_increasing_id())
+    cells = keyed.select(
+        "__cms_probe_row",
         token_col,
         *keep,
         F.explode(_cells(F.col(token_col), depth, width)).alias("cell"),
-    ).select(token_col, *keep, "cell.row", "cell.col")
+    ).select("__cms_probe_row", token_col, *keep, "cell.row", "cell.col")
     return (
         cells.join(F.broadcast(sketch), ["row", "col"], "left")
-        .groupBy(token_col, *keep)
-        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_count"))
+        .groupBy("__cms_probe_row", token_col, *keep)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("__cms_min"))
+        .select(
+            token_col,
+            *keep,
+            F.when(
+                F.col(token_col).isNotNull(), F.col("__cms_min")
+            ).alias("cms_count"),
+        )
     )
 
 

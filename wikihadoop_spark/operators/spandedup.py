@@ -177,8 +177,15 @@ def exact_span_dedup(
     joins with one space).  A token is removed when it lies inside the
     k-window of a duplicated fingerprint occurrence that is not the
     corpus-first one — minimum ``(id_col, position)`` owns each
-    fingerprint, so exactly one copy of every duplicated span
-    survives, deterministic on any cluster.  A phrase repeated inside
+    fingerprint, deterministic on any cluster.  The guarantee is
+    positional, per fingerprint: the owner occurrence's tokens are
+    never removed ON ACCOUNT OF THEIR OWN fingerprint, but a DIFFERENT
+    duplicated fingerprint whose non-owner occurrence overlaps those
+    token positions can still rewrite them — so in adversarial
+    overlap layouts an intact copy of a given span may not survive
+    (only span dedup at sentence/paragraph granularity — ``segdedup``
+    — gives a keep-one-copy guarantee, because its units cannot
+    partially overlap).  A phrase repeated inside
     a single document collapses the same way (the run of identical
     windows keeps only the owner position).
 

@@ -1793,6 +1793,9 @@ def dedup_span_audit(spark: SparkSession, sf: str) -> DataFrame:
                'click here',
                'Please enable JavaScript to view this page.',
                CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum dolor sit amet.' END,
+               CASE WHEN doc_id % 3 = 0
+                    THEN 'Another proper sentence appears right here today! And one more follows it now.'
+               END,
                CASE WHEN t IS NULL THEN NULL
                     ELSE COALESCE(array_to_string(t[9:len(t)], ' '), '')
                END) AS text
@@ -1802,9 +1805,10 @@ def dedup_span_audit(spark: SparkSession, sf: str) -> DataFrame:
     ), cleaned AS (
       SELECT doc_id, ls,
              -- NON-EMPTY word count, mirroring the Spark side's
-             -- filter(split(...), w != '') whitespace-word rule
+             -- filter(split(...), w != '') whitespace-word rule;
+             -- paper-faithful FIVE-word minimum (Raffel et al. §2.2)
              [l FOR l IN ls
-                IF len([w FOR w IN string_split(l, ' ') IF w != '']) >= 3
+                IF len([w FOR w IN string_split(l, ' ') IF w != '']) >= 5
                 AND (ends_with(l, '.') OR ends_with(l, '!')
                      OR ends_with(l, '?') OR ends_with(l, '"'))
                 AND NOT contains(lower(l), 'javascript')] AS kept,
@@ -1815,24 +1819,37 @@ def dedup_span_audit(spark: SparkSession, sf: str) -> DataFrame:
     SELECT doc_id,
            CAST(len(ls) AS BIGINT) AS n_lines,
            CAST(len(kept) AS BIGINT) AS n_kept,
-           keep_page AS c4_keep_page,
+           -- paper-faithful page rule: at least THREE sentences over
+           -- the kept lines, a sentence counted per [.!?] occurrence
+           -- (summed over the joined kept text — the chr(10) joiner
+           -- contains no sentence mark, so this equals the Spark
+           -- side's per-line sum)
+           keep_page AND
+             len(regexp_extract_all(
+               COALESCE(array_to_string(kept, chr(10)), ''), '[.!?]'
+             )) >= 3 AS c4_keep_page,
            COALESCE(array_to_string(kept, chr(10)), '') AS text
     FROM cleaned
     """,
 )
 def text_c4_clean(spark: SparkSession, sf: str) -> DataFrame:
-    """C4 line-rule cleaning (functions/c4.py, Raffel et al. 2020
-    §2.2): keep only lines with >= 3 words ending in terminal
-    punctuation, drop javascript-banner lines, flag lorem-ipsum /
-    curly-brace pages — the rule pass C4 ran before its span dedup
-    (which `dedup_span_exact` provides).  The gate corpus splices a
-    proper sentence, a too-short line, a javascript banner, and (every
-    seventh doc) a lorem-ipsum marker into each document, so every
-    rule fires and the oracle replays line split, word count, suffix
-    tests, blocklists, the page flag, and reassembly byte-for-byte.
-    NEW in round 9 with the gate window full: local DuckDB parity at
-    3 SFs now, a round-10 gate slot next.  Plan: everything row-local
-    in one projection — zero shuffles, zero state (streams as-is)."""
+    """C4 line-rule cleaning at the PAPER-FAITHFUL thresholds
+    (functions/c4.py, Raffel et al. 2020 §2.2): keep only lines with
+    >= 5 words ending in terminal punctuation, drop javascript-banner
+    lines, flag pages that contain lorem-ipsum / curly-brace markers
+    OR retain fewer than 3 sentences — the rule pass C4 ran before its
+    span dedup (which `dedup_span_exact` provides).  min_words=5 and
+    min_sentences=3 are passed EXPLICITLY: the operator's defaults are
+    intentionally laxer (documented in c4_clean) and this gate pins
+    the published configuration.  The gate corpus splices a proper
+    sentence, a too-short line, a javascript banner, (every seventh
+    doc) a lorem-ipsum marker, and (every third doc) a two-sentence
+    line into each document, so every rule — including the sentence
+    minimum — fires both ways and the oracle replays line split, word
+    count, suffix tests, blocklists, per-line sentence counting, the
+    page flag, and reassembly byte-for-byte.  Plan: everything
+    row-local in one projection — zero shuffles, zero state (streams
+    as-is)."""
     from .functions.c4 import c4_clean
 
     toks = F.split(F.col("text"), " ")
@@ -1847,10 +1864,17 @@ def text_c4_clean(spark: SparkSession, sf: str) -> DataFrame:
                 F.col("doc_id") % 7 == 0,
                 F.lit("lorem ipsum dolor sit amet."),
             ),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit(
+                    "Another proper sentence appears right here today! "
+                    "And one more follows it now."
+                ),
+            ),
             F.array_join(F.slice(toks, 9, F.size(toks)), " "),
         ).alias("text"),
     )
-    return c4_clean(built)
+    return c4_clean(built, min_words=5, min_sentences=3)
 
 
 @query(

@@ -3,11 +3,16 @@ decontaminate documents AS THEY ARRIVE, instead of re-running batch
 curation over the whole corpus per crawl drop.
 
 What composes statelessly (and therefore runs in append mode with
-exactly-once file-sink semantics, no watermark, no state store):
+exactly-once file-sink semantics, no watermark, no state store), in
+the BATCH CHAIN'S stage order so a document is admitted or dropped by
+the same text on both chains:
 
   arriving docs
-    → hashed quality score + threshold filter   (row-local fold)
-    → Bloom n-gram decontamination              (broadcast word array)
+    → C4 line rules (optional)                  (batch stage 0.5)
+    → hashed quality score + threshold filter   (batch stage 1)
+    → DSIR importance gate (optional)           (batch stage 1.5)
+    → segment / span strips (optional)          (batch stages 2.5/2.6)
+    → Bloom n-gram decontamination              (batch stage 4)
     → token count                               (row-local)
 
 Near-duplicate handling stays SPLIT from this path on purpose: pair
@@ -66,22 +71,32 @@ def curate_stream(
     PRE-BUILT from the eval set
     (`operators/decontam.py:build_ngram_bloom`) — building it is a
     batch job over static data, probing it is the streaming part.
-    ``strip_index`` (optional): a frequent-segment index — the
-    collected segment list or a ``SegmentBloom``
-    (`operators/segdedup.py`) — stripped from arriving documents
-    after the (optional) C4 rules and before everything else
-    (row-local, stateless), so quality scores, decontamination
-    shingles, and token counts all see boilerplate-free text; like the
+    Stages run in the BATCH CHAIN's order (`plans/curation.py`): the
+    quality gate (batch stage 1) and the DSIR gate (batch stage 1.5)
+    fire on PRE-strip text, the strips run after them (batch stages
+    2.5/2.6), and decontamination probes the post-strip text (batch
+    stage 4) — so a document supplied to both chains with the same
+    indexes passes or fails identically
+    (``tests/test_streaming.py::test_curate_stream_gate_order_matches_batch``
+    pins strip_index + quality + dsir together).  After a strip, the
+    riding ``quality`` score is RECOMPUTED from the stripped text (the
+    batch chain's own post-strip recompute), so downstream keeper
+    policies rank the text that ships while the admit decision stays
+    pre-strip.  ``strip_index`` (optional): a frequent-segment index —
+    the collected segment list or a ``SegmentBloom``
+    (`operators/segdedup.py`) — stripped from admitted documents
+    row-locally and statelessly, so decontamination shingles and token
+    counts see boilerplate-free text; like the
     Bloom filter, building the index is a batch job over the existing
     corpus.  ``span_index`` (optional): a duplicated-window index —
     the collected window fingerprints
     (`operators/spandedup.py::collect_window_fps`) or a
     ``SegmentBloom`` over the window strings — duplicated
-    ``span_k``-token spans are stripped from arriving documents right
+    ``span_k``-token spans are stripped from admitted documents right
     after the (optional) segment strip, row-locally and statelessly;
     arriving documents keep NO copy of an indexed span (the batch
     corpus owns every first occurrence).  ``c4_rules``: apply the C4
-    line rules (`functions/c4.py`) FIRST, before the strips — the
+    line rules (`functions/c4.py`) FIRST, before the gates — the
     batch chain's stage 0.5 position, so a document cleans identically
     on both chains; lines failing the min-words /
     terminal-punctuation / javascript tests are removed and pages
@@ -96,30 +111,20 @@ def curate_stream(
     if c4_rules:
         from ..functions.c4 import c4_clean
 
-        # BEFORE the strips — the batch chain's stage 0.5 position —
-        # so a document cleans identically on both chains: the strips
-        # can delete a line's terminal punctuation, and running the
-        # rules after them would then delete lines the batch chain
-        # (rules-first) keeps
+        # FIRST — the batch chain's stage 0.5 position — so a document
+        # cleans identically on both chains: the strips can delete a
+        # line's terminal punctuation, and running the rules after
+        # them would then delete lines the batch chain (rules-first)
+        # keeps
         out = (
             c4_clean(out, text_col=text_col)
             .filter(F.col("c4_keep_page"))
             .drop("n_lines", "n_kept", "c4_keep_page")
         )
-    if strip_index is not None:
-        from ..operators.segdedup import strip_frequent_segments
-
-        out = strip_frequent_segments(
-            out, strip_index, text_col=text_col, split_regex=strip_split
-        ).drop("n_segments", "n_removed")
-    if span_index is not None:
-        from ..operators.spandedup import strip_duplicated_spans
-
-        # the batch chain's stage 2.6, statelessly: coarse line strip
-        # first (above), then duplicated spans at token offsets
-        out = strip_duplicated_spans(
-            out, span_index, text_col=text_col, k=span_k
-        ).drop("n_tokens", "n_removed", "n_spans")
+    # quality + DSIR gates BEFORE the strips, on pre-strip text — the
+    # batch chain's stage order (quality is stage 1, DSIR stage 1.5,
+    # the strips 2.5/2.6), so the same document passes or fails both
+    # chains identically when strip indexes are supplied
     out = out.withColumn("quality", quality_score(F.col(text_col))).filter(
         F.col("quality") > quality_threshold
     )
@@ -135,6 +140,26 @@ def curate_stream(
             .filter(F.col("__dsir") >= dsir_min_bits)
             .drop("__dsir")
         )
+    if strip_index is not None:
+        from ..operators.segdedup import strip_frequent_segments
+
+        out = strip_frequent_segments(
+            out, strip_index, text_col=text_col, split_regex=strip_split
+        ).drop("n_segments", "n_removed")
+    if span_index is not None:
+        from ..operators.spandedup import strip_duplicated_spans
+
+        # the batch chain's stage 2.6, statelessly: coarse line strip
+        # first (above), then duplicated spans at token offsets
+        out = strip_duplicated_spans(
+            out, span_index, text_col=text_col, k=span_k
+        ).drop("n_tokens", "n_removed", "n_spans")
+    if strip_index is not None or span_index is not None:
+        # a strip REWROTE the text: recompute the riding quality score
+        # (the batch chain recomputes __q after stages 2.5/2.6 the same
+        # way) so downstream keeper policies rank the text that ships —
+        # the admit decision above stays pre-strip
+        out = out.withColumn("quality", quality_score(F.col(text_col)))
     if bloom is not None:
         out = decontaminate_ngram_bloom(out, bloom, text_col=text_col)
     if chunk_tokens is not None:
