@@ -177,3 +177,33 @@ def test_every_demoted_query_is_pinned():
         f"unpinned demoted: {sorted(demoted - set(_DEMOTED_SOURCE_PINS))}; "
         f"stale pins: {sorted(set(_DEMOTED_SOURCE_PINS) - demoted)}"
     )
+
+
+def test_coverage_doc_constants_match_source():
+    """Numeric caps quoted in COVERAGE.md must equal the source
+    constants (the round-9 verdict caught the doc saying 100k for a
+    10,000 cap).  Contract: every backticked mention of a registered
+    constant must be followed within a few words by its real value in
+    thousands-separated form — so the doc can never silently drift
+    from the code again."""
+    import re
+
+    from wikihadoop_spark.operators.packing import MAX_BUCKETS
+    from wikihadoop_spark.operators.segdedup import MAX_EXACT_SEGMENTS
+    from wikihadoop_spark.operators.spandedup import MAX_EXACT_WINDOWS
+
+    registry = {
+        "MAX_EXACT_WINDOWS": MAX_EXACT_WINDOWS,
+        "MAX_EXACT_SEGMENTS": MAX_EXACT_SEGMENTS,
+        "MAX_BUCKETS": MAX_BUCKETS,
+    }
+    doc = open(os.path.join(REPO, "COVERAGE.md")).read()
+    bad = []
+    for name, value in registry.items():
+        for m in re.finditer(rf"`{name}`", doc):
+            tail = doc[m.end() : m.end() + 40]
+            if f"{value:,}" not in tail and str(value) not in tail:
+                bad.append((name, value, tail.strip()[:40]))
+    assert not bad, f"COVERAGE.md constant drift: {bad}"
+    # the guard must actually guard something
+    assert "`MAX_EXACT_WINDOWS`" in doc
