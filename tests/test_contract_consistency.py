@@ -86,6 +86,7 @@ _DEMOTED_SOURCE_PINS = {
     # oracle test, taking a round-11 gate slot (verdict item 4's own
     # done-condition allows r10 or r11) — pinned below so any edit
     # before its first gate is caught.
+    "mixture_waterfill": "ef69b14ffc648bcc",
     "agg_approx_distinct": "6532e5a0c72c2a9f",
     "agg_argmax": "3f03274d0f9f2f82",
     "agg_distinct": "3cbde80dbf72ea87",
