@@ -1056,3 +1056,121 @@ def test_curate_stream_gate_order_matches_batch(spark, tmp_path):
     # the stream's index strip removes every banner occurrence (the
     # batch keeps only the corpus-first copy); survivors ship stripped
     assert all(banner not in t for t in out.values())
+
+
+def test_curate_stream_full_stack_kill_midbatch_restart(spark, tmp_path):
+    """Checkpoint-restart drill for the FULL stateless stage stack
+    (round-9 verdict item 5: the span-strip and DSIR stages had
+    stream≡batch parity pins but no kill-mid-batch evidence): C4 rules
+    + quality gate + DSIR gate + segment strip + span strip + Bloom
+    decontamination, parquet source -> parquet sink with a checkpoint.
+    Stop the query mid-flight, let a shard arrive during the downtime,
+    restart with availableNow — exactly-once output equal to the batch
+    application over everything that ever arrived."""
+    import time
+
+    from wikihadoop_spark.operators.decontam import build_ngram_bloom
+    from wikihadoop_spark.operators.dsir import (
+        bucket_distributions,
+        collect_lambda_table,
+    )
+    from wikihadoop_spark.operators.segdedup import frequent_segments
+    from wikihadoop_spark.operators.spandedup import (
+        collect_window_fps,
+        frequent_windows,
+    )
+    from wikihadoop_spark.streaming.curate_stream import curate_stream
+
+    docs = load_table(spark, SF, "documents")
+    banner = "subscribe to our newsletter now"
+    toks = F.split(F.col("text"), " ")
+    spliced = F.concat_ws(
+        " ",
+        F.array_join(F.slice(toks, 1, 5), " "),
+        F.lit("this shared license span repeats in every document here."),
+        F.array_join(F.slice(toks, 6, F.size(toks)), " "),
+    )
+
+    def build(frame, id_shift):
+        return frame.select(
+            (F.col("doc_id") + id_shift).alias("doc_id"),
+            F.concat_ws("\n", F.lit(banner), spliced).alias("text"),
+            "source",
+        )
+
+    built = build(docs, 0).persist()
+    seg_idx = [r.segment for r in frequent_segments(built).collect()]
+    assert banner in seg_idx
+    span_fps = collect_window_fps(frequent_windows(built, k=5))
+    assert span_fps
+    dist = bucket_distributions(docs, F.col("lang") == "en").persist()
+    lam = collect_lambda_table(dist)
+    dist.unpersist()
+    bloom = build_ngram_bloom(
+        spark.createDataFrame(
+            [("a held out benchmark sentence that matches nothing here",)],
+            "text string",
+        )
+    )
+    kwargs = dict(
+        c4_rules=True,
+        quality_threshold=-(10**12),
+        dsir_lambda=lam,
+        dsir_min_bits=-(10**9),
+        strip_index=seg_idx,
+        span_index=span_fps,
+        span_k=5,
+        bloom=bloom,
+    )
+
+    # the downtime arrival: same corpus re-keyed, so it exercises every
+    # stage (banner, license span, language mix) without id collisions
+    late = build(docs.limit(60), 10_000_000)
+
+    indir = tmp_path / "arriving_fullstack"
+    indir.mkdir()
+    ckpt = str(tmp_path / "ckpt_fullstack")
+    out = str(tmp_path / "out_fullstack")
+    built.repartition(6).write.mode("overwrite").parquet(
+        str(indir / "first.parquet")
+    )
+
+    def make_query(trigger_kwargs):
+        stream = spark.readStream.schema(built.schema).option(
+            "maxFilesPerTrigger", "2"
+        ).parquet(str(indir / "*.parquet"))
+        return (
+            curate_stream(stream, **kwargs)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(**trigger_kwargs)
+            .start()
+        )
+
+    q = make_query({"processingTime": "0 seconds"})
+    time.sleep(1.0)
+    q.stop()  # interrupt: likely mid-batch; exactly-once must hold either way
+
+    late.coalesce(1).write.mode("overwrite").parquet(
+        str(indir / "late.parquet")
+    )
+    q2 = make_query({"availableNow": True})
+    q2.awaitTermination(180)
+
+    want = {
+        (r.doc_id, r.quality, r.n_tokens, r.text)
+        for r in curate_stream(
+            built.unionByName(late), **kwargs
+        ).collect()
+    }
+    got = [
+        (r.doc_id, r.quality, r.n_tokens, r.text)
+        for r in spark.read.parquet(out).collect()
+    ]
+    built.unpersist()
+    assert len(got) == len(set(got)), "duplicates after restart"
+    assert set(got) == want
+    # the full stack genuinely fired: spans and banners are gone
+    assert all(banner not in t for _, _, _, t in got)
+    assert all("shared license span" not in t for _, _, _, t in got)
