@@ -188,6 +188,13 @@ _PIPELINE_EXTRAS = (
     # factor — a data artifact, not engine scaling.
     "dedup_span_exact",
     "semantic_dedup",
+    # round 10: the remaining round-9 operators (LM scores, the
+    # bounded-state sketch) + the new waterfill branch — sf0.1 numbers
+    # so their sf1 spots have a denominator
+    "text_lm_surprisal",
+    "text_lm_bigram",
+    "sketch_count_min",
+    "mixture_waterfill",
 )
 
 
@@ -269,12 +276,34 @@ _SF1_SPOT_QUERIES = (
     # broadcast lambda join over the exploded features; its 10x ratio
     # shows the model fit and the scoring pass scaling together
     "dsir_weights",
-    # dedup_span_exact must NOT join the sf1 spot either: the replica
-    # mutation only substitutes 'e', so every e-free 5-token window
-    # (~8% of all windows, measured) is byte-identical across the 10
-    # copies and becomes corpus-duplicated ONLY at sf1 — the ratio
-    # would read as super-linear engine scaling when it is the same
-    # replication artifact that excludes semantic_dedup.
+    # dedup_span_exact and semantic_dedup must NOT run on THIS replica:
+    # the 'e'-only text substitution leaves every e-free 5-token window
+    # (~8% of all windows, measured) byte-identical across the 10
+    # copies, and embeddings are copied verbatim (only vec_id shifts) —
+    # both become corpus-duplicated ONLY at sf1, so the ratio would
+    # read as super-linear engine scaling when it is a replication
+    # artifact.  They (and the other round-9 heavy operators) spot on
+    # the DEDICATED replica below instead.
+)
+
+# Round-10: the round-9 heavy operators' 10x points (round-9 verdict
+# item 3), measured on a SECOND replica built to remove the artifacts
+# above: document text substitutes BOTH 'e' and 'a' per copy (a 5-token
+# window must dodge both letters in all five tokens to stay duplicated
+# across copies — the residual artifact is QUANTIFIED in the spot
+# entry: dup_windows_x10 is the sf1/sf0.1 ratio of distinct duplicated
+# fingerprints, ~10 when replication added none), and embeddings get a
+# per-copy deterministic sign-flip mask (a diagonal orthogonal
+# transform: every WITHIN-copy cosine is preserved exactly, so each
+# copy replays the sf0.1 near-dup structure, while CROSS-copy cosines
+# are pseudo-random instead of 1.0).  text_lm_bigram /
+# sketch_count_min have no such artifact, but they ride the same
+# replica so one build serves all four.
+_SF1_SPAN_QUERIES = (
+    "dedup_span_exact",
+    "semantic_dedup",
+    "text_lm_bigram",
+    "sketch_count_min",
 )
 _SF1_COPIES = 10
 _SF1_SHIFT = 100_000_000  # beyond every key range in the sf0.1 tables
@@ -331,6 +360,74 @@ def _build_sf1(spark, sf_dir: str, out_dir: str) -> None:
         os.replace(tmp, out_dir)
 
 
+def _build_sf1_span(spark, sf_dir: str, out_dir: str) -> None:
+    """10x replica tuned for the span/semantic family (_SF1_SPAN_QUERIES).
+
+    Documents: per-copy TWO-letter substitution ('e' AND 'a' — a
+    5-token window stays byte-identical across copies only if all five
+    tokens dodge both letters, so cross-copy window duplication falls
+    from ~8% to the low percents; the spot entry quantifies the
+    residue).  Embeddings: per-copy deterministic sign-flip mask — a
+    diagonal orthogonal transform, so within-copy cosines (the near-dup
+    structure semantic_dedup resolves) are preserved EXACTLY while
+    cross-copy cosines are pseudo-random.  Only the tables the span
+    family reads are materialized."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    tmp = out_dir + f".tmp{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    # two distinct substitution letters per copy; copy 0 stays verbatim
+    subs = ["", "qz", "jx", "vw", "yk", "pj", "zx", "xw", "wq", "kv"]
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    d_copies, e_copies = [], []
+    for i in range(_SF1_COPIES):
+        d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * _SF1_SHIFT))
+        e = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * _SF1_SHIFT))
+        if i:
+            d = d.withColumn("text", F.translate(F.col("text"), "ea", subs[i]))
+            e = e.withColumn(
+                "embedding",
+                F.transform(
+                    F.col("embedding"),
+                    lambda x, j, i=i: F.when(
+                        F.pmod(F.hash(j, F.lit(i)), F.lit(2)) == 0, x
+                    ).otherwise(-x),
+                ),
+            )
+        d_copies.append(d)
+        e_copies.append(e)
+    dd, ee = d_copies[0], e_copies[0]
+    for c in d_copies[1:]:
+        dd = dd.unionByName(c)
+    for c in e_copies[1:]:
+        ee = ee.unionByName(c)
+    dd.coalesce(8).write.mode("overwrite").parquet(
+        os.path.join(tmp, "documents.parquet")
+    )
+    ee.coalesce(8).write.mode("overwrite").parquet(
+        os.path.join(tmp, "embeddings.parquet")
+    )
+    if os.path.exists(out_dir):  # concurrent builder won the race
+        shutil.rmtree(tmp)
+    else:
+        os.replace(tmp, out_dir)
+
+
+def _dup_window_count(spark, sf_dir: str) -> int:
+    """Distinct duplicated 5-token window fingerprints in a corpus —
+    the artifact meter for the span replica (sf1 count / sf0.1 count
+    lands near 10 when replication added no cross-copy duplicates)."""
+    from wikihadoop_spark.operators.spandedup import frequent_windows
+
+    return frequent_windows(
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet")), k=5
+    ).count()
+
+
 def _bench_sf1_spot(spark, sf_dir: str, sf01_timings: dict) -> dict | None:
     """Min-of-3 timings of the three slowest headline queries at 10x
     scale, with the per-query ratio vs the sf0.1 timing."""
@@ -354,29 +451,55 @@ def _bench_sf1_spot(spark, sf_dir: str, sf01_timings: dict) -> dict | None:
     # RAM (/dev/shm) and stale copies would otherwise accumulate
     import shutil as _shutil
 
+    span_fp = _hashlib.sha256(src_fp.digest() + b"span-scheme-v1")
+    span_dir = os.path.join(
+        _corpus_base(), f"wikihadoop_sf1_span_{span_fp.hexdigest()[:12]}"
+    )
     for stale in _glob.glob(os.path.join(_corpus_base(), "wikihadoop_sf1_spot*")):
         if stale != out_dir:
             _shutil.rmtree(stale, ignore_errors=True)
+    for stale in _glob.glob(os.path.join(_corpus_base(), "wikihadoop_sf1_span*")):
+        if stale != span_dir:
+            _shutil.rmtree(stale, ignore_errors=True)
     if not os.path.exists(out_dir):
         _build_sf1(spark, sf_dir, out_dir)
-    def _run(name: str) -> None:
-        if name == "curation_e2e":
-            _curate_e2e(spark, out_dir)
-        else:
-            QUERIES[name](spark, out_dir).count()
+    if not os.path.exists(span_dir):
+        _build_sf1_span(spark, sf_dir, span_dir)
+
+    def _time_spot(name: str, data_dir: str) -> dict:
+        def run() -> None:
+            if name == "curation_e2e":
+                _curate_e2e(spark, data_dir)
+            else:
+                QUERIES[name](spark, data_dir).count()
+
+        run()  # warm plan + codegen
+        dts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run()
+            dts.append(time.perf_counter() - t0)
+        best = min(dts)
+        return {
+            "sec": round(best, 3),
+            "spread_sec": round(max(dts) - best, 3),
+            "x_vs_sf0.1": round(best / sf01_timings[name], 2),
+        }
 
     spot: dict[str, dict] = {}
     for name in _SF1_SPOT_QUERIES:
-        _run(name)  # warm plan + codegen
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            _run(name)
-            best = min(best, time.perf_counter() - t0)
-        spot[name] = {
-            "sec": round(best, 3),
-            "x_vs_sf0.1": round(best / sf01_timings[name], 2),
-        }
+        spot[name] = _time_spot(name, out_dir)
+    for name in _SF1_SPAN_QUERIES:
+        spot[name] = {**_time_spot(name, span_dir), "replica": "dense-mutation"}
+    # artifact meter for the span replica (see _SF1_SPAN_QUERIES): the
+    # 10x/1x ratio of distinct duplicated window fingerprints — near 10
+    # means the dense mutation added (almost) no cross-copy duplicates
+    # and the dedup_span_exact ratio above is engine scaling, not data
+    dup_sf1 = _dup_window_count(spark, span_dir)
+    dup_sf01 = _dup_window_count(spark, sf_dir)
+    spot["dedup_span_exact"]["dup_windows_x10"] = (
+        round(dup_sf1 / dup_sf01, 2) if dup_sf01 else None
+    )
     return spot
 
 
@@ -472,12 +595,20 @@ def _bench_wikidump(spark) -> dict:
     dt = min(dts)  # steady-state: the host throttles bursts 2-3x
     # rate divides by ALLOCATED cores (the honest comparison with the
     # reference's 700 GB / 24 cores / ~22 h ≈ 1.33 GB/core-hour)
+    # record which diff path ran: functions/native.py degrades silently
+    # to pure Python when no C toolchain exists, which would otherwise
+    # masquerade as a wikidump-throughput regression in this artifact
+    # (round-9 verdict item 7) — the flag is checked on the DRIVER, but
+    # local-mode workers share the host, so it is the workers' path too
+    from wikihadoop_spark.functions import native
+
     result = {
         "input_gb": round(size_gb, 3),
         "sec": round(dt, 2),
         "spread_sec": round(max(dts) - dt, 2),
         "cores": cpus,
         "gb_per_core_hour": round(size_gb / (dt / 3600) / cpus, 2),
+        "native_kernel": native.load() is not None,
     }
     result["bz2"] = _bench_wikidump_bz2(spark, path, size_gb, cpus)
     result["markup"] = _bench_wikidump_markup(spark, cpus)

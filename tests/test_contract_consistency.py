@@ -198,13 +198,16 @@ def test_coverage_doc_constants_match_source():
         "MAX_EXACT_SEGMENTS": MAX_EXACT_SEGMENTS,
         "MAX_BUCKETS": MAX_BUCKETS,
     }
-    doc = open(os.path.join(REPO, "COVERAGE.md")).read()
     bad = []
-    for name, value in registry.items():
-        for m in re.finditer(rf"`{name}`", doc):
-            tail = doc[m.end() : m.end() + 40]
-            if f"{value:,}" not in tail and str(value) not in tail:
-                bad.append((name, value, tail.strip()[:40]))
-    assert not bad, f"COVERAGE.md constant drift: {bad}"
+    seen = set()
+    for doc_name in ("COVERAGE.md", "SCALING.md"):
+        doc = open(os.path.join(REPO, doc_name)).read()
+        for name, value in registry.items():
+            for m in re.finditer(rf"`{name}`", doc):
+                seen.add(name)
+                tail = doc[m.end() : m.end() + 40]
+                if f"{value:,}" not in tail and str(value) not in tail:
+                    bad.append((doc_name, name, value, tail.strip()[:40]))
+    assert not bad, f"doc constant drift: {bad}"
     # the guard must actually guard something
-    assert "`MAX_EXACT_WINDOWS`" in doc
+    assert "MAX_EXACT_WINDOWS" in seen
