@@ -389,14 +389,17 @@ def _build_sf1_span(spark, sf_dir: str, out_dir: str) -> None:
         e = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * _SF1_SHIFT))
         if i:
             d = d.withColumn("text", F.translate(F.col("text"), "ea", subs[i]))
+
+            def _flip(copy: int):
+                # closure factory, NOT a default arg: F.transform reads
+                # the lambda's arity, and a third parameter would make
+                # it an (el, idx, ???) call that Spark rejects
+                return lambda x, j: F.when(
+                    F.pmod(F.hash(j, F.lit(copy)), F.lit(2)) == 0, x
+                ).otherwise(-x)
+
             e = e.withColumn(
-                "embedding",
-                F.transform(
-                    F.col("embedding"),
-                    lambda x, j, i=i: F.when(
-                        F.pmod(F.hash(j, F.lit(i)), F.lit(2)) == 0, x
-                    ).otherwise(-x),
-                ),
+                "embedding", F.transform(F.col("embedding"), _flip(i))
             )
         d_copies.append(d)
         e_copies.append(e)
@@ -499,6 +502,22 @@ def _bench_sf1_spot(spark, sf_dir: str, sf01_timings: dict) -> dict | None:
     dup_sf01 = _dup_window_count(spark, sf_dir)
     spot["dedup_span_exact"]["dup_windows_x10"] = (
         round(dup_sf1 / dup_sf01, 2) if dup_sf01 else None
+    )
+    # semantic_dedup's artifact meter: the 10x/1x ratio of NEAR-DUP
+    # PAIRS.  The sign-flip replica preserves within-copy geometry, but
+    # the embeddings are CLUSTERED, so any per-copy linear map gives
+    # every cross-copy cluster pair ONE shared pseudo-random cosine —
+    # when that value crosses the 0.35 threshold, all its member pairs
+    # become edges at once.  pairs_x10 >> 10 therefore means the sf1
+    # ratio is dominated by edge growth (CC work scales with edges by
+    # design), not by per-vector engine cost; SCALING.md carries the
+    # decomposition.
+    from wikihadoop_spark.relational import embedding_cosine_dedup
+
+    p_sf1 = embedding_cosine_dedup(spark, span_dir).count()
+    p_sf01 = embedding_cosine_dedup(spark, sf_dir).count()
+    spot["semantic_dedup"]["pairs_x10"] = (
+        round(p_sf1 / p_sf01, 2) if p_sf01 else None
     )
     return spot
 

@@ -574,3 +574,71 @@ def test_corpus_delta_is_one_join_no_window(spark):
         "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     )
     assert "md5" in optimized_of(spark, "corpus_delta")  # row-local fp
+
+
+def test_lm_score_plans_broadcast_model_no_window(spark):
+    """Both LM scoring plans (unigram surprisal and backoff bigram)
+    must be: map-side-combined model aggregate(s) + a BROADCAST join
+    of tokens against the model + one per-doc aggregate + the
+    broadcast document-spine restore — never a window, never a
+    cartesian product, and the corpus token stream must not
+    sort-merge against the vocabulary."""
+    for name in ("text_lm_surprisal", "text_lm_bigram"):
+        plan = plan_of(spark, name)
+        assert "Window" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastHashJoin" in plan, name  # model probe side
+        assert "partial_count" in plan or "partial_sum" in plan, name
+        # the only nested-loop joins allowed are the one-row scalar
+        # broadcasts (bitlen(N) / the backoff ceiling ride the plan as
+        # IdentityBroadcastMode single-row builds) — never a real
+        # cross product between data-sized sides
+        assert plan.count("BroadcastNestedLoopJoin") <= 2, name
+        if "BroadcastNestedLoopJoin" in plan:
+            assert "IdentityBroadcastMode" in plan, name
+
+
+def test_span_audit_shares_rewrite_plan_shape(spark):
+    """The audit view must keep the rewrite's discipline (it shares the
+    tokenize/occurrence/ownership subplan): window-free, the duplicated
+    fingerprint table a map-side-combined aggregate INNER-joined back,
+    the single posexplode, no cartesian blowup."""
+    plan = plan_of(spark, "dedup_span_audit")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "partial_min" in plan or "merge_min" in plan
+    assert "Generate" in plan
+    assert "Inner" in plan
+
+
+def test_semantic_dedup_pairs_are_bucketed_and_capped(spark):
+    """SemDeDup's pair stage must be a bucket-key equi-self-join with a
+    deterministic per-bucket cap (WindowGroupLimit or rank+filter over
+    the bucket, NEVER an uncapped cross product), and the similarity
+    filter must ride the pair stream — pinned on the pair subplan the
+    gated query resolves components over."""
+    from wikihadoop_spark.relational import QUERIES as Q
+
+    pairs_plan = (
+        Q["embedding_cosine_dedup"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in pairs_plan
+    assert "BroadcastNestedLoopJoin" not in pairs_plan
+    # the cap: Spark 4 rewrites rank<=N windows into WindowGroupLimit
+    assert "WindowGroupLimit" in pairs_plan or "Window" in pairs_plan
+
+
+def test_mixture_waterfill_plan_matches_single_pass_shape(spark):
+    """The waterfill branch changes DRIVER math only: the returned plan
+    must be byte-for-byte the same shape as sample_mixture's — a
+    broadcast threshold join + row-local md5-bucket filter, the corpus
+    never shuffled."""
+    plan = plan_of(spark, "mixture_waterfill")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "BroadcastExchange" in line, line
