@@ -116,6 +116,23 @@ SHOWCASE = [
         " broadcast-state job at plan-build time).",
     ),
     (
+        "mixture_waterfill",
+        "Water-filling mixture: the iterative redistribution is DRIVER"
+        " math over G scalars, so the executed plan must be identical in"
+        " shape to sample_mixture's — broadcast threshold join +"
+        " row-local md5-bucket filter, corpus never shuffled; only the"
+        " threshold VALUES differ.",
+    ),
+    (
+        "text_lm_surprisal",
+        "LM surprisal scoring: the vocabulary model is a map-side-"
+        "combined aggregate probed via `BroadcastHashJoin`; the only"
+        " nested-loop join is the one-row bitlen(N) scalar"
+        " (`IdentityBroadcastMode`); per-doc milli-bits are one"
+        " partial+final aggregate; the document spine restores"
+        " token-free docs with a left join — no window anywhere.",
+    ),
+    (
         "text_quality_model",
         "Hashed linear quality scorer: the per-token weight fold"
         " (`aggregate` higher-order function) evaluates inside the scan"
