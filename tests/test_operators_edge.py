@@ -1770,3 +1770,75 @@ def test_mixture_waterfill_gate_query_oracle_and_cascade(spark):
     assert kept["src1"] == doc_counts["src1"]
     # and uncapped groups genuinely sample
     assert any(kept[g] < doc_counts[g] for g in uncapped)
+
+
+def test_mixture_waterfill_recursive_oracle_random_shapes():
+    """The recursive-CTE waterfill oracle must replay the Python
+    iterative math on ADVERSARIAL group shapes, not just the gate
+    fixture: zero-supply groups (threshold 0, budget untouched),
+    single-group corpora, degenerate budgets (sum//2 of tiny corpora),
+    deep cascades, and all-zero supplies.  Pure DuckDB vs pure Python —
+    no Spark session, so this runs on every pytest invocation.  The
+    oracle string itself is exercised verbatim (view-substituted
+    documents table), keeping the r11 gate candidate honest."""
+    import random
+
+    import duckdb
+
+    from wikihadoop_spark.operators.mixture import (
+        SCALE,
+        mixture_thresholds_waterfill,
+    )
+    from wikihadoop_spark.relational import ORACLE
+
+    sql = ORACLE["mixture_waterfill"]
+    rng = random.Random(20260815)
+    for trial in range(25):
+        n_groups = rng.randrange(1, 12)
+        rows = []
+        doc_id = 0
+        totals: dict[str, int] = {}
+        for g in range(n_groups):
+            src = f"src{g}"
+            n_docs = rng.randrange(1, 6)
+            tot = 0
+            for _ in range(n_docs):
+                # zero-length docs are real (empty pages) and push
+                # whole groups to zero supply on some trials
+                chars = rng.choice([0, 0, rng.randrange(1, 2000)])
+                rows.append((doc_id, src, chars))
+                tot += chars
+                doc_id += 1
+            totals[src] = tot
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE documents (doc_id BIGINT, source VARCHAR, n_chars BIGINT)"
+        )
+        con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+        got = {
+            (int(d), s, int(c), int(b), int(t))
+            for d, s, c, b, t in con.execute(sql).fetchall()
+        }
+
+        budget = sum(totals.values()) // 2
+        weights = {"src0": 40, "src1": 5}
+        thr = mixture_thresholds_waterfill(
+            totals, weights, budget, default_weight=1
+        )
+        want = set()
+        for d, s, c in rows:
+            b = int(
+                con.execute(
+                    "SELECT ('0x' || substr(md5('mix:' || CAST(? AS VARCHAR)), 1, 15))::BIGINT % 1000000",
+                    [d],
+                ).fetchone()[0]
+            )
+            if b < thr[s]:
+                want.add((d, s, c, b, thr[s]))
+        assert got == want, (trial, sorted(totals.items()), budget)
+        # sanity on the branch semantics across the suite of trials:
+        # a zero-supply group must never emit a row
+        for d, s, c, b, t in got:
+            assert totals[s] > 0
+        assert all(0 <= t <= SCALE for t in thr.values())
+        con.close()
