@@ -1687,8 +1687,8 @@ def dedup_span_exact(spark: SparkSession, sf: str) -> DataFrame:
     prose.  The gate corpus splices a 9-token header between each
     document's first five tokens and its remainder, so the non-owner
     rewrite, run-collapse inside documents, and untouched owner are
-    all hash-verified.  NEW in round 9 with the gate window full:
-    local DuckDB parity at 3 SFs now, a round-10 gate slot next.
+    all hash-verified.  Added in round 9 with the gate window full (local 3-SF DuckDB
+    parity then); first driver gate in the round-10 rotation.
     Plan: row-local positional windows -> one explode -> partial+final
     fingerprint aggregate filtered BEFORE the join -> inner equi-join
     (unique windows never travel) -> per-doc sorted start list ->
@@ -1761,9 +1761,8 @@ def dedup_span_audit(spark: SparkSession, sf: str) -> DataFrame:
     contamination review reads) BEFORE committing to a rewrite.
     Shares the rewrite's tokenize/occurrence/ownership subplan
     (defined once, `_nonowner_occurrences`), so gating this view also
-    pins the exact removal decisions the rewrite makes.  NEW in round
-    9 with the gate window full: local DuckDB parity at 3 SFs now, a
-    round-10 gate slot next."""
+    pins the exact removal decisions the rewrite makes.  Added in round 9 with the gate window full (local 3-SF DuckDB
+    parity then); takes its first driver gate in the round-10 rotation."""
     from .operators.spandedup import duplicated_spans
 
     toks = F.split(F.col("text"), " ")
@@ -1986,8 +1985,8 @@ def text_lm_bigram(spark: SparkSession, sf: str) -> DataFrame:
     first tokens their unigram bits — all exact integers, milli-bit
     integer-division score.  Models built from the even-id half so the
     odd half exercises backoff and the unseen ceiling.  Like
-    `text_lm_surprisal`, NEW in round 9 with the gate window full:
-    local DuckDB parity at 3 SFs now, a round-10 gate slot next.
+    `text_lm_surprisal`, Added in round 9 with the gate window full (local 3-SF DuckDB
+    parity then); first driver gate in the round-10 rotation.
     Both sides left-join a documents spine, so a token-free document
     is (id, 0, 0) on both engines STRUCTURALLY — the contract does not
     depend on the gate corpora happening to lack empty documents."""
@@ -2066,8 +2065,8 @@ def dsir_weights_q(spark: SparkSession, sf: str) -> DataFrame:
     window, never all-pairs, model size independent of corpus size.
     Selection composes downstream (sort_topk_global / thresholds);
     DSIR's Gumbel resampling is deliberately left nondeterministic-free.
-    NEW late in round 9 (gate window full): local DuckDB parity at 3
-    SFs plus a dedicated oracle test now, a round-10 gate slot next."""
+    Added in round 9 with the gate window full (local 3-SF DuckDB
+    parity then); first driver gate in the round-10 rotation."""
     from .operators.dsir import bucket_distributions, dsir_weights
 
     docs = Tables(spark, sf).documents
@@ -2120,9 +2119,8 @@ def sketch_count_min(spark: SparkSession, sf: str) -> DataFrame:
     state is depth*width cells regardless of vocabulary (URLs, n-grams,
     adversarial text), mergeable cell-wise across shards/days
     (``cms_merge``), with ``heavy_hitters`` deriving a no-false-negative
-    candidate set at ``total div k``.  NEW late in round 9 (gate window
-    full): local DuckDB parity at 3 SFs + dedicated tests now, a
-    round-10 gate slot next."""
+    candidate set at ``total div k``.  Added in round 9 with the gate window full (local 3-SF DuckDB
+    parity then); first driver gate in the round-10 rotation."""
     from .operators.sketch import cms_lookup, count_min_sketch
 
     docs = Tables(spark, sf).documents
@@ -2173,8 +2171,8 @@ def corpus_delta_q(spark: SparkSession, sf: str) -> DataFrame:
     row-local fingerprints inside both scan projections, ONE full-outer
     equi-join on the id (exchange-free when both snapshots are bucketed
     by id), a row-local CASE — the unchanged majority is filtered, not
-    materialized.  NEW late in round 9 (gate window full): local DuckDB
-    parity at 3 SFs + dedicated tests now, a round-10 gate slot next."""
+    materialized.  Added in round 9 with the gate window full (local 3-SF DuckDB
+    parity then); first driver gate in the round-10 rotation."""
     from .operators.delta import corpus_delta
 
     docs = Tables(spark, sf).documents.select("doc_id", "text")
@@ -3991,8 +3989,8 @@ def semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     k-means coarse stage is replaced by the deterministic hyperplane
     buckets the ANN path already uses — same recall/cost trade, but
     engine-portable so the oracle replays bucketing, cosine, and the
-    reachability closure exactly.  NEW in round 9 with the gate window
-    full: local DuckDB parity at 3 SFs now, a round-10 gate slot next.
+    reachability closure exactly.  Added in round 9 with the gate window full (local 3-SF DuckDB
+    parity then); first driver gate in the round-10 rotation.
     Plan: the pair stage is bucket-equi-join bounded (cap 1000), the
     closure touches edge-touched nodes only (operators/components.py),
     and member counts are a hash-aggregate joined back — never a count
