@@ -10,9 +10,12 @@ registered queries — exactly the driver's gate membership — against
 their DuckDB oracles with the order-insensitive sorted-column multiset
 compare from ``tests/parity_util.py``.
 
-  python tools/gate_rehearsal.py [sf_dir]      # default sf0.01 (gate SF)
+  python tools/gate_rehearsal.py [sf_dir]        # default sf0.01 (gate SF)
+  python tools/gate_rehearsal.py [sf_dir] --all  # the whole catalog, not
+                                                 # just the gate window —
+                                                 # pinned queries too
 
-Exit code 0 = every gated query matches; nonzero prints the failures.
+Exit code 0 = every rehearsed query matches; nonzero prints the failures.
 """
 
 from __future__ import annotations
@@ -26,7 +29,9 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if a != "--all"]
+    run_all = "--all" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     from pyspark.sql import SparkSession
 
     # vanilla on purpose: no timezone, no Arrow, no shuffle config —
@@ -40,7 +45,7 @@ def main() -> int:
 
     from wikihadoop_spark.relational import GATE_WINDOW, ORACLE, QUERIES
 
-    gated = list(QUERIES)[:GATE_WINDOW]
+    gated = list(QUERIES) if run_all else list(QUERIES)[:GATE_WINDOW]
     failures: list[tuple[str, str]] = []
     for i, name in enumerate(gated, 1):
         try:
@@ -52,12 +57,13 @@ def main() -> int:
         if not ok:
             failures.append((name, msg))
     spark.stop()
+    scope = "catalog" if run_all else "gated"
     if failures:
-        print(f"\n{len(failures)} gated queries FAILED under a vanilla session:")
+        print(f"\n{len(failures)} {scope} queries FAILED under a vanilla session:")
         for name, msg in failures:
             print(f"  {name}: {msg[:500]}")
         return 1
-    print(f"\nall {len(gated)} gated queries match their oracles (vanilla session)")
+    print(f"\nall {len(gated)} {scope} queries match their oracles (vanilla session)")
     return 0
 
 
