@@ -195,6 +195,10 @@ _PIPELINE_EXTRAS = (
     "text_lm_bigram",
     "sketch_count_min",
     "mixture_waterfill",
+    # round 10: the int8 similarity kernel — timed next to the float
+    # brute-force headline (similarity_topk) so the artifact shows the
+    # quantized path's cost on the same probes/corpus
+    "similarity_topk_int8",
 )
 
 

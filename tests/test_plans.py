@@ -642,3 +642,19 @@ def test_mixture_waterfill_plan_matches_single_pass_shape(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "BroadcastExchange" in line, line
+
+
+def test_similarity_int8_plan_matches_float_path(spark):
+    """The int8 kernel must not change the search plan — quantization
+    is a row-local projection riding the scan, probes broadcast, the
+    rank window rewritten to WindowGroupLimit, no sort-merge join and
+    no cartesian product between data-sized sides (the probe cross
+    join is the same broadcast-of-10-rows the float path uses)."""
+    plan = plan_of(spark, "similarity_topk_int8")
+    assert "BroadcastNestedLoopJoin" in plan  # the 10-probe broadcast
+    assert "SortMergeJoin" not in plan
+    assert "WindowGroupLimit" in plan  # rank<=10 pushed down
+    for line in plan.splitlines():
+        if "Exchange" in line and "Broadcast" not in line:
+            # only the window's partition exchange may shuffle
+            assert "hashpartitioning(query_id" in line, line
