@@ -88,6 +88,7 @@ _DEMOTED_SOURCE_PINS = {
     # before its first gate is caught.
     "mixture_waterfill": "ef69b14ffc648bcc",
     "similarity_topk_int8": "631a30ccc3c60639",
+    "text_lm_buckets": "0a514aa4e7363c19",
     "agg_approx_distinct": "6532e5a0c72c2a9f",
     "agg_argmax": "3f03274d0f9f2f82",
     "agg_distinct": "3cbde80dbf72ea87",

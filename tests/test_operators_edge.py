@@ -1899,3 +1899,49 @@ def test_int8_quantization_kernel_and_recall(spark):
     assert set(fl) == set(q8)
     overlaps = [len(fl[q] & q8[q]) / len(fl[q]) for q in fl]
     assert sum(overlaps) / len(overlaps) >= 0.8, overlaps
+
+
+def test_perplexity_buckets_rule_and_edges(spark):
+    """perplexity_buckets (CCNet head/middle/tail): hand-checked
+    tercile assignment, the tie rule (a value crossing several
+    thresholds keeps all its rows in the LOWER bucket — buckets can be
+    uneven, never split), quartiles too, empty input, and validation.
+    Determinism: same assignment regardless of partitioning."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from wikihadoop_spark.operators.lm_score import perplexity_buckets
+
+    def frame(vals, parts=1):
+        return spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "doc_id bigint, lm_bits bigint"
+        ).repartition(parts)
+
+    # 9 distinct values -> clean terciles 3/3/3
+    out = {
+        r.lm_bits: r.bucket
+        for r in perplexity_buckets(frame(range(10, 100, 10))).collect()
+    }
+    assert [out[v] for v in range(10, 100, 10)] == [1, 1, 1, 2, 2, 2, 3, 3, 3]
+
+    # heavy tie: one value holds 80% of rows -> it crosses BOTH
+    # thresholds, so buckets 1 and 2 collapse onto it (bucket 2 empty)
+    vals = [5] * 8 + [7, 9]
+    rows = perplexity_buckets(frame(vals)).collect()
+    got = sorted((r.lm_bits, r.bucket) for r in rows)
+    assert all(b == 1 for v, b in got if v == 5)
+    assert {b for v, b in got if v > 5} == {3}
+
+    # quartiles, and partitioning must not matter
+    a = {(r.doc_id, r.bucket) for r in perplexity_buckets(frame(range(8), 1), n_buckets=4).collect()}
+    b = {(r.doc_id, r.bucket) for r in perplexity_buckets(frame(range(8), 7), n_buckets=4).collect()}
+    assert a == b
+    assert sorted(bb for _, bb in a) == [1, 1, 2, 2, 3, 3, 4, 4]
+
+    # empty input -> empty output, no threshold crash
+    assert perplexity_buckets(frame([])).count() == 0
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        perplexity_buckets(frame([1]), n_buckets=1)
+    with pytest.raises(ValueError, match="already exists"):
+        perplexity_buckets(frame([1]).withColumn("bucket", F.lit(0)))

@@ -273,3 +273,55 @@ def bigram_surprisal_score(
         F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias("n_tokens"),
         F.coalesce(F.col("lm2_bits"), F.lit(0).cast("long")).alias("lm2_bits"),
     )
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    *,
+    score_col: str = "lm_bits",
+    n_buckets: int = 3,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020, arXiv:
+    1911.00359 §4.3): partition documents into ``n_buckets`` exact
+    score quantiles — bucket 1 = most target-like — so a curation
+    policy can keep head+middle, or mix buckets at chosen rates.
+
+    The thresholds come from a BOUNDED-DOMAIN HISTOGRAM, not a global
+    sort or an ntile window (a single-partition window is exactly the
+    plan that dies at 100 TB): ``score_col`` is the integer milli-bit
+    surprisal, whose domain is capped at ``1000 * bitlen(N) <= 64,000``
+    distinct values regardless of corpus size, so one map-side-combined
+    aggregate + a <=64k-row collect yields exact quantile thresholds as
+    driver-held scalars, and the assignment is a row-local CASE.
+    Deterministic tie rule (engine-portable, no interpolation):
+    ``t_b`` = the smallest score whose cumulative count satisfies
+    ``cum * n_buckets >= b * N``; a document's bucket is
+    ``1 + #{b : score > t_b}``.  Ties therefore never split across
+    buckets (they all take the lower bucket), which can make buckets
+    uneven — the price of exactness, same rule on both engines.
+
+    Appends ``out_col`` (int, 1-based).  An empty frame returns empty.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2 (got {n_buckets})")
+    if out_col in scored.columns:
+        raise ValueError(f"column {out_col!r} already exists on the input")
+    hist = (
+        scored.groupBy(score_col)
+        .agg(F.count(F.lit(1)).alias("__pb_c"))
+        .collect()
+    )
+    items = sorted((int(r[score_col]), int(r["__pb_c"])) for r in hist)
+    n = sum(c for _, c in items)
+    thresholds: list[int] = []
+    cum, b = 0, 1
+    for v, c in items:
+        cum += c
+        while b < n_buckets and cum * n_buckets >= b * n:
+            thresholds.append(v)
+            b += 1
+    bucket = F.lit(1)
+    for t in thresholds:
+        bucket = bucket + F.when(F.col(score_col) > t, 1).otherwise(0)
+    return scored.withColumn(out_col, bucket.cast("int"))

@@ -2007,6 +2007,81 @@ def text_lm_bigram(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "text_lm_buckets",
+    # the scored CTEs replay text_lm_surprisal verbatim (same even-id
+    # model, same document spine); the bucketing then mirrors the
+    # operator's exact integer quantile rule — cumulative histogram
+    # counts cross-multiplied against N (cum * 3 >= b * N), never a
+    # division, never interpolation
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+      FROM documents
+    ), model AS (
+      SELECT token, COUNT(*) AS c FROM toks
+      WHERE doc_id % 2 = 0 GROUP BY token
+    ), n AS (SELECT length(bin(SUM(c))) AS ceil FROM model),
+    scored0 AS (
+      SELECT t.doc_id,
+             COUNT(*) AS n_tokens,
+             CAST(SUM(COALESCE(n.ceil - length(bin(m.c)), n.ceil)) * 1000
+                    // COUNT(*) AS BIGINT) AS lm_bits
+      FROM toks t LEFT JOIN model m USING (token), n
+      GROUP BY t.doc_id
+    ), scored AS (
+      SELECT d.doc_id,
+             CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+             CAST(COALESCE(s.lm_bits, 0) AS BIGINT) AS lm_bits
+      FROM documents d LEFT JOIN scored0 s USING (doc_id)
+    ), hist AS (
+      SELECT lm_bits AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM scored GROUP BY v
+    ), cum AS (
+      SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM hist
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM scored),
+    thr AS (
+      SELECT (SELECT MIN(v) FROM cum, tot WHERE cum * 3 >= 1 * n) AS t1,
+             (SELECT MIN(v) FROM cum, tot WHERE cum * 3 >= 2 * n) AS t2
+    )
+    SELECT doc_id, n_tokens, lm_bits,
+           CAST(1 + (CASE WHEN lm_bits > thr.t1 THEN 1 ELSE 0 END)
+                  + (CASE WHEN lm_bits > thr.t2 THEN 1 ELSE 0 END)
+                AS INT) AS bucket
+    FROM scored, thr
+    """,
+)
+def text_lm_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet's head/middle/tail perplexity bucketing (Wenzek et al.
+    2020 §4.3, via operators/lm_score.py::perplexity_buckets): every
+    document is assigned an exact surprisal tercile — bucket 1 = most
+    target-like — the knob CCNet used to keep head+middle and drop the
+    tail.  Thresholds come from a BOUNDED-DOMAIN histogram (milli-bit
+    scores cap at 1000·bitlen(N) <= 64,000 distinct values regardless
+    of corpus size: one map-side-combined aggregate + a tiny collect),
+    NOT a global sort or single-partition ntile window — the
+    scale-safe formulation of an exact quantile.  Deterministic
+    cross-multiplied tie rule, identical on both engines (no
+    interpolation, no division).  Scoring replays `text_lm_surprisal`
+    exactly (same even-id reference model, same document spine).
+    Added in round 10 after the rotation filled (local 3-SF DuckDB
+    parity + dedicated tests now); takes a round-11 gate slot with
+    mixture_waterfill and similarity_topk_int8."""
+    from .operators.lm_score import (
+        lm_surprisal_score,
+        perplexity_buckets,
+        unigram_model,
+    )
+
+    docs = Tables(spark, sf).documents
+    model = unigram_model(docs.filter(F.col("doc_id") % 2 == 0)).persist()
+    # persist the scored frame: the histogram aggregate AND the
+    # returned bucketed frame both consume it — scored once
+    scored = lm_surprisal_score(docs, model).persist()
+    return perplexity_buckets(scored)
+
+
+@query(
     "dsir_weights",
     oracle="""
     WITH toks AS (
@@ -4702,16 +4777,19 @@ def media_frame_fanout_q(spark: SparkSession, sf: str) -> DataFrame:
 # sit inside the window already (text_c4_clean now exercises the
 # paper-faithful C4 thresholds; sketch_count_min's operator module
 # gained a cardinality-preserving cms_lookup).
-# Catalog: 102 queries — two added after this rotation was sized,
-# both shipping with local 3-SF DuckDB parity + dedicated oracle
-# tests, both taking round-11 gate slots for first driver evidence:
+# Catalog: 103 queries — three added after this rotation was sized,
+# all shipping with local 3-SF DuckDB parity + dedicated oracle
+# tests, all taking round-11 gate slots for first driver evidence:
 # mixture_waterfill (the waterfill redistribution branch of
 # operators/mixture.py, the one branch of a gated operator family
 # with no driver evidence — round-9 verdict item 4; the verdict's own
-# done-condition allows "green CORRECTNESS row in r10 or r11"), and
+# done-condition allows "green CORRECTNESS row in r10 or r11"),
 # similarity_topk_int8 (the int8-quantized similarity kernel,
 # operators/quantize.py — new module, so no pinned query's operator
-# file is touched).
+# file is touched), and text_lm_buckets (CCNet head/middle/tail
+# perplexity terciles via a bounded-domain histogram — a pure
+# addition to operators/lm_score.py, whose existing callers gate
+# THIS round anyway).
 GATE_WINDOW = 50
 
 # The must-gate set for THIS round: the 9 round-9 late additions
