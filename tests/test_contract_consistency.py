@@ -87,7 +87,7 @@ _DEMOTED_SOURCE_PINS = {
     # done-condition allows r10 or r11) — pinned below so any edit
     # before its first gate is caught.
     "mixture_waterfill": "ef69b14ffc648bcc",
-    "similarity_topk_int8": "631a30ccc3c60639",
+    "similarity_topk_int8": "8aa25c8030b931d9",
     "text_lm_buckets": "0a514aa4e7363c19",
     "agg_approx_distinct": "6532e5a0c72c2a9f",
     "agg_argmax": "3f03274d0f9f2f82",

@@ -124,6 +124,18 @@ SHOWCASE = [
         " threshold VALUES differ.",
     ),
     (
+        "similarity_topk_int8",
+        "Int8 similarity kernel: the quantized column is MATERIALIZED"
+        " once (`InMemoryTableScan`; at real scale a written int8 column"
+        " — the FAISS-SQ8 shape) so Catalyst cannot re-inline the"
+        " quantize expression per joined pair (measured 4x slower when"
+        " it does); the 10 probes are a broadcast nested-loop of a"
+        " 10-row build side, integer dots/norms fold inside whole-stage"
+        " codegen, and the rank<=10 window is rewritten to"
+        " `WindowGroupLimit` — same search shape as the float path, 4x"
+        " fewer bytes moved at scale and ~2x faster at sf0.1.",
+    ),
+    (
         "text_lm_surprisal",
         "LM surprisal scoring: the vocabulary model is a map-side-"
         "combined aggregate probed via `BroadcastHashJoin`; the only"

@@ -3722,10 +3722,21 @@ def similarity_topk_int8(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     t = Tables(spark, sf)
-    qn = t.embeddings.select(
-        "vec_id",
-        quantize_int8(F.col("embedding").cast("array<double>")).alias("q"),
-    ).withColumn("n2", int_norm2(F.col("q")))
+    # persist the quantized column: without it Catalyst inlines the
+    # quantize expression into the join output and re-evaluates it PER
+    # PAIR (10x per candidate row here) — measured 1.7 s vs 0.4 s at
+    # sf0.1, turning the kernel's 2x win into a 2x loss.  At real
+    # scale this persist is a WRITE: the int8 column is materialized
+    # once next to the corpus (the FAISS-SQ8 shape) and every search
+    # pass scans 4x fewer bytes.
+    qn = (
+        t.embeddings.select(
+            "vec_id",
+            quantize_int8(F.col("embedding").cast("array<double>")).alias("q"),
+        )
+        .withColumn("n2", int_norm2(F.col("q")))
+        .persist()
+    )
     probes = (
         qn.filter((F.col("vec_id") < 10) & (F.col("n2") > 0))
         .select(
