@@ -199,6 +199,9 @@ _PIPELINE_EXTRAS = (
     # brute-force headline (similarity_topk) so the artifact shows the
     # quantized path's cost on the same probes/corpus
     "similarity_topk_int8",
+    # round 10: CCNet perplexity terciles (bounded-domain histogram —
+    # its cost is the scoring pass plus one tiny aggregate)
+    "text_lm_buckets",
 )
 
 

@@ -658,3 +658,17 @@ def test_similarity_int8_plan_matches_float_path(spark):
         if "Exchange" in line and "Broadcast" not in line:
             # only the window's partition exchange may shuffle
             assert "hashpartitioning(query_id" in line, line
+
+
+def test_lm_buckets_no_global_window(spark):
+    """Exact quantiles the scale-safe way: the bucketing plan must
+    contain NO window function at all (no single-partition ntile, no
+    global sort) — thresholds are driver-held scalars from the
+    bounded-domain histogram, assignment is a row-local CASE, and the
+    scoring subplan keeps the LM rules (broadcast model probe,
+    map-side-combined aggregates)."""
+    plan = plan_of(spark, "text_lm_buckets")
+    assert "Window" not in plan
+    assert "ntile" not in plan.lower()
+    assert "BroadcastHashJoin" in plan  # the model probe
+    assert "partial_count" in plan or "partial_sum" in plan
