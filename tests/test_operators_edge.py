@@ -1945,3 +1945,11 @@ def test_perplexity_buckets_rule_and_edges(spark):
         perplexity_buckets(frame([1]), n_buckets=1)
     with pytest.raises(ValueError, match="already exists"):
         perplexity_buckets(frame([1]).withColumn("bucket", F.lit(0)))
+
+    # NULL scores are a contract violation, not an int(None) crash:
+    # a NULL has no position on the quantile axis (r10 advisor)
+    nullframe = spark.createDataFrame(
+        [(0, 10), (1, None), (2, 30)], "doc_id bigint, lm_bits bigint"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        perplexity_buckets(nullframe)

@@ -660,6 +660,25 @@ def test_similarity_int8_plan_matches_float_path(spark):
             assert "hashpartitioning(query_id" in line, line
 
 
+def test_similarity_int8_lsh_plan_bucketed_and_materialized(spark):
+    """The composed int8+LSH path must keep both scale levers visible
+    in the plan: the probe is an equi-JOIN on bucket id (BroadcastHash,
+    NOT the brute-force nested loop), and the quantized+bucketed frame
+    is materialized (InMemoryTableScan) so the quantize/bucket
+    expressions are cut out of the join's codegen scope — the measured
+    CSE-across-joins rule (SCALING.md).  Only the rank window's
+    query_id exchange may shuffle."""
+    plan = plan_of(spark, "similarity_topk_int8_lsh")
+    assert "BroadcastHashJoin" in plan  # equi-join on bkt
+    assert "BroadcastNestedLoopJoin" not in plan  # not brute force
+    assert "SortMergeJoin" not in plan
+    assert "InMemoryTableScan" in plan  # persist outside the join
+    assert "WindowGroupLimit" in plan  # rank<=10 pushed down
+    for line in plan.splitlines():
+        if "Exchange" in line and "Broadcast" not in line:
+            assert "hashpartitioning(query_id" in line, line
+
+
 def test_lm_buckets_no_global_window(spark):
     """Exact quantiles the scale-safe way: the bucketing plan must
     contain NO window function at all (no single-partition ntile, no

@@ -106,3 +106,104 @@ def test_quantized_cosine_bitwise_vs_python(spark, qs):
     want = sum(x * y for x, y in zip(qs, other)) / math.sqrt(float(na * nb))
     # bitwise: both stacks do exact-int -> one sqrt -> one divide
     assert got.hex() == want.hex()
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-127, max_value=127), min_size=64, max_size=64)
+)
+def test_hyperplane_bucket_int_matches_python_exactly(spark, qs):
+    """The integer-hyperplane bucket is exact integer math — the Spark
+    expression must equal the pure-Python computation on every input
+    (no fold-order caveat to carve out, unlike the float family)."""
+    from wikihadoop_spark.operators.quantize import hyperplane_bucket_int
+    from wikihadoop_spark.relational import _INT8_LSH_PLANES
+
+    got = (
+        spark.createDataFrame([(qs,)], "q array<int>")
+        .select(hyperplane_bucket_int(F.col("q"), _INT8_LSH_PLANES).alias("b"))
+        .collect()[0]
+        .b
+    )
+    want = sum(
+        (1 << i)
+        for i, p in enumerate(_INT8_LSH_PLANES)
+        if sum(x * y for x, y in zip(qs, p)) >= 0
+    )
+    assert got == want
+    assert 0 <= got < 2 ** len(_INT8_LSH_PLANES)
+
+
+def test_int8_lsh_ranks_like_float_within_candidates(spark):
+    """The composed path's two approximations, pinned separately:
+    (a) LSH pruning — every returned pair must be a same-bucket pair
+    (candidate set identical to what the float vectors would probe,
+    up to quantization of the bucket inputs); (b) int8 scoring — the
+    top-10 WITHIN the candidate set must near-match exact float
+    cosine ranking of the same candidates (measured 0.99-1.0 at both
+    small SFs; the vs-brute recall is the plane family's pruning
+    behavior, shared with the gated float LSH path, not the kernel's).
+    Also pins the gate body == the public operator function."""
+    from wikihadoop_spark.operators.quantize import (
+        cosine_topk_int8_lsh,
+        hyperplane_bucket_int,
+    )
+    from wikihadoop_spark.operators.similarity import cosine
+    from wikihadoop_spark.relational import _INT8_LSH_PLANES, QUERIES, Tables
+
+    sf = "/root/testdata/sf0.001"
+    t = Tables(spark, sf)
+    emb = t.embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qn = (
+        emb.select("vec_id", "v", quantize_int8(F.col("v")).alias("q"))
+        .withColumn("n2", int_norm2(F.col("q")))
+        .filter(F.col("n2") > 0)
+        .withColumn("bkt", hyperplane_bucket_int(F.col("q"), _INT8_LSH_PLANES))
+        .persist()
+    )
+    buckets = {r.vec_id: r.bkt for r in qn.select("vec_id", "bkt").collect()}
+
+    got = QUERIES["similarity_topk_int8_lsh"](spark, sf).collect()
+    assert got, "gate fixture produced no pairs"
+    lsh_top: dict[int, set[int]] = {}
+    for r in got:
+        # (a) structural: only same-bucket pairs may appear
+        assert buckets[r.query_id] == buckets[r.neighbor_id]
+        lsh_top.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    # (b) float cosine ranking of the SAME candidate set
+    probes = qn.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bkt"
+    )
+    cand = qn.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "bkt"
+    )
+    pairs = (
+        cand.join(F.broadcast(probes), "bkt")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("fcos", cosine(F.col("qv"), F.col("cv")))
+        .collect()
+    )
+    by_q: dict[int, list] = {}
+    for r in pairs:
+        by_q.setdefault(r.query_id, []).append((r.fcos, r.neighbor_id))
+    overlaps = []
+    for q, scored in by_q.items():
+        ftop = {n for _, n in sorted(scored, key=lambda x: (-x[0], x[1]))[:10]}
+        overlaps.append(len(ftop & lsh_top.get(q, set())) / len(ftop))
+    assert sum(overlaps) / len(overlaps) >= 0.9, overlaps
+
+    # gate body == public operator (probes are a corpus subset there too)
+    op = cosine_topk_int8_lsh(
+        t.embeddings,
+        t.embeddings.filter(F.col("vec_id") < 10),
+        _INT8_LSH_PLANES,
+        id_col="vec_id",
+        vec_col="embedding",
+        k=10,
+    ).collect()
+    key = lambda r: (r.query_id, r.neighbor_id, r.int_dot, r.qcos.hex(), r.rank)
+    assert sorted(map(key, op)) == sorted(map(key, got))
+    qn.unpersist()

@@ -312,6 +312,15 @@ def perplexity_buckets(
         .agg(F.count(F.lit(1)).alias("__pb_c"))
         .collect()
     )
+    # explicit contract, not a stray int(None) TypeError: a NULL score
+    # has no place on the quantile axis (the gate query coalesces lm
+    # scores to non-null; generic callers must do the same or filter)
+    if any(r[score_col] is None for r in hist):
+        raise ValueError(
+            f"perplexity_buckets: {score_col!r} contains NULL — coalesce "
+            "or filter NULL scores before bucketing (a NULL has no "
+            "position on the quantile axis)"
+        )
     items = sorted((int(r[score_col]), int(r["__pb_c"])) for r in hist)
     n = sum(c for _, c in items)
     thresholds: list[int] = []

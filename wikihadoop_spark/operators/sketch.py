@@ -115,7 +115,17 @@ def cms_lookup(
     never have been counted by the build, which ignores NULLs — a
     silent 0 would misread as "seen zero times with certainty").  The
     sketch (<= d*w rows) is broadcast, so probing never shuffles the
-    corpus side."""
+    corpus side.
+
+    Single-lineage assumption: the transient key is
+    ``monotonically_increasing_id()``, a non-deterministic expression —
+    the explode and the re-aggregate consume it inside ONE lineage
+    (assign → fan out → collapse, no recomputation boundary between),
+    which is what makes it safe here.  A caller that checkpoints or
+    re-executes the exploded intermediate across a retry boundary
+    could see ids reassigned; keep the operator's output as the unit
+    of reuse (persist THIS frame, not an internal stage) and the
+    cardinality contract holds."""
     _check(depth, width)
     keep = [c for c in probes.columns if c != token_col]
     reserved = {"row", "col", "cnt", "cms_count", "__cms_probe_row"}

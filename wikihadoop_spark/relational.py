@@ -2078,7 +2078,10 @@ def text_lm_buckets(spark: SparkSession, sf: str) -> DataFrame:
     # persist the scored frame: the histogram aggregate AND the
     # returned bucketed frame both consume it — scored once
     scored = lm_surprisal_score(docs, model).persist()
-    return perplexity_buckets(scored)
+    # n_buckets stated explicitly: the pinned oracle hardcodes the
+    # tercile rule (cum * 3, t1/t2) — a future default change in the
+    # operator must not silently desynchronize this gate (r10 advisor)
+    return perplexity_buckets(scored, n_buckets=3)
 
 
 @query(
@@ -3824,6 +3827,151 @@ def similarity_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return cosine_topk_lsh(
         t.embeddings, q, _LSH_PLANES, id_col="vec_id", vec_col="embedding",
         k=10, round_dp=9,
+    )
+
+
+# deterministic INTEGER hyperplanes (8 planes over 64 dims, entries in
+# [-500, 500]) shared by the int8 LSH query and its SQL oracle.  Over
+# int8-quantized vectors every plane dot is exact integer math
+# (|q_j| <= 127, |p_j| <= 500, 64 terms: far below 2^53), so the
+# bucket id is bit-identical across engines BY CONSTRUCTION — the
+# float family's left-to-right-fold portability argument upgraded to
+# exactness.
+_INT8_LSH_PLANES = [
+    [(((i * 64 + j) * 2654435761 + 1013904223) % 1001) - 500 for j in range(64)]
+    for i in range(8)
+]
+
+
+def _int8_lsh_bucket_sql(qcol: str) -> str:
+    """DuckDB expression for the integer-hyperplane bucket of int8
+    vector ``qcol`` (mirrors operators.quantize.hyperplane_bucket_int:
+    bit_i = dot >= 0, packed little-endian).  The dot runs over
+    double-cast lists — every product and partial sum is an exact
+    small integer, so list_dot_product is exact in any order."""
+    terms = []
+    for i, plane in enumerate(_INT8_LSH_PLANES):
+        lit = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(CAST({qcol} AS DOUBLE[]), {lit}) >= 0"
+            f" THEN {2 ** i} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+@query(
+    "similarity_topk_int8_lsh",
+    # replays the full composition bit-for-bit: trunc quantization
+    # (proven by the similarity_topk_int8 oracle), EXACT integer
+    # plane dots -> bucket ids identical by construction, exact
+    # integer candidate dots, IEEE-exactly-rounded cosine — no
+    # rounding step anywhere
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), qt AS (
+      SELECT vec_id,
+             CASE WHEN mx > 0
+                  THEN [CAST(trunc(x * 127.0 / mx) AS INT) FOR x IN v]
+                  ELSE [CAST(0 AS INT) FOR x IN v] END AS q
+      FROM (SELECT vec_id, v,
+                   list_max([abs(x) FOR x IN v]) AS mx
+            FROM base)
+    ), n AS (
+      SELECT vec_id, q,
+             CAST(list_dot_product(CAST(q AS DOUBLE[]), CAST(q AS DOUBLE[]))
+                  AS BIGINT) AS n2
+      FROM qt
+    ), b AS (
+      SELECT vec_id, q, n2, {{bucket}} AS bkt FROM n WHERE n2 > 0
+    ), probes AS (
+      SELECT vec_id AS query_id, q AS qa, n2 AS na, bkt
+      FROM b WHERE vec_id < 10
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             CAST(list_dot_product(CAST(qa AS DOUBLE[]), CAST(qb AS DOUBLE[]))
+                  AS BIGINT) AS int_dot,
+             na, nb
+      FROM (SELECT vec_id AS neighbor_id, q AS qb, n2 AS nb, bkt FROM b) cand
+      JOIN probes USING (bkt) WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, int_dot, qcos, rank FROM (
+      SELECT query_id, neighbor_id, int_dot,
+             CAST(int_dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) AS qcos,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY CAST(int_dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) DESC,
+                        neighbor_id
+             ) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """.replace("{bucket}", _int8_lsh_bucket_sql("q")),
+)
+def similarity_topk_int8_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """The two ANN scale levers COMPOSED (r10 verdict item 2): integer-
+    hyperplane LSH bucketing over int8-quantized embeddings
+    (operators/quantize.py::hyperplane_bucket_int).  At 100 TB this is
+    where the 4× bandwidth win matters most — the corpus is scanned
+    per probe batch, and here both the bucketing pass AND the
+    within-bucket scoring read only the int8 column (FAISS-SQ8 inside
+    an LSH index, from public designs).  The search becomes an
+    equi-join on bucket id (~1/2^8 of the corpus per probe) instead of
+    the brute-force cross product.  Every step — quantization, plane
+    dots, candidate dots, cosine — is exact or IEEE-exactly-rounded,
+    so the oracle replays the whole composition with NO rounding step;
+    the bucket ids are exact integers, upgrading the float LSH gate's
+    fold-order portability argument to bit-exactness by construction.
+    The quantized+bucketed frame is persisted before the probe join
+    (the measured CSE-across-joins rule, SCALING.md) — at real scale
+    that persist is a WRITE: int8 vector + norm + bucket materialized
+    once next to the corpus, every search pass reads 4× fewer bytes.
+    Local recall pin vs the float brute-force path in
+    tests/test_quantize.py.  NEW this round — gates immediately
+    (new-query hygiene)."""
+    from .operators.quantize import (
+        hyperplane_bucket_int,
+        int_dot,
+        int_norm2,
+        quantize_int8,
+        quantized_cosine,
+    )
+
+    t = Tables(spark, sf)
+    qn = (
+        t.embeddings.select(
+            "vec_id",
+            quantize_int8(F.col("embedding").cast("array<double>")).alias("q"),
+        )
+        .withColumn("n2", int_norm2(F.col("q")))
+        .filter(F.col("n2") > 0)
+        .withColumn("bkt", hyperplane_bucket_int(F.col("q"), _INT8_LSH_PLANES))
+        .persist()
+    )
+    probes = qn.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qa"),
+        F.col("n2").alias("na"),
+        "bkt",
+    )
+    cand = qn.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("q").alias("qb"),
+        F.col("n2").alias("nb"),
+        "bkt",
+    )
+    scored = (
+        cand.join(F.broadcast(probes), on="bkt")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("int_dot", int_dot(F.col("qa"), F.col("qb")))
+        .withColumn(
+            "qcos", quantized_cosine(F.col("int_dot"), F.col("na"), F.col("nb"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("qcos").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", "int_dot", "qcos", "rank")
     )
 
 
