@@ -38,30 +38,26 @@ def test_coverage_doc_mentions_every_query():
 
 def test_gate_window_contains_rotation_set():
     """The driver gates the first GATE_WINDOW registered queries; the
-    current rotation set (round 10: the 9 round-9 late additions taking
-    their first-ever driver gate plus the 41 r08-pinned queries
-    returning for an evidence refresh — exactly filling the window)
-    must sit inside that prefix.  The wikidump anchors demote for this
-    ONE round (the must-gate set left no slot; they are
-    seven-rounds-green, unchanged, source-hash-pinned below, and their
-    semantics run every pytest invocation via the golden/property/
-    stress suites) — they rotate back in round 11."""
+    current rotation set (round 11: the 3 never-driver-verified
+    round-10 additions + the NEW int8 LSH composition + the two
+    wikidump anchors back from their one-round sit-out, plus 44 of the
+    48 r09-pinned demotions — the other four defer to r12, chosen for
+    the strongest independent local re-verification; see the rotation
+    comment in relational.py) must sit inside that prefix."""
     first = list(QUERIES)[:GATE_WINDOW]
     missing = ROTATION_SET - set(first)
     assert not missing, f"rotation set outside gate window: {sorted(missing)}"
-    # the round-9 late additions MUST take their first driver gate now
+    # queries with no driver evidence ever MUST take their gate now,
+    # and the anchors MUST return after their sanctioned sit-out
     for n in (
-        "dedup_span_exact",
-        "dedup_span_audit",
-        "text_c4_clean",
-        "text_lm_surprisal",
-        "text_lm_bigram",
-        "dsir_weights",
-        "sketch_count_min",
-        "corpus_delta",
-        "semantic_dedup",
+        "mixture_waterfill",
+        "similarity_topk_int8",
+        "text_lm_buckets",
+        "similarity_topk_int8_lsh",
+        "wikidump_roundtrip",
+        "wikidump_roundtrip_bz2",
     ):
-        assert n in first, f"never-gated query missing from window: {n}"
+        assert n in first, f"must-gate query missing from window: {n}"
     # every gated query must be oracle-checked (hash gate, not rows-only)
     assert all(n in ORACLE for n in first)
 
@@ -73,72 +69,73 @@ def test_gate_window_contains_rotation_set():
 # here until the query is rotated back into _GATE_ORDER for the next
 # round (then re-pin the survivors).
 _DEMOTED_SOURCE_PINS = {
-    # round-10 demotions: all 50 r09-green (CORRECTNESS_r09 50/50),
-    # code unchanged this round; the 41 r08-pinned queries plus the 9
-    # round-9 late additions rotated into the window in exchange, so
-    # after the round-10 gate no catalog query's driver evidence is
-    # older than r09.  The two wikidump anchors demote for ONE round
-    # (seven-rounds-green r03..r09, unchanged; their semantics stay
-    # covered every run by the golden/property/stress suites in
-    # tests/test_wikidump*.py and tests/test_bz2_split.py).
-    # mixture_waterfill is NOT here: it is NEW this round and sits in
-    # the post-window catalog with local 3-SF parity + a dedicated
-    # oracle test, taking a round-11 gate slot (verdict item 4's own
-    # done-condition allows r10 or r11) — pinned below so any edit
-    # before its first gate is caught.
-    "mixture_waterfill": "ef69b14ffc648bcc",
-    "similarity_topk_int8": "8aa25c8030b931d9",
-    "text_lm_buckets": "0a514aa4e7363c19",
-    "agg_approx_distinct": "6532e5a0c72c2a9f",
-    "agg_argmax": "3f03274d0f9f2f82",
-    "agg_distinct": "3cbde80dbf72ea87",
-    "agg_grouping_sets": "f685188aa1b82d0b",
-    "agg_percentile": "da7e078703af57f1",
-    "agg_stats": "35b21489747f25ae",
-    "asof_join_events_orders": "73a4584ecbec5547",
-    "chunk_documents": "3f23f6ccee284755",
-    "correlated_exists": "2180da0486b759ec",
-    "curate_pipeline": "3e5d28ceae6b6ecd",
-    "decontaminate_bloom": "bade0783dfc57627",
-    "decontaminate_exact": "2501e3996f48222b",
-    "decontaminate_ngram": "3ea1d9b42de8633e",
-    "dedup_line_frequency": "44282c0542ae182b",
-    "dedup_verify_pairs": "1c4b963f903abd90",
-    "events_retention": "b765baa9b8e9a9e2",
-    "events_tumbling": "8aed8b9153c987fa",
-    "filter_regex": "cdc41d855536f9e2",
-    "join_full_outer": "68f92d4e4cf403e9",
-    "join_inner_agg": "fe54374f33db6a0d",
-    "join_theta": "0ca20c452a95bd6b",
-    "jsonl_corrupt_audit": "3346798ae79cd78f",
-    "media_frame_fanout": "3e39e07d6786c875",
-    "minhash_lsh_pairs": "08f0fd7e3471c110",
-    "ngram_overlap": "1c16e089f005a2e7",
-    "pack_token_budget": "78e58e3fe3a7e621",
-    "q1_pricing_summary": "0f80d1148a90ab59",
-    "range_join_near_orders": "37dfb2b236d9964e",
-    "sample_stratified": "0e84ac6e2232c519",
-    "scalar_json": "66eb99cf08eecad7",
-    "scalar_math": "684488204dc95feb",
-    "scalar_string": "38a2e51423fc738b",
-    "scalar_subquery": "f9165f6bdfb772ca",
-    "scan_filter_project": "54ff3947f6a8a5c6",
-    "sessionize_events": "ae32bfec89f844b0",
-    "set_union_all": "44ca1532854c55e6",
-    "shuffle_pack": "8b1f7788077426ce",
-    "similarity_topk": "46518dcb0143d4fb",
-    "sort_topk_global": "22a29bc24d2cca0a",
-    "text_diff_adjacent": "c092d4fede978899",
-    "text_quality_model": "c1447a0a1f8d1ecc",
-    "text_repetition": "58fb8692579576f4",
-    "text_scrub_pii": "69dcb6fc13e99c4e",
-    "text_tfidf_topk": "5a1220387e5cfd1b",
-    "unpivot_lineitem": "391003271fd11185",
-    "wikidump_roundtrip": "cf5d8180b47dab71",
-    "wikidump_roundtrip_bz2": "4d8d19ca6721800f",
-    "window_distribution": "fdb6a74d11cb3944",
-    "window_rank_topk": "3b1c83b9e69021cf",
-    "window_value_functions": "338debe3795fa35c",
+    # round-11 demotions.  50 rows are r10-green (CORRECTNESS_r10
+    # 50/50), code unchanged this round; the 44 oldest-evidence
+    # (r09-pinned) demotions plus the 3 never-gated r10 additions, the
+    # NEW similarity_topk_int8_lsh, and the two wikidump anchors
+    # rotated into the window in exchange.  FOUR rows are r09-green
+    # pins deferred one extra round (48 candidates for 44 slots) —
+    # text_diff_adjacent, media_frame_fanout, jsonl_corrupt_audit,
+    # decontaminate_bloom — chosen for the strongest independent local
+    # re-verification (hypothesis/golden suites re-prove their
+    # semantics every run); they are first-priority must-gates for
+    # round 12.  After the round-11 gate runs, no catalog query's
+    # driver evidence is older than r09, and only those four are older
+    # than r10.
+    "agg_cube": "734e8e961bba8096",
+    "agg_rollup": "4302c99ab1c8ecf4",
+    "corpus_delta": "7805916baee0689d",
+    "corpus_report_card": "d26bb9a833b974b6",
+    "decontaminate_bloom": "bade0783dfc57627",  # r09-green, deferred to r12
+    "decontaminate_report": "000b42315b4fbfb3",
+    "dedup_clusters": "21cbf558840e3aeb",
+    "dedup_exact_rows": "e03df1abce283dc6",
+    "dedup_keeper_quality": "f8b3f5f7ba87b3ab",
+    "dedup_span_audit": "877cf4d08fd2c95a",
+    "dedup_span_exact": "33a8a4b78188dcf9",
+    "dsir_weights": "b87550e69e870d5b",
+    "embedding_cosine_dedup": "fcd55f10bcff127a",
+    "events_pivot": "75e80b732e4758b0",
+    "events_sliding": "005b2a1c572097de",
+    "join_anti": "4ee8ad81a9ae5a5b",
+    "join_cross": "8e28519e77a707ad",
+    "join_left_agg": "16b29ffd5458f4c0",
+    "join_right_agg": "8c9d8995b1bab41a",
+    "join_semi": "051f79cdd64d54e2",
+    "jsonl_corrupt_audit": "3346798ae79cd78f",  # r09-green, deferred to r12
+    "jsonl_roundtrip": "217612d57cf3aa84",
+    "media_audio_features": "3b6a09ea33625b6c",
+    "media_frame_fanout": "3e39e07d6786c875",  # r09-green, deferred to r12
+    "media_image_metadata": "acb619d93a5d08bc",
+    "minhash_signatures": "fdcc19e47feb7674",
+    "ngram_jaccard_block": "c4605872af129943",
+    "q3_top_revenue": "f19aff5bad580d78",
+    "q5_revenue_by_nation": "c86e1e193e35e5c2",
+    "sample_mixture": "2f30e5a765f37fe4",
+    "scalar_array": "a742a45ca902e45d",
+    "scalar_conditional": "d8381006df2721db",
+    "scalar_date": "88782a77498e0ab7",
+    "scalar_hash": "b146a2df0ad01a41",
+    "semantic_dedup": "654d5188e37fcff8",
+    "set_except": "3d8cbe4130707d5d",
+    "set_intersect": "d7ff616bcca89fcf",
+    "simhash_near_pairs": "4f2edff51a54f6d2",
+    "simhash_signatures": "720d8995662be958",
+    "similarity_topk_ivf": "325c5dc3b75e144f",
+    "similarity_topk_lsh": "1210c9254daa3722",
+    "sketch_count_min": "f9948dc45306cc1a",
+    "text_c4_clean": "2cc8562f76bd5f2f",
+    "text_diff_adjacent": "c092d4fede978899",  # r09-green, deferred to r12
+    "text_fingerprint": "f4a767a9d53374dd",
+    "text_langid": "a98512ee2d3f1b78",
+    "text_lm_bigram": "1e8b42527834988c",
+    "text_lm_surprisal": "b67c53adb3163f00",
+    "text_quality": "5b4465eb015806fe",
+    "text_stopword_strip": "2eac56e392f87f76",
+    "text_tokens": "add226c7babdeb84",
+    "window_lag_pairs": "f729d197d47dcf48",
+    "window_moving": "0bd9d62107a76cee",
+    "window_running": "56a88253d1ea3ce3",
 }
 
 
@@ -213,3 +210,25 @@ def test_coverage_doc_constants_match_source():
     assert not bad, f"doc constant drift: {bad}"
     # the guard must actually guard something
     assert "MAX_EXACT_WINDOWS" in seen
+
+
+def test_catalog_count_doc_claims_match_source():
+    """Every 'N-query catalog' / 'all N catalog queries' claim in the
+    docs must equal len(QUERIES) — the r10 judge found a stale count in
+    a status note; this makes the class structural (the historical
+    rotation-log paragraphs in relational.py are exempt: they are
+    marked as round-N history, not current fact)."""
+    import re
+
+    n = len(QUERIES)
+    bad = []
+    for doc_name in ("README.md", "COVERAGE.md", "SCALING.md"):
+        doc = open(os.path.join(REPO, doc_name)).read()
+        for m in re.finditer(
+            r"(\d+)-query catalog|all (\d+) catalog queries|catalog holds (\d+)",
+            doc,
+        ):
+            claimed = int(next(g for g in m.groups() if g))
+            if claimed != n:
+                bad.append((doc_name, m.group(0)))
+    assert not bad, f"catalog count drift (source has {n}): {bad}"
