@@ -608,3 +608,49 @@ def test_curation_c4_rules_stage(spark):
     assert "c4_pages" not in res2.counts()
     assert res2.curated.count() == 3
     res2.unpersist()
+
+
+def test_surprisal_rowwise_matches_join_scorer_exactly(spark):
+    """The driver-held-table LM scorer (the chains' row-local gate)
+    must replay the join-based scorer bit-for-bit: same whole-bit
+    per-token surprisal (unseen tokens at the ceiling), same
+    ``sum * 1000 div n_tokens`` integer fold, empty docs at 0 — so a
+    gate threshold fitted on batch scores transfers to the stream with
+    NO approximation to legislate.  Also pins the scale guard: the
+    table rides as ONE constant-folded map literal, and keys that
+    would break the literal's delimiters are rejected loudly."""
+    import pytest
+    from wikihadoop_spark.catalog import load_table
+    from wikihadoop_spark.operators.lm_score import (
+        collect_lm_table,
+        lm_surprisal_score,
+        surprisal_rowwise,
+        unigram_model,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    # reference model on the even half — the gate queries' fixture
+    model = unigram_model(docs.filter(F.col("doc_id") % 2 == 0)).persist()
+    batch = {
+        r.doc_id: (r.n_tokens, r.lm_bits)
+        for r in lm_surprisal_score(docs, model).collect()
+    }
+    table, ceil = collect_lm_table(model)
+    model.unpersist()
+    assert ceil >= 1 and table
+    # an empty doc and an all-OOV doc ride along
+    extra = spark.createDataFrame(
+        [(100001, ""), (100002, "zzzqqq xxxyyy")], "doc_id bigint, text string"
+    )
+    rows = surprisal_rowwise(docs.unionByName(extra), table, ceil).collect()
+    got = {r.doc_id: r.lm_bits for r in rows}
+    assert all(got[d] == bits for d, (_, bits) in batch.items())
+    assert got[100001] == 0  # empty doc scores 0, like the join scorer
+    assert got[100002] == ceil * 1000  # all-OOV: ceiling per token
+
+    with pytest.raises(ValueError, match="delimiters"):
+        surprisal_rowwise(docs, {"a:b": 1}, 4)
+    with pytest.raises(ValueError, match="already exists"):
+        surprisal_rowwise(docs.withColumn("lm_bits", F.lit(0)), {"a": 1}, 4)

@@ -1174,3 +1174,96 @@ def test_curate_stream_full_stack_kill_midbatch_restart(spark, tmp_path):
     # the full stack genuinely fired: spans and banners are gone
     assert all(banner not in t for _, _, _, t in got)
     assert all("shared license span" not in t for _, _, _, t in got)
+
+
+def test_curate_stream_lm_gate_matches_batch(spark, tmp_path):
+    """CCNet's production perplexity gate (r10 verdict item 7): fit the
+    LM + tercile thresholds batch-side, then drop tail-bucket documents
+    on arrival.  The stream gate is the batch chain's stage 1.6
+    verbatim — a row-local fold against the driver-held surprisal
+    table with ONE scalar threshold — so the stream survivors, the
+    batch-chain survivors, the batch 'lm' counter, and an independent
+    bucket computation must all coincide exactly."""
+    from wikihadoop_spark.operators.lm_score import (
+        collect_lm_table,
+        lm_surprisal_score,
+        perplexity_buckets,
+        perplexity_thresholds,
+        unigram_model,
+    )
+    from wikihadoop_spark.plans.curation import curate_corpus
+    from wikihadoop_spark.streaming.curate_stream import curate_stream
+
+    docs = load_table(spark, SF, "documents").persist()
+    model = unigram_model(docs.filter(F.col("doc_id") % 2 == 0)).persist()
+    scored = lm_surprisal_score(docs, model).persist()
+
+    # the artifacts a deployment ships: the surprisal table + ceiling
+    # and the bucket thresholds, all fitted batch-side
+    table, ceil = collect_lm_table(model)
+    thresholds = perplexity_thresholds(scored, n_buckets=3)
+    model.unpersist()
+
+    # pick the TIGHTEST gate that still separates (the tercile
+    # thresholds can degenerate on a small-vocab fixture — ties all
+    # fall in bucket 1 — so fall back to the median score, which is a
+    # legitimate deployment choice: thresholds are just scalars here)
+    bits = {r.doc_id: r.lm_bits for r in scored.collect()}
+    n = len(bits)
+    gate = None
+    for cand in (thresholds[0] if thresholds else None,
+                 sorted(bits.values())[n // 2]):
+        if cand is not None and 0 < sum(b <= cand for b in bits.values()) < n:
+            gate = cand
+            break
+    assert gate is not None, "fixture lost LM-gate sensitivity"
+    expected = {d for d, b in bits.items() if b <= gate}
+
+    # the scalar gate must equal the bucket gate when the scalar IS a
+    # bucket threshold (bucket(x) <= m  <=>  x <= t_m)
+    if thresholds and gate == thresholds[0]:
+        buckets = {
+            r.doc_id: r.bucket
+            for r in perplexity_buckets(scored, n_buckets=3).collect()
+        }
+        assert expected == {d for d, bk in buckets.items() if bk <= 1}
+    scored.unpersist()
+
+    res = curate_corpus(
+        docs,
+        quality_threshold=-(10 ** 9),
+        near_dup_threshold=1.01,
+        lm_table=(table, ceil),
+        lm_max_bits=gate,
+    )
+    batch_ids = {r.doc_id for r in res.curated.select("doc_id").collect()}
+    counts = res.counts()
+    res.unpersist()
+    assert batch_ids == expected
+    assert counts["lm"] == len(expected)
+
+    src = str(tmp_path / "arriving_lmgate")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        curate_stream(
+            stream,
+            quality_threshold=-(10 ** 9),
+            lm_table=(table, ceil),
+            lm_max_bits=gate,
+        )
+        .select("doc_id")
+        .writeStream.format("memory")
+        .queryName("t_lmgate")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r.doc_id for r in spark.sql("SELECT * FROM t_lmgate").collect()}
+    docs.unpersist()
+    assert got == expected

@@ -48,7 +48,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import tokens
+from .dedup import TOKEN_PATTERN, tokens
 
 
 def _bitlen(n: Column) -> Column:
@@ -322,6 +322,19 @@ def perplexity_buckets(
             "position on the quantile axis)"
         )
     items = sorted((int(r[score_col]), int(r["__pb_c"])) for r in hist)
+    thresholds = _histogram_thresholds(items, n_buckets)
+    bucket = F.lit(1)
+    for t in thresholds:
+        bucket = bucket + F.when(F.col(score_col) > t, 1).otherwise(0)
+    return scored.withColumn(out_col, bucket.cast("int"))
+
+
+def _histogram_thresholds(
+    items: list[tuple[int, int]], n_buckets: int
+) -> list[int]:
+    """Exact quantile thresholds from a sorted (value, count) histogram
+    under the cross-multiplied tie rule: t_b = smallest value whose
+    cumulative count satisfies ``cum * n_buckets >= b * N``."""
     n = sum(c for _, c in items)
     thresholds: list[int] = []
     cum, b = 0, 1
@@ -330,7 +343,121 @@ def perplexity_buckets(
         while b < n_buckets and cum * n_buckets >= b * n:
             thresholds.append(v)
             b += 1
-    bucket = F.lit(1)
-    for t in thresholds:
-        bucket = bucket + F.when(F.col(score_col) > t, 1).otherwise(0)
-    return scored.withColumn(out_col, bucket.cast("int"))
+    return thresholds
+
+
+def perplexity_thresholds(
+    scored: DataFrame,
+    *,
+    score_col: str = "lm_bits",
+    n_buckets: int = 3,
+) -> list[int]:
+    """The bucket thresholds ALONE, as driver-held scalars — the
+    artifact a streaming gate needs (CCNet's production use: fit the
+    terciles on the batch corpus, then drop arriving tail-bucket
+    documents row-locally).  Same bounded-domain histogram and tie
+    rule as :func:`perplexity_buckets` — ``bucket(x) <= m`` is exactly
+    ``x <= thresholds[m-1]`` because the thresholds are non-decreasing,
+    so a single scalar comparison replays the bucket gate.  Returns
+    ``n_buckets - 1`` values (fewer if the score domain has fewer
+    distinct values than buckets — then the missing top buckets are
+    empty and every document already passes the loosest gate)."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2 (got {n_buckets})")
+    hist = (
+        scored.groupBy(score_col)
+        .agg(F.count(F.lit(1)).alias("__pb_c"))
+        .collect()
+    )
+    if any(r[score_col] is None for r in hist):
+        raise ValueError(
+            f"perplexity_thresholds: {score_col!r} contains NULL — "
+            "coalesce or filter NULL scores before bucketing"
+        )
+    items = sorted((int(r[score_col]), int(r["__pb_c"])) for r in hist)
+    return _histogram_thresholds(items, n_buckets)
+
+
+def collect_lm_table(model: DataFrame) -> tuple[dict[str, int], int]:
+    """Collect a :func:`unigram_model` frame into the driver-held
+    scoring artifact ``(token -> whole-bit surprisal, ceiling)`` that
+    :func:`surprisal_rowwise` folds row-locally — the CCNet deployment
+    shape: the LM is a fixed artifact fitted on the reference corpus
+    and SHIPPED to the scorer (KenLM model file → here a vocab-sized
+    int table), while the corpus being scored streams past it.  Driver
+    state is vocabulary-sized, BOUNDED and independent of corpus size
+    (the same argument as DSIR's 128-bucket lambda table, at vocab
+    scale) — callers with >~1e6-token vocabularies should prune rare
+    tokens first (they score within 1 bit of the unseen ceiling
+    anyway: count 1..2^k tokens differ from unseen by <= k bits)."""
+    rows = model.collect()
+    total = sum(int(r["count"]) for r in rows)
+    ceil = int(total).bit_length() if total > 0 else 1
+    table = {
+        str(r["token"]): ceil - int(r["count"]).bit_length() for r in rows
+    }
+    return table, ceil
+
+
+def surprisal_rowwise(
+    docs: DataFrame,
+    table: dict[str, int],
+    ceil_bits: int,
+    *,
+    text_col: str = "text",
+    out_col: str = "lm_bits",
+) -> DataFrame:
+    """Row-local replay of :func:`lm_surprisal_score` against a
+    driver-held model table — zero joins, zero shuffles, zero state,
+    so it runs identically on a batch frame and a streaming micro-batch
+    (append mode): the curation chains' LM gate.
+
+    Exactness: the same whole-bit per-token surprisal and the same
+    ``sum * 1000 div n_tokens`` integer fold as the join-based scorer —
+    ``tests/test_curation.py`` pins the two scorers equal row-for-row.
+    The table rides the plan as ONE constant-folded map literal
+    (``str_to_map`` of a single string literal — not a 2·|V|-node
+    ``create_map`` expression tree), which is what keeps codegen sane
+    at real vocabulary sizes.  Appends ``out_col`` (bigint; empty
+    documents score 0)."""
+    if out_col in docs.columns:
+        raise ValueError(f"column {out_col!r} already exists on the input")
+    bad = [t for t in table if not t or any(c in ":," for c in t)]
+    if bad:
+        raise ValueError(
+            f"surprisal_rowwise: table keys collide with the map-literal "
+            f"delimiters (must match {TOKEN_PATTERN!r}): {bad[:5]}"
+        )
+    pairs = ",".join(f"{tok}:{bits}" for tok, bits in sorted(table.items()))
+    # str_to_map(lit, lit, lit) is foldable: Catalyst evaluates it ONCE
+    # into a map literal, so per-row work is just the lookups
+    m = F.str_to_map(F.lit(pairs), F.lit(","), F.lit(":"))
+    toks = tokens(F.col(text_col))
+    total = F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc
+        + F.coalesce(
+            F.element_at(m, t).cast("bigint"), F.lit(int(ceil_bits))
+        ),
+    )
+    n = F.size(toks).cast("bigint")
+    tmp_t, tmp_n = "__lm_rw_sum", "__lm_rw_n"
+    if tmp_t in docs.columns or tmp_n in docs.columns:
+        raise ValueError(
+            f"columns collide with LM working names: {tmp_t}/{tmp_n}"
+        )
+    return (
+        docs.withColumn(tmp_t, total)
+        .withColumn(tmp_n, n)
+        .withColumn(
+            out_col,
+            # the batch scorer's exact integer fold: sum * 1000 div n
+            F.when(
+                F.col(tmp_n) > 0, F.expr(f"{tmp_t} * 1000 div {tmp_n}")
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint"),
+        )
+        .drop(tmp_t, tmp_n)
+    )

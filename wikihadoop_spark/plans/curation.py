@@ -140,6 +140,8 @@ def curate_corpus(
     span_min_count: int = 2,
     dsir_lambda: list[int] | None = None,
     dsir_min_bits: int = 0,
+    lm_table: tuple[dict[str, int], int] | None = None,
+    lm_max_bits: int | None = None,
     chunk_tokens: int | None = None,
     chunk_stride: int | None = None,
     shuffle_seed: int | None = None,
@@ -204,6 +206,17 @@ def curate_corpus(
     ``dsir`` counter records survivors.  Zero shuffles (a literal-array
     fold), and the identical stage runs statelessly on the streaming
     chain.
+
+    ``lm_table`` + ``lm_max_bits`` (optional, both required together):
+    the CCNet perplexity gate — ``lm_table`` is the driver-held
+    ``(token -> whole-bit surprisal, ceiling)`` artifact
+    (`operators/lm_score.py::collect_lm_table`, fitted once on the
+    reference corpus) and ``lm_max_bits`` the bucket threshold scalar
+    (`perplexity_thresholds`; keep head+middle = pass
+    ``thresholds[1]``).  Documents scoring above it are dropped right
+    after the DSIR gate (stage 1.6), row-locally and statelessly —
+    the ``lm`` counter records survivors; the identical gate runs on
+    the streaming chain.
 
     ``shuffle_seed`` (optional, needs ``shard_budget``): pack in
     deterministic pseudo-random order instead of id order — the
@@ -337,6 +350,8 @@ def curate_corpus(
             span_min_count=span_min_count,
             dsir_lambda=dsir_lambda,
             dsir_min_bits=dsir_min_bits,
+            lm_table=lm_table,
+            lm_max_bits=lm_max_bits,
             chunk_tokens=chunk_tokens,
             chunk_stride=chunk_stride,
             shuffle_seed=shuffle_seed,
@@ -381,6 +396,8 @@ def _curate_corpus_impl(
     span_min_count: int = 2,
     dsir_lambda: list[int] | None = None,
     dsir_min_bits: int = 0,
+    lm_table: tuple[dict[str, int], int] | None = None,
+    lm_max_bits: int | None = None,
 ) -> CurationResult:
     obs: dict[str, Observation] = {}
     cur = _observed(docs, "input", obs)
@@ -452,6 +469,28 @@ def _curate_corpus_impl(
             .filter(F.col("__dsir") >= dsir_min_bits)
             .drop("__dsir"),
             "dsir",
+            obs,
+        )
+
+    # 1.6 LM perplexity gate (optional, CCNet's production tercile
+    # use: drop the tail bucket on the way in): a row-local fold
+    # against the driver-held (token -> whole-bit surprisal) table
+    # fitted once batch-side (operators/lm_score.py::collect_lm_table)
+    # with the bucket threshold as ONE scalar
+    # (perplexity_thresholds[m-1]; bucket(x) <= m  <=>  x <= t_m).
+    # Zero shuffles, zero state — the identical stage runs statelessly
+    # on the streaming chain.
+    if lm_table is not None and lm_max_bits is not None:
+        from ..operators.lm_score import surprisal_rowwise
+
+        cur = _observed(
+            surprisal_rowwise(
+                cur, lm_table[0], lm_table[1],
+                text_col=text_col, out_col="__lm",
+            )
+            .filter(F.col("__lm") <= lm_max_bits)
+            .drop("__lm"),
+            "lm",
             obs,
         )
 

@@ -53,6 +53,8 @@ def curate_stream(
     c4_rules: bool = False,
     dsir_lambda: list[int] | None = None,
     dsir_min_bits: int = 0,
+    lm_table: tuple[dict[str, int], int] | None = None,
+    lm_max_bits: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     chunk_tokens: int | None = None,
@@ -106,7 +108,16 @@ def curate_stream(
     the driver-held DSIR lambda
     table (`operators/dsir.py::collect_lambda_table`, fitted batch-side)
     — arriving documents scoring below ``dsir_min_bits`` are dropped by
-    the same row-local fold the batch chain runs (stage 1.5)."""
+    the same row-local fold the batch chain runs (stage 1.5).
+    ``lm_table`` + ``lm_max_bits`` (optional, both required together):
+    CCNet's perplexity gate — the driver-held ``(token -> whole-bit
+    surprisal, ceiling)`` artifact
+    (`operators/lm_score.py::collect_lm_table`) and the bucket
+    threshold scalar (`perplexity_thresholds`; head+middle =
+    ``thresholds[1]``), both fitted batch-side; arriving documents
+    scoring above the threshold are dropped by the same row-local fold
+    the batch chain runs (stage 1.6), on pre-strip text like the
+    quality and DSIR gates."""
     out = docs
     if c4_rules:
         from ..functions.c4 import c4_clean
@@ -139,6 +150,22 @@ def curate_stream(
             )
             .filter(F.col("__dsir") >= dsir_min_bits)
             .drop("__dsir")
+        )
+    if lm_table is not None and lm_max_bits is not None:
+        from ..operators.lm_score import surprisal_rowwise
+
+        # the batch chain's stage 1.6, verbatim: CCNet's perplexity
+        # tail-drop as a row-local fold against the driver-held
+        # (token -> whole-bit surprisal) table with the bucket
+        # threshold as ONE scalar (bucket(x) <= m  <=>  x <= t_m) —
+        # zero joins, zero state, so it streams in append mode
+        out = (
+            surprisal_rowwise(
+                out, lm_table[0], lm_table[1],
+                text_col=text_col, out_col="__lm",
+            )
+            .filter(F.col("__lm") <= lm_max_bits)
+            .drop("__lm")
         )
     if strip_index is not None:
         from ..operators.segdedup import strip_frequent_segments
