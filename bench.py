@@ -300,12 +300,21 @@ _SF1_SPOT_QUERIES = (
 # across copies — the residual artifact is QUANTIFIED in the spot
 # entry: dup_windows_x10 is the sf1/sf0.1 ratio of distinct duplicated
 # fingerprints, ~10 when replication added none), and embeddings get a
-# per-copy deterministic sign-flip mask (a diagonal orthogonal
-# transform: every WITHIN-copy cosine is preserved exactly, so each
-# copy replays the sf0.1 near-dup structure, while CROSS-copy cosines
-# are pseudo-random instead of 1.0).  text_lm_bigram /
-# sketch_count_min have no such artifact, but they ride the same
-# replica so one build serves all four.
+# per-copy deterministic SIGNED PERMUTATION (round-11: upgraded from
+# the diagonal sign-flip mask — a permutation mixes dimensions, so a
+# cluster-pair's cross-copy cosines no longer share one coherent
+# value; within-copy cosines stay EXACT, the map is orthogonal).
+# NOTE (round-11 decomposition, SCALING.md): no per-copy orthogonal
+# map can make the near-dup PAIR COUNT scale linearly on this fixture
+# — the base data's own far-pair cosine tail at the 0.35 threshold is
+# ~0.2% (the threshold sits only 2.8 sigma out at d=64), so ~45 copy-
+# pairs x 4e6 vector-pairs x 0.2% =~ 370k cross edges arise from the
+# GEOMETRY, whatever the transform (diagonal mask / signed perm / full
+# QR rotation all measure ~385k).  The honest engine meter is
+# therefore COST PER EDGE (sec_per_10k_pairs / x_engine_per_pair in
+# the spot entry), with pairs_x10 left in as the data meter.
+# text_lm_bigram / sketch_count_min have no such artifact, but they
+# ride the same replica so one build serves all four.
 _SF1_SPAN_QUERIES = (
     "dedup_span_exact",
     "semantic_dedup",
@@ -396,17 +405,25 @@ def _build_sf1_span(spark, sf_dir: str, out_dir: str) -> None:
         e = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * _SF1_SHIFT))
         if i:
             d = d.withColumn("text", F.translate(F.col("text"), "ea", subs[i]))
+            # per-copy deterministic SIGNED PERMUTATION: orthogonal, so
+            # within-copy cosines are preserved exactly; the dimension
+            # mixing removes the diagonal mask's all-or-nothing
+            # cluster-pair coherence (see scheme note above)
+            import random as _random
 
-            def _flip(copy: int):
-                # closure factory, NOT a default arg: F.transform reads
-                # the lambda's arity, and a third parameter would make
-                # it an (el, idx, ???) call that Spark rejects
-                return lambda x, j: F.when(
-                    F.pmod(F.hash(j, F.lit(copy)), F.lit(2)) == 0, x
-                ).otherwise(-x)
-
+            rng = _random.Random(1000 + i)
+            perm = list(range(64))
+            rng.shuffle(perm)
+            signs = [rng.choice((1.0, -1.0)) for _ in range(64)]
             e = e.withColumn(
-                "embedding", F.transform(F.col("embedding"), _flip(i))
+                "embedding",
+                F.array(
+                    *[
+                        F.element_at(F.col("embedding"), perm[k] + 1)
+                        * F.lit(signs[k])
+                        for k in range(64)
+                    ]
+                ),
             )
         d_copies.append(d)
         e_copies.append(e)
@@ -461,7 +478,7 @@ def _bench_sf1_spot(spark, sf_dir: str, sf01_timings: dict) -> dict | None:
     # RAM (/dev/shm) and stale copies would otherwise accumulate
     import shutil as _shutil
 
-    span_fp = _hashlib.sha256(src_fp.digest() + b"span-scheme-v1")
+    span_fp = _hashlib.sha256(src_fp.digest() + b"span-scheme-v2")
     span_dir = os.path.join(
         _corpus_base(), f"wikihadoop_sf1_span_{span_fp.hexdigest()[:12]}"
     )
@@ -484,17 +501,38 @@ def _bench_sf1_spot(spark, sf_dir: str, sf01_timings: dict) -> dict | None:
                 QUERIES[name](spark, data_dir).count()
 
         run()  # warm plan + codegen
-        dts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            run()
-            dts.append(time.perf_counter() - t0)
-        best = min(dts)
-        return {
+
+        def _min3() -> tuple[float, float]:
+            dts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                run()
+                dts.append(time.perf_counter() - t0)
+            return min(dts), max(dts) - min(dts)
+
+        # self-qualifying protocol (round-10 verdict item 5): a spread
+        # larger than the measurement means the host was contended
+        # during the pass — re-measure once; if the retry is still
+        # noise-dominated, SHIP THE FLAG so the artifact never presents
+        # a noise-dominated ratio as a clean reading (two prior rounds
+        # needed manual isolated adjudication of exactly this)
+        best, spread = _min3()
+        contended = spread > best
+        if contended:
+            b2, s2 = _min3()
+            if b2 < best:
+                best, spread = b2, s2
+            else:
+                spread = min(spread, s2)
+            contended = spread > best
+        entry = {
             "sec": round(best, 3),
-            "spread_sec": round(max(dts) - best, 3),
+            "spread_sec": round(spread, 3),
             "x_vs_sf0.1": round(best / sf01_timings[name], 2),
         }
+        if contended:
+            entry["contended"] = True
+        return entry
 
     spot: dict[str, dict] = {}
     for name in _SF1_SPOT_QUERIES:
@@ -526,6 +564,20 @@ def _bench_sf1_spot(spark, sf_dir: str, sf01_timings: dict) -> dict | None:
     spot["semantic_dedup"]["pairs_x10"] = (
         round(p_sf1 / p_sf01, 2) if p_sf01 else None
     )
+    # the ENGINE meter (round-11): near-dup pair count on this fixture
+    # grows with the geometry's own tail rate (see the scheme note —
+    # quadratic at theta=0.35 in d=64 under ANY orthogonal per-copy
+    # map), so the scale-invariant engine number is COST PER EDGE:
+    # sec per 10k pairs at each scale, and their ratio.  x_engine ~ 1
+    # means the chain's cost tracked the edges it was handed.
+    if p_sf01 and p_sf1:
+        sec1 = spot["semantic_dedup"]["sec"]
+        sec01 = sf01_timings["semantic_dedup"]
+        per1 = sec1 / (p_sf1 / 1e4)
+        per01 = sec01 / (p_sf01 / 1e4)
+        spot["semantic_dedup"]["sec_per_10k_pairs"] = round(per1, 3)
+        spot["semantic_dedup"]["sec_per_10k_pairs_sf0.1"] = round(per01, 3)
+        spot["semantic_dedup"]["x_engine_per_pair"] = round(per1 / per01, 2)
     return spot
 
 
