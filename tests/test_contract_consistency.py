@@ -121,6 +121,7 @@ _DEMOTED_SOURCE_PINS = {
     "set_intersect": "d7ff616bcca89fcf",
     "simhash_near_pairs": "4f2edff51a54f6d2",
     "simhash_signatures": "720d8995662be958",
+    "similarity_topk_int8_ivf": "854f060b1f39226d",  # NEW r11 post-rotation, must-gate r12
     "similarity_topk_ivf": "325c5dc3b75e144f",
     "similarity_topk_lsh": "1210c9254daa3722",
     "sketch_count_min": "f9948dc45306cc1a",

@@ -679,6 +679,25 @@ def test_similarity_int8_lsh_plan_bucketed_and_materialized(spark):
             assert "hashpartitioning(query_id" in line, line
 
 
+def test_similarity_int8_ivf_plan_bucketed_and_materialized(spark):
+    """The int8 IVF search plan: probe is an equi-join on cluster id
+    (BroadcastHash — the nprobe-exploded query side is the broadcast),
+    the quantized index frame is materialized (InMemoryTableScan), no
+    brute-force nested loop and no sort-merge join; only the rank
+    window's query_id exchange may shuffle.  The Lloyd build's own
+    aggregates run at query-construction time (bounded K×D driver
+    state, the float IVF precedent) and are not part of this plan."""
+    plan = plan_of(spark, "similarity_topk_int8_ivf")
+    assert "BroadcastHashJoin" in plan  # equi-join on cluster
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "InMemoryTableScan" in plan  # persisted quantized frame
+    assert "WindowGroupLimit" in plan
+    for line in plan.splitlines():
+        if "Exchange" in line and "Broadcast" not in line:
+            assert "hashpartitioning(query_id" in line, line
+
+
 def test_lm_buckets_no_global_window(spark):
     """Exact quantiles the scale-safe way: the bucketing plan must
     contain NO window function at all (no single-partition ntile, no

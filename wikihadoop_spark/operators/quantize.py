@@ -161,3 +161,161 @@ def cosine_topk_int8_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "int_dot", "qcos", "rank")
     )
+
+
+def _int_sq_dist(a: Column, b: Column) -> Column:
+    """Exact integer squared L2 distance between two int8-range arrays
+    (diffs <= 254, squares <= 64,516, d-term sums far below 2^53)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _trunc_mean_int(sum_col: Column, cnt_col: Column) -> Column:
+    """Truncated-toward-zero integer mean, engine-portable: the double
+    quotient of exact integers |s| < 2^53 is correctly rounded, and a
+    non-integer s/c with c bounded sits >= 1/c from any integer — far
+    beyond double rounding error — so trunc(double-div) equals the
+    exact rational trunc on BOTH engines (Spark's double->int cast
+    truncates; DuckDB replays with CAST(trunc(s/c) AS INT), its
+    double->int cast would ROUND)."""
+    return (sum_col.cast("double") / cnt_col.cast("double")).cast("int")
+
+
+def ivf_build_int8(
+    qcorpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    q_col: str = "q",
+    k: int = 8,
+    iterations: int = 2,
+) -> tuple[DataFrame, list[list[int]]]:
+    """IVF coarse quantizer over int8-QUANTIZED vectors with INTEGER
+    centroids — Lloyd iterations where the assignment distance is an
+    exact integer and the centroid update is a truncated integer mean,
+    so the whole build is engine-replayable with NO rounding knob at
+    all (the float ivf_build needs round_dp to herd summation order;
+    here every intermediate is an exact integer).  The index is built
+    reading only the 4×-smaller int8 column — the FAISS shape where
+    the coarse quantizer trains on the stored (quantized) vectors.
+
+    Deterministic: seeds are the first ``k`` vectors by id (k clamps
+    to the corpus size; empty corpus raises); argmin ties take the
+    lowest cluster index; a cluster that loses all members keeps its
+    previous centroid.  Centroids are K×D driver-held ints (broadcast
+    state, not data).  Returns (tagged corpus, centroids)."""
+    c = qcorpus.select(F.col(id_col).alias("__id"), F.col(q_col).alias("__q"))
+    seeds = c.orderBy("__id").limit(k).collect()
+    if not seeds:
+        raise ValueError("ivf_build_int8: empty corpus (no vectors to seed)")
+    k = min(k, len(seeds))
+    centroids = [list(r["__q"]) for r in seeds]
+    dim = len(centroids[0])
+
+    for _ in range(iterations):
+        assigned = _assign_int(c, centroids)
+        new_rows = (
+            assigned.select("__cl", F.posexplode("__q").alias("__d", "__x"))
+            .groupBy("__cl", "__d")
+            .agg(
+                _trunc_mean_int(
+                    F.sum("__x"), F.count(F.lit(1))
+                ).alias("__m")
+            )
+            .collect()
+        )
+        upd: dict[int, list[int]] = {}
+        for r in new_rows:
+            upd.setdefault(r["__cl"], [0] * dim)[r["__d"]] = int(r["__m"])
+        centroids = [upd.get(i, centroids[i]) for i in range(k)]
+
+    tagged = _assign_int(c, centroids).select(
+        F.col("__id").alias(id_col),
+        F.col("__q").alias(q_col),
+        F.col("__cl").alias("cluster"),
+    )
+    return tagged, centroids
+
+
+def _assign_int(c: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """Nearest integer centroid by exact squared L2; ties take the
+    lowest cluster index (array_position finds the FIRST minimum)."""
+    dists = F.array(
+        *[
+            _int_sq_dist(
+                F.col("__q"), F.array(*[F.lit(int(x)) for x in cen])
+            )
+            for cen in centroids
+        ]
+    )
+    return c.withColumn(
+        "__cl", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    )
+
+
+def cosine_topk_int8_ivf(
+    tagged_corpus: DataFrame,
+    centroids: list[list[int]],
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    q_col: str = "q",
+    n2_col: str = "n2",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ANN search against an int8 IVF index: each query probes its
+    ``nprobe`` nearest integer centroids (exact integer distances,
+    index tiebreak) and scores candidates with the exact int8 kernel —
+    both the probe selection and the scan read only the quantized
+    column.  Inputs carry pre-quantized vectors + norms (the persisted
+    index frame); zero-norm vectors must already be excluded.  Returns
+    (query_id, neighbor_id, int_dot, qcos, rank) — the brute-force
+    int8 query's schema, so recall pins compare directly."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(q_col).alias("qa"),
+        F.col(n2_col).alias("na"),
+    )
+    dists = F.array(
+        *[
+            _int_sq_dist(F.col("qa"), F.array(*[F.lit(int(x)) for x in cen]))
+            for cen in centroids
+        ]
+    )
+    idx = F.array_sort(
+        F.zip_with(
+            dists,
+            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+        )
+    )
+    q = q.withColumn(
+        "cluster",
+        F.explode(F.transform(F.slice(idx, 1, nprobe), lambda s: s["i"])),
+    )
+    c = tagged_corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(q_col).alias("qb"),
+        F.col(n2_col).alias("nb"),
+        "cluster",
+    )
+    scored = (
+        c.join(F.broadcast(q), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("int_dot", int_dot(F.col("qa"), F.col("qb")))
+        .withColumn(
+            "qcos", quantized_cosine(F.col("int_dot"), F.col("na"), F.col("nb"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("qcos").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "int_dot", "qcos", "rank")
+    )
+    # each corpus row has exactly ONE cluster and a query's probed
+    # clusters are distinct, so (query_id, neighbor_id) is unique
+    # before ranking — same argument as the float IVF path

@@ -3769,6 +3769,158 @@ def similarity_topk_int8(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+
+def _int_l2_sql(a: str, b: str) -> str:
+    """DuckDB expression for the EXACT integer squared L2 distance
+    between two int8-range lists (mirrors operators.quantize.
+    _int_sq_dist): diffs <= 254, squares exact in double, the d-term
+    list_dot_product far below 2^53 — exact in any summation order."""
+    diff = f"[{a}[i] - {b}[i] FOR i IN range(1, len({a}) + 1)]"
+    return (
+        f"list_dot_product(CAST({diff} AS DOUBLE[]), CAST({diff} AS DOUBLE[]))"
+    )
+
+
+def _int8_ivf_oracle_sql(k: int = 8, iterations: int = 2, nprobe: int = 4,
+                         topk: int = 10) -> str:
+    """DuckDB replay of ivf_build_int8 + cosine_topk_int8_ivf: trunc
+    quantization, integer Lloyd (exact integer assignment distances,
+    lowest-cluster tiebreak, TRUNCATED integer centroid means — no
+    round_dp knob anywhere, unlike the float IVF oracle), exact
+    integer probe distances, and the int8 cosine kernel."""
+    assign = _int_l2_sql("v.q", "s.q")
+    parts = [f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
+    ), qt AS (
+      SELECT vec_id,
+             CASE WHEN mx > 0
+                  THEN [CAST(trunc(x * 127.0 / mx) AS INT) FOR x IN vv]
+                  ELSE [CAST(0 AS INT) FOR x IN vv] END AS q
+      FROM (SELECT vec_id, vv,
+                   list_max([abs(x) FOR x IN vv]) AS mx
+            FROM base)
+    ), v AS (
+      SELECT vec_id AS id, q,
+             CAST(list_dot_product(CAST(q AS DOUBLE[]), CAST(q AS DOUBLE[]))
+                  AS BIGINT) AS n2
+      FROM qt
+      WHERE CAST(list_dot_product(CAST(q AS DOUBLE[]), CAST(q AS DOUBLE[]))
+                 AS BIGINT) > 0
+    ), c0 AS (
+      SELECT row_number() OVER (ORDER BY id) - 1 AS cl, q
+      FROM (SELECT id, q FROM v ORDER BY id LIMIT {k})
+    )"""]
+    prev = "c0"
+    for it in range(iterations):
+        a, u, c = f"a{it}", f"u{it}", f"c{it + 1}"
+        parts.append(f""",
+    {a} AS (
+      SELECT v.id, v.q,
+             (SELECT s.cl FROM {prev} s ORDER BY {assign}, s.cl LIMIT 1) AS cl
+      FROM v
+    ),
+    {u} AS (
+      SELECT cl, list(m ORDER BY d) AS q FROM (
+        SELECT cl, d,
+               CAST(trunc(CAST(SUM(x) AS BIGINT) / COUNT(*)) AS INT) AS m
+        FROM (SELECT cl, unnest(q) AS x, generate_subscripts(q, 1) AS d
+              FROM {a})
+        GROUP BY cl, d
+      ) GROUP BY cl
+    ),
+    {c} AS (
+      SELECT s.cl, COALESCE(u.q, s.q) AS q
+      FROM {prev} s LEFT JOIN {u} u ON s.cl = u.cl
+    )""")
+        prev = c
+    probe_dist = _int_l2_sql("qv.qa", "s.q")
+    parts.append(f""",
+    tagged AS (
+      SELECT v.id, v.q, v.n2,
+             (SELECT s.cl FROM {prev} s ORDER BY {assign}, s.cl LIMIT 1) AS cl
+      FROM v
+    ),
+    qv AS (SELECT id AS query_id, q AS qa, n2 AS na FROM v WHERE id < 10),
+    probe AS (
+      SELECT query_id, cl FROM (
+        SELECT qv.query_id, s.cl,
+               row_number() OVER (PARTITION BY qv.query_id
+                                  ORDER BY {probe_dist}, s.cl) AS r
+        FROM qv CROSS JOIN {prev} s
+      ) WHERE r <= {nprobe}
+    ),
+    scored AS (
+      SELECT qv.query_id, t.id AS neighbor_id,
+             CAST(list_dot_product(CAST(qv.qa AS DOUBLE[]),
+                                   CAST(t.q AS DOUBLE[])) AS BIGINT) AS int_dot,
+             qv.na, t.n2 AS nb
+      FROM probe p
+      JOIN tagged t ON t.cl = p.cl
+      JOIN qv ON qv.query_id = p.query_id
+      WHERE t.id <> qv.query_id
+    )
+    SELECT query_id, neighbor_id, int_dot, qcos, rank FROM (
+      SELECT query_id, neighbor_id, int_dot,
+             CAST(int_dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) AS qcos,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY CAST(int_dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) DESC,
+                        neighbor_id
+             ) AS rank
+      FROM scored
+    ) WHERE rank <= {topk}""")
+    return "".join(parts)
+
+
+@query("similarity_topk_int8_ivf", oracle=_int8_ivf_oracle_sql())
+def similarity_topk_int8_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """The int8 kernel composed into the SECOND bucketed ANN path (r10
+    verdict item 2 said "LSH (or IVF)" — round 11 ships both): an IVF
+    coarse quantizer with INTEGER centroids trained over the
+    int8-quantized corpus (operators/quantize.py::ivf_build_int8 —
+    integer Lloyd: exact integer assignment distances, truncated
+    integer centroid means), searched with exact integer probe
+    distances and the int8 cosine kernel.  Both the index build and
+    every search pass read only the 4×-smaller int8 column.  Unlike
+    the float IVF gate (whose oracle needs round_dp to herd centroid
+    summation order), EVERY intermediate here is an exact integer —
+    the oracle replays build + probe + rank with NO rounding knob.
+    The quantized frame is persisted before everything (the
+    CSE-across-joins rule); at real scale it is the written SQ8
+    column, and the centroids are K×D driver-held broadcast state.
+    NEW in round 11 after the rotation was sized — local 3-SF parity +
+    dedicated tests now; first-priority gate slot in round 12 with the
+    four deferred r09 pins."""
+    from .operators.quantize import (
+        cosine_topk_int8_ivf,
+        int_norm2,
+        ivf_build_int8,
+        quantize_int8,
+    )
+
+    t = Tables(spark, sf)
+    qn = (
+        t.embeddings.select(
+            "vec_id",
+            quantize_int8(F.col("embedding").cast("array<double>")).alias("q"),
+        )
+        .withColumn("n2", int_norm2(F.col("q")))
+        .filter(F.col("n2") > 0)
+        .persist()
+    )
+    tagged, cents = ivf_build_int8(qn, k=8, iterations=2)
+    # n2 is a pure row function of q — recompute on the tagged frame
+    # (row-local, exact) rather than joining it back
+    tagged = tagged.withColumn("n2", int_norm2(F.col("q")))
+    probes = qn.filter(F.col("vec_id") < 10)
+    return cosine_topk_int8_ivf(
+        tagged, cents, probes, id_col="vec_id", q_col="q", n2_col="n2",
+        k=10, nprobe=4,
+    )
+
+
 # deterministic pseudo-random hyperplanes (8 planes over 64 dims) shared
 # by the Spark query and its SQL oracle — the hash family IS the spec,
 # so the approximate LSH search has an *exact* oracle.
@@ -4979,7 +5131,11 @@ def media_frame_fanout_q(spark: SparkSession, sf: str) -> DataFrame:
 # OPT-IN perplexity-bucket gate this round (default off — the pinned
 # call path is bit-identical), and the in-window slot has the driver
 # re-verify the chain on the round's actual code.
-# Catalog: 104 queries.
+# Catalog: 105 queries — ONE added after this rotation was sized:
+# similarity_topk_int8_ivf (the int8 kernel composed into the second
+# bucketed ANN path — integer-centroid IVF; local 3-SF parity +
+# dedicated build/recall/plan tests now).  It joins the four deferred
+# r09 pins as a first-priority round-12 must-gate.
 GATE_WINDOW = 50
 
 # The must-gate set for THIS round: the 3 never-driver-verified
