@@ -226,6 +226,28 @@ SHOWCASE = [
         " above the join — never materialized.",
     ),
     (
+        "similarity_topk_int8_lsh",
+        "Int8 + LSH composed: the quantized/bucketed index frame is"
+        " MATERIALIZED (`InMemoryTableScan` — at real scale a written"
+        " int8+bucket column set), the probe is a `BroadcastHashJoin`"
+        " on the integer-hyperplane bucket id (an equi-join scanning"
+        " ~1/2^8 of the corpus per probe, NOT the brute-force nested"
+        " loop), scoring folds exact integer dots in whole-stage"
+        " codegen, and rank<=10 rewrites to `WindowGroupLimit`."
+        "  Both the bucketing pass and the scoring read only the"
+        " 4x-smaller int8 column.",
+    ),
+    (
+        "similarity_topk_int8_ivf",
+        "Int8 + IVF composed: the search plan is the same"
+        " materialized-index + `BroadcastHashJoin`-on-cluster +"
+        " `WindowGroupLimit` shape (the integer Lloyd BUILD runs at"
+        " query-construction time — bounded K x D driver state, like"
+        " the float IVF); every probe scans ~nprobe/K of the corpus"
+        " reading only int8 bytes, and every distance in build and"
+        " probe is an exact integer.",
+    ),
+    (
         "corpus_report_card",
         "Corpus data card (exact slice): per-doc metrics are row-local in"
         " the scan projection; ONE rollup aggregate computes every source"
