@@ -202,6 +202,15 @@ _PIPELINE_EXTRAS = (
     # round 10: CCNet perplexity terciles (bounded-domain histogram —
     # its cost is the scoring pass plus one tiny aggregate)
     "text_lm_buckets",
+    # round 11: the int8 kernel composed into both bucketed ANN paths —
+    # timed next to their float twins (similarity_topk_lsh/_ivf gate
+    # queries) so the artifact tracks the composition's cost; isolated
+    # min-of-3 at sf0.1: int8 LSH 1.085 s vs float LSH 1.885 s (1.74x),
+    # int8 IVF ~parity with float IVF (the Lloyd build at query
+    # construction dominates both at this scale; the scan win is
+    # byte-bound and shows at real scale)
+    "similarity_topk_int8_lsh",
+    "similarity_topk_int8_ivf",
 )
 
 
