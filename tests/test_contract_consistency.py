@@ -95,6 +95,7 @@ _DEMOTED_SOURCE_PINS = {
     "dedup_span_exact": "33a8a4b78188dcf9",
     "dsir_weights": "b87550e69e870d5b",
     "embedding_cosine_dedup": "fcd55f10bcff127a",
+    "embedding_cosine_dedup_int8": "7395ce24a2a58508",  # NEW r11 post-rotation, must-gate r12
     "events_pivot": "75e80b732e4758b0",
     "events_sliding": "005b2a1c572097de",
     "join_anti": "4ee8ad81a9ae5a5b",

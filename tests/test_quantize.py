@@ -317,3 +317,83 @@ def test_int8_ivf_recall_and_cluster_membership(spark):
     recs = [len(brute[q] & ivf_top.get(q, set())) / len(brute[q]) for q in brute]
     assert sum(recs) / len(recs) >= 0.75, recs
     qn.unpersist()
+
+
+def test_multiprobe_pairs_int8_union_and_exactness(spark):
+    """SemDeDup blocking over int8: (a) every returned pair must score
+    >= threshold under a brute-force exact-int8 replay (no false
+    positives — the score is exact, not approximated); (b) the
+    two-family union must be a superset of each single family's pairs
+    (the multiprobe recall knob is monotone); (c) every returned pair
+    must co-bucket under at least one family; (d) qcos must equal the
+    pure-Python kernel bitwise."""
+    import math
+
+    from pyspark.sql import functions as F
+    from wikihadoop_spark.operators.quantize import multiprobe_pairs_int8
+    from wikihadoop_spark.relational import (
+        _INT8_LSH_PLANES,
+        _INT8_LSH_PLANES_B,
+        QUERIES,
+        Tables,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {(r.id_a, r.id_b): r.qcos
+           for r in QUERIES["embedding_cosine_dedup_int8"](spark, sf).collect()}
+    assert got
+
+    t = Tables(spark, sf)
+    vecs = {
+        r.vec_id: r.embedding
+        for r in t.embeddings.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        ).collect()
+    }
+
+    def pyq(v):
+        mx = max((abs(x) for x in v), default=0.0)
+        if mx <= 0.0:
+            return [0] * len(v)
+        return [int(math.trunc(x * 127.0 / mx)) for x in v]
+
+    q = {i: pyq(v) for i, v in vecs.items()}
+    n2 = {i: sum(x * x for x in qq) for i, qq in q.items()}
+
+    def bucket(qq, planes):
+        return sum(
+            (1 << k)
+            for k, p in enumerate(planes)
+            if sum(a * b for a, b in zip(qq, p)) >= 0
+        )
+
+    for (a, b), qcos in got.items():
+        dot = sum(x * y for x, y in zip(q[a], q[b]))
+        want = dot / math.sqrt(float(n2[a] * n2[b]))
+        assert qcos.hex() == want.hex(), (a, b)  # (d) bitwise kernel
+        assert want >= 0.35  # (a) no false positives
+        assert any(  # (c) co-bucketed under some family
+            bucket(q[a], fam) == bucket(q[b], fam)
+            for fam in (_INT8_LSH_PLANES, _INT8_LSH_PLANES_B)
+        ), (a, b)
+
+    # (b) union monotone: each single family's pairs are contained
+    for fam in (_INT8_LSH_PLANES, _INT8_LSH_PLANES_B):
+        single = {
+            (r.id_a, r.id_b)
+            for r in multiprobe_pairs_int8(
+                t.embeddings, [fam], id_col="vec_id", vec_col="embedding",
+                threshold=0.35, cap=1000,
+            ).collect()
+        }
+        assert single <= set(got)
+    # and the union genuinely adds recall over family A alone on this
+    # fixture (otherwise the second family is dead weight)
+    fam_a = {
+        (r.id_a, r.id_b)
+        for r in multiprobe_pairs_int8(
+            t.embeddings, [_INT8_LSH_PLANES], id_col="vec_id",
+            vec_col="embedding", threshold=0.35, cap=1000,
+        ).collect()
+    }
+    assert fam_a < set(got)

@@ -319,3 +319,61 @@ def cosine_topk_int8_ivf(
     # each corpus row has exactly ONE cluster and a query's probed
     # clusters are distinct, so (query_id, neighbor_id) is unique
     # before ranking — same argument as the float IVF path
+
+
+def multiprobe_pairs_int8(
+    corpus: DataFrame,
+    plane_families: list[list[list[int]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    cap: int = 1000,
+) -> DataFrame:
+    """SemDeDup's blocking pass over int8-quantized embeddings: capped
+    same-bucket cosine pairs UNIONED over several independent INTEGER
+    hyperplane families — the int8 composition where the bandwidth
+    win is largest at 100 TB, because near-dup blocking scans the
+    WHOLE corpus (not a probe batch) once per family.  Bucket ids are
+    exact integers (hyperplane_bucket_int) and the pair score is the
+    exact int8 cosine, so the threshold compare needs NO rounding and
+    the whole pass replays in SQL bit-for-bit.  Same recall knob as
+    the float ``multiprobe_pairs``: a close pair split by one family's
+    hyperplane co-buckets under another with independent probability.
+    Pairs found by several families deduplicate exactly on
+    (id_a, id_b) — qcos is a pure function of the vectors, so the kept
+    row is identical whichever family found it.  Zero-norm vectors are
+    excluded (cosine undefined).  Returns (id_a, id_b, qcos)."""
+    if not plane_families:
+        raise ValueError("multiprobe_pairs_int8: need at least one family")
+    from .dedup import capped_block_pairs
+
+    v = (
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            quantize_int8(F.col(vec_col).cast("array<double>")).alias("q"),
+        )
+        .withColumn("n2", int_norm2(F.col("q")))
+        .filter(F.col("n2") > 0)
+    )
+    per_family = []
+    for planes in plane_families:
+        b = v.withColumn("bkt", hyperplane_bucket_int(F.col("q"), planes))
+        pairs = capped_block_pairs(
+            b, block_cols=["bkt"], id_col="vec_id",
+            payload_cols=["q", "n2"], cap=cap,
+        )
+        qcos = quantized_cosine(
+            int_dot(F.col("q_a"), F.col("q_b")),
+            F.col("n2_a"),
+            F.col("n2_b"),
+        )
+        per_family.append(
+            pairs.select("id_a", "id_b", qcos.alias("qcos")).filter(
+                F.col("qcos") >= threshold
+            )
+        )
+    out = per_family[0]
+    for p in per_family[1:]:
+        out = out.unionByName(p)
+    return out.dropDuplicates(["id_a", "id_b"])

@@ -4127,6 +4127,105 @@ def similarity_topk_int8_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# a second independent integer hyperplane family for the int8
+# multiprobe pair pass (different LCG multiplier/offset — same
+# exactness argument as _INT8_LSH_PLANES)
+_INT8_LSH_PLANES_B = [
+    [(((i * 64 + j) * 2246822519 + 374761393) % 1001) - 500 for j in range(64)]
+    for i in range(8)
+]
+
+
+def _int8_multiprobe_oracle_sql(threshold: str = "0.35", cap: int = 1000) -> str:
+    """DuckDB replay of multiprobe_pairs_int8 over the two integer
+    plane families: quantize, per-family exact-integer bucketing +
+    lowest-cap-ids participation, exact int8 cosine threshold (no
+    rounding), union, exact pair dedup."""
+    fams = {0: _int8_lsh_bucket_sql("q"), 1: ""}
+    # family 1 bucket over the B planes
+    terms = []
+    for i, plane in enumerate(_INT8_LSH_PLANES_B):
+        lit = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(CAST(q AS DOUBLE[]), {lit}) >= 0"
+            f" THEN {2 ** i} ELSE 0 END)"
+        )
+    fams[1] = " + ".join(terms)
+    parts = ["""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
+    ), qt AS (
+      SELECT vec_id,
+             CASE WHEN mx > 0
+                  THEN [CAST(trunc(x * 127.0 / mx) AS INT) FOR x IN vv]
+                  ELSE [CAST(0 AS INT) FOR x IN vv] END AS q
+      FROM (SELECT vec_id, vv,
+                   list_max([abs(x) FOR x IN vv]) AS mx
+            FROM base)
+    ), v AS (
+      SELECT vec_id, q,
+             CAST(list_dot_product(CAST(q AS DOUBLE[]), CAST(q AS DOUBLE[]))
+                  AS BIGINT) AS n2
+      FROM qt
+      WHERE CAST(list_dot_product(CAST(q AS DOUBLE[]), CAST(q AS DOUBLE[]))
+                 AS BIGINT) > 0
+    )"""]
+    for f in (0, 1):
+        parts.append(f""",
+    r{f} AS (
+      SELECT vec_id, q, n2, bkt,
+             row_number() OVER (PARTITION BY bkt ORDER BY vec_id) AS rn
+      FROM (SELECT vec_id, q, n2, {fams[f]} AS bkt FROM v)
+    ),
+    pf{f} AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(list_dot_product(CAST(a.q AS DOUBLE[]),
+                                   CAST(b.q AS DOUBLE[])) AS BIGINT) AS dot,
+             a.n2 AS na, b.n2 AS nb
+      FROM r{f} a JOIN r{f} b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+      WHERE a.rn <= {cap} AND b.rn <= {cap}
+    )""")
+    parts.append(f"""
+    SELECT DISTINCT id_a, id_b,
+           CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) AS qcos
+    FROM (SELECT * FROM pf0 UNION ALL SELECT * FROM pf1)
+    WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) >= {threshold}
+    """)
+    return "".join(parts)
+
+
+@query("embedding_cosine_dedup_int8", oracle=_int8_multiprobe_oracle_sql())
+def embedding_cosine_dedup_int8(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup's blocking pass over INT8-quantized embeddings with a
+    TWO-FAMILY integer-hyperplane multiprobe union
+    (operators/quantize.py::multiprobe_pairs_int8) — the int8
+    composition where the bandwidth win is largest at 100 TB: near-dup
+    blocking scans the WHOLE corpus once per family (not a probe
+    batch), so every scanned byte is on the 4×-cheaper int8 column,
+    and the second family buys back the recall a single family's
+    hyperplane splits lose (geometric in family count, linear in
+    cost — the float multiprobe_pairs argument).  Every bucket id is
+    an exact integer and the pair score is the exact int8 cosine, so
+    the threshold compare carries NO rounding step and the oracle
+    replays quantize → bucket → cap → score → union → dedup
+    bit-for-bit.  Same capped-participation contract as the float
+    `embedding_cosine_dedup` (worst block bounded at cap² pairs).
+    NEW in round 11 after the rotation was sized — local 3-SF parity +
+    dedicated tests now; first-priority round-12 gate slot with
+    similarity_topk_int8_ivf and the four deferred r09 pins."""
+    from .operators.quantize import multiprobe_pairs_int8
+
+    t = Tables(spark, sf)
+    return multiprobe_pairs_int8(
+        t.embeddings,
+        [_INT8_LSH_PLANES, _INT8_LSH_PLANES_B],
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=0.35,
+        cap=1000,
+    )
+
+
 # ===========================================================================
 # Events: tumbling/sliding windows, pivot  (batch analog of streaming)
 # ===========================================================================
@@ -5131,11 +5230,14 @@ def media_frame_fanout_q(spark: SparkSession, sf: str) -> DataFrame:
 # OPT-IN perplexity-bucket gate this round (default off — the pinned
 # call path is bit-identical), and the in-window slot has the driver
 # re-verify the chain on the round's actual code.
-# Catalog: 105 queries — ONE added after this rotation was sized:
+# Catalog: 106 queries — TWO added after this rotation was sized:
 # similarity_topk_int8_ivf (the int8 kernel composed into the second
-# bucketed ANN path — integer-centroid IVF; local 3-SF parity +
-# dedicated build/recall/plan tests now).  It joins the four deferred
-# r09 pins as a first-priority round-12 must-gate.
+# bucketed ANN path — integer-centroid IVF) and
+# embedding_cosine_dedup_int8 (the int8 kernel composed into
+# SemDeDup's two-family multiprobe blocking pass — where the 4x byte
+# cut lands on whole-corpus scans).  Both ship with local 3-SF parity
+# + dedicated tests and join the four deferred r09 pins as
+# first-priority round-12 must-gates (6 must-gates total for r12).
 GATE_WINDOW = 50
 
 # The must-gate set for THIS round: the 3 never-driver-verified
