@@ -211,6 +211,9 @@ _PIPELINE_EXTRAS = (
     # byte-bound and shows at real scale)
     "similarity_topk_int8_lsh",
     "similarity_topk_int8_ivf",
+    # round 11: SemDeDup blocking over int8 (two-family multiprobe) —
+    # timed next to the float embedding_cosine_dedup
+    "embedding_cosine_dedup_int8",
 )
 
 

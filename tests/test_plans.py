@@ -125,11 +125,22 @@ def test_pair_queries_cap_block_participation(spark):
         "ngram_jaccard_block",
         "simhash_near_pairs",
         "embedding_cosine_dedup",
+        "embedding_cosine_dedup_int8",
         "minhash_lsh_pairs",
     ):
         plan = optimized_of(spark, name)
         assert "row_number" in plan, name
         assert "<= 1000" in plan, name
+
+
+def test_int8_multiprobe_materializes_quantized_frame(spark):
+    """The int8 blocking pass feeds 2 sides x 2 families of capped
+    self-joins from one quantized frame — it must be materialized
+    (InMemoryTableScan), or Catalyst re-inlines the quantize expression
+    per PAIR (measured 6.0 s vs 2.2 s at sf0.1; the SCALING.md
+    CSE-across-joins rule)."""
+    plan = plan_of(spark, "embedding_cosine_dedup_int8")
+    assert "InMemoryTableScan" in plan
 
 
 def test_media_metadata_prunes_documents_scan(spark):

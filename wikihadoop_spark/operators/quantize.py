@@ -348,6 +348,12 @@ def multiprobe_pairs_int8(
         raise ValueError("multiprobe_pairs_int8: need at least one family")
     from .dedup import capped_block_pairs
 
+    # PERSIST the quantized frame: it feeds 2 sides x F families of
+    # capped self-joins, and Spark does no CSE across join sides — left
+    # inline, the quantize expression re-evaluates per PAIR (measured
+    # 6.0 s vs 2.2 s for the float path at sf0.1 before this persist;
+    # the SCALING.md CSE-across-joins rule).  At real scale this is
+    # the written SQ8 column the whole pipeline shares.
     v = (
         corpus.select(
             F.col(id_col).alias("vec_id"),
@@ -355,6 +361,7 @@ def multiprobe_pairs_int8(
         )
         .withColumn("n2", int_norm2(F.col("q")))
         .filter(F.col("n2") > 0)
+        .persist()
     )
     per_family = []
     for planes in plane_families:
