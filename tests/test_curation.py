@@ -654,3 +654,50 @@ def test_surprisal_rowwise_matches_join_scorer_exactly(spark):
         surprisal_rowwise(docs, {"a:b": 1}, 4)
     with pytest.raises(ValueError, match="already exists"):
         surprisal_rowwise(docs.withColumn("lm_bits", F.lit(0)), {"a": 1}, 4)
+
+
+def test_surprisal_rowwise_property_fuzz(spark):
+    """Property fuzz of the rowwise LM scorer against the join-based
+    scorer: random small vocab tables and random token texts must
+    score identically (the gate-threshold transfer depends on exact
+    equality, not approximate agreement).  Uses one Spark round-trip
+    per example batch to keep the fuzz fast."""
+    import random
+
+    from wikihadoop_spark.operators.lm_score import (
+        collect_lm_table,
+        lm_surprisal_score,
+        surprisal_rowwise,
+        unigram_model,
+    )
+
+    rng = random.Random(20260815)
+    vocab = [f"tok{i}" for i in range(30)]
+    for trial in range(3):
+        # random reference corpus -> model
+        ref_rows = [
+            (i, " ".join(rng.choices(vocab[: rng.randint(3, 30)],
+                                     k=rng.randint(1, 40))))
+            for i in range(20)
+        ]
+        # random scored corpus: known tokens, OOV tokens, empty docs
+        doc_rows = [
+            (100 + i, " ".join(rng.choices(vocab + ["oovx", "oovy"],
+                                           k=rng.randint(0, 25))))
+            for i in range(30)
+        ] + [(999, "")]
+        ref = spark.createDataFrame(ref_rows, "doc_id bigint, text string")
+        docs = spark.createDataFrame(doc_rows, "doc_id bigint, text string")
+        model = unigram_model(ref).persist()
+        want = {
+            r.doc_id: r.lm_bits
+            for r in lm_surprisal_score(docs, model).collect()
+        }
+        table, ceil = collect_lm_table(model)
+        model.unpersist()
+        got = {
+            r.doc_id: r.lm_bits
+            for r in surprisal_rowwise(docs, table, ceil).collect()
+        }
+        assert got == want, (trial, {k: (got[k], want[k])
+                                     for k in got if got[k] != want.get(k)})
