@@ -248,6 +248,17 @@ SHOWCASE = [
         " probe is an exact integer.",
     ),
     (
+        "embedding_cosine_dedup_int8",
+        "SemDeDup blocking over int8: ONE materialized quantized frame"
+        " (`InMemoryTableScan`) feeds 2 sides x 2 families of capped"
+        " self-joins — without the persist Catalyst re-inlines the"
+        " quantize expression per pair (measured 2.7x slower); each"
+        " family is a row_number cap above a bucket equi-join (worst"
+        " task bounded at cap^2), the threshold compare runs on the"
+        " exact int8 cosine, and the family union deduplicates on the"
+        " pair key.",
+    ),
+    (
         "corpus_report_card",
         "Corpus data card (exact slice): per-doc metrics are row-local in"
         " the scan projection; ONE rollup aggregate computes every source"
