@@ -5238,6 +5238,51 @@ def media_frame_fanout_q(spark: SparkSession, sf: str) -> DataFrame:
 # cut lands on whole-corpus scans).  Both ship with local 3-SF parity
 # + dedicated tests and join the four deferred r09 pins as
 # first-priority round-12 must-gates (6 must-gates total for r12).
+#
+# Round-12 rotation (this round): CORRECTNESS_r11 went 50/50 green, so
+# the catalog's evidence splits 50 r11-green / 50 r10-pinned /
+# 4 r09-pinned (in-window now) / 2 never-gated (in-window now).
+# Must-gate, 6 slots, exactly as documented last round: the four
+# deferred r09 pins (text_diff_adjacent, media_frame_fanout,
+# jsonl_corrupt_audit, decontaminate_bloom) and the two round-11
+# post-rotation int8 compositions with no driver evidence ever
+# (similarity_topk_int8_ivf, embedding_cosine_dedup_int8).  The
+# remaining 44 slots go to r10-pinned demotions — 50 candidates for
+# 44 slots, so SIX defer one round to r13, chosen by a family
+# criterion so each deferral costs the least: every deferred query's
+# operator family receives a fresh r12 gate through one of the six
+# must-gates, re-proving the shared module on this round's actual
+# code, and each has a strong dedicated local suite besides —
+# media_image_metadata + media_audio_features (multimodal/media.py is
+# re-gated via media_frame_fanout; golden/property suites in
+# test_multimodal.py), jsonl_roundtrip (sources/jsonl.py re-gated via
+# jsonl_corrupt_audit; torn-shard suites in test_jsonl.py),
+# decontaminate_report (operators/decontam.py re-gated via
+# decontaminate_bloom; bit-replayed report suites in
+# test_decontam.py), similarity_topk_ivf (the IVF plan shape re-gated
+# via its int8 twin similarity_topk_int8_ivf; recall + parity suites
+# in test_similarity.py), and embedding_cosine_dedup (the multiprobe
+# blocking shape re-gated via its int8 twin
+# embedding_cosine_dedup_int8; no-false-positive/monotonicity suites
+# in test_quantize.py).  They are first-priority must-gates for
+# round 13.  After this round's gate no evidence is older than r10,
+# and only those six are older than r11.
+#
+# STEADY-STATE CATALOG-GROWTH POLICY (round-11 verdict item 6): the
+# driver gates a fixed 50-query prefix, so a catalog of size C forces
+# a worst-case evidence age of ceil(C/50) - 1 rounds behind the
+# latest artifact under perfect rotation.  Policy, enforced
+# structurally by tests/test_contract_consistency.py::
+# test_max_evidence_age: (a) hard max evidence age = 2 rounds behind
+# the newest CORRECTNESS artifact (the arithmetic bound for C <= 150);
+# (b) never-gated queries must sit in the current window — new
+# queries take a gate slot the round after they land, no exceptions;
+# (c) the catalog stays <= 150, and before growth approaches that
+# bound, float twins whose int8 replacements have gate-proven
+# equivalence (same oracle family, stricter exactness) are retired
+# from the catalog rather than rotated forever; (d) deferral choices
+# must be written down with their criterion in this comment block the
+# round they are made.
 GATE_WINDOW = 50
 
 # The must-gate set for THIS round: the 3 never-driver-verified
@@ -5246,119 +5291,119 @@ GATE_WINDOW = 50
 # validated to sit inside the gate prefix.
 ROTATION_SET: frozenset[str] = frozenset(
     {
-        # ---- first driver evidence / re-verification: the 3
-        # never-gated r10 additions, the NEW int8 LSH composition,
-        # and the two wikidump anchors back from their one-round
-        # sit-out
-        "mixture_waterfill",
-        "similarity_topk_int8",
-        "text_lm_buckets",
-        "similarity_topk_int8_lsh",
-        "wikidump_roundtrip",
-        "wikidump_roundtrip_bz2",
-        # ---- 44 of the 48 r09-pinned demotions rotate back
-        # (oldest evidence; the other 4 defer to r12, see the
-        # rotation comment)
-        "agg_approx_distinct",
-        "agg_argmax",
-        "agg_distinct",
-        "agg_grouping_sets",
-        "agg_percentile",
-        "agg_stats",
-        "asof_join_events_orders",
-        "chunk_documents",
-        "correlated_exists",
-        "curate_pipeline",
-        "decontaminate_exact",
-        "decontaminate_ngram",
-        "dedup_line_frequency",
-        "dedup_verify_pairs",
-        "events_retention",
-        "events_tumbling",
-        "filter_regex",
-        "join_full_outer",
-        "join_inner_agg",
-        "join_theta",
-        "minhash_lsh_pairs",
-        "ngram_overlap",
-        "pack_token_budget",
-        "q1_pricing_summary",
-        "range_join_near_orders",
-        "sample_stratified",
-        "scalar_json",
-        "scalar_math",
-        "scalar_string",
-        "scalar_subquery",
-        "scan_filter_project",
-        "sessionize_events",
-        "set_union_all",
-        "shuffle_pack",
-        "similarity_topk",
-        "sort_topk_global",
-        "text_quality_model",
-        "text_repetition",
-        "text_scrub_pii",
-        "text_tfidf_topk",
-        "unpivot_lineitem",
-        "window_distribution",
-        "window_rank_topk",
-        "window_value_functions",
+        # ---- round-12 must-gates: the four r09 pins deferred from
+        # the r11 rotation, plus the two round-11 post-rotation int8
+        # compositions with no driver evidence ever
+        "text_diff_adjacent",
+        "media_frame_fanout",
+        "jsonl_corrupt_audit",
+        "decontaminate_bloom",
+        "similarity_topk_int8_ivf",
+        "embedding_cosine_dedup_int8",
+        # ---- 44 of the 50 r10-pinned demotions rotate back
+        # (oldest evidence; the other 6 defer to r13 under the
+        # family criterion in the rotation comment)
+        "agg_cube",
+        "agg_rollup",
+        "corpus_delta",
+        "corpus_report_card",
+        "dedup_clusters",
+        "dedup_exact_rows",
+        "dedup_keeper_quality",
+        "dedup_span_audit",
+        "dedup_span_exact",
+        "dsir_weights",
+        "events_pivot",
+        "events_sliding",
+        "join_anti",
+        "join_cross",
+        "join_left_agg",
+        "join_right_agg",
+        "join_semi",
+        "minhash_signatures",
+        "ngram_jaccard_block",
+        "q3_top_revenue",
+        "q5_revenue_by_nation",
+        "sample_mixture",
+        "scalar_array",
+        "scalar_conditional",
+        "scalar_date",
+        "scalar_hash",
+        "semantic_dedup",
+        "set_except",
+        "set_intersect",
+        "simhash_near_pairs",
+        "simhash_signatures",
+        "similarity_topk_lsh",
+        "sketch_count_min",
+        "text_c4_clean",
+        "text_fingerprint",
+        "text_langid",
+        "text_lm_bigram",
+        "text_lm_surprisal",
+        "text_quality",
+        "text_stopword_strip",
+        "text_tokens",
+        "window_lag_pairs",
+        "window_moving",
+        "window_running",
     }
 )
 
 _GATE_ORDER: tuple[str, ...] = (
-    # ---- must-gate: never-driver-verified + new + anchors
-    "mixture_waterfill",
-    "similarity_topk_int8",
-    "text_lm_buckets",
-    "similarity_topk_int8_lsh",
-    "wikidump_roundtrip",
-    "wikidump_roundtrip_bz2",
-    # ---- the 44 r09-pinned demotions rotating back ----
-    "q1_pricing_summary",
-    "join_inner_agg",
-    "join_full_outer",
-    "join_theta",
-    "asof_join_events_orders",
-    "range_join_near_orders",
-    "agg_distinct",
-    "agg_stats",
-    "agg_percentile",
-    "agg_argmax",
-    "agg_grouping_sets",
-    "agg_approx_distinct",
-    "window_rank_topk",
-    "window_value_functions",
-    "window_distribution",
-    "sessionize_events",
-    "events_tumbling",
-    "events_retention",
-    "scalar_string",
-    "scalar_math",
-    "scalar_json",
-    "scalar_subquery",
-    "correlated_exists",
-    "unpivot_lineitem",
-    "scan_filter_project",
-    "filter_regex",
-    "sort_topk_global",
-    "set_union_all",
-    "similarity_topk",
-    "minhash_lsh_pairs",
-    "dedup_verify_pairs",
-    "ngram_overlap",
-    "dedup_line_frequency",
-    "decontaminate_exact",
-    "decontaminate_ngram",
-    "text_quality_model",
-    "text_repetition",
-    "text_scrub_pii",
-    "text_tfidf_topk",
-    "sample_stratified",
-    "chunk_documents",
-    "pack_token_budget",
-    "shuffle_pack",
-    "curate_pipeline",
+    # ---- must-gate: the 4 deferred r09 pins + the 2 never-gated
+    # round-11 int8 compositions
+    "text_diff_adjacent",
+    "media_frame_fanout",
+    "jsonl_corrupt_audit",
+    "decontaminate_bloom",
+    "similarity_topk_int8_ivf",
+    "embedding_cosine_dedup_int8",
+    # ---- the 44 r10-pinned demotions rotating back ----
+    "agg_cube",
+    "agg_rollup",
+    "corpus_delta",
+    "corpus_report_card",
+    "dedup_clusters",
+    "dedup_exact_rows",
+    "dedup_keeper_quality",
+    "dedup_span_audit",
+    "dedup_span_exact",
+    "dsir_weights",
+    "events_pivot",
+    "events_sliding",
+    "join_anti",
+    "join_cross",
+    "join_left_agg",
+    "join_right_agg",
+    "join_semi",
+    "minhash_signatures",
+    "ngram_jaccard_block",
+    "q3_top_revenue",
+    "q5_revenue_by_nation",
+    "sample_mixture",
+    "scalar_array",
+    "scalar_conditional",
+    "scalar_date",
+    "scalar_hash",
+    "semantic_dedup",
+    "set_except",
+    "set_intersect",
+    "simhash_near_pairs",
+    "simhash_signatures",
+    "similarity_topk_lsh",
+    "sketch_count_min",
+    "text_c4_clean",
+    "text_fingerprint",
+    "text_langid",
+    "text_lm_bigram",
+    "text_lm_surprisal",
+    "text_quality",
+    "text_stopword_strip",
+    "text_tokens",
+    "window_lag_pairs",
+    "window_moving",
+    "window_running",
 )
 
 def _rotate_gate_window() -> None:
