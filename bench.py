@@ -24,6 +24,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
 
 REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
@@ -127,27 +128,41 @@ def main() -> None:
         full["sf1_spot"] = sf1_spot
     if extras is not None:
         full["pipeline_extras"] = extras
-    self_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_SELF", os.path.join(REPO_ROOT, "BENCH_SELF.json")
-    )
+    # rehearsal runs pass --no-artifact (round-11 verdict item 8) so
+    # mid-round timing passes don't churn the committed artifact — the
+    # history stays one row per round and the diffs reviewable
+    if "--no-artifact" in sys.argv:
+        self_path = os.path.join(
+            tempfile.gettempdir(), f"bench_self_rehearsal_{os.getpid()}.json"
+        )
+    else:
+        self_path = os.environ.get(
+            "SPARK_GRAFT_BENCH_SELF", os.path.join(REPO_ROOT, "BENCH_SELF.json")
+        )
     with open(self_path, "w") as fh:
         json.dump(full, fh, indent=2, sort_keys=True)
         fh.write("\n")
-    # compact printed line, least-important keys FIRST (a bounded tail
-    # capture truncates from the front): spreads stay file-only, the
-    # headline timings dict is the final key
+    # compact printed line (round-11 verdict item 3): the driver keeps
+    # only the LAST ~2000 characters of stdout, so the line must fit
+    # that window IN FULL or the artifact ships `parsed: null` (r07 and
+    # r11 both lost their headline this way).  sf1_spot and the spreads
+    # therefore stay file-only (BENCH_SELF.json is committed and the
+    # `full` key points at it); the line carries the headline total,
+    # per-query timings, and the compact wikidump numbers.
     out = {
         "metric": "headline_suite_seconds",
         "unit": "sec",
         "full": os.path.basename(self_path),
         "wikidump": wikidump,
+        "value": total,
+        "sf": sf,
+        "queries": timings,
     }
-    if sf1_spot is not None:
-        out["sf1_spot"] = sf1_spot
-    out["value"] = total
-    out["sf"] = sf
-    out["queries"] = timings
-    print(json.dumps(out))
+    line = json.dumps(out)
+    if len(line) > 1900:  # keep headroom under the 2000-char capture
+        out.pop("wikidump", None)
+        line = json.dumps(out)
+    print(line, flush=True)
     spark.stop()
 
 
@@ -336,6 +351,37 @@ _SF1_SPAN_QUERIES = (
 _SF1_COPIES = 10
 _SF1_SHIFT = 100_000_000  # beyond every key range in the sf0.1 tables
 
+# Isolated sf1 watermarks (round-11 verdict item 2): per spot query,
+# the last recorded ISOLATED min-of-3 seconds (quiet host, fresh
+# process running nothing else — tools/spot_isolated.py; provenance in
+# SCALING.md).  `spread > min` cannot detect a pass whose minimum was
+# itself contended, so _time_spot also compares each shipped min
+# against its watermark: the documented intra-day host band is ~±25%
+# (SCALING.md, 8.5–10.5 s same-code same-day), so a min beyond
+# _HOST_BAND_FACTOR x the watermark is contention, not drift — it gets
+# one re-measure, then ships flagged `contended` with the watermark
+# alongside.  Re-record these whenever a spot query's plan or the
+# replica scheme changes (the round-12 values are on span-scheme-v2).
+_HOST_BAND_FACTOR = 2.0
+# recorded 2026-08-15 (round 12), tools/spot_isolated.py on a quiet
+# host, span-scheme-v2 replicas; full rows (sf0.1 legs, spreads,
+# ratios) in SCALING.md's round-12 section
+_SF1_ISOLATED_WATERMARKS: dict[str, float] = {
+    "minhash_lsh_pairs": 4.881,
+    "q3_top_revenue": 1.242,
+    "similarity_topk": 0.967,
+    "dedup_clusters": 5.76,
+    "curation_e2e": 11.564,
+    "ngram_overlap": 3.582,
+    "dedup_verify_pairs": 4.004,
+    "dedup_line_frequency": 0.54,
+    "dsir_weights": 0.371,
+    "dedup_span_exact": 0.387,
+    "semantic_dedup": 16.603,
+    "text_lm_bigram": 0.406,
+    "sketch_count_min": 0.53,
+}
+
 
 def _build_sf1(spark, sf_dir: str, out_dir: str) -> None:
     """Materialize a 10x replica of the sf0.1 tables with shifted keys.
@@ -418,9 +464,15 @@ def _build_sf1_span(spark, sf_dir: str, out_dir: str) -> None:
         if i:
             d = d.withColumn("text", F.translate(F.col("text"), "ea", subs[i]))
             # per-copy deterministic SIGNED PERMUTATION: orthogonal, so
-            # within-copy cosines are preserved exactly; the dimension
-            # mixing removes the diagonal mask's all-or-nothing
-            # cluster-pair coherence (see scheme note above)
+            # within-copy cosines are preserved exactly up to
+            # summation-order ULPs for the float path (permuting
+            # dimensions reorders the dot-product fold, so
+            # threshold-borderline pairs at 0.35 can flip between
+            # copies) and BIT-EXACT for the int8 path (trunc
+            # quantization commutes with signed permutation and the
+            # integer dot is order-free); the dimension mixing removes
+            # the diagonal mask's all-or-nothing cluster-pair
+            # coherence (see scheme note above)
             import random as _random
 
             rng = _random.Random(1000 + i)
@@ -467,16 +519,16 @@ def _dup_window_count(spark, sf_dir: str) -> int:
     ).count()
 
 
-def _bench_sf1_spot(spark, sf_dir: str, sf01_timings: dict) -> dict | None:
-    """Min-of-3 timings of the three slowest headline queries at 10x
-    scale, with the per-query ratio vs the sf0.1 timing."""
-    if not sf_dir.rstrip("/").endswith("sf0.1"):
-        return None  # spot check only applies at the standard bench sf
-    # cache key includes a replication-scheme version and the source
-    # tables' fingerprint, so a cached replica is never silently reused
-    # after the scheme changes or the sf0.1 tables are regenerated
+def _sf1_replica_dirs(spark, sf_dir: str) -> tuple[str, str]:
+    """Build-or-reuse the two 10x replica directories, returning
+    (spot_dir, span_dir).  The cache key includes a replication-scheme
+    version and the source tables' fingerprint, so a cached replica is
+    never silently reused after the scheme changes or the sf0.1 tables
+    are regenerated.  Shared by the in-suite spot stage and
+    tools/spot_isolated.py (the isolated-watermark recorder)."""
     import glob as _glob
     import hashlib as _hashlib
+    import shutil as _shutil
 
     src_fp = _hashlib.sha256()
     src_fp.update(b"scheme-v2")
@@ -488,8 +540,6 @@ def _bench_sf1_spot(spark, sf_dir: str, sf01_timings: dict) -> dict | None:
     )
     # drop replicas keyed to older schemes/tables — the cache lives in
     # RAM (/dev/shm) and stale copies would otherwise accumulate
-    import shutil as _shutil
-
     span_fp = _hashlib.sha256(src_fp.digest() + b"span-scheme-v2")
     span_dir = os.path.join(
         _corpus_base(), f"wikihadoop_sf1_span_{span_fp.hexdigest()[:12]}"
@@ -504,6 +554,15 @@ def _bench_sf1_spot(spark, sf_dir: str, sf01_timings: dict) -> dict | None:
         _build_sf1(spark, sf_dir, out_dir)
     if not os.path.exists(span_dir):
         _build_sf1_span(spark, sf_dir, span_dir)
+    return out_dir, span_dir
+
+
+def _bench_sf1_spot(spark, sf_dir: str, sf01_timings: dict) -> dict | None:
+    """Min-of-3 timings of the three slowest headline queries at 10x
+    scale, with the per-query ratio vs the sf0.1 timing."""
+    if not sf_dir.rstrip("/").endswith("sf0.1"):
+        return None  # spot check only applies at the standard bench sf
+    out_dir, span_dir = _sf1_replica_dirs(spark, sf_dir)
 
     def _time_spot(name: str, data_dir: str) -> dict:
         def run() -> None:
@@ -527,16 +586,32 @@ def _bench_sf1_spot(spark, sf_dir: str, sf01_timings: dict) -> dict | None:
         # during the pass — re-measure once; if the retry is still
         # noise-dominated, SHIP THE FLAG so the artifact never presents
         # a noise-dominated ratio as a clean reading (two prior rounds
-        # needed manual isolated adjudication of exactly this)
+        # needed manual isolated adjudication of exactly this).
+        # (best, spread) always travel as a PAIR from the pass that
+        # produced the shipped minimum (round-11 advisor): mixing
+        # pass-1's min with pass-2's spread could present a
+        # noise-dominated minimum as clean.
         best, spread = _min3()
         contended = spread > best
         if contended:
             b2, s2 = _min3()
             if b2 < best:
                 best, spread = b2, s2
-            else:
-                spread = min(spread, s2)
             contended = spread > best
+        # second trigger (round-11 verdict item 2): `spread > min`
+        # cannot detect a pass whose MINIMUM was itself contended —
+        # r11's ngram_overlap shipped 9.6x with min 4x its isolated
+        # truth.  Compare against the recorded isolated watermark: the
+        # documented intra-day host band is ~±25% (SCALING.md round-11
+        # watermark, 8.5–10.5 s), so a min beyond 2x the watermark is
+        # not host drift — re-measure once, then flag.
+        wm = _SF1_ISOLATED_WATERMARKS.get(name)
+        if wm is not None and best > _HOST_BAND_FACTOR * wm:
+            b3, s3 = _min3()
+            if b3 < best:
+                best, spread = b3, s3
+            if best > _HOST_BAND_FACTOR * wm:
+                contended = True
         entry = {
             "sec": round(best, 3),
             "spread_sec": round(spread, 3),
@@ -544,6 +619,8 @@ def _bench_sf1_spot(spark, sf_dir: str, sf01_timings: dict) -> dict | None:
         }
         if contended:
             entry["contended"] = True
+            if wm is not None:
+                entry["isolated_watermark_sec"] = wm
         return entry
 
     spot: dict[str, dict] = {}
