@@ -3887,16 +3887,25 @@ def similarity_topk_int8_ivf(spark: SparkSession, sf: str) -> DataFrame:
     the float IVF gate (whose oracle needs round_dp to herd centroid
     summation order), EVERY intermediate here is an exact integer —
     the oracle replays build + probe + rank with NO rounding knob.
-    The quantized frame is persisted before everything (the
-    CSE-across-joins rule); at real scale it is the written SQ8
-    column, and the centroids are K×D driver-held broadcast state.
-    NEW in round 11 after the rotation was sized — local 3-SF parity +
-    dedicated tests now; first-priority gate slot in round 12 with the
-    four deferred r09 pins."""
+    The index is a WRITTEN ARTIFACT (round-11 verdict item 4 — the
+    FAISS "train once, search many" shape): the first invocation runs
+    the integer Lloyd once, writes the cluster-tagged quantized frame
+    + centroids via ivf_write_int8, and every later search — including
+    this query's own second run — is a pure parquet read with ZERO
+    Lloyd jobs (build-once/search-twice pinned in test_quantize.py).
+    The artifact path is keyed to the corpus file's identity, so a
+    regenerated corpus rebuilds rather than reusing stale clusters.
+    At real scale the artifact is the stored SQ8 column and the
+    centroids are K×D driver-held broadcast state.  The build is
+    deterministic, so read-path results are bit-identical to a fresh
+    build — the oracle replays build + probe + rank unchanged."""
+    import os
+
     from .operators.quantize import (
         cosine_topk_int8_ivf,
         int_norm2,
-        ivf_build_int8,
+        ivf_build_or_read_int8,
+        ivf_index_path,
         quantize_int8,
     )
 
@@ -3910,10 +3919,10 @@ def similarity_topk_int8_ivf(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("n2") > 0)
         .persist()
     )
-    tagged, cents = ivf_build_int8(qn, k=8, iterations=2)
-    # n2 is a pure row function of q — recompute on the tagged frame
-    # (row-local, exact) rather than joining it back
-    tagged = tagged.withColumn("n2", int_norm2(F.col("q")))
+    idx = ivf_index_path(
+        os.path.join(sf, "embeddings.parquet"), k=8, iterations=2
+    )
+    tagged, cents = ivf_build_or_read_int8(spark, qn, idx, k=8, iterations=2)
     probes = qn.filter(F.col("vec_id") < 10)
     return cosine_topk_int8_ivf(
         tagged, cents, probes, id_col="vec_id", q_col="q", n2_col="n2",
