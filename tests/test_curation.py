@@ -701,3 +701,126 @@ def test_surprisal_rowwise_property_fuzz(spark):
         }
         assert got == want, (trial, {k: (got[k], want[k])
                                      for k in got if got[k] != want.get(k)})
+
+
+def test_prune_lm_table_error_bound_property(spark):
+    """prune_lm_table (round-11 verdict item 5): pruning keeps the
+    most-frequent tokens and returns the max per-token error in bits
+    (bitlen of the dropped counts).  Property, fuzzed over random
+    models and corpora: for EVERY document,
+    0 <= pruned_score - full_score <= 1000 * max_error_bits — pruning
+    only raises surprisal (dropped tokens score the unseen ceiling)
+    and the milli-bit fold shifts by at most the bound, because the
+    bound times 1000 is an integer that commutes with the floor."""
+    import random
+
+    from wikihadoop_spark.operators.lm_score import (
+        collect_lm_table,
+        prune_lm_table,
+        surprisal_rowwise,
+        unigram_model,
+    )
+
+    rng = random.Random(20260815)
+    vocab = [f"tok{i}" for i in range(40)]
+    for trial in range(3):
+        ref_rows = [
+            (i, " ".join(rng.choices(vocab[: rng.randint(5, 40)],
+                                     k=rng.randint(1, 60))))
+            for i in range(25)
+        ]
+        doc_rows = [
+            (100 + i, " ".join(rng.choices(vocab + ["oovx"],
+                                           k=rng.randint(0, 30))))
+            for i in range(25)
+        ] + [(999, "")]
+        ref = spark.createDataFrame(ref_rows, "doc_id bigint, text string")
+        docs = spark.createDataFrame(doc_rows, "doc_id bigint, text string")
+        model = unigram_model(ref).persist()
+        table, ceil = collect_lm_table(model)
+        model.unpersist()
+        for max_entries in (0, 3, len(table) // 2, len(table)):
+            pruned, bound = prune_lm_table(table, ceil, max_entries)
+            assert len(pruned) <= max_entries or max_entries >= len(table)
+            assert set(pruned) <= set(table)
+            # kept entries are the most frequent (lowest bits first)
+            if pruned and len(pruned) < len(table):
+                worst_kept = max(pruned.values())
+                best_dropped = min(
+                    v for k, v in table.items() if k not in pruned
+                )
+                assert worst_kept <= best_dropped
+                assert bound == max(
+                    ceil - v for k, v in table.items() if k not in pruned
+                )
+            full = {
+                r.doc_id: r.lm_bits
+                for r in surprisal_rowwise(docs, table, ceil).collect()
+            }
+            # empty pruned table: surprisal_rowwise needs >=0 entries —
+            # score everything at the ceiling via an empty map
+            got = {
+                r.doc_id: r.lm_bits
+                for r in surprisal_rowwise(docs, pruned, ceil).collect()
+            }
+            for d in full:
+                diff = got[d] - full[d]
+                assert 0 <= diff <= 1000 * bound, (
+                    trial, max_entries, d, diff, bound
+                )
+    import pytest
+    with pytest.raises(ValueError, match="max_entries"):
+        prune_lm_table({"a": 1}, 4, -1)
+
+
+def test_curation_gates_accept_pruned_lm_table(spark):
+    """The pruned artifact is the same (table, ceiling) shape, so both
+    curation chains accept it unchanged; a LOOSER table (pruning only
+    raises scores) can only drop more documents, never fewer — and the
+    half-supplied arg contract raises loudly on both chains (round-11
+    advisor)."""
+    import pytest
+
+    from wikihadoop_spark.catalog import load_table
+    from wikihadoop_spark.operators.lm_score import (
+        collect_lm_table,
+        prune_lm_table,
+        unigram_model,
+    )
+    from wikihadoop_spark.plans.curation import curate_corpus
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    model = unigram_model(docs.filter(F.col("doc_id") % 2 == 0)).persist()
+    table, ceil = collect_lm_table(model)
+    model.unpersist()
+    pruned, bound = prune_lm_table(table, ceil, max(1, len(table) // 4))
+    assert bound > 0  # the fixture vocabulary actually got pruned
+    gate = ceil * 700  # between typical scores and the OOV ceiling
+    full_ids = {
+        r.doc_id
+        for r in curate_corpus(
+            docs, lm_table=(table, ceil), lm_max_bits=gate
+        ).curated.select("doc_id").collect()
+    }
+    pruned_ids = {
+        r.doc_id
+        for r in curate_corpus(
+            docs, lm_table=(pruned, ceil), lm_max_bits=gate
+        ).curated.select("doc_id").collect()
+    }
+    assert pruned_ids <= full_ids  # looser table only drops MORE
+
+    with pytest.raises(ValueError, match="together"):
+        curate_corpus(docs, lm_table=(table, ceil))
+    with pytest.raises(ValueError, match="together"):
+        curate_corpus(docs, lm_max_bits=gate)
+    # the streaming chain's identical contract (the advisor flagged
+    # both sites); a batch frame exercises the same code path
+    from wikihadoop_spark.streaming.curate_stream import curate_stream
+
+    with pytest.raises(ValueError, match="together"):
+        curate_stream(docs, lm_table=(table, ceil))
+    with pytest.raises(ValueError, match="together"):
+        curate_stream(docs, lm_max_bits=gate)

@@ -399,6 +399,37 @@ def collect_lm_table(model: DataFrame) -> tuple[dict[str, int], int]:
     return table, ceil
 
 
+def prune_lm_table(
+    table: dict[str, int], ceil_bits: int, max_entries: int
+) -> tuple[dict[str, int], int]:
+    """Bound the scoring artifact's size: keep the ``max_entries``
+    most-frequent tokens (lowest surprisal first; lexicographic
+    tiebreak, so pruning is deterministic) and return
+    ``(pruned_table, max_error_bits)`` — the code for the rule
+    :func:`collect_lm_table` documents for >~1e6-token vocabularies
+    (round-11 verdict item 5).
+
+    Error bound: a dropped token scores the unseen ceiling instead of
+    its table value, so its per-occurrence error is exactly
+    ``ceil_bits - bits`` = bitlen(count) — the returned
+    ``max_error_bits`` is the max over dropped entries (0 when nothing
+    drops).  Per document the milli-bit score moves by at most
+    ``1000 * max_error_bits`` and NEVER down (pruning only raises
+    surprisal): ``0 <= pruned - full <= 1000 * max_error_bits``,
+    because the integer fold is ``sum * 1000 div n`` and the error
+    bound times 1000 is an integer that commutes with the floor.
+    Property-pinned in tests/test_curation.py; the pruned table is the
+    same artifact shape, so both curation gates accept it unchanged."""
+    if max_entries < 0:
+        raise ValueError(f"max_entries must be >= 0 (got {max_entries})")
+    if len(table) <= max_entries:
+        return dict(table), 0
+    ranked = sorted(table.items(), key=lambda kv: (kv[1], kv[0]))
+    kept = dict(ranked[:max_entries])
+    max_err = max(ceil_bits - bits for _, bits in ranked[max_entries:])
+    return kept, max_err
+
+
 def surprisal_rowwise(
     docs: DataFrame,
     table: dict[str, int],

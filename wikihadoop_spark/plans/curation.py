@@ -480,6 +480,14 @@ def _curate_corpus_impl(
     # (perplexity_thresholds[m-1]; bucket(x) <= m  <=>  x <= t_m).
     # Zero shuffles, zero state — the identical stage runs statelessly
     # on the streaming chain.
+    if (lm_table is None) != (lm_max_bits is None):
+        # loud contract (round-11 advisor): a caller supplying only one
+        # half would otherwise ship an UNGATED corpus with no error
+        raise ValueError(
+            "lm_table and lm_max_bits must be supplied together "
+            f"(got lm_table={'set' if lm_table is not None else None}, "
+            f"lm_max_bits={lm_max_bits!r})"
+        )
     if lm_table is not None and lm_max_bits is not None:
         from ..operators.lm_score import surprisal_rowwise
 

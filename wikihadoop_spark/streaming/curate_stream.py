@@ -151,6 +151,14 @@ def curate_stream(
             .filter(F.col("__dsir") >= dsir_min_bits)
             .drop("__dsir")
         )
+    if (lm_table is None) != (lm_max_bits is None):
+        # loud contract (round-11 advisor), mirroring the batch chain:
+        # half-supplied gate args must not silently skip the LM gate
+        raise ValueError(
+            "lm_table and lm_max_bits must be supplied together "
+            f"(got lm_table={'set' if lm_table is not None else None}, "
+            f"lm_max_bits={lm_max_bits!r})"
+        )
     if lm_table is not None and lm_max_bits is not None:
         from ..operators.lm_score import surprisal_rowwise
 
