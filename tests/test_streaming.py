@@ -1267,3 +1267,76 @@ def test_curate_stream_lm_gate_matches_batch(spark, tmp_path):
     got = {r.doc_id for r in spark.sql("SELECT * FROM t_lmgate").collect()}
     docs.unpersist()
     assert got == expected
+
+
+def test_streaming_int8_ann_probe_matches_batch_lsh(spark, tmp_path):
+    """Round-11 verdict item 7 — the int8 variant of the stream-static
+    probe: the corpus keeps a persisted int8 ANN index (quantized
+    vectors + integer norms + integer-hyperplane buckets, 4× smaller
+    than the float column on disk and over the join) and arriving
+    embeddings probe it with a stateless stream-static equi-join.
+    Stream ≡ batch twice over: (a) the streamed match rows equal the
+    batch run of the same probe; (b) ranked at read time they equal
+    the batch gate ``cosine_topk_int8_lsh`` on the same arriving
+    documents — the int8 kernel's bit-exactness means set equality,
+    no tolerance anywhere."""
+    from pyspark.sql import Window
+
+    from wikihadoop_spark.operators.quantize import cosine_topk_int8_lsh
+    from wikihadoop_spark.relational import _INT8_LSH_PLANES
+    from wikihadoop_spark.streaming.dedup_stream import (
+        int8_ann_index,
+        stream_ann_matches,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    new = emb.filter(F.col("vec_id") < 10)
+
+    idx_path = str(tmp_path / "int8_ann_index")
+    int8_ann_index(corpus, _INT8_LSH_PLANES).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    key = lambda r: (r.query_id, r.neighbor_id, r.int_dot, r.qcos.hex())
+    batch = sorted(
+        map(key, stream_ann_matches(new, index, _INT8_LSH_PLANES).collect())
+    )
+    assert batch, "fixture produced no bucket collisions"
+
+    new_path = str(tmp_path / "new_vecs")
+    new.repartition(3).write.mode("overwrite").parquet(new_path)
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(new_path)
+    )
+    q = (
+        stream_ann_matches(stream, index, _INT8_LSH_PLANES)
+        .writeStream.format("memory")
+        .queryName("t_int8ann")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = spark.sql("SELECT * FROM t_int8ann")
+    assert sorted(map(key, streamed.collect())) == batch
+
+    # rank the sink at read time -> must equal the batch gate operator
+    # (the corpus side excludes the probe ids, so self-matches and the
+    # batch operator's query-side corpus rows are filtered identically)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), "neighbor_id"
+    )
+    ranked = (
+        streamed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )
+    want = cosine_topk_int8_lsh(
+        corpus, new, _INT8_LSH_PLANES, id_col="vec_id",
+        vec_col="embedding", k=10,
+    )
+    rkey = lambda r: (r.query_id, r.neighbor_id, r.int_dot, r.qcos.hex(), r.rank)
+    assert sorted(map(rkey, ranked.collect())) == sorted(map(rkey, want.collect()))

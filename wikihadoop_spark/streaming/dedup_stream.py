@@ -207,3 +207,100 @@ def stream_candidate_pairs_collapsed(
     return pairs.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
         ["new_id", "corpus_id"]
     )
+
+
+def int8_ann_index(
+    corpus: DataFrame,
+    planes: list[list[int]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The persisted int8 ANN index (round-11 verdict item 7): the
+    corpus embeddings quantized to int8 with their integer norms and
+    integer-hyperplane bucket ids —
+    ``(corpus_id, qb array<int>, nb bigint, bucket int)``.  Write this
+    as parquet partitioned by ``bucket`` at scale: each probe join
+    prunes to one bucket's files, and every byte read is 4× smaller
+    than the float column (the same written-SQ8 artifact the batch
+    int8 LSH gate documents).  Zero-norm vectors are excluded at build
+    time (cosine against them is undefined — identical rule to the
+    batch path).  Bucket ids are exact integer math, so the index is
+    bit-identical however it is built."""
+    from ..operators.quantize import (
+        hyperplane_bucket_int,
+        int_norm2,
+        quantize_int8,
+    )
+
+    return (
+        corpus.select(
+            F.col(id_col).alias("corpus_id"),
+            quantize_int8(F.col(vec_col).cast("array<double>")).alias("qb"),
+        )
+        .withColumn("nb", int_norm2(F.col("qb")))
+        .filter(F.col("nb") > 0)
+        .withColumn("bucket", hyperplane_bucket_int(F.col("qb"), planes))
+    )
+
+
+def stream_ann_matches(
+    new_docs: DataFrame,
+    index: DataFrame,
+    planes: list[list[int]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float | None = None,
+) -> DataFrame:
+    """Arriving embeddings probe a static int8 ANN index: row-local
+    quantize + bucket (stateless projections — no aggregation state,
+    no watermark), stream-static equi-join on the bucket id, exact
+    int8 cosine.  Every stage is stateless, so the query runs in
+    append mode with exactly-once file-sink semantics — the int8
+    variant of :func:`stream_candidate_pairs`, with the 4×-smaller
+    index on disk and over the join.
+
+    Identical math to the batch ``cosine_topk_int8_lsh`` MINUS the
+    top-k rank: a rank window over a non-time column cannot run in
+    append mode, so the stream emits every bucket-collision row
+    ``(query_id, neighbor_id, int_dot, qcos)`` (optionally thresholded
+    by ``min_cosine``) and the reader ranks at read time — ranking is
+    a pure function of the emitted rows, so stream ≡ batch end-to-end
+    (pinned in tests/test_streaming.py).  Works identically on a batch
+    ``new_docs`` frame (the equivalence test runs both)."""
+    from ..operators.quantize import (
+        hyperplane_bucket_int,
+        int_dot,
+        int_norm2,
+        quantize_int8,
+        quantized_cosine,
+    )
+
+    probes = (
+        new_docs.select(
+            F.col(id_col).alias("query_id"),
+            quantize_int8(F.col(vec_col).cast("array<double>")).alias("qa"),
+        )
+        .withColumn("na", int_norm2(F.col("qa")))
+        .filter(F.col("na") > 0)
+        .withColumn("bucket", hyperplane_bucket_int(F.col("qa"), planes))
+    )
+    out = (
+        probes.join(index, "bucket")
+        .filter(F.col("query_id") != F.col("corpus_id"))
+        .withColumn("int_dot", int_dot(F.col("qa"), F.col("qb")))
+        .withColumn(
+            "qcos",
+            quantized_cosine(F.col("int_dot"), F.col("na"), F.col("nb")),
+        )
+        .select(
+            "query_id",
+            F.col("corpus_id").alias("neighbor_id"),
+            "int_dot",
+            "qcos",
+        )
+    )
+    if min_cosine is not None:
+        out = out.filter(F.col("qcos") >= F.lit(float(min_cosine)))
+    return out
