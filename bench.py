@@ -347,6 +347,14 @@ _SF1_SPAN_QUERIES = (
     "semantic_dedup",
     "text_lm_bigram",
     "sketch_count_min",
+    # round 12: the two newest int8 compositions become RECURRING sf1
+    # spots (they were one-off isolated measurements in r11) — the
+    # bucketed probe should stay ~scale-free, and the multiprobe
+    # blocking pass carries the same per-edge meter as semantic_dedup
+    # (the signed-permutation replica hands it ~70x the pairs at 10x
+    # the vectors, so the raw ratio is edge growth, not engine cost)
+    "similarity_topk_int8_lsh",
+    "embedding_cosine_dedup_int8",
 )
 _SF1_COPIES = 10
 _SF1_SHIFT = 100_000_000  # beyond every key range in the sf0.1 tables
@@ -380,6 +388,8 @@ _SF1_ISOLATED_WATERMARKS: dict[str, float] = {
     "semantic_dedup": 16.603,
     "text_lm_bigram": 0.406,
     "sketch_count_min": 0.53,
+    "similarity_topk_int8_lsh": 1.379,
+    "embedding_cosine_dedup_int8": 9.124,
 }
 
 
@@ -667,6 +677,19 @@ def _bench_sf1_spot(spark, sf_dir: str, sf01_timings: dict) -> dict | None:
         spot["semantic_dedup"]["sec_per_10k_pairs"] = round(per1, 3)
         spot["semantic_dedup"]["sec_per_10k_pairs_sf0.1"] = round(per01, 3)
         spot["semantic_dedup"]["x_engine_per_pair"] = round(per1 / per01, 2)
+    # the int8 multiprobe blocking pass carries the IDENTICAL per-edge
+    # meter (round 12 — it was a one-off isolated measurement in r11):
+    # the query returns pair rows, so the timed count IS the edge count
+    i_sf1 = QUERIES["embedding_cosine_dedup_int8"](spark, span_dir).count()
+    i_sf01 = QUERIES["embedding_cosine_dedup_int8"](spark, sf_dir).count()
+    ent = spot["embedding_cosine_dedup_int8"]
+    ent["pairs_x10"] = round(i_sf1 / i_sf01, 2) if i_sf01 else None
+    if i_sf01 and i_sf1:
+        per1 = ent["sec"] / (i_sf1 / 1e4)
+        per01 = sf01_timings["embedding_cosine_dedup_int8"] / (i_sf01 / 1e4)
+        ent["sec_per_10k_pairs"] = round(per1, 3)
+        ent["sec_per_10k_pairs_sf0.1"] = round(per01, 3)
+        ent["x_engine_per_pair"] = round(per1 / per01, 2)
     return spot
 
 

@@ -693,16 +693,20 @@ def test_similarity_int8_lsh_plan_bucketed_and_materialized(spark):
 def test_similarity_int8_ivf_plan_bucketed_and_materialized(spark):
     """The int8 IVF search plan: probe is an equi-join on cluster id
     (BroadcastHash — the nprobe-exploded query side is the broadcast),
-    the quantized index frame is materialized (InMemoryTableScan), no
-    brute-force nested loop and no sort-merge join; only the rank
-    window's query_id exchange may shuffle.  The Lloyd build's own
-    aggregates run at query-construction time (bounded K×D driver
-    state, the float IVF precedent) and are not part of this plan."""
+    the probe side reads the persisted quantized frame
+    (InMemoryTableScan), no brute-force nested loop and no sort-merge
+    join; only the rank window's query_id exchange may shuffle.  Since
+    round 12 the corpus side is the WRITTEN index artifact — the
+    search plan must scan it as plain parquet (train-once/search-many:
+    the Lloyd build runs at most once per corpus, never inside the
+    search plan; the zero-Lloyd re-search behavior is pinned in
+    test_quantize.py)."""
     plan = plan_of(spark, "similarity_topk_int8_ivf")
     assert "BroadcastHashJoin" in plan  # equi-join on cluster
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan
-    assert "InMemoryTableScan" in plan  # persisted quantized frame
+    assert "InMemoryTableScan" in plan  # persisted probe-side frame
+    assert "wikihadoop_ivf8" in plan  # corpus side scans the artifact
     assert "WindowGroupLimit" in plan
     for line in plan.splitlines():
         if "Exchange" in line and "Broadcast" not in line:
