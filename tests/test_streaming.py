@@ -1340,3 +1340,92 @@ def test_streaming_int8_ann_probe_matches_batch_lsh(spark, tmp_path):
     )
     rkey = lambda r: (r.query_id, r.neighbor_id, r.int_dot, r.qcos.hex(), r.rank)
     assert sorted(map(rkey, ranked.collect())) == sorted(map(rkey, want.collect()))
+
+
+def test_streaming_int8_ivf_probe_and_assign_match_batch(spark, tmp_path):
+    """The IVF twin of the int8 LSH stream probe: the corpus keeps a
+    WRITTEN int8 IVF index (train-once), arriving embeddings pick
+    their nprobe nearest integer centroids row-locally from the
+    driver-held literal list and probe the static index with a
+    stream-static equi-join (append mode, zero state).  Pins three
+    equalities: (a) streamed match rows equal the batch run of the
+    same probe; (b) ranked at read time they equal the batch gate
+    operator cosine_topk_int8_ivf bit-for-bit; (c) ivf_assign_int8
+    tags vectors bit-identically to the build's own assignment — the
+    index-append half of train-once/search-many."""
+    from pyspark.sql import Window
+
+    from wikihadoop_spark.operators.quantize import (
+        cosine_topk_int8_ivf,
+        int_norm2,
+        ivf_assign_int8,
+        ivf_build_or_read_int8,
+        quantize_int8,
+    )
+    from wikihadoop_spark.streaming.dedup_stream import stream_ivf_matches
+
+    emb = load_table(spark, SF, "embeddings")
+    qn = (
+        emb.select(
+            "vec_id",
+            quantize_int8(F.col("embedding").cast("array<double>")).alias("q"),
+        )
+        .withColumn("n2", int_norm2(F.col("q")))
+        .filter(F.col("n2") > 0)
+    )
+    idx_path = str(tmp_path / "ivf_index")
+    tagged, cents = ivf_build_or_read_int8(
+        spark, qn.filter(F.col("vec_id") >= 10), idx_path, k=4, iterations=2
+    )
+
+    # (c) assignment parity: re-assigning the indexed vectors against
+    # the trained centroids must reproduce the stored tags exactly
+    reassigned = ivf_assign_int8(
+        qn.filter(F.col("vec_id") >= 10), cents, id_col="vec_id", q_col="q"
+    )
+    stored = {(r.vec_id, r.cluster) for r in tagged.collect()}
+    assert {(r.vec_id, r.cluster) for r in reassigned.collect()} == stored
+
+    new = emb.filter(F.col("vec_id") < 10)
+    index = spark.read.parquet(idx_path + "/vectors")
+    key = lambda r: (r.query_id, r.neighbor_id, r.int_dot, r.qcos.hex())
+    batch = sorted(
+        map(key, stream_ivf_matches(new, index, cents, nprobe=2).collect())
+    )
+    assert batch, "fixture produced no probe matches"
+
+    new_path = str(tmp_path / "new_vecs_ivf")
+    new.repartition(3).write.mode("overwrite").parquet(new_path)
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(new_path)
+    )
+    q = (
+        stream_ivf_matches(stream, index, cents, nprobe=2)
+        .writeStream.format("memory")
+        .queryName("t_int8ivf")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = spark.sql("SELECT * FROM t_int8ivf")
+    assert sorted(map(key, streamed.collect())) == batch
+
+    # (b) ranked at read time == the batch gate operator on the same
+    # raw vectors (quantization is deterministic, so the inline and
+    # pre-quantized probe sides agree bit-for-bit)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), "neighbor_id"
+    )
+    ranked = (
+        streamed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+    want = cosine_topk_int8_ivf(
+        tagged, cents, qn.filter(F.col("vec_id") < 10),
+        id_col="vec_id", q_col="q", n2_col="n2", k=5, nprobe=2,
+    )
+    rkey = lambda r: (r.query_id, r.neighbor_id, r.int_dot, r.qcos.hex(), r.rank)
+    assert sorted(map(rkey, ranked.collect())) == sorted(map(rkey, want.collect()))

@@ -341,6 +341,32 @@ def ivf_build_or_read_int8(
     return ivf_read_int8(spark, path)
 
 
+def ivf_assign_int8(
+    qframe: DataFrame,
+    centroids: list[list[int]],
+    *,
+    id_col: str = "vec_id",
+    q_col: str = "q",
+) -> DataFrame:
+    """Assign quantized vectors to EXISTING integer centroids — the
+    index-append half of train-once/search-many: new corpus vectors
+    are tagged against the trained centroids (exact integer distances,
+    lowest-index tiebreak — bit-identical to the build's own
+    assignment) and appended to the written index, no re-train.  The
+    centroids are K×D driver-held literals, so the assignment is a
+    row-local projection with ZERO state — it runs unchanged on a
+    streaming micro-batch (append mode).  Returns
+    ``(id_col, q_col, n2, cluster)`` — the artifact row shape
+    :func:`ivf_write_int8` stores."""
+    c = qframe.select(F.col(id_col).alias("__id"), F.col(q_col).alias("__q"))
+    return _assign_int(c, centroids).select(
+        F.col("__id").alias(id_col),
+        F.col("__q").alias(q_col),
+        int_norm2(F.col("__q")).alias("n2"),
+        F.col("__cl").alias("cluster"),
+    )
+
+
 def _assign_int(c: DataFrame, centroids: list[list[int]]) -> DataFrame:
     """Nearest integer centroid by exact squared L2; ties take the
     lowest cluster index (array_position finds the FIRST minimum)."""

@@ -304,3 +304,87 @@ def stream_ann_matches(
     if min_cosine is not None:
         out = out.filter(F.col("qcos") >= F.lit(float(min_cosine)))
     return out
+
+
+def stream_ivf_matches(
+    new_docs: DataFrame,
+    index: DataFrame,
+    centroids: list[list[int]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 4,
+    min_cosine: float | None = None,
+) -> DataFrame:
+    """Arriving embeddings probe a WRITTEN int8 IVF index (the
+    artifact `operators/quantize.py::ivf_write_int8` stores): each new
+    vector quantizes row-locally, picks its ``nprobe`` nearest integer
+    centroids from the K×D driver-held literal list (exact integer
+    distances, index tiebreak — bit-identical to the batch probe), and
+    joins the static index on the cluster id.  Every stage is a
+    stateless projection or a stream-static equi-join, so the query
+    runs in append mode — the IVF twin of :func:`stream_ann_matches`,
+    completing the streaming story for BOTH bucketed ANN index types.
+    At scale the index parquet is partitioned by ``cluster`` so each
+    probe prunes to nprobe clusters' files, all on the 4×-smaller int8
+    column.
+
+    Emits ``(query_id, neighbor_id, int_dot, qcos)`` — ranking is a
+    pure function of the emitted rows and happens at read time, where
+    it must equal the batch ``cosine_topk_int8_ivf`` bit-for-bit
+    (pinned in tests/test_streaming.py).  Works identically on a batch
+    ``new_docs`` frame (the equivalence test runs both)."""
+    from ..operators.quantize import (
+        _int_sq_dist,
+        int_dot,
+        int_norm2,
+        quantize_int8,
+        quantized_cosine,
+    )
+
+    probes = (
+        new_docs.select(
+            F.col(id_col).alias("query_id"),
+            quantize_int8(F.col(vec_col).cast("array<double>")).alias("qa"),
+        )
+        .withColumn("na", int_norm2(F.col("qa")))
+        .filter(F.col("na") > 0)
+    )
+    dists = F.array(
+        *[
+            _int_sq_dist(F.col("qa"), F.array(*[F.lit(int(x)) for x in cen]))
+            for cen in centroids
+        ]
+    )
+    idx = F.array_sort(
+        F.zip_with(
+            dists,
+            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+        )
+    )
+    probes = probes.withColumn(
+        "cluster",
+        F.explode(F.transform(F.slice(idx, 1, nprobe), lambda s: s["i"])),
+    )
+    out = (
+        probes.join(
+            index.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("q").alias("qb"),
+                F.col("n2").alias("nb"),
+                "cluster",
+            ),
+            "cluster",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("int_dot", int_dot(F.col("qa"), F.col("qb")))
+        .withColumn(
+            "qcos",
+            quantized_cosine(F.col("int_dot"), F.col("na"), F.col("nb")),
+        )
+        .select("query_id", "neighbor_id", "int_dot", "qcos")
+    )
+    if min_cosine is not None:
+        out = out.filter(F.col("qcos") >= F.lit(float(min_cosine)))
+    return out
