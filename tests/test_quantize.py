@@ -455,3 +455,54 @@ def test_ivf_index_path_invalidates_on_corpus_change(spark, tmp_path):
     # different params key a different stem — not clobbered by cleanup
     p3 = ivf_index_path(str(corpus), k=4, iterations=2, base=base)
     assert p3 not in (p1, p2)
+
+
+def test_ivf_index_append_then_search(spark, tmp_path, monkeypatch):
+    """Index APPEND workflow (train-once/search-many, the write half):
+    new vectors are tagged against the trained centroids with
+    ivf_assign_int8 (no re-train) and appended to the written index;
+    a subsequent search over the re-read index must (a) run zero Lloyd
+    jobs, (b) return the appended vector as a neighbor where it ranks,
+    and (c) leave all pre-append results intact (the centroids did not
+    move, so old assignments and scores are untouched)."""
+    from wikihadoop_spark.operators import quantize as qz
+
+    rows = [
+        (0, [10, 0, 0]), (1, [-9, 1, 0]), (2, [0, 12, 0]),
+        (3, [1, 11, -1]), (4, [0, 0, -8]), (5, [2, -1, -9]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, q array<int>")
+    qn = df.withColumn("n2", qz.int_norm2(df.q))
+    idx = str(tmp_path / "ivf_idx_append")
+    _, cents = qz.ivf_build_or_read_int8(spark, qn, idx, k=2, iterations=2)
+
+    def search(k=10):
+        tagged, cs = qz.ivf_read_int8(spark, idx)
+        res = qz.cosine_topk_int8_ivf(
+            tagged, cs, qn.filter("vec_id = 0"),
+            id_col="vec_id", q_col="q", n2_col="n2", k=k, nprobe=2,
+        )
+        return {
+            r.neighbor_id: (r.int_dot, r.qcos.hex(), r.rank)
+            for r in res.collect()
+        }
+
+    before = search()
+    assert 99 not in before
+
+    # append: a near-copy of vector 0 — must become its top neighbor
+    new = spark.createDataFrame([(99, [10, 1, 0])], "vec_id bigint, q array<int>")
+    monkeypatch.setattr(qz, "ivf_build_int8", lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("Lloyd ran during append/search")))
+    import os
+    qz.ivf_assign_int8(new, cents, id_col="vec_id", q_col="q").write.mode(
+        "append"
+    ).parquet(os.path.join(idx, "vectors"))
+
+    after = search()
+    assert 99 in after and after[99][2] == 1  # appended vector ranks first
+    for nid, row in before.items():
+        got = after[nid]
+        # same dot/cos; rank may shift down by the new arrival only
+        assert (got[0], got[1]) == (row[0], row[1])
+        assert got[2] in (row[2], row[2] + 1)
