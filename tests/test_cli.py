@@ -222,3 +222,69 @@ def test_curate_dedup_spans_flags(tmp_path):
     )
     assert bad.returncode != 0
     assert "--dedup-spans" in bad.stderr
+
+
+def test_ann_subcommand_build_append_search(tmp_path):
+    """The train-once/search-many workflow end-to-end through the CLI:
+    build writes the int8 IVF artifact, append grows it without
+    re-training, search reads it — and the searched results must agree
+    with a DuckDB replay of the exact int8 math for the appended
+    near-copy (it quantizes identically, so it ranks first for its
+    source vector)."""
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "topk")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+
+    def run(*argv):
+        r = subprocess.run(
+            [sys.executable, "-m", "wikihadoop_spark", "ann", *argv],
+            cwd=REPO, env=env, capture_output=True, text=True,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return r.stdout
+
+    stdout = run(
+        "build", "--input", f"{SF}/embeddings.parquet", "--index", idx,
+        "--clusters", "4",
+    )
+    assert "train once" in stdout
+    assert os.path.isdir(os.path.join(idx, "vectors"))
+    assert os.path.isdir(os.path.join(idx, "centroids"))
+
+    # append near-copies of vectors 0 and 1 under shifted ids
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT vec_id + 1000000 AS vec_id, embedding
+          FROM read_parquet('{SF}/embeddings.parquet') WHERE vec_id < 2
+        ) TO '{tmp_path}/new.parquet' (FORMAT PARQUET)
+        """
+    )
+    stdout = run("append", "--input", f"{tmp_path}/new.parquet", "--index", idx)
+    assert "no re-train" in stdout
+
+    con.execute(
+        f"""
+        COPY (
+          SELECT vec_id, embedding
+          FROM read_parquet('{SF}/embeddings.parquet') WHERE vec_id < 2
+        ) TO '{tmp_path}/queries.parquet' (FORMAT PARQUET)
+        """
+    )
+    run(
+        "search", "--input", f"{tmp_path}/queries.parquet", "--index", idx,
+        "--output", out, "--topk", "5", "--nprobe", "2",
+    )
+    res = con.execute(
+        f"SELECT * FROM read_parquet('{out}/*.parquet') ORDER BY query_id, rank"
+    ).fetchall()
+    by_query = {}
+    for query_id, neighbor_id, int_dot, qcos, rank in res:
+        by_query.setdefault(query_id, []).append((rank, neighbor_id, qcos))
+    # each query's appended twin quantizes identically -> qcos == 1.0
+    # exactly (integer dot over identical int8 vectors) and rank 1
+    for q in (0, 1):
+        rank1 = by_query[q][0]
+        assert rank1[0] == 1 and rank1[1] == q + 1000000, by_query[q]
+        assert rank1[2] == 1.0

@@ -89,6 +89,34 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--shard-size", type=int, default=64 * 1024 * 1024)
     s.add_argument("--compress", choices=["bz2", "gz"], default=None)
 
+    an = sub.add_parser(
+        "ann",
+        help="int8 ANN index over a parquet embedding corpus: build "
+             "(train once, write the quantized+clustered artifact), "
+             "append (assign new vectors, no re-train), search (top-k "
+             "over the written index)",
+    )
+    an.add_argument("action", choices=["build", "append", "search"])
+    an.add_argument("--input", required=True,
+                    help="parquet with id + embedding columns "
+                         "(corpus for build, new vectors for append, "
+                         "queries for search)")
+    an.add_argument("--index", required=True,
+                    help="index directory (written by build, grown by "
+                         "append, read by search)")
+    an.add_argument("--output", default=None,
+                    help="search results parquet (search only)")
+    an.add_argument("--id-col", default="vec_id")
+    an.add_argument("--vec-col", default="embedding")
+    an.add_argument("--clusters", type=int, default=8,
+                    help="IVF coarse-quantizer size K (build only)")
+    an.add_argument("--iterations", type=int, default=2,
+                    help="integer-Lloyd iterations (build only)")
+    an.add_argument("--topk", type=int, default=10)
+    an.add_argument("--nprobe", type=int, default=4,
+                    help="clusters probed per query (search only)")
+    an.add_argument("--cores", type=int, default=None)
+
     c = sub.add_parser(
         "curate",
         help="full training-data curation: quality filter -> exact dedup -> "
@@ -252,6 +280,80 @@ def main(argv: list[str] | None = None) -> int:
                     out_df.write.mode("overwrite").parquet(args.output)
             stages = " -> ".join(f"{k}:{v}" for k, v in res.counts().items())
             print(f"curated {stages} -> {args.output}")
+            return 0
+        finally:
+            spark.stop()
+
+    if args.cmd == "ann":
+        import os as _os
+
+        from pyspark.sql import functions as F
+
+        from .operators.quantize import (
+            cosine_topk_int8_ivf,
+            int_norm2,
+            ivf_assign_int8,
+            ivf_build_int8,
+            ivf_read_int8,
+            ivf_write_int8,
+            quantize_int8,
+        )
+        from .session import get_spark
+
+        spark = get_spark("wikihadoop-ann", cpus=args.cores)
+        try:
+            qn = (
+                spark.read.parquet(args.input)
+                .select(
+                    args.id_col,
+                    quantize_int8(
+                        F.col(args.vec_col).cast("array<double>")
+                    ).alias("q"),
+                )
+                .withColumn("n2", int_norm2(F.col("q")))
+                .filter(F.col("n2") > 0)
+            )
+            if args.action == "build":
+                tagged, cents = ivf_build_int8(
+                    qn, id_col=args.id_col, q_col="q",
+                    k=args.clusters, iterations=args.iterations,
+                )
+                tagged = tagged.withColumn("n2", int_norm2(F.col("q")))
+                ivf_write_int8(tagged, cents, args.index)
+                n = spark.read.parquet(
+                    _os.path.join(args.index, "vectors")
+                ).count()
+                print(
+                    f"ann build: {n} vectors, {len(cents)} clusters "
+                    f"-> {args.index} (train once; append/search never "
+                    "re-run the Lloyd)"
+                )
+            elif args.action == "append":
+                _, cents = ivf_read_int8(spark, args.index)
+                rows = ivf_assign_int8(
+                    qn, cents, id_col=args.id_col, q_col="q"
+                )
+                rows.write.mode("append").parquet(
+                    _os.path.join(args.index, "vectors")
+                )
+                print(
+                    f"ann append: {rows.count()} vectors assigned to the "
+                    f"trained centroids -> {args.index} (no re-train)"
+                )
+            else:  # search
+                if not args.output:
+                    raise SystemExit("ann search requires --output")
+                tagged, cents = ivf_read_int8(spark, args.index)
+                res = cosine_topk_int8_ivf(
+                    tagged, cents, qn, id_col=args.id_col, q_col="q",
+                    n2_col="n2", k=args.topk, nprobe=args.nprobe,
+                )
+                res.write.mode("overwrite").parquet(args.output)
+                n = spark.read.parquet(args.output).count()
+                print(
+                    f"ann search: {n} result rows (top-{args.topk}, "
+                    f"nprobe={args.nprobe}) -> {args.output}"
+                )
             return 0
         finally:
             spark.stop()
