@@ -288,3 +288,48 @@ def test_ann_subcommand_build_append_search(tmp_path):
         rank1 = by_query[q][0]
         assert rank1[0] == 1 and rank1[1] == q + 1000000, by_query[q]
         assert rank1[2] == 1.0
+
+
+def test_curate_lm_gate_flags(tmp_path):
+    """The CCNet tail-drop gate through the CLI: --lm-reference fits
+    the LM, --lm-max-entries prunes the scoring artifact (bound
+    printed), the thresholds fit on the input corpus, and the chain
+    drops the tail bucket — survivors must be a strict subset of the
+    same command without the gate."""
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+
+    def run(out, *extra):
+        r = subprocess.run(
+            [
+                sys.executable, "-m", "wikihadoop_spark", "curate",
+                "--input", f"{SF}/documents.parquet",
+                "--output", out,
+                "--quality-threshold", "-1000000000",
+                *extra,
+            ],
+            cwd=REPO, env=env, capture_output=True, text=True,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return r.stdout
+
+    base = str(tmp_path / "no_gate")
+    gated = str(tmp_path / "gated")
+    run(base)
+    stdout = run(
+        gated,
+        "--lm-reference", f"{SF}/documents.parquet",
+        "--lm-buckets", "3",
+        "--lm-max-entries", "10",
+    )
+    assert "lm table pruned to 10 entries" in stdout
+    assert "lm tail-drop gate: keep lm_bits <=" in stdout
+
+    con = duckdb.connect()
+    ids = lambda p: {
+        r[0]
+        for r in con.execute(
+            f"SELECT doc_id FROM read_parquet('{p}/*.parquet')"
+        ).fetchall()
+    }
+    a, b = ids(base), ids(gated)
+    assert b < a  # the tail bucket was dropped, nothing else changed

@@ -183,6 +183,18 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--scrub-pii", action="store_true",
                    help="redact emails/IPs/id runs BEFORE any stage derives "
                         "from the text (pii_redactions counter printed)")
+    c.add_argument("--lm-reference", default=None,
+                   help="parquet corpus to fit the unigram LM on; enables "
+                        "the CCNet perplexity tail-drop gate (fit terciles "
+                        "on the input corpus, drop the worst bucket)")
+    c.add_argument("--lm-buckets", type=int, default=3,
+                   help="perplexity buckets for the tail-drop gate "
+                        "(default 3 = CCNet head/middle/tail; requires "
+                        "--lm-reference)")
+    c.add_argument("--lm-max-entries", type=int, default=None,
+                   help="prune the LM scoring table to its N most-frequent "
+                        "tokens (bounded broadcast artifact; the max "
+                        "per-token error bound in bits is printed)")
     c.add_argument("--chunk-tokens", type=int, default=None,
                    help="split curated docs into training-sequence windows "
                         "of this many tokens before packing")
@@ -227,6 +239,52 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 docs = spark.read.parquet(args.input)
             bench = spark.read.parquet(args.benchmark) if args.benchmark else None
+            lm_table, lm_max_bits = None, None
+            if args.lm_reference:
+                # CCNet's production shape end-to-end: fit the LM on
+                # the reference corpus, collect it as the driver-held
+                # scoring artifact (optionally pruned with a printed
+                # error bound), fit the bucket thresholds on THIS
+                # corpus's scores, and gate out the worst bucket with
+                # one scalar compare inside the chain
+                from .operators.lm_score import (
+                    collect_lm_table,
+                    perplexity_thresholds,
+                    prune_lm_table,
+                    surprisal_rowwise,
+                    unigram_model,
+                )
+
+                ref = spark.read.parquet(args.lm_reference)
+                model = unigram_model(ref, text_col=args.text_col)
+                table, ceil = collect_lm_table(model)
+                if args.lm_max_entries is not None:
+                    table, err = prune_lm_table(
+                        table, ceil, args.lm_max_entries
+                    )
+                    print(
+                        f"lm table pruned to {len(table)} entries "
+                        f"(max per-token error: {err} bits, "
+                        f"<= {1000 * err} milli-bits per document)"
+                    )
+                thresholds = perplexity_thresholds(
+                    surprisal_rowwise(docs, table, ceil,
+                                      text_col=args.text_col),
+                    n_buckets=args.lm_buckets,
+                )
+                if thresholds:
+                    lm_table, lm_max_bits = (table, ceil), thresholds[-1]
+                    print(
+                        f"lm tail-drop gate: keep lm_bits <= "
+                        f"{lm_max_bits} (bucket <= {args.lm_buckets - 1} "
+                        f"of {args.lm_buckets})"
+                    )
+                else:
+                    print(
+                        "lm gate skipped: score domain has fewer "
+                        "distinct values than buckets (every document "
+                        "already passes the loosest gate)"
+                    )
             res = curate_corpus(
                 docs,
                 id_col=args.id_col,
@@ -241,6 +299,8 @@ def main(argv: list[str] | None = None) -> int:
                 token_budget=args.token_budget,
                 default_weight=args.default_weight,
                 waterfill=args.waterfill,
+                lm_table=lm_table,
+                lm_max_bits=lm_max_bits,
                 shard_budget=args.shard_budget,
                 out_dir=args.output if args.shard_budget else None,
                 scrub=args.scrub_pii,
