@@ -52,6 +52,12 @@ def test_bench_prints_one_json_line(tmp_path):
         f"printed line is {len(lines[0])} chars; the driver's tail "
         "capture keeps 2000 — trim the compact subset"
     )
+    # round-12: sf1_spot is what overflowed the capture in r07/r11 (it
+    # only exists at sf0.1, which this fast contract run can't reach) —
+    # keep it OUT of the printed line structurally; it lives in
+    # BENCH_SELF.json, which the `full` key points at
+    assert "sf1_spot" not in d, "sf1_spot must stay file-only"
+    assert d.get("full") == "BENCH_SELF.json"
     # ... and the FULL result (spreads, pipeline extras) is durable on disk
     full = json.load(open(env["SPARK_GRAFT_BENCH_SELF"]))
     assert set(d["queries"]) == set(full["queries"])
