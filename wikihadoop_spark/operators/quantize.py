@@ -297,7 +297,15 @@ def ivf_write_int8(
         os.path.join(tmp, "centroids")
     )
     shutil.rmtree(path, ignore_errors=True)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        # a concurrent writer won the rename between our rmtree and
+        # rename — the build is deterministic, so their artifact is
+        # bit-identical to ours; drop the staging copy and use theirs
+        if not os.path.exists(path):
+            raise
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def ivf_read_int8(spark, path: str) -> tuple[DataFrame, list[list[int]]]:
