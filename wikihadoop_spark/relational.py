@@ -5277,6 +5277,23 @@ def media_frame_fanout_q(spark: SparkSession, sf: str) -> DataFrame:
 # round 13.  After this round's gate no evidence is older than r10,
 # and only those six are older than r11.
 #
+# Round-12 operator edits touching PINNED queries' call paths, all
+# behavior-preserving by construction and re-proven by the local
+# parity suite + the whole-catalog vanilla rehearsal (all 106 green):
+# plans/curation.py + streaming/curate_stream.py gained a LOUD
+# contract (ValueError when exactly one of lm_table/lm_max_bits is
+# supplied — the r11 advisor item; the pinned curate_pipeline call
+# supplies neither, so its path is bit-identical);
+# operators/lm_score.py gained prune_lm_table (pure addition);
+# operators/quantize.py gained ivf_index_path/ivf_write_int8/
+# ivf_read_int8/ivf_build_or_read_int8/ivf_assign_int8 (pure
+# additions; the kernels and existing search paths are untouched) —
+# the one query whose BEHAVIORAL path changed
+# (similarity_topk_int8_ivf, now reading its written index) sits
+# in-window as a must-gate, so the driver verifies the new path
+# this round; streaming/dedup_stream.py gained the int8 ANN probes
+# (pure additions, no catalog query calls them).
+#
 # STEADY-STATE CATALOG-GROWTH POLICY (round-11 verdict item 6): the
 # driver gates a fixed 50-query prefix, so a catalog of size C forces
 # a worst-case evidence age of ceil(C/50) - 1 rounds behind the
