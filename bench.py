@@ -625,8 +625,10 @@ def _bench_sf1_spot(spark, sf_dir: str, sf01_timings: dict) -> dict | None:
             b3, s3 = _min3()
             if b3 < best:
                 best, spread = b3, s3
-            if best > _HOST_BAND_FACTOR * wm:
-                contended = True
+            # re-evaluate BOTH triggers on the shipped pair: adopting
+            # (b3, s3) can introduce a spread > min that the first
+            # trigger's verdict predates (round-12 review finding)
+            contended = spread > best or best > _HOST_BAND_FACTOR * wm
         entry = {
             "sec": round(best, 3),
             "spread_sec": round(spread, 3),

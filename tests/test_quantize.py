@@ -436,11 +436,18 @@ def test_ivf_index_build_once_search_twice(spark, tmp_path, monkeypatch):
 
 
 def test_ivf_index_path_invalidates_on_corpus_change(spark, tmp_path):
-    """A regenerated corpus (different size/mtime) must key a DIFFERENT
-    artifact path, and the stale sibling must be cleaned up."""
+    """A regenerated corpus (different size/mtime — mtime at NANOSECOND
+    granularity, so even a same-second same-size rewrite re-keys) must
+    key a DIFFERENT artifact path; ivf_index_path itself is pure (no
+    filesystem side effects — the round-12 review moved the destructive
+    cleanup into the build path), and _cleanup_stale_indexes removes
+    only same-stem siblings."""
     import os
 
-    from wikihadoop_spark.operators.quantize import ivf_index_path
+    from wikihadoop_spark.operators.quantize import (
+        _cleanup_stale_indexes,
+        ivf_index_path,
+    )
 
     corpus = tmp_path / "emb.parquet"
     corpus.write_bytes(b"v1-bytes")
@@ -448,13 +455,21 @@ def test_ivf_index_path_invalidates_on_corpus_change(spark, tmp_path):
     os.makedirs(base)
     p1 = ivf_index_path(str(corpus), k=8, iterations=2, base=base)
     os.makedirs(p1)  # simulate a written index
+    # same byte size, same second: mtime_ns still re-keys the path
+    corpus.write_bytes(b"v2-bytes")
+    p1b = ivf_index_path(str(corpus), k=8, iterations=2, base=base)
+    assert p1b != p1
     corpus.write_bytes(b"v2-bytes-longer")
     p2 = ivf_index_path(str(corpus), k=8, iterations=2, base=base)
-    assert p1 != p2
-    assert not os.path.exists(p1)  # stale index removed
-    # different params key a different stem — not clobbered by cleanup
+    assert p2 not in (p1, p1b)
+    assert os.path.exists(p1)  # path computation is PURE — no deletes
+    # different params key a different stem — untouched by cleanup
     p3 = ivf_index_path(str(corpus), k=4, iterations=2, base=base)
-    assert p3 not in (p1, p2)
+    assert p3 not in (p1, p1b, p2)
+    os.makedirs(p3)
+    _cleanup_stale_indexes(p2)  # what the build path runs
+    assert not os.path.exists(p1)  # same-stem stale sibling removed
+    assert os.path.exists(p3)  # other-stem index untouched
 
 
 def test_ivf_index_append_then_search(spark, tmp_path, monkeypatch):

@@ -267,8 +267,21 @@ def main(argv: list[str] | None = None) -> int:
                         f"(max per-token error: {err} bits, "
                         f"<= {1000 * err} milli-bits per document)"
                     )
+                # fit the thresholds on the SAME text the in-chain gate
+                # will score: with --scrub-pii the chain redacts before
+                # stage 1.6, so the fitting frame must be scrubbed too
+                # or redaction-heavy documents flip buckets at the gate
+                fit_docs = docs
+                if args.scrub_pii:
+                    from pyspark.sql import functions as F
+
+                    from .functions.scrub import scrub_pii
+
+                    fit_docs = docs.withColumn(
+                        args.text_col, scrub_pii(F.col(args.text_col))
+                    )
                 thresholds = perplexity_thresholds(
-                    surprisal_rowwise(docs, table, ceil,
+                    surprisal_rowwise(fit_docs, table, ceil,
                                       text_col=args.text_col),
                     n_buckets=args.lm_buckets,
                 )
@@ -392,12 +405,14 @@ def main(argv: list[str] | None = None) -> int:
                 _, cents = ivf_read_int8(spark, args.index)
                 rows = ivf_assign_int8(
                     qn, cents, id_col=args.id_col, q_col="q"
-                )
-                rows.write.mode("append").parquet(
+                ).persist()
+                n = rows.count()  # one materialization serves the
+                rows.write.mode("append").parquet(  # count AND the write
                     _os.path.join(args.index, "vectors")
                 )
+                rows.unpersist()
                 print(
-                    f"ann append: {rows.count()} vectors assigned to the "
+                    f"ann append: {n} vectors assigned to the "
                     f"trained centroids -> {args.index} (no re-train)"
                 )
             else:  # search

@@ -244,42 +244,67 @@ def ivf_index_path(
 ) -> str:
     """Deterministic artifact location for an int8 IVF index over the
     parquet corpus at ``corpus_file``: keyed by the file's identity
-    (path, size, mtime) and the build parameters, so a regenerated
-    corpus or changed k/iterations can never silently reuse a stale
-    index.  Stale sibling indexes (older fingerprints of the same
-    corpus path) are removed — the cache is bounded at one index per
-    (corpus, params)."""
-    import glob
+    (path, size, mtime in NANOSECONDS — second granularity would let a
+    same-size same-second rewrite silently reuse stale clusters) and
+    the build parameters.  Pure path computation, NO filesystem
+    side effects — stale-sibling cleanup happens in the build path
+    (:func:`ivf_build_or_read_int8`), where it can be ordered against
+    readers, not as a surprise side effect of computing a name."""
     import hashlib
     import os
-    import shutil
     import tempfile
 
     st = os.stat(corpus_file)
     fp = hashlib.sha256(
         f"ivf8-v1:{os.path.abspath(corpus_file)}:{st.st_size}:"
-        f"{int(st.st_mtime)}:k={k}:it={iterations}".encode()
+        f"{st.st_mtime_ns}:k={k}:it={iterations}".encode()
     ).hexdigest()[:12]
     stem = hashlib.sha256(
         f"{os.path.abspath(corpus_file)}:k={k}:it={iterations}".encode()
     ).hexdigest()[:8]
     base = base or tempfile.gettempdir()
-    path = os.path.join(base, f"wikihadoop_ivf8_{stem}_{fp}")
-    for stale in glob.glob(os.path.join(base, f"wikihadoop_ivf8_{stem}_*")):
+    return os.path.join(base, f"wikihadoop_ivf8_{stem}_{fp}")
+
+
+def _cleanup_stale_indexes(path: str) -> None:
+    """Remove sibling indexes of ``path`` (same corpus+params stem,
+    older fingerprints) so the cache stays bounded at one index per
+    (corpus, params).  Called only when a NEW index is about to be
+    built — the one moment a stale sibling is provably dead."""
+    import glob
+    import os
+    import shutil
+
+    base, name = os.path.split(path)
+    stem = name.rsplit("_", 1)[0]  # wikihadoop_ivf8_<stem>
+    for stale in glob.glob(os.path.join(base, f"{stem}_*")):
         if stale != path and not stale.startswith(path + ".tmp"):
             shutil.rmtree(stale, ignore_errors=True)
-    return path
 
 
 def ivf_write_int8(
-    tagged: DataFrame, centroids: list[list[int]], path: str
+    tagged: DataFrame,
+    centroids: list[list[int]],
+    path: str,
+    *,
+    overwrite: bool = True,
 ) -> None:
     """Persist an int8 IVF index as a written artifact — the FAISS
     "train once, search many" shape (round-11 verdict item 4): the
     cluster-tagged quantized frame lands as parquet at ``path/vectors``
     and the K×D integer centroids as a tiny one-file parquet at
     ``path/centroids``.  The write is staged into ``path + '.tmp<pid>'``
-    and renamed, so a reader never sees a half-written index.  At real
+    and renamed, so a reader never sees a half-written index.
+
+    With ``overwrite=False`` (the fingerprint-keyed cache path), an
+    index that appears at ``path`` concurrently WINS: the build is
+    deterministic, so a racing writer's artifact is bit-identical —
+    the loser drops its staging copy and never deletes the winner's
+    completed index (deleting-then-renaming would reopen the
+    half-written window for a reader already scanning it).  With
+    ``overwrite=True`` (explicit destinations, e.g. the ann CLI), an
+    existing index is renamed aside first and removed only after the
+    new one is in place, so the destination is never absent.  At real
     scale this runs once per corpus snapshot; every later search is a
     pure read of the 4×-smaller column."""
     import os
@@ -296,16 +321,20 @@ def ivf_write_int8(
     cdf.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(tmp, "centroids")
     )
-    shutil.rmtree(path, ignore_errors=True)
+    old = None
+    if overwrite and os.path.exists(path):
+        old = f"{path}.old{os.getpid()}"
+        os.rename(path, old)
     try:
         os.rename(tmp, path)
     except OSError:
-        # a concurrent writer won the rename between our rmtree and
-        # rename — the build is deterministic, so their artifact is
-        # bit-identical to ours; drop the staging copy and use theirs
         if not os.path.exists(path):
+            if old is not None:
+                os.rename(old, path)  # restore — don't leave it absent
             raise
-        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)  # concurrent winner; use theirs
+    if old is not None:
+        shutil.rmtree(old, ignore_errors=True)
 
 
 def ivf_read_int8(spark, path: str) -> tuple[DataFrame, list[list[int]]]:
@@ -339,13 +368,16 @@ def ivf_build_or_read_int8(
     import os
 
     if not os.path.exists(path):
+        _cleanup_stale_indexes(path)
         tagged, cents = ivf_build_int8(
             qcorpus, id_col=id_col, q_col=q_col, k=k, iterations=iterations
         )
         # n2 is a pure row function of q — store it so the artifact is
         # the complete written SQ8 column (vector, norm, cluster)
         tagged = tagged.withColumn("n2", int_norm2(F.col(q_col)))
-        ivf_write_int8(tagged, cents, path)
+        # overwrite=False: if a concurrent builder won, use theirs —
+        # never delete a completed index out from under its readers
+        ivf_write_int8(tagged, cents, path, overwrite=False)
     return ivf_read_int8(spark, path)
 
 
@@ -391,6 +423,32 @@ def _assign_int(c: DataFrame, centroids: list[list[int]]) -> DataFrame:
     )
 
 
+def nprobe_clusters(
+    qvec: Column, centroids: list[list[int]], nprobe: int
+) -> Column:
+    """The ``nprobe`` nearest integer-centroid indexes for a quantized
+    vector, as an array column — exact integer squared-L2 distances,
+    lowest-index tiebreak (array_sort on (distance, index) structs).
+    THE single definition of the probe rule: the batch IVF search and
+    the streaming probe both call it, and the stream≡batch equality
+    test pins them bit-for-bit — a tie-rule tweak in one place is a
+    tweak in both."""
+    dists = F.array(
+        *[
+            _int_sq_dist(qvec, F.array(*[F.lit(int(x)) for x in cen]))
+            for cen in centroids
+        ]
+    )
+    idx = F.array_sort(
+        F.zip_with(
+            dists,
+            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+        )
+    )
+    return F.transform(F.slice(idx, 1, nprobe), lambda s: s["i"])
+
+
 def cosine_topk_int8_ivf(
     tagged_corpus: DataFrame,
     centroids: list[list[int]],
@@ -415,22 +473,8 @@ def cosine_topk_int8_ivf(
         F.col(q_col).alias("qa"),
         F.col(n2_col).alias("na"),
     )
-    dists = F.array(
-        *[
-            _int_sq_dist(F.col("qa"), F.array(*[F.lit(int(x)) for x in cen]))
-            for cen in centroids
-        ]
-    )
-    idx = F.array_sort(
-        F.zip_with(
-            dists,
-            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
-            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
-        )
-    )
     q = q.withColumn(
-        "cluster",
-        F.explode(F.transform(F.slice(idx, 1, nprobe), lambda s: s["i"])),
+        "cluster", F.explode(nprobe_clusters(F.col("qa"), centroids, nprobe))
     )
     c = tagged_corpus.select(
         F.col(id_col).alias("neighbor_id"),

@@ -335,9 +335,9 @@ def stream_ivf_matches(
     (pinned in tests/test_streaming.py).  Works identically on a batch
     ``new_docs`` frame (the equivalence test runs both)."""
     from ..operators.quantize import (
-        _int_sq_dist,
         int_dot,
         int_norm2,
+        nprobe_clusters,
         quantize_int8,
         quantized_cosine,
     )
@@ -350,27 +350,18 @@ def stream_ivf_matches(
         .withColumn("na", int_norm2(F.col("qa")))
         .filter(F.col("na") > 0)
     )
-    dists = F.array(
-        *[
-            _int_sq_dist(F.col("qa"), F.array(*[F.lit(int(x)) for x in cen]))
-            for cen in centroids
-        ]
-    )
-    idx = F.array_sort(
-        F.zip_with(
-            dists,
-            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
-            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
-        )
-    )
+    # the SHARED probe rule (operators/quantize.py::nprobe_clusters):
+    # the batch IVF search uses the same expression, which is what the
+    # stream≡batch bit-equality pin rests on
     probes = probes.withColumn(
-        "cluster",
-        F.explode(F.transform(F.slice(idx, 1, nprobe), lambda s: s["i"])),
+        "cluster", F.explode(nprobe_clusters(F.col("qa"), centroids, nprobe))
     )
     out = (
         probes.join(
+            # the index stores its id column under the name the build
+            # used — the same id_col the caller passes for the probes
             index.select(
-                F.col("vec_id").alias("neighbor_id"),
+                F.col(id_col).alias("neighbor_id"),
                 F.col("q").alias("qb"),
                 F.col("n2").alias("nb"),
                 "cluster",
