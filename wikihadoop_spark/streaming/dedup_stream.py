@@ -313,6 +313,8 @@ def stream_ivf_matches(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    q_col: str = "q",
+    n2_col: str = "n2",
     nprobe: int = 4,
     min_cosine: float | None = None,
 ) -> DataFrame:
@@ -358,12 +360,15 @@ def stream_ivf_matches(
     )
     out = (
         probes.join(
-            # the index stores its id column under the name the build
-            # used — the same id_col the caller passes for the probes
+            # the index stores its columns under the names the build
+            # used — id_col/q_col/n2_col mirror the batch API's
+            # defaults ("vec_id"/"q"/"n2", the canonical artifact row
+            # shape ivf_write_int8 stores); pass the build's names
+            # when probing an index written with non-default columns
             index.select(
                 F.col(id_col).alias("neighbor_id"),
-                F.col("q").alias("qb"),
-                F.col("n2").alias("nb"),
+                F.col(q_col).alias("qb"),
+                F.col(n2_col).alias("nb"),
                 "cluster",
             ),
             "cluster",
