@@ -572,6 +572,24 @@ def _sf1_replica_dirs(spark, sf_dir: str) -> tuple[str, str]:
     return out_dir, span_dir
 
 
+def _annotate_spot(
+    entry: dict, best: float, spread: float, wm: float | None, contended: bool
+) -> dict:
+    """Annotation rule for an sf1 spot entry (round-12 verdict item 5):
+    the `contended` flag travels when either self-qualifying trigger
+    fired, and the isolated quiet-host watermark is attached whenever
+    the reading is contended OR merely noisy (spread/min > 0.5) — a
+    noisy-but-protocol-compliant pair otherwise reads as clean to a
+    consumer of the artifact alone (r12 shipped ngram_overlap at
+    4.976 s with a 3.268 s spread and no context).  Pinned by
+    tests/test_bench_contract.py::test_spot_annotation_rule."""
+    if contended:
+        entry["contended"] = True
+    if wm is not None and (contended or spread > 0.5 * best):
+        entry["isolated_watermark_sec"] = wm
+    return entry
+
+
 def _bench_sf1_spot(spark, sf_dir: str, sf01_timings: dict) -> dict | None:
     """Min-of-3 timings of the three slowest headline queries at 10x
     scale, with the per-query ratio vs the sf0.1 timing."""
@@ -634,11 +652,7 @@ def _bench_sf1_spot(spark, sf_dir: str, sf01_timings: dict) -> dict | None:
             "spread_sec": round(spread, 3),
             "x_vs_sf0.1": round(best / sf01_timings[name], 2),
         }
-        if contended:
-            entry["contended"] = True
-            if wm is not None:
-                entry["isolated_watermark_sec"] = wm
-        return entry
+        return _annotate_spot(entry, best, spread, wm, contended)
 
     spot: dict[str, dict] = {}
     for name in _SF1_SPOT_QUERIES:

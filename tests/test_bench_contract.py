@@ -63,3 +63,31 @@ def test_bench_prints_one_json_line(tmp_path):
     assert set(d["queries"]) == set(full["queries"])
     assert "queries_spread" in full
     assert full["queries"] == d["queries"]
+
+
+def test_spot_annotation_rule():
+    """Round-12 verdict item 5: an sf1 spot entry must carry the
+    isolated quiet-host watermark whenever the shipped (min, spread)
+    pair is contended OR noisy (spread/min > 0.5), flag or no flag —
+    and must stay unannotated for a genuinely clean reading."""
+    sys.path.insert(0, REPO)
+    from bench import _annotate_spot
+
+    def entry():
+        return {"sec": 4.0, "spread_sec": 1.0, "x_vs_sf0.1": 2.0}
+
+    # clean reading, watermark known: no annotation
+    clean = _annotate_spot(entry(), 4.0, 1.0, wm=3.5, contended=False)
+    assert "contended" not in clean and "isolated_watermark_sec" not in clean
+    # noisy but unflagged (spread/min > 0.5): watermark attaches
+    noisy = _annotate_spot(entry(), 4.0, 2.5, wm=3.5, contended=False)
+    assert "contended" not in noisy
+    assert noisy["isolated_watermark_sec"] == 3.5
+    # contended: flag + watermark
+    flagged = _annotate_spot(entry(), 4.0, 5.0, wm=3.5, contended=True)
+    assert flagged["contended"] is True
+    assert flagged["isolated_watermark_sec"] == 3.5
+    # no watermark recorded yet (new spot query): flag only, no crash
+    virgin = _annotate_spot(entry(), 4.0, 5.0, wm=None, contended=True)
+    assert virgin["contended"] is True
+    assert "isolated_watermark_sec" not in virgin

@@ -1429,3 +1429,74 @@ def test_streaming_int8_ivf_probe_and_assign_match_batch(spark, tmp_path):
     )
     rkey = lambda r: (r.query_id, r.neighbor_id, r.int_dot, r.qcos.hex(), r.rank)
     assert sorted(map(rkey, ranked.collect())) == sorted(map(rkey, want.collect()))
+
+
+def test_stream_analog_catalog_query_equals_real_stream(spark, tmp_path):
+    """The catalog query `similarity_probe_int8_stream_analog` claims
+    its driver gate is evidence FOR the streaming probe — this pin is
+    the claim's other half: feed the query's exact arriving slice
+    (vec_id % 17 == 0, < 340) through a real readStream micro-batch
+    pipeline against the same written index, rank at read time, and
+    require bit-equality with the catalog query's batch result."""
+    from pyspark.sql import Window
+
+    from wikihadoop_spark.relational import QUERIES
+    from wikihadoop_spark.streaming.dedup_stream import stream_ivf_matches
+    from wikihadoop_spark.operators.quantize import (
+        int_norm2,
+        ivf_build_or_read_int8,
+        quantize_int8,
+    )
+
+    rkey = lambda r: (r.query_id, r.neighbor_id, r.int_dot, r.qcos.hex(), r.rank)
+    batch = sorted(
+        map(
+            rkey,
+            QUERIES["similarity_probe_int8_stream_analog"](spark, SF).collect(),
+        )
+    )
+    assert batch, "fixture produced no matches"
+
+    emb = load_table(spark, SF, "embeddings")
+    qn = (
+        emb.filter(F.col("vec_id") % 17 != 0)
+        .select(
+            "vec_id",
+            quantize_int8(F.col("embedding").cast("array<double>")).alias("q"),
+        )
+        .withColumn("n2", int_norm2(F.col("q")))
+        .filter(F.col("n2") > 0)
+    )
+    # a FRESH index path (not the catalog query's cached artifact): the
+    # build is deterministic, so the stream side re-proves the full
+    # build+write+probe chain rather than sharing the batch side's file
+    idx_path = str(tmp_path / "analog_idx")
+    tagged, cents = ivf_build_or_read_int8(spark, qn, idx_path, k=8, iterations=2)
+
+    arriving = emb.filter(
+        (F.col("vec_id") % 17 == 0) & (F.col("vec_id") < 340)
+    ).select("vec_id", "embedding")
+    arr_path = str(tmp_path / "arriving")
+    arriving.repartition(4).write.mode("overwrite").parquet(arr_path)
+    stream = (
+        spark.readStream.schema(arriving.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(arr_path)
+    )
+    q = (
+        stream_ivf_matches(stream, tagged, cents, nprobe=4)
+        .writeStream.format("memory")
+        .queryName("t_analog")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    w = Window.partitionBy("query_id").orderBy(F.col("qcos").desc(), "neighbor_id")
+    ranked = (
+        spark.sql("SELECT * FROM t_analog")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", "int_dot", "qcos", "rank")
+    )
+    assert sorted(map(rkey, ranked.collect())) == batch

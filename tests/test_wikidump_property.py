@@ -82,3 +82,69 @@ def test_random_dump_roundtrip_bz2_blocks(spark, tmp_path_factory, dump, level):
         rows = read_wikidump(spark, str(path), splitsize=str(split)).collect()
         got = sorted((r.page_id, r.rev_id, r.rev_seq, r.text) for r in rows)
         assert got == sorted(expected), f"level={level} split={split}"
+
+
+# ---------------------------------------------------------------------------
+# char-ref decode: the factored fast decoder must equal the combined
+# single-pass reference (the r12 implementation, kept here as the spec)
+# ---------------------------------------------------------------------------
+
+_REF_NAMED = {b"lt": b"<", b"gt": b">", b"quot": b'"', b"amp": b"&"}
+_REF_CHAR_REF = __import__("re").compile(
+    rb"&(?:#x([0-9a-fA-F]{1,6})|#([0-9]{1,7})|(lt|gt|quot|amp));"
+)
+
+
+def _reference_unescape(raw: bytes) -> str:
+    """The one-combined-pattern one-left-to-right-pass decoder the
+    engine's contract is stated against (decoded output never
+    rescanned): &#38;lt; -> literal '&lt;', &amp;#160; -> literal
+    '&#160;'."""
+
+    def dec(m):
+        if m.group(3):
+            return _REF_NAMED[m.group(3)]
+        cp = int(m.group(1), 16) if m.group(1) else int(m.group(2))
+        if 0 < cp <= 0x10FFFF and not 0xD800 <= cp <= 0xDFFF:
+            return chr(cp).encode("utf-8")
+        return m.group(0)
+
+    if b"&" in raw:
+        raw = _REF_CHAR_REF.sub(dec, raw)
+    return raw.decode("utf-8", errors="replace")
+
+
+def test_char_ref_decode_tricky_cases():
+    from wikihadoop_spark.sources.wikidump import _unescape
+
+    for raw in (
+        b"&amp;lt;",      # XML-escaped literal '&lt;' — must NOT double-decode
+        b"&#38;lt;",      # numeric '&' + 'lt;' — output never rescanned
+        b"&amp;#160;",    # XML-escaped literal '&#160;' — stays a reference
+        b"&quot;&amp;quot;",
+        b"&amp;amp;",
+        b"&#x41;&amp;&lt;",
+        b"a&lt;br&gt;b &#8211; c &bogus; &#xD800; &#0; plain",
+        b"&", b"&;", b"&lt", b"",
+    ):
+        assert _unescape(raw) == _reference_unescape(raw), raw
+
+
+@settings(max_examples=2000, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(
+            [
+                b"&lt;", b"&gt;", b"&amp;", b"&quot;", b"&#8211;", b"&#x41;",
+                b"&#38;", b"a", b"b ", b"&", b";", b"#", b"lt;", b"amp;",
+                b"&#", b"&am", b"&#999999999;", b"&#xZZ;", b"&#x26;lt;",
+            ]
+        ),
+        max_size=24,
+    )
+)
+def test_char_ref_decode_matches_reference(parts):
+    from wikihadoop_spark.sources.wikidump import _unescape
+
+    raw = b"".join(parts)
+    assert _unescape(raw) == _reference_unescape(raw)

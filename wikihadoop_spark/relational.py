@@ -3783,13 +3783,23 @@ def _int_l2_sql(a: str, b: str) -> str:
 
 
 def _int8_ivf_oracle_sql(k: int = 8, iterations: int = 2, nprobe: int = 4,
-                         topk: int = 10) -> str:
+                         topk: int = 10, corpus_pred: str = "",
+                         probe_pred: str = "") -> str:
     """DuckDB replay of ivf_build_int8 + cosine_topk_int8_ivf: trunc
     quantization, integer Lloyd (exact integer assignment distances,
     lowest-cluster tiebreak, TRUNCATED integer centroid means — no
     round_dp knob anywhere, unlike the float IVF oracle), exact
-    integer probe distances, and the int8 cosine kernel."""
+    integer probe distances, and the int8 cosine kernel.
+
+    With the default empty ``corpus_pred``/``probe_pred`` the string is
+    byte-identical to the round-11 original (the similarity_topk_int8_
+    ivf gate's oracle).  Setting them replays the STREAM-ANALOG split:
+    the index trains over corpus rows only (``corpus_pred`` on vec_id)
+    and the probes come from the disjoint arriving slice
+    (``probe_pred``), quantized identically — mirroring
+    stream_ivf_matches probing a written static index."""
     assign = _int_l2_sql("v.q", "s.q")
+    corpus_clause = f"({corpus_pred}) AND " if corpus_pred else ""
     parts = [f"""
     WITH base AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
@@ -3806,7 +3816,7 @@ def _int8_ivf_oracle_sql(k: int = 8, iterations: int = 2, nprobe: int = 4,
              CAST(list_dot_product(CAST(q AS DOUBLE[]), CAST(q AS DOUBLE[]))
                   AS BIGINT) AS n2
       FROM qt
-      WHERE CAST(list_dot_product(CAST(q AS DOUBLE[]), CAST(q AS DOUBLE[]))
+      WHERE {corpus_clause}CAST(list_dot_product(CAST(q AS DOUBLE[]), CAST(q AS DOUBLE[]))
                  AS BIGINT) > 0
     ), c0 AS (
       SELECT row_number() OVER (ORDER BY id) - 1 AS cl, q
@@ -3836,13 +3846,27 @@ def _int8_ivf_oracle_sql(k: int = 8, iterations: int = 2, nprobe: int = 4,
     )""")
         prev = c
     probe_dist = _int_l2_sql("qv.qa", "s.q")
+    if probe_pred:
+        # stream-analog probes: the ARRIVING slice, disjoint from the
+        # index corpus — quantize + norm-filter it independently of v
+        qv_sql = f"""qv AS (
+      SELECT vec_id AS query_id, q AS qa,
+             CAST(list_dot_product(CAST(q AS DOUBLE[]), CAST(q AS DOUBLE[]))
+                  AS BIGINT) AS na
+      FROM qt
+      WHERE ({probe_pred})
+        AND CAST(list_dot_product(CAST(q AS DOUBLE[]), CAST(q AS DOUBLE[]))
+                 AS BIGINT) > 0
+    ),"""
+    else:
+        qv_sql = "qv AS (SELECT id AS query_id, q AS qa, n2 AS na FROM v WHERE id < 10),"
     parts.append(f""",
     tagged AS (
       SELECT v.id, v.q, v.n2,
              (SELECT s.cl FROM {prev} s ORDER BY {assign}, s.cl LIMIT 1) AS cl
       FROM v
     ),
-    qv AS (SELECT id AS query_id, q AS qa, n2 AS na FROM v WHERE id < 10),
+    {qv_sql}
     probe AS (
       SELECT query_id, cl FROM (
         SELECT qv.query_id, s.cl,
@@ -3927,6 +3951,74 @@ def similarity_topk_int8_ivf(spark: SparkSession, sf: str) -> DataFrame:
     return cosine_topk_int8_ivf(
         tagged, cents, probes, id_col="vec_id", q_col="q", n2_col="n2",
         k=10, nprobe=4,
+    )
+
+
+@query(
+    "similarity_probe_int8_stream_analog",
+    oracle=_int8_ivf_oracle_sql(
+        corpus_pred="vec_id % 17 <> 0",
+        probe_pred="vec_id % 17 = 0 AND vec_id < 340",
+    ),
+)
+def similarity_probe_int8_stream_analog(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch analog of the STREAMING int8 ANN probe (round-12 verdict
+    item 7): the exact operator `streaming/dedup_stream.py::
+    stream_ivf_matches` runs per micro-batch — arriving embeddings
+    quantize row-locally, pick their nprobe nearest integer centroids
+    from the driver-held list, and stream-static-join a WRITTEN int8
+    IVF index — driven here over a batch frame so the driver's DuckDB
+    oracle can hash-gate the streaming code path itself.  The corpus
+    is the vec_id % 17 != 0 slice (the static index, trained and
+    persisted via ivf_build_or_read_int8 under its own artifact
+    variant key); the probes are a bounded arriving slice
+    (vec_id % 17 == 0, vec_id < 340 — a micro-batch is small by
+    nature).  Ranking happens at read time over the emitted matches —
+    `tests/test_streaming.py` pins this whole chain bit-equal to the
+    same operator fed through a real readStream micro-batch, so the
+    driver's green here IS driver evidence for the streaming probe.
+    Every intermediate is an exact integer or IEEE-exactly-rounded
+    (operators/quantize.py module docstring), so the oracle replays
+    build + probe + rank with no rounding knob.  At 100 TB the index
+    is cluster-partitioned parquet and each micro-batch scans
+    ~nprobe/K of it, reading only the 4×-smaller int8 column."""
+    import os
+
+    from .operators.quantize import (
+        int_norm2,
+        ivf_build_or_read_int8,
+        ivf_index_path,
+        quantize_int8,
+    )
+    from .streaming.dedup_stream import stream_ivf_matches
+
+    t = Tables(spark, sf)
+    qn = (
+        t.embeddings.filter(F.col("vec_id") % 17 != 0)
+        .select(
+            "vec_id",
+            quantize_int8(F.col("embedding").cast("array<double>")).alias("q"),
+        )
+        .withColumn("n2", int_norm2(F.col("q")))
+        .filter(F.col("n2") > 0)
+        .persist()
+    )
+    idx = ivf_index_path(
+        os.path.join(sf, "embeddings.parquet"), k=8, iterations=2,
+        variant="stream-analog-mod17",
+    )
+    tagged, cents = ivf_build_or_read_int8(spark, qn, idx, k=8, iterations=2)
+    arriving = t.embeddings.filter(
+        (F.col("vec_id") % 17 == 0) & (F.col("vec_id") < 340)
+    ).select("vec_id", "embedding")
+    matches = stream_ivf_matches(
+        arriving, tagged, cents, id_col="vec_id", vec_col="embedding", nprobe=4
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("qcos").desc(), "neighbor_id")
+    return (
+        matches.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", "int_dot", "qcos", "rank")
     )
 
 
@@ -5248,7 +5340,7 @@ def media_frame_fanout_q(spark: SparkSession, sf: str) -> DataFrame:
 # + dedicated tests and join the four deferred r09 pins as
 # first-priority round-12 must-gates (6 must-gates total for r12).
 #
-# Round-12 rotation (this round): CORRECTNESS_r11 went 50/50 green, so
+# Round-12 rotation (executed): CORRECTNESS_r11 went 50/50 green, so
 # the catalog's evidence splits 50 r11-green / 50 r10-pinned /
 # 4 r09-pinned (in-window now) / 2 never-gated (in-window now).
 # Must-gate, 6 slots, exactly as documented last round: the four
@@ -5294,6 +5386,80 @@ def media_frame_fanout_q(spark: SparkSession, sf: str) -> DataFrame:
 # this round; streaming/dedup_stream.py gained the int8 ANN probes
 # (pure additions, no catalog query calls them).
 #
+# Round-13 rotation (this round): CORRECTNESS_r12 went 50/50 green
+# (ninth consecutive), so the catalog's evidence splits 50 r12-green /
+# 50 r11-pinned / 6 r10-pinned.  Must-gate, exactly as pre-declared in
+# the round-12 deferral: the six r10-pinned queries at 2-round
+# evidence age — media_image_metadata, media_audio_features,
+# jsonl_roundtrip, decontaminate_report, similarity_topk_ivf,
+# embedding_cosine_dedup.  One NEW query gates immediately per
+# new-query hygiene (policy item (b)):
+# similarity_probe_int8_stream_analog — the streaming int8 IVF probe
+# (stream_ivf_matches) driven over a batch frame so the driver's
+# DuckDB oracle hash-gates the streaming code path itself (round-12
+# verdict item 7), with a dedicated stream≡batch bit-equality pin in
+# tests/test_streaming.py.  Catalog: 107 queries.
+#
+# The remaining 43 slots go to r11-pinned demotions — 50 candidates
+# for 43 slots, so SEVEN defer one round to r14 (still within the
+# age-2 bound), chosen by the family criterion (policy item (d)):
+# every deferred query's operator family receives a fresh r13 gate
+# through an in-window query on this round's actual code —
+# decontaminate_exact + decontaminate_ngram (operators/decontam.py
+# re-gated via the must-gate decontaminate_report; bit-replayed
+# suites in test_decontam.py), similarity_topk (the float cosine
+# scoring + rank shape in operators/similarity.py re-gated via the
+# must-gate similarity_topk_ivf; recall suites in test_similarity.py),
+# similarity_topk_int8 (the int8 kernel — quantize/int_dot/int_norm2/
+# quantized_cosine — re-gated via the NEW in-window
+# similarity_probe_int8_stream_analog; kernel property-fuzz suites in
+# test_quantize.py), agg_percentile (the relational aggregation
+# surface re-gated via the five in-window agg_* queries), scalar_math
+# (the scalar library re-gated via in-window scalar_string/
+# scalar_json/scalar_subquery), and events_retention (events-table
+# windowed analytics re-gated via in-window events_tumbling +
+# sessionize_events).  All seven are first-priority must-gates for
+# round 14.  After this round's gate no evidence is older than r11,
+# and only those seven are older than r12.
+#
+# FLOAT-TWIN RETIRE-OR-KEEP ADJUDICATION (policy item (c), actionable
+# now that both int8 compositions are gate-proven — r12 — and their
+# float twins similarity_topk_ivf / embedding_cosine_dedup re-gate
+# this round): KEEP BOTH, revisit when the catalog reaches 130.
+# Criterion: (1) policy (c)'s trigger is catalog pressure ("before
+# growth approaches 150") and the catalog sits at 107 — retiring now
+# would trade driver evidence for headroom nobody needs yet; (2) the
+# twins are NOT redundant code paths — the float IVF gate exercises
+# the float Lloyd (operators/similarity.py) with its round_dp oracle
+# convention and the inline-build path, while the int8 IVF gate
+# exercises integer Lloyd + the WRITTEN artifact read path
+# (operators/quantize.py), and the float multiprobe blocking
+# (embedding_cosine_dedup) is the precision reference the int8
+# blocking's no-false-positive/monotonicity suites compare against;
+# (3) retiring 2 queries (107 -> 105) does not lower the worst-case
+# evidence-age bound (ceil(105/50)-1 == 2 still), so the only gain
+# would be rotation-slot slack, which the family-criterion deferral
+# machinery already prices at zero incremental risk.  When the
+# catalog DOES near 130, the float twins retire first, in this order:
+# similarity_topk_ivf (its plan shape is fully subsumed by the int8
+# artifact path), then embedding_cosine_dedup (only after an
+# equivalent precision-reference pin moves into test_quantize.py).
+#
+# Round-13 operator edits touching PINNED queries' call paths, all
+# behavior-preserving by construction and re-proven by the local
+# 3-SF parity suite + gate rehearsal: operators/quantize.py's index
+# artifact lifecycle (symlink-flip publish — never-absent overwrite,
+# dead-pid staging reaping, content-fingerprinted cache key with the
+# ivf8-v2 version bump, dimension guard on the append path).  The
+# only catalog queries whose call path touches the artifact code are
+# similarity_topk_int8_ivf (r12-green, pinned — its RESULTS are
+# bit-identical: the layout changed, the deterministic build did not;
+# parity re-proven at 3 SFs this round) and the NEW stream analog,
+# which gates this round, so the driver verifies the new write path's
+# read-back end-to-end.  streaming/dedup_stream.py::stream_ivf_matches
+# gained q_col/n2_col parameters defaulting to the canonical artifact
+# names (pure widening; all existing calls bind identically).
+#
 # STEADY-STATE CATALOG-GROWTH POLICY (round-11 verdict item 6): the
 # driver gates a fixed 50-query prefix, so a catalog of size C forces
 # a worst-case evidence age of ceil(C/50) - 1 rounds behind the
@@ -5311,125 +5477,128 @@ def media_frame_fanout_q(spark: SparkSession, sf: str) -> DataFrame:
 # round they are made.
 GATE_WINDOW = 50
 
-# The must-gate set for THIS round: the 3 never-driver-verified
-# round-10 additions + the new int8 LSH composition + the 2 wikidump
-# anchors, plus the 44 oldest-evidence (r09-pinned) refreshes —
-# validated to sit inside the gate prefix.
+# The must-gate set for THIS round: the six r10-pinned deferrals at
+# the 2-round evidence-age bound (pre-declared in the round-12
+# rotation) + the NEW streaming-probe batch analog (never gated),
+# plus the 43 oldest-evidence (r11-pinned) refreshes — validated to
+# sit inside the gate prefix.
+GATE_WINDOW = 50
+
 ROTATION_SET: frozenset[str] = frozenset(
     {
-        # ---- round-12 must-gates: the four r09 pins deferred from
-        # the r11 rotation, plus the two round-11 post-rotation int8
-        # compositions with no driver evidence ever
-        "text_diff_adjacent",
-        "media_frame_fanout",
-        "jsonl_corrupt_audit",
-        "decontaminate_bloom",
-        "similarity_topk_int8_ivf",
-        "embedding_cosine_dedup_int8",
-        # ---- 44 of the 50 r10-pinned demotions rotate back
-        # (oldest evidence; the other 6 defer to r13 under the
-        # family criterion in the rotation comment)
-        "agg_cube",
-        "agg_rollup",
-        "corpus_delta",
-        "corpus_report_card",
-        "dedup_clusters",
-        "dedup_exact_rows",
-        "dedup_keeper_quality",
-        "dedup_span_audit",
-        "dedup_span_exact",
-        "dsir_weights",
-        "events_pivot",
-        "events_sliding",
-        "join_anti",
-        "join_cross",
-        "join_left_agg",
-        "join_right_agg",
-        "join_semi",
-        "minhash_signatures",
-        "ngram_jaccard_block",
-        "q3_top_revenue",
-        "q5_revenue_by_nation",
-        "sample_mixture",
-        "scalar_array",
-        "scalar_conditional",
-        "scalar_date",
-        "scalar_hash",
-        "semantic_dedup",
-        "set_except",
-        "set_intersect",
-        "simhash_near_pairs",
-        "simhash_signatures",
-        "similarity_topk_lsh",
-        "sketch_count_min",
-        "text_c4_clean",
-        "text_fingerprint",
-        "text_langid",
-        "text_lm_bigram",
-        "text_lm_surprisal",
-        "text_quality",
-        "text_stopword_strip",
-        "text_tokens",
-        "window_lag_pairs",
-        "window_moving",
-        "window_running",
+        # ---- round-13 must-gates: the six r10 pins deferred from the
+        # r12 rotation (the only 2-round-age evidence) and the new
+        # streaming int8 IVF probe batch analog (never gated)
+        "media_image_metadata",
+        "media_audio_features",
+        "jsonl_roundtrip",
+        "decontaminate_report",
+        "similarity_topk_ivf",
+        "embedding_cosine_dedup",
+        "similarity_probe_int8_stream_analog",
+        # ---- 43 of the 50 r11-pinned demotions rotate back (oldest
+        # evidence; the other 7 defer to r14 under the family
+        # criterion in the rotation comment)
+        "agg_approx_distinct",
+        "agg_argmax",
+        "agg_distinct",
+        "agg_grouping_sets",
+        "agg_stats",
+        "asof_join_events_orders",
+        "chunk_documents",
+        "correlated_exists",
+        "curate_pipeline",
+        "dedup_line_frequency",
+        "dedup_verify_pairs",
+        "events_tumbling",
+        "filter_regex",
+        "join_full_outer",
+        "join_inner_agg",
+        "join_theta",
+        "minhash_lsh_pairs",
+        "mixture_waterfill",
+        "ngram_overlap",
+        "pack_token_budget",
+        "q1_pricing_summary",
+        "range_join_near_orders",
+        "sample_stratified",
+        "scalar_json",
+        "scalar_string",
+        "scalar_subquery",
+        "scan_filter_project",
+        "sessionize_events",
+        "set_union_all",
+        "shuffle_pack",
+        "similarity_topk_int8_lsh",
+        "sort_topk_global",
+        "text_lm_buckets",
+        "text_quality_model",
+        "text_repetition",
+        "text_scrub_pii",
+        "text_tfidf_topk",
+        "unpivot_lineitem",
+        "wikidump_roundtrip",
+        "wikidump_roundtrip_bz2",
+        "window_distribution",
+        "window_rank_topk",
+        "window_value_functions",
     }
 )
 
 _GATE_ORDER: tuple[str, ...] = (
-    # ---- must-gate: the 4 deferred r09 pins + the 2 never-gated
-    # round-11 int8 compositions
-    "text_diff_adjacent",
-    "media_frame_fanout",
-    "jsonl_corrupt_audit",
-    "decontaminate_bloom",
-    "similarity_topk_int8_ivf",
-    "embedding_cosine_dedup_int8",
-    # ---- the 44 r10-pinned demotions rotating back ----
-    "agg_cube",
-    "agg_rollup",
-    "corpus_delta",
-    "corpus_report_card",
-    "dedup_clusters",
-    "dedup_exact_rows",
-    "dedup_keeper_quality",
-    "dedup_span_audit",
-    "dedup_span_exact",
-    "dsir_weights",
-    "events_pivot",
-    "events_sliding",
-    "join_anti",
-    "join_cross",
-    "join_left_agg",
-    "join_right_agg",
-    "join_semi",
-    "minhash_signatures",
-    "ngram_jaccard_block",
-    "q3_top_revenue",
-    "q5_revenue_by_nation",
-    "sample_mixture",
-    "scalar_array",
-    "scalar_conditional",
-    "scalar_date",
-    "scalar_hash",
-    "semantic_dedup",
-    "set_except",
-    "set_intersect",
-    "simhash_near_pairs",
-    "simhash_signatures",
-    "similarity_topk_lsh",
-    "sketch_count_min",
-    "text_c4_clean",
-    "text_fingerprint",
-    "text_langid",
-    "text_lm_bigram",
-    "text_lm_surprisal",
-    "text_quality",
-    "text_stopword_strip",
-    "text_tokens",
-    "window_lag_pairs",
-    "window_moving",
-    "window_running",
+    # ---- must-gate: the 6 deferred r10 pins + the never-gated
+    # streaming-probe batch analog
+    "media_image_metadata",
+    "media_audio_features",
+    "jsonl_roundtrip",
+    "decontaminate_report",
+    "similarity_topk_ivf",
+    "embedding_cosine_dedup",
+    "similarity_probe_int8_stream_analog",
+    # ---- the 43 r11-pinned demotions rotating back ----
+    "agg_approx_distinct",
+    "agg_argmax",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_stats",
+    "asof_join_events_orders",
+    "chunk_documents",
+    "correlated_exists",
+    "curate_pipeline",
+    "dedup_line_frequency",
+    "dedup_verify_pairs",
+    "events_tumbling",
+    "filter_regex",
+    "join_full_outer",
+    "join_inner_agg",
+    "join_theta",
+    "minhash_lsh_pairs",
+    "mixture_waterfill",
+    "ngram_overlap",
+    "pack_token_budget",
+    "q1_pricing_summary",
+    "range_join_near_orders",
+    "sample_stratified",
+    "scalar_json",
+    "scalar_string",
+    "scalar_subquery",
+    "scan_filter_project",
+    "sessionize_events",
+    "set_union_all",
+    "shuffle_pack",
+    "similarity_topk_int8_lsh",
+    "sort_topk_global",
+    "text_lm_buckets",
+    "text_quality_model",
+    "text_repetition",
+    "text_scrub_pii",
+    "text_tfidf_topk",
+    "unpivot_lineitem",
+    "wikidump_roundtrip",
+    "wikidump_roundtrip_bz2",
+    "window_distribution",
+    "window_rank_topk",
+    "window_value_functions",
 )
 
 def _rotate_gate_window() -> None:
