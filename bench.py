@@ -234,6 +234,10 @@ _PIPELINE_EXTRAS = (
     # round 11: SemDeDup blocking over int8 (two-family multiprobe) —
     # timed next to the float embedding_cosine_dedup
     "embedding_cosine_dedup_int8",
+    # round 13: the streaming int8 IVF probe's batch analog — the
+    # micro-batch probe cost against the written index (the number a
+    # streaming deployment multiplies by its trigger rate)
+    "similarity_probe_int8_stream_analog",
 )
 
 

@@ -725,3 +725,24 @@ def test_lm_buckets_no_global_window(spark):
     assert "ntile" not in plan.lower()
     assert "BroadcastHashJoin" in plan  # the model probe
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_stream_analog_probe_plan_shape(spark):
+    """The streaming-probe batch analog must keep the stream-static
+    join's scale shape: an equi-join on cluster id (hash, never a
+    nested loop or cartesian — the probe side is an exploded nprobe
+    list, bounded), the probe slice's vec_id filter PUSHED into the
+    parquet scan, the corpus side reading the WRITTEN index artifact,
+    and the rank via two-phase WindowGroupLimit with query_id as the
+    only shuffle key."""
+    plan = plan_of(spark, "similarity_probe_int8_stream_analog")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "wikihadoop_ivf8" in plan  # corpus side scans the artifact
+    assert "LessThan(vec_id,340)" in plan  # probe filter reaches the scan
+    assert "WindowGroupLimit" in plan
+    for line in plan.splitlines():
+        if "Exchange" in line and "Broadcast" not in line:
+            assert "hashpartitioning(query_id" in line, line

@@ -697,3 +697,36 @@ def test_ivf_assign_int8_rejects_dim_mismatch(spark):
                                  "vec_id bigint, q array<int>")
     out = qz.ivf_assign_int8(good, cents, id_col="vec_id", q_col="q").collect()
     assert out[0].cluster in (0, 1)
+
+
+def test_ivf_write_no_overwrite_first_writer_wins(spark, tmp_path):
+    """overwrite=False is the fingerprint-keyed cache path: if an index
+    already exists at the destination, a second write must DROP its own
+    copy and leave the existing index untouched (no-replace symlink
+    publish — deleting-then-renaming would reopen the half-written
+    window for a concurrent reader)."""
+    import glob
+    import os
+
+    from wikihadoop_spark.operators import quantize as qz
+
+    df_a = spark.createDataFrame([(0, [5, 0]), (1, [0, 5])],
+                                 "vec_id bigint, q array<int>")
+    df_b = spark.createDataFrame([(7, [1, 1])], "vec_id bigint, q array<int>")
+    qn_a = df_a.withColumn("n2", qz.int_norm2(df_a.q))
+    qn_b = df_b.withColumn("n2", qz.int_norm2(df_b.q))
+    ta, ca = qz.ivf_build_int8(qn_a, k=2, iterations=1)
+    tb, cb = qz.ivf_build_int8(qn_b, k=1, iterations=1)
+    idx = str(tmp_path / "ivf_first_wins")
+
+    qz.ivf_write_int8(ta, ca, idx, overwrite=False)
+    target = os.path.realpath(idx)
+    qz.ivf_write_int8(tb, cb, idx, overwrite=False)  # loser: drops its copy
+    assert os.path.realpath(idx) == target  # existing index untouched
+    got, cents = qz.ivf_read_int8(spark, idx)
+    assert sorted(r.vec_id for r in got.collect()) == [0, 1]
+    assert cents == ca
+    # the loser's staging/data dirs are gone (same live pid cleans its own)
+    leftovers = [p for p in glob.glob(idx + ".*")
+                 if os.path.realpath(p) != target]
+    assert not leftovers, leftovers

@@ -248,6 +248,18 @@ SHOWCASE = [
         " probe is an exact integer.",
     ),
     (
+        "similarity_probe_int8_stream_analog",
+        "The streaming int8 IVF probe's batch analog (the SAME"
+        " stream_ivf_matches operator a readStream micro-batch runs):"
+        " probes quantize row-locally, explode their nprobe nearest"
+        " driver-held centroids, and equi-join the WRITTEN index on"
+        " cluster id — hash join, never a nested loop; the probe"
+        " slice's vec_id predicate is PUSHED into its parquet scan;"
+        " rank is the two-phase `WindowGroupLimit` with query_id as"
+        " the only shuffle key.  In true streaming the identical plan"
+        " runs per micro-batch as a stream-static join.",
+    ),
+    (
         "embedding_cosine_dedup_int8",
         "SemDeDup blocking over int8: ONE materialized quantized frame"
         " (`InMemoryTableScan`) feeds 2 sides x 2 families of capped"

@@ -46,6 +46,8 @@ hyperplane buckets, IVF) unchanged — only the element type narrows.
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -316,9 +318,7 @@ def ivf_index_path(
 # their suffix: .tmp<pid> (parquet landing zone), .data<pid>[-n] (a
 # published symlink target), .lnk<pid> (the pre-publish symlink),
 # .old<pid> (a legacy real-dir index renamed aside during upgrade)
-_STAGING_RE = __import__("re").compile(
-    r"\.(?:tmp|data|lnk|old)(\d+)(?:-\d+)?$"
-)
+_STAGING_RE = _re.compile(r"\.(?:tmp|data|lnk|old)(\d+)(?:-\d+)?$")
 
 
 def _pid_alive(pid: int) -> bool:
