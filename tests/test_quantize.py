@@ -505,14 +505,13 @@ def test_ivf_index_append_then_search(spark, tmp_path, monkeypatch):
     before = search()
     assert 99 not in before
 
-    # append: a near-copy of vector 0 — must become its top neighbor
+    # append: a near-copy of vector 0 — must become its top neighbor.
+    # ivf_append_int8 is THE append path (assign to trained centroids,
+    # land in the index's cluster-partitioned layout)
     new = spark.createDataFrame([(99, [10, 1, 0])], "vec_id bigint, q array<int>")
     monkeypatch.setattr(qz, "ivf_build_int8", lambda *a, **k: (_ for _ in ()).throw(
         AssertionError("Lloyd ran during append/search")))
-    import os
-    qz.ivf_assign_int8(new, cents, id_col="vec_id", q_col="q").write.mode(
-        "append"
-    ).parquet(os.path.join(idx, "vectors"))
+    assert qz.ivf_append_int8(new, cents, idx, id_col="vec_id", q_col="q") == 1
 
     after = search()
     assert 99 in after and after[99][2] == 1  # appended vector ranks first
@@ -730,3 +729,47 @@ def test_ivf_write_no_overwrite_first_writer_wins(spark, tmp_path):
     leftovers = [p for p in glob.glob(idx + ".*")
                  if os.path.realpath(p) != target]
     assert not leftovers, leftovers
+
+
+def test_ivf_index_layout_cluster_partitioned(spark, tmp_path):
+    """The written index's vectors land in hive-style cluster=N
+    directories (round 13): a static cluster filter must prune at
+    PLANNING time (PartitionFilters on the scan, no cluster predicate
+    left as a data filter) — the layout that lets a probe read only
+    its nprobe clusters' files at 100 TB.  Appends must land in the
+    same layout (same dirs, no stray flat files)."""
+    import glob
+    import os
+
+    from wikihadoop_spark.operators import quantize as qz
+
+    rows = [(0, [10, 0, 0]), (1, [-9, 1, 0]), (2, [0, 12, 0]),
+            (3, [1, 11, -1]), (4, [0, 0, -8]), (5, [2, -1, -9])]
+    df = spark.createDataFrame(rows, "vec_id bigint, q array<int>")
+    qn = df.withColumn("n2", qz.int_norm2(df.q))
+    idx = str(tmp_path / "ivf_layout")
+    tagged, cents = qz.ivf_build_or_read_int8(spark, qn, idx, k=2, iterations=1)
+
+    vec_root = os.path.join(os.path.realpath(idx), "vectors")
+    part_dirs = sorted(
+        os.path.basename(p) for p in glob.glob(os.path.join(vec_root, "cluster=*"))
+    )
+    assert part_dirs, "vectors not cluster-partitioned"
+    stray = [p for p in glob.glob(os.path.join(vec_root, "*.parquet"))]
+    assert not stray, f"flat files outside cluster dirs: {stray}"
+
+    # static pruning: the cluster predicate is a PartitionFilter
+    plan = (
+        tagged.filter(F.col("cluster") == 0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [isnotnull(cluster" in plan or \
+           "PartitionFilters: [(cluster" in plan, plan[:2000]
+
+    # append joins the same layout
+    new = spark.createDataFrame([(99, [10, 1, 0])], "vec_id bigint, q array<int>")
+    qz.ivf_append_int8(new, cents, idx, id_col="vec_id", q_col="q")
+    stray = [p for p in glob.glob(os.path.join(vec_root, "*.parquet"))]
+    assert not stray
+    got, _ = qz.ivf_read_int8(spark, idx)
+    assert sorted(r.vec_id for r in got.collect()) == [0, 1, 2, 3, 4, 5, 99]

@@ -365,7 +365,7 @@ def main(argv: list[str] | None = None) -> int:
         from .operators.quantize import (
             cosine_topk_int8_ivf,
             int_norm2,
-            ivf_assign_int8,
+            ivf_append_int8,
             ivf_build_int8,
             ivf_read_int8,
             ivf_write_int8,
@@ -403,14 +403,9 @@ def main(argv: list[str] | None = None) -> int:
                 )
             elif args.action == "append":
                 _, cents = ivf_read_int8(spark, args.index)
-                rows = ivf_assign_int8(
-                    qn, cents, id_col=args.id_col, q_col="q"
-                ).persist()
-                n = rows.count()  # one materialization serves the
-                rows.write.mode("append").parquet(  # count AND the write
-                    _os.path.join(args.index, "vectors")
+                n = ivf_append_int8(
+                    qn, cents, args.index, id_col=args.id_col, q_col="q"
                 )
-                rows.unpersist()
                 print(
                     f"ann append: {n} vectors assigned to the "
                     f"trained centroids -> {args.index} (no re-train)"

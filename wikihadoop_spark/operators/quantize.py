@@ -246,7 +246,9 @@ def ivf_build_int8(
 # and without a bump an index built by the old code would be silently
 # reused by the new code.  (The gate oracle would fail LOUDLY rather
 # than pass silently — this bump rule is about not tripping that wire.)
-_IVF_ARTIFACT_VERSION = "ivf8-v2"  # v2: content fingerprint joined the key
+# v2: content fingerprint joined the key; v3: cluster-partitioned
+# vectors layout (hive cluster=N dirs)
+_IVF_ARTIFACT_VERSION = "ivf8-v3"
 
 
 def _content_fingerprint(corpus_file: str) -> str:
@@ -423,10 +425,13 @@ def ivf_write_int8(
 ) -> None:
     """Persist an int8 IVF index as a written artifact — the FAISS
     "train once, search many" shape (round-11 verdict item 4): the
-    cluster-tagged quantized frame lands as parquet at ``path/vectors``
-    and the K×D integer centroids as a tiny one-file parquet at
-    ``path/centroids``.  The write is staged into ``path + '.tmp<pid>'``
-    and renamed, so a reader never sees a half-written index.
+    cluster-tagged quantized frame lands as CLUSTER-PARTITIONED
+    parquet at ``path/vectors`` (hive ``cluster=N`` directories — a
+    probe reads only its nprobe clusters' files, and a static cluster
+    filter prunes at planning time) and the K×D integer centroids as
+    a tiny one-file parquet at ``path/centroids``.  The write is
+    staged into ``path + '.tmp<pid>'`` and renamed, so a reader never
+    sees a half-written index.
 
     Publication is a SYMLINK FLIP: the parquet lands in a unique
     ``path.data<pid>`` directory and ``path`` is an atomically-renamed
@@ -461,7 +466,17 @@ def ivf_write_int8(
     pid = os.getpid()
     tmp = f"{path}.tmp{pid}"
     _remove_index(tmp)
-    tagged.write.mode("overwrite").parquet(os.path.join(tmp, "vectors"))
+    # CLUSTER-PARTITIONED layout (hive-style cluster=N directories):
+    # at scale a probe touches only its nprobe clusters' files — a
+    # static cluster filter prunes at planning time (PartitionFilters)
+    # and the probe equi-join is DPP-eligible; the cluster id lives in
+    # the directory name, not in every row.  Layout is part of the
+    # artifact version (_IVF_ARTIFACT_VERSION): appending to an index
+    # written by an older flat-layout build would mix directory
+    # structures and fail loudly at read — rebuild instead.
+    tagged.write.mode("overwrite").partitionBy("cluster").parquet(
+        os.path.join(tmp, "vectors")
+    )
     spark = tagged.sparkSession
     cdf = spark.createDataFrame(
         [(i, [int(x) for x in cen]) for i, cen in enumerate(centroids)],
@@ -607,6 +622,36 @@ def ivf_assign_int8(
         int_norm2(F.col("__q")).alias("n2"),
         F.col("__cl").alias("cluster"),
     )
+
+
+def ivf_append_int8(
+    qframe: DataFrame,
+    centroids: list[list[int]],
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    q_col: str = "q",
+) -> int:
+    """Append quantized vectors to a WRITTEN index: assign against the
+    trained centroids (:func:`ivf_assign_int8` — no re-train, loud
+    dimension guard) and land the rows in the index's
+    cluster-partitioned layout, so appended vectors join the same
+    ``cluster=N`` directories every search prunes to.  THE one append
+    path — the CLI and tests share it because the layout is a
+    contract: a hand-rolled flat append would mix directory
+    structures and break every later read.  Returns the appended row
+    count (one materialization serves the count and the write)."""
+    import os
+
+    rows = ivf_assign_int8(
+        qframe, centroids, id_col=id_col, q_col=q_col
+    ).persist()
+    n = rows.count()
+    rows.write.mode("append").partitionBy("cluster").parquet(
+        os.path.join(path, "vectors")
+    )
+    rows.unpersist()
+    return n
 
 
 def _assign_int(c: DataFrame, centroids: list[list[int]]) -> DataFrame:

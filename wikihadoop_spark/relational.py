@@ -5449,8 +5449,12 @@ def media_frame_fanout_q(spark: SparkSession, sf: str) -> DataFrame:
 # behavior-preserving by construction and re-proven by the local
 # 3-SF parity suite + gate rehearsal: operators/quantize.py's index
 # artifact lifecycle (symlink-flip publish — never-absent overwrite,
-# dead-pid staging reaping, content-fingerprinted cache key with the
-# ivf8-v2 version bump, dimension guard on the append path).  The
+# dead-pid staging reaping, content-fingerprinted cache key,
+# dimension guard on the append path, and a CLUSTER-PARTITIONED
+# vectors layout — hive cluster=N dirs, static PartitionFilters
+# pruning pinned in test_quantize.py — with ivf_append_int8 as the
+# single append path; the version bump to ivf8-v3 re-keys every
+# cached artifact so no old-layout index is ever reused).  The
 # only catalog queries whose call path touches the artifact code are
 # similarity_topk_int8_ivf (r12-green, pinned — its RESULTS are
 # bit-identical: the layout changed, the deterministic build did not;
