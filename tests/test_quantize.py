@@ -773,3 +773,79 @@ def test_ivf_index_layout_cluster_partitioned(spark, tmp_path):
     assert not stray
     got, _ = qz.ivf_read_int8(spark, idx)
     assert sorted(r.vec_id for r in got.collect()) == [0, 1, 2, 3, 4, 5, 99]
+
+
+def test_reap_glob_metachars_do_not_cross_indexes(tmp_path):
+    """A glob metacharacter in a user-supplied index path must not make
+    the staging reaper match (and delete) an UNRELATED index's live
+    published data — 'idx[v1].*' must not sweep 'idx1.data<pid>'
+    (round-13 review finding; paths are glob-escaped now)."""
+    import os
+
+    from wikihadoop_spark.operators.quantize import (
+        _cleanup_stale_indexes,
+        _reap_dead_staging,
+    )
+
+    base = tmp_path / "d"
+    base.mkdir()
+    dead = os.fork()
+    if dead == 0:
+        os._exit(0)
+    os.waitpid(dead, 0)
+    # healthy published index idx1 whose builder pid has exited
+    data = str(base / f"idx1.data{dead}")
+    os.makedirs(os.path.join(data, "vectors"))
+    os.symlink(data, str(base / "idx1"))
+
+    weird = str(base / "idx[v1]")
+    _reap_dead_staging(weird)
+    _cleanup_stale_indexes(str(base / "wikihadoop_ivf8_aaaa[x]_bbbb"))
+    assert os.path.exists(os.path.join(data, "vectors"))
+    assert os.path.exists(os.path.join(str(base / "idx1"), "vectors"))
+
+
+def test_ivf_write_repairs_dangling_symlink(spark, tmp_path):
+    """A DANGLING symlink at the cache path (a crashed reaper's
+    leftover) must not wedge the cache: overwrite=False used to treat
+    any FileExistsError as a complete concurrent winner, discarding
+    every rebuild forever while every read failed.  The publish now
+    repairs the dangling link and installs the fresh index."""
+    import os
+
+    from wikihadoop_spark.operators import quantize as qz
+
+    df = spark.createDataFrame([(0, [5, 0]), (1, [0, 5])],
+                               "vec_id bigint, q array<int>")
+    qn = df.withColumn("n2", qz.int_norm2(df.q))
+    idx = str(tmp_path / "ivf_dangling")
+    os.symlink(str(tmp_path / "gone"), idx)  # dangling
+    assert not os.path.exists(idx) and os.path.lexists(idx)
+
+    tagged, cents = qz.ivf_build_or_read_int8(spark, qn, idx, k=2, iterations=1)
+    assert sorted(r.vec_id for r in tagged.collect()) == [0, 1]
+    got, cs = qz.ivf_read_int8(spark, idx)
+    assert sorted(r.vec_id for r in got.collect()) == [0, 1]
+    assert cs == cents
+
+
+def test_ivf_index_path_rekeys_on_dir_child_content_change(tmp_path):
+    """A DIRECTORY corpus (Spark-written parquet dataset) must re-key
+    on an mtime-preserving child-content rewrite — the fingerprint
+    hashes head+tail bytes of every child, not just the (name, size,
+    mtime) listing (round-13 review finding)."""
+    import os
+
+    from wikihadoop_spark.operators.quantize import ivf_index_path
+
+    corpus = tmp_path / "emb.parquet"
+    corpus.mkdir()
+    part = corpus / "part-00000.parquet"
+    part.write_bytes(b"aaaa-bytes")
+    st = os.stat(part)
+    p1 = ivf_index_path(str(corpus), k=8, iterations=2, base=str(tmp_path))
+    part.write_bytes(b"bbbb-bytes")  # same size
+    os.utime(part, ns=(st.st_atime_ns, st.st_mtime_ns))  # same mtime_ns
+    os.utime(corpus, ns=(st.st_atime_ns, st.st_mtime_ns))
+    p2 = ivf_index_path(str(corpus), k=8, iterations=2, base=str(tmp_path))
+    assert p1 != p2

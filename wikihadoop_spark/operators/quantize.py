@@ -251,14 +251,27 @@ def ivf_build_int8(
 _IVF_ARTIFACT_VERSION = "ivf8-v3"
 
 
+def _hash_head_tail(h, path: str) -> None:
+    import os
+
+    with open(path, "rb") as f:
+        h.update(f.read(65536))
+        size = os.fstat(f.fileno()).st_size
+        if size > 65536:
+            f.seek(max(65536, size - 65536))
+            h.update(f.read(65536))
+
+
 def _content_fingerprint(corpus_file: str) -> str:
     """Cheap content component of the cache key: sha256 of the first
-    and last 64 KiB (or, for a directory corpus, of the sorted child
-    (name, size, mtime_ns) listing).  Catches mtime-preserving
-    rewrites (``rsync -t``, ``cp -p``, tar extracts) and coarse-mtime
-    filesystems that the (size, mtime_ns) stat key alone would miss —
-    parquet footers live in the tail, so a re-encoded file with equal
-    head bytes still re-keys."""
+    and last 64 KiB — for a directory corpus (a Spark-written parquet
+    dataset), of EVERY child file, plus each child's (name, size,
+    mtime_ns).  Catches mtime-preserving rewrites (``rsync -t``,
+    ``cp -p``, tar extracts, in-place part-file rewrites) and
+    coarse-mtime filesystems that the (size, mtime_ns) stat key alone
+    would miss — parquet footers live in the tail, so a re-encoded
+    file with equal head bytes still re-keys.  Cost is bounded at
+    128 KiB of reads per file."""
     import hashlib
     import os
 
@@ -267,13 +280,10 @@ def _content_fingerprint(corpus_file: str) -> str:
         for entry in sorted(os.scandir(corpus_file), key=lambda e: e.name):
             st = entry.stat()
             h.update(f"{entry.name}:{st.st_size}:{st.st_mtime_ns};".encode())
+            if entry.is_file() and st.st_size:
+                _hash_head_tail(h, entry.path)
     else:
-        with open(corpus_file, "rb") as f:
-            h.update(f.read(65536))
-            size = os.fstat(f.fileno()).st_size
-            if size > 65536:
-                f.seek(max(65536, size - 65536))
-                h.update(f.read(65536))
+        _hash_head_tail(h, corpus_file)
     return h.hexdigest()[:12]
 
 
@@ -369,7 +379,11 @@ def _reap_dead_staging(path: str) -> None:
     import os
 
     current = os.path.realpath(path) if os.path.islink(path) else None
-    for cand in glob.glob(path + ".*"):
+    # glob.escape: a metacharacter in a user-supplied index path ([x],
+    # ?, *) would otherwise match UNRELATED siblings — e.g.
+    # 'idx[v1].*' matches 'idx1.data<pid>' — and rmtree another
+    # index's live published data (round-13 review finding)
+    for cand in glob.glob(glob.escape(path) + ".*"):
         m = _STAGING_RE.search(cand)
         if not m or _pid_alive(int(m.group(1))):
             continue
@@ -400,13 +414,20 @@ def _cleanup_stale_indexes(path: str) -> None:
     reader of older-fingerprint indexes, which holds for the
     fingerprint-keyed cache (every reader keys the path from the
     CURRENT corpus stat, so an older fingerprint means an older corpus
-    snapshot no new reader can reach)."""
+    snapshot no new reader can reach).
+
+    Scope note: only siblings under the CURRENT stem formula are
+    swept.  Artifacts written by pre-v3 code use a different stem
+    hash (no ``variant=`` component), are indistinguishable by name
+    from another corpus's live index, and are therefore never
+    auto-reaped — they age out with the system temp dir (tmpfs /
+    tmpwatch), a bounded one-time remainder per code upgrade."""
     import glob
     import os
 
     base, name = os.path.split(path)
     stem = name.rsplit("_", 1)[0]  # wikihadoop_ivf8_<stem>
-    for stale in glob.glob(os.path.join(base, f"{stem}_*")):
+    for stale in glob.glob(glob.escape(os.path.join(base, stem)) + "_*"):
         if stale == path or stale.startswith(path + "."):
             continue  # current fingerprint + its own staging siblings
         m = _STAGING_RE.search(stale)
@@ -496,11 +517,26 @@ def ivf_write_int8(
     os.rename(tmp, data)
 
     if not overwrite:
-        try:
-            os.symlink(os.path.abspath(data), path)  # no-replace: first wins
-        except FileExistsError:
-            _remove_index(data)  # concurrent winner; theirs is bit-identical
-        return
+        for _ in range(8):
+            try:
+                os.symlink(os.path.abspath(data), path)  # no-replace: first wins
+                return
+            except FileExistsError:
+                if os.path.exists(path):  # follows the link: COMPLETE winner
+                    _remove_index(data)  # theirs is bit-identical; keep it
+                    return
+                # a DANGLING symlink at path (e.g. a crash between a
+                # reaper's target-rmtree and link-unlink): treating it
+                # as a winner would discard every rebuild forever —
+                # repair the link and retry (round-13 review finding)
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass
+        raise OSError(
+            f"ivf_write_int8: could not publish {path!r} — repeated "
+            "dangling-symlink races"
+        )
 
     prev_target = os.path.realpath(path) if os.path.islink(path) else None
     legacy = None

@@ -4008,6 +4008,11 @@ def similarity_probe_int8_stream_analog(spark: SparkSession, sf: str) -> DataFra
         variant="stream-analog-mod17",
     )
     tagged, cents = ivf_build_or_read_int8(spark, qn, idx, k=8, iterations=2)
+    # the persisted corpus frame only feeds the one-time Lloyd build
+    # (probes come from the raw table, matches from the WRITTEN index)
+    # — release it rather than pin it in executor memory for the
+    # session (round-13 review finding)
+    qn.unpersist()
     arriving = t.embeddings.filter(
         (F.col("vec_id") % 17 == 0) & (F.col("vec_id") < 340)
     ).select("vec_id", "embedding")
@@ -5479,7 +5484,6 @@ def media_frame_fanout_q(spark: SparkSession, sf: str) -> DataFrame:
 # from the catalog rather than rotated forever; (d) deferral choices
 # must be written down with their criterion in this comment block the
 # round they are made.
-GATE_WINDOW = 50
 
 # The must-gate set for THIS round: the six r10-pinned deferrals at
 # the 2-round evidence-age bound (pre-declared in the round-12
