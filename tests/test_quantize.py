@@ -849,3 +849,87 @@ def test_ivf_index_path_rekeys_on_dir_child_content_change(tmp_path):
     os.utime(corpus, ns=(st.st_atime_ns, st.st_mtime_ns))
     p2 = ivf_index_path(str(corpus), k=8, iterations=2, base=str(tmp_path))
     assert p1 != p2
+
+
+def test_ivf_publish_lifecycle_state_machine(spark, tmp_path):
+    """Seeded random walk over the artifact lifecycle — overwrite
+    publishes, cache (no-replace) publishes, crashed-build leftovers
+    (dead-pid .tmp/.lnk/.data, dangling links), reaps and cleanups in
+    arbitrary order — asserting after EVERY step that (a) the
+    published index at `path` stays complete and readable with exactly
+    the content the model expects, and (b) a reap pass leaves no
+    sibling except the live published target.  This is the durability
+    contract the three round-13 review findings were violations of."""
+    import glob
+    import os
+    import random
+
+    from wikihadoop_spark.operators import quantize as qz
+
+    def mk(ids):
+        df = spark.createDataFrame(
+            [(i, [int(i) + 1, 3, 0]) for i in ids], "vec_id bigint, q array<int>"
+        )
+        qn = df.withColumn("n2", qz.int_norm2(df.q))
+        t, c = qz.ivf_build_int8(qn, k=1, iterations=1)
+        return t.withColumn("n2", qz.int_norm2(F.col("q"))), c
+
+    dead = os.fork()
+    if dead == 0:
+        os._exit(0)
+    os.waitpid(dead, 0)
+
+    base = tmp_path / "walk"
+    base.mkdir()
+    path = str(base / "wikihadoop_ivf8_feedface_000000000001")
+    rng = random.Random(131)
+    published: list[int] | None = None  # model: ids in the live index
+    next_id = 0
+
+    def check():
+        if published is None:
+            return
+        got, _ = qz.ivf_read_int8(spark, path)
+        assert sorted(r.vec_id for r in got.collect()) == published
+
+    for step in range(14):
+        op = rng.choice(("over", "cache", "litter", "reap", "clean"))
+        if op == "over":
+            ids = list(range(next_id, next_id + rng.randrange(1, 3)))
+            next_id += len(ids)
+            qz.ivf_write_int8(*mk(ids), path, overwrite=True)
+            published = ids
+        elif op == "cache":
+            ids = list(range(next_id, next_id + 1))
+            next_id += 1
+            qz.ivf_write_int8(*mk(ids), path, overwrite=False)
+            if published is None:
+                published = ids  # first writer wins
+        elif op == "litter":
+            kind = rng.choice(("tmp", "lnk", "data", "dangle"))
+            if kind == "dangle":
+                if published is None and not os.path.lexists(path):
+                    # a later cache write must repair this (model: absent)
+                    os.symlink(str(base / "nowhere"), path)
+            elif kind == "lnk":
+                if not os.path.lexists(f"{path}.lnk{dead}"):
+                    os.symlink(str(base / "nowhere2"), f"{path}.lnk{dead}")
+            else:
+                os.makedirs(f"{path}.{kind}{dead}", exist_ok=True)
+        elif op == "reap":
+            qz._reap_dead_staging(path)
+        else:
+            qz._cleanup_stale_indexes(path)
+        check()
+
+    # force a final publish + reap: only the live target may remain
+    qz.ivf_write_int8(*mk([99]), path, overwrite=True)
+    published = [99]
+    qz._cleanup_stale_indexes(path)
+    check()
+    target = os.path.realpath(path)
+    leftovers = [
+        p for p in glob.glob(glob.escape(path) + ".*")
+        if os.path.realpath(p) != target
+    ]
+    assert not leftovers, leftovers
