@@ -669,6 +669,8 @@ def test_ivf_index_path_rekeys_on_content_change(tmp_path):
     p1 = ivf_index_path(str(corpus), k=8, iterations=2, base=str(tmp_path))
     corpus.write_bytes(b"bbbb-bytes")  # same size
     os.utime(corpus, ns=(st.st_atime_ns, st.st_mtime_ns))  # same mtime_ns
+    from wikihadoop_spark.operators.quantize import _FP_CACHE
+    _FP_CACHE.clear()  # cross-process attack: fresh fingerprint memo
     p2 = ivf_index_path(str(corpus), k=8, iterations=2, base=str(tmp_path))
     assert p1 != p2
     # variant distinguishes slices of the SAME file
@@ -847,6 +849,8 @@ def test_ivf_index_path_rekeys_on_dir_child_content_change(tmp_path):
     part.write_bytes(b"bbbb-bytes")  # same size
     os.utime(part, ns=(st.st_atime_ns, st.st_mtime_ns))  # same mtime_ns
     os.utime(corpus, ns=(st.st_atime_ns, st.st_mtime_ns))
+    from wikihadoop_spark.operators.quantize import _FP_CACHE
+    _FP_CACHE.clear()  # cross-process attack: fresh fingerprint memo
     p2 = ivf_index_path(str(corpus), k=8, iterations=2, base=str(tmp_path))
     assert p1 != p2
 
@@ -933,3 +937,51 @@ def test_ivf_publish_lifecycle_state_machine(spark, tmp_path):
         if os.path.realpath(p) != target
     ]
     assert not leftovers, leftovers
+
+
+def test_ivf_index_path_rekeys_on_nested_child_content_change(tmp_path):
+    """A hive-partitioned directory corpus (files in NESTED subdirs)
+    must re-key on an mtime-preserving rewrite of a nested part file —
+    the fingerprint walks recursively, not just top-level children
+    (round-13 second-review finding)."""
+    import os
+
+    from wikihadoop_spark.operators.quantize import ivf_index_path
+
+    corpus = tmp_path / "emb.parquet"
+    (corpus / "date=1").mkdir(parents=True)
+    part = corpus / "date=1" / "part-0.parquet"
+    part.write_bytes(b"aaaa-bytes")
+    st = os.stat(part)
+    dst = os.stat(corpus / "date=1")
+    p1 = ivf_index_path(str(corpus), k=8, iterations=2, base=str(tmp_path))
+    part.write_bytes(b"bbbb-bytes")  # same size
+    os.utime(part, ns=(st.st_atime_ns, st.st_mtime_ns))
+    os.utime(corpus / "date=1", ns=(dst.st_atime_ns, dst.st_mtime_ns))
+    from wikihadoop_spark.operators.quantize import _FP_CACHE
+    _FP_CACHE.clear()  # cross-process attack: fresh fingerprint memo
+    p2 = ivf_index_path(str(corpus), k=8, iterations=2, base=str(tmp_path))
+    assert p1 != p2
+
+
+def test_content_fingerprint_memoizes_on_unchanged_stats(tmp_path, monkeypatch):
+    """A pure cache hit (unchanged corpus) must not re-read file bytes
+    — the fingerprint is memoized on the recursive stat listing
+    (round-13 second-review finding: ivf_index_path runs per query
+    invocation, so byte reads on every call would cost ~128 KiB x
+    part-files per search at scale)."""
+    from wikihadoop_spark.operators import quantize as qz
+
+    corpus = tmp_path / "emb.parquet"
+    corpus.write_bytes(b"stable-bytes")
+    qz._FP_CACHE.clear()
+    fp1 = qz._content_fingerprint(str(corpus))
+    reads = []
+    real = qz._hash_head_tail
+    monkeypatch.setattr(qz, "_hash_head_tail",
+                        lambda h, p: (reads.append(p), real(h, p))[1])
+    fp2 = qz._content_fingerprint(str(corpus))
+    assert fp2 == fp1 and not reads  # hit: stats only, zero byte reads
+    corpus.write_bytes(b"changed-bytes")
+    fp3 = qz._content_fingerprint(str(corpus))
+    assert reads and fp3 != fp1  # stat change: bytes re-read, re-keyed

@@ -262,29 +262,70 @@ def _hash_head_tail(h, path: str) -> None:
             h.update(f.read(65536))
 
 
+def _stat_listing(corpus_file: str) -> tuple:
+    """RECURSIVE (relpath, size, mtime_ns) listing of a corpus — every
+    file at every depth, sorted, so a hive-partitioned dataset's
+    nested part files are all visible.  Pure stat calls, no reads."""
+    import os
+
+    if not os.path.isdir(corpus_file):
+        st = os.stat(corpus_file)
+        return ((os.path.abspath(corpus_file), st.st_size, st.st_mtime_ns),)
+    out = []
+    for root, dirs, files in os.walk(corpus_file):
+        dirs.sort()
+        for name in sorted(files):
+            p = os.path.join(root, name)
+            st = os.stat(p)
+            out.append(
+                (os.path.relpath(p, corpus_file), st.st_size, st.st_mtime_ns)
+            )
+    return tuple(out)
+
+
+# fingerprint memo: content bytes are re-read only when some file's
+# (relpath, size, mtime_ns) changes — a pure cache hit (the common
+# per-query invocation against an unchanged corpus) costs stats only,
+# never the 128 KiB/file reads (round-13 review finding)
+_FP_CACHE: dict[tuple, str] = {}
+
+
 def _content_fingerprint(corpus_file: str) -> str:
     """Cheap content component of the cache key: sha256 of the first
-    and last 64 KiB — for a directory corpus (a Spark-written parquet
-    dataset), of EVERY child file, plus each child's (name, size,
-    mtime_ns).  Catches mtime-preserving rewrites (``rsync -t``,
-    ``cp -p``, tar extracts, in-place part-file rewrites) and
-    coarse-mtime filesystems that the (size, mtime_ns) stat key alone
-    would miss — parquet footers live in the tail, so a re-encoded
-    file with equal head bytes still re-keys.  Cost is bounded at
-    128 KiB of reads per file."""
+    and last 64 KiB of every file (RECURSIVELY for a directory corpus
+    — nested hive partitions included), mixed with each file's
+    (relpath, size, mtime_ns).  Catches mtime-preserving rewrites
+    (``rsync -t`` / ``--inplace``, ``cp -p``, tar extracts, in-place
+    part-file rewrites at any depth) and coarse-mtime filesystems
+    that the stat key alone would miss — parquet footers live in the
+    tail, so a re-encoded file with equal head bytes still re-keys.
+    Cost is bounded at 128 KiB of reads per file, paid only when the
+    stat listing changes (memoized).  Memo trust boundary: WITHIN a
+    process, a corpus rewritten with byte-identical stats is served
+    the cached fingerprint (re-reading every call would cost the full
+    head/tail scan per query invocation); the rsync-between-runs
+    rewrite the fingerprint exists to catch is a cross-process event,
+    where the memo starts empty and the bytes are always read."""
     import hashlib
     import os
 
+    listing = _stat_listing(corpus_file)
+    key = (os.path.abspath(corpus_file), listing)
+    hit = _FP_CACHE.get(key)
+    if hit is not None:
+        return hit
     h = hashlib.sha256()
-    if os.path.isdir(corpus_file):
-        for entry in sorted(os.scandir(corpus_file), key=lambda e: e.name):
-            st = entry.stat()
-            h.update(f"{entry.name}:{st.st_size}:{st.st_mtime_ns};".encode())
-            if entry.is_file() and st.st_size:
-                _hash_head_tail(h, entry.path)
-    else:
-        _hash_head_tail(h, corpus_file)
-    return h.hexdigest()[:12]
+    base = corpus_file if os.path.isdir(corpus_file) else None
+    for relpath, size, mtime_ns in listing:
+        h.update(f"{relpath}:{size}:{mtime_ns};".encode())
+        if size:
+            _hash_head_tail(
+                h, os.path.join(base, relpath) if base else relpath
+            )
+    if len(_FP_CACHE) > 64:
+        _FP_CACHE.clear()  # bound driver memory; corpora per process are few
+    _FP_CACHE[key] = h.hexdigest()[:12]
+    return _FP_CACHE[key]
 
 
 def ivf_index_path(
@@ -417,11 +458,16 @@ def _cleanup_stale_indexes(path: str) -> None:
     snapshot no new reader can reach).
 
     Scope note: only siblings under the CURRENT stem formula are
-    swept.  Artifacts written by pre-v3 code use a different stem
-    hash (no ``variant=`` component), are indistinguishable by name
-    from another corpus's live index, and are therefore never
-    auto-reaped — they age out with the system temp dir (tmpfs /
-    tmpwatch), a bounded one-time remainder per code upgrade."""
+    swept.  The v2 formula shares v3's stem (the version string feeds
+    the FINGERPRINT, not the stem), so v2 artifacts are swept like any
+    stale fingerprint — which also means the single-code-version
+    assumption above extends across an upgrade: a long-lived process
+    still running v2 code and scanning its v2 index loses it (loudly)
+    when a v3 builder cleans the shared stem.  Artifacts from r12 and
+    earlier use a different stem hash (no ``variant=`` component), are
+    indistinguishable by name from another corpus's live index, and
+    are never auto-reaped — they age out with the system temp dir
+    (tmpfs / tmpwatch), a bounded one-time remainder."""
     import glob
     import os
 
@@ -517,26 +563,38 @@ def ivf_write_int8(
     os.rename(tmp, data)
 
     if not overwrite:
-        for _ in range(8):
-            try:
-                os.symlink(os.path.abspath(data), path)  # no-replace: first wins
-                return
-            except FileExistsError:
-                if os.path.exists(path):  # follows the link: COMPLETE winner
-                    _remove_index(data)  # theirs is bit-identical; keep it
-                    return
-                # a DANGLING symlink at path (e.g. a crash between a
-                # reaper's target-rmtree and link-unlink): treating it
-                # as a winner would discard every rebuild forever —
-                # repair the link and retry (round-13 review finding)
-                try:
-                    os.unlink(path)
-                except OSError:
-                    pass
-        raise OSError(
-            f"ivf_write_int8: could not publish {path!r} — repeated "
-            "dangling-symlink races"
-        )
+        try:
+            os.symlink(os.path.abspath(data), path)  # no-replace: first wins
+            return
+        except FileExistsError:
+            pass
+        if os.path.exists(path):  # follows the link: COMPLETE winner
+            _remove_index(data)  # theirs is bit-identical; keep it
+            return
+        # a DANGLING symlink at path (e.g. a crash between a reaper's
+        # target-rmtree and link-unlink): treating it as a winner would
+        # discard every rebuild forever.  Repair by atomically
+        # REPLACING the link (rename of a link over a link) — never
+        # unlink-then-create, which would open a destination-absent
+        # window and could remove a racing repairer's fresh publish
+        # (round-13 review findings).  If a racer repaired first, the
+        # rename replaces a bit-identical index; the racer's data dir
+        # is reaped once its pid exits.
+        lnk = f"{path}.lnk{pid}"
+        if os.path.lexists(lnk):
+            os.unlink(lnk)
+        os.symlink(os.path.abspath(data), lnk)
+        try:
+            os.rename(lnk, path)
+        except OSError:
+            # a real directory appeared at path (legacy layout racer):
+            # it is a complete index; keep theirs
+            if os.path.lexists(lnk):
+                os.unlink(lnk)
+            if not os.path.exists(path):
+                raise
+            _remove_index(data)
+        return
 
     prev_target = os.path.realpath(path) if os.path.islink(path) else None
     legacy = None
