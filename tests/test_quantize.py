@@ -669,9 +669,15 @@ def test_ivf_index_path_rekeys_on_content_change(tmp_path):
     p1 = ivf_index_path(str(corpus), k=8, iterations=2, base=str(tmp_path))
     corpus.write_bytes(b"bbbb-bytes")  # same size
     os.utime(corpus, ns=(st.st_atime_ns, st.st_mtime_ns))  # same mtime_ns
-    from wikihadoop_spark.operators.quantize import _FP_CACHE
-    _FP_CACHE.clear()  # cross-process attack: fresh fingerprint memo
-    p2 = ivf_index_path(str(corpus), k=8, iterations=2, base=str(tmp_path))
+    # expire the fingerprint memo's TTL so this exercises the REAL
+    # long-lived-driver re-detection path (stat-identical rewrite
+    # re-read once the TTL lapses), not a fresh-process simulation
+    import wikihadoop_spark.operators.quantize as _qz
+    _ttl, _qz._FP_TTL_SEC = _qz._FP_TTL_SEC, 0.0
+    try:
+        p2 = ivf_index_path(str(corpus), k=8, iterations=2, base=str(tmp_path))
+    finally:
+        _qz._FP_TTL_SEC = _ttl
     assert p1 != p2
     # variant distinguishes slices of the SAME file
     p3 = ivf_index_path(str(corpus), k=8, iterations=2, base=str(tmp_path),
@@ -849,9 +855,15 @@ def test_ivf_index_path_rekeys_on_dir_child_content_change(tmp_path):
     part.write_bytes(b"bbbb-bytes")  # same size
     os.utime(part, ns=(st.st_atime_ns, st.st_mtime_ns))  # same mtime_ns
     os.utime(corpus, ns=(st.st_atime_ns, st.st_mtime_ns))
-    from wikihadoop_spark.operators.quantize import _FP_CACHE
-    _FP_CACHE.clear()  # cross-process attack: fresh fingerprint memo
-    p2 = ivf_index_path(str(corpus), k=8, iterations=2, base=str(tmp_path))
+    # expire the fingerprint memo's TTL so this exercises the REAL
+    # long-lived-driver re-detection path (stat-identical rewrite
+    # re-read once the TTL lapses), not a fresh-process simulation
+    import wikihadoop_spark.operators.quantize as _qz
+    _ttl, _qz._FP_TTL_SEC = _qz._FP_TTL_SEC, 0.0
+    try:
+        p2 = ivf_index_path(str(corpus), k=8, iterations=2, base=str(tmp_path))
+    finally:
+        _qz._FP_TTL_SEC = _ttl
     assert p1 != p2
 
 
@@ -958,9 +970,15 @@ def test_ivf_index_path_rekeys_on_nested_child_content_change(tmp_path):
     part.write_bytes(b"bbbb-bytes")  # same size
     os.utime(part, ns=(st.st_atime_ns, st.st_mtime_ns))
     os.utime(corpus / "date=1", ns=(dst.st_atime_ns, dst.st_mtime_ns))
-    from wikihadoop_spark.operators.quantize import _FP_CACHE
-    _FP_CACHE.clear()  # cross-process attack: fresh fingerprint memo
-    p2 = ivf_index_path(str(corpus), k=8, iterations=2, base=str(tmp_path))
+    # expire the fingerprint memo's TTL so this exercises the REAL
+    # long-lived-driver re-detection path (stat-identical rewrite
+    # re-read once the TTL lapses), not a fresh-process simulation
+    import wikihadoop_spark.operators.quantize as _qz
+    _ttl, _qz._FP_TTL_SEC = _qz._FP_TTL_SEC, 0.0
+    try:
+        p2 = ivf_index_path(str(corpus), k=8, iterations=2, base=str(tmp_path))
+    finally:
+        _qz._FP_TTL_SEC = _ttl
     assert p1 != p2
 
 

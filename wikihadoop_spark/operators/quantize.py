@@ -265,67 +265,91 @@ def _hash_head_tail(h, path: str) -> None:
 def _stat_listing(corpus_file: str) -> tuple:
     """RECURSIVE (relpath, size, mtime_ns) listing of a corpus — every
     file at every depth, sorted, so a hive-partitioned dataset's
-    nested part files are all visible.  Pure stat calls, no reads."""
+    nested part files are all visible.  Symlinked subdirectories are
+    FOLLOWED (a realpath-visited set breaks cycles: each real dir is
+    listed once) and an unreadable subtree raises loudly rather than
+    silently vanishing from the fingerprint.  Pure stat calls, no
+    byte reads.  A single-file corpus lists under its basename, so
+    the content component is location-independent."""
     import os
 
     if not os.path.isdir(corpus_file):
         st = os.stat(corpus_file)
-        return ((os.path.abspath(corpus_file), st.st_size, st.st_mtime_ns),)
-    out = []
-    for root, dirs, files in os.walk(corpus_file):
-        dirs.sort()
-        for name in sorted(files):
-            p = os.path.join(root, name)
-            st = os.stat(p)
-            out.append(
-                (os.path.relpath(p, corpus_file), st.st_size, st.st_mtime_ns)
-            )
+        return ((os.path.basename(corpus_file), st.st_size, st.st_mtime_ns),)
+    out: list[tuple[str, int, int]] = []
+    seen: set[str] = set()
+
+    def rec(d: str) -> None:
+        rp = os.path.realpath(d)
+        if rp in seen:
+            return
+        seen.add(rp)
+        for e in sorted(os.scandir(d), key=lambda x: x.name):
+            if e.is_dir(follow_symlinks=True):
+                rec(e.path)
+            elif e.is_file(follow_symlinks=True):
+                st = e.stat()  # follows symlinks
+                out.append(
+                    (
+                        os.path.relpath(e.path, corpus_file),
+                        st.st_size,
+                        st.st_mtime_ns,
+                    )
+                )
+
+    rec(corpus_file)
     return tuple(out)
 
 
-# fingerprint memo: content bytes are re-read only when some file's
-# (relpath, size, mtime_ns) changes — a pure cache hit (the common
-# per-query invocation against an unchanged corpus) costs stats only,
-# never the 128 KiB/file reads (round-13 review finding)
-_FP_CACHE: dict[tuple, str] = {}
+# fingerprint memo, ONE entry per corpus: abspath -> (monotonic stamp,
+# stat listing, fingerprint).  Content bytes are re-read when any
+# file's (relpath, size, mtime_ns) changes OR the TTL lapses — a pure
+# cache hit (the common per-query invocation against an unchanged
+# corpus) costs stats only, never the 128 KiB/file reads.  The TTL is
+# what bounds staleness in a LONG-LIVED driver: an external
+# stat-preserving rewrite (rsync --inplace -t) of a corpus the driver
+# already fingerprinted is re-detected within _FP_TTL_SEC, instead of
+# never (round-13 review findings, both directions of the trade).
+_FP_TTL_SEC = 300.0
+_FP_CACHE: dict[str, tuple[float, tuple, str]] = {}
 
 
 def _content_fingerprint(corpus_file: str) -> str:
     """Cheap content component of the cache key: sha256 of the first
     and last 64 KiB of every file (RECURSIVELY for a directory corpus
-    — nested hive partitions included), mixed with each file's
-    (relpath, size, mtime_ns).  Catches mtime-preserving rewrites
-    (``rsync -t`` / ``--inplace``, ``cp -p``, tar extracts, in-place
-    part-file rewrites at any depth) and coarse-mtime filesystems
-    that the stat key alone would miss — parquet footers live in the
-    tail, so a re-encoded file with equal head bytes still re-keys.
-    Cost is bounded at 128 KiB of reads per file, paid only when the
-    stat listing changes (memoized).  Memo trust boundary: WITHIN a
-    process, a corpus rewritten with byte-identical stats is served
-    the cached fingerprint (re-reading every call would cost the full
-    head/tail scan per query invocation); the rsync-between-runs
-    rewrite the fingerprint exists to catch is a cross-process event,
-    where the memo starts empty and the bytes are always read."""
+    — nested hive partitions included, symlinked subdirs followed),
+    mixed with each file's (relpath, size, mtime_ns).  Catches
+    mtime-preserving rewrites (``rsync -t`` / ``--inplace``,
+    ``cp -p``, tar extracts, in-place part-file rewrites at any
+    depth) and coarse-mtime filesystems that the stat key alone would
+    miss — parquet footers live in the tail, so a re-encoded file
+    with equal head bytes still re-keys.  Cost is bounded at 128 KiB
+    of reads per file, paid only when the stat listing changes or the
+    memo TTL (``_FP_TTL_SEC``) lapses — so a long-lived driver sees a
+    stat-identical external rewrite within the TTL, and a burst of
+    queries against an unchanged corpus pays the byte reads once."""
     import hashlib
     import os
+    import time
 
+    ap = os.path.abspath(corpus_file)
     listing = _stat_listing(corpus_file)
-    key = (os.path.abspath(corpus_file), listing)
-    hit = _FP_CACHE.get(key)
+    hit = _FP_CACHE.get(ap)
     if hit is not None:
-        return hit
+        stamp, cached_listing, fp = hit
+        if cached_listing == listing and time.monotonic() - stamp < _FP_TTL_SEC:
+            return fp
     h = hashlib.sha256()
     base = corpus_file if os.path.isdir(corpus_file) else None
     for relpath, size, mtime_ns in listing:
         h.update(f"{relpath}:{size}:{mtime_ns};".encode())
         if size:
             _hash_head_tail(
-                h, os.path.join(base, relpath) if base else relpath
+                h, os.path.join(base, relpath) if base else corpus_file
             )
-    if len(_FP_CACHE) > 64:
-        _FP_CACHE.clear()  # bound driver memory; corpora per process are few
-    _FP_CACHE[key] = h.hexdigest()[:12]
-    return _FP_CACHE[key]
+    fp = h.hexdigest()[:12]
+    _FP_CACHE[ap] = (time.monotonic(), listing, fp)
+    return fp
 
 
 def ivf_index_path(
