@@ -107,6 +107,16 @@ def main() -> None:
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).count()
             raw[name].append(time.perf_counter() - t0)
+    # stall fallback (round-13 verdict item 6; rule + rationale at
+    # _needs_stall_rerun): a noisy min-of-3 gets up to 2 extra runs
+    for name in HEADLINE:
+        for _ in range(_STALL_EXTRA_RUNS):
+            if not _needs_stall_rerun(raw[name]):
+                break
+            prewarm_parquet()
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).count()
+            raw[name].append(time.perf_counter() - t0)
     timings = {name: round(min(v), 3) for name, v in raw.items()}
     spreads = {name: round(max(v) - min(v), 3) for name, v in raw.items()}
 
@@ -128,6 +138,11 @@ def main() -> None:
         full["sf1_spot"] = sf1_spot
     if extras is not None:
         full["pipeline_extras"] = extras
+    # headline-suite self-adjudication (round-13 verdict item 2): a
+    # stall-inflated total carries its quiet-host watermark in BOTH
+    # the committed file and the printed line
+    headline_wm = _HEADLINE_ISOLATED_WATERMARKS.get(sf)
+    _annotate_headline(full, total, headline_wm)
     # rehearsal runs pass --no-artifact (round-11 verdict item 8) so
     # mid-round timing passes don't churn the committed artifact — the
     # history stays one row per round and the diffs reviewable
@@ -158,6 +173,7 @@ def main() -> None:
         "sf": sf,
         "queries": timings,
     }
+    _annotate_headline(out, total, headline_wm)
     line = json.dumps(out)
     if len(line) > 1900:  # keep headroom under the 2000-char capture
         out.pop("wikidump", None)
@@ -400,6 +416,61 @@ _SF1_ISOLATED_WATERMARKS: dict[str, float] = {
     "similarity_topk_int8_lsh": 1.379,
     "embedding_cosine_dedup_int8": 9.124,
 }
+
+# Isolated quiet-host watermark for the HEADLINE SUITE TOTAL, keyed by
+# scale factor (round-13 verdict item 2): the round-13 driver artifact
+# recorded 10.59 s against a same-day builder band of 8.27-8.84 s, and
+# adjudicating that as host noise took SCALING.md archaeology plus an
+# independent judge re-run.  With a recorded watermark the artifact
+# self-describes: whenever the suite total exceeds
+# _HEADLINE_BAND_FACTOR x the watermark, both BENCH_SELF.json and the
+# printed line carry `headline_isolated_watermark_sec` so a
+# stall-inflated reading is adjudicable from the artifact alone.
+# Recorded by `tools/spot_isolated.py --headline` (min-of-3 per query
+# in a fresh process doing nothing else); provenance in SCALING.md's
+# round-14 addendum.  Re-record when a headline query's plan changes.
+_HEADLINE_BAND_FACTOR = 1.2
+_HEADLINE_ISOLATED_WATERMARKS: dict[float, float] = {
+    # recorded 2026-08-16 (round 14): min of three isolated suite runs
+    # (9.259 / 9.453 / 10.151 s) via tools/spot_isolated.py --headline,
+    # each itself min-of-3 per query; per-query rows in SCALING.md's
+    # round-14 addendum
+    0.1: 9.259,
+}
+
+
+def _annotate_headline(entry: dict, total: float, wm: float | None) -> dict:
+    """Attach the isolated headline watermark whenever the shipped
+    suite total exceeds the quiet-host band (total > 1.2x watermark) —
+    the suite-level twin of `_annotate_spot`.  Keeps `queries` as the
+    entry's LAST key when present (the printed-line tail contract —
+    the driver captures only the final 2000 chars).  Pinned by
+    tests/test_bench_contract.py."""
+    if wm is not None and total > _HEADLINE_BAND_FACTOR * wm:
+        entry["headline_isolated_watermark_sec"] = wm
+        if "queries" in entry:
+            entry["queries"] = entry.pop("queries")
+    return entry
+
+
+# Stall fallback for the headline min-of-3 (round-13 verdict item 6):
+# SCALING.md documents a pass whose three timed runs ALL landed in
+# multi-second host stalls (ngram_overlap 16.3 s first pass, r13), so
+# even the min was inflated.  When a query's spread/min exceeds
+# _STALL_SPREAD_FACTOR after the standard passes, take up to
+# _STALL_EXTRA_RUNS extra timed runs (each behind a fresh prewarm)
+# before shipping the min — cheap insurance that the committed
+# artifact's min is a steady-state number.  The recorded spread keeps
+# the stalled maximum ON PURPOSE: a wide spread is the artifact's own
+# signature of a noisy pass (the r13 adjudication leaned on exactly
+# that).  Same trigger threshold as the sf1 spots' noisy-reading rule
+# (`_annotate_spot`).
+_STALL_SPREAD_FACTOR = 0.5
+_STALL_EXTRA_RUNS = 2
+
+
+def _needs_stall_rerun(values: list[float]) -> bool:
+    return max(values) - min(values) > _STALL_SPREAD_FACTOR * min(values)
 
 
 def _build_sf1(spark, sf_dir: str, out_dir: str) -> None:

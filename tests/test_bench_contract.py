@@ -91,3 +91,53 @@ def test_spot_annotation_rule():
     virgin = _annotate_spot(entry(), 4.0, 5.0, wm=None, contended=True)
     assert virgin["contended"] is True
     assert "isolated_watermark_sec" not in virgin
+
+
+def test_headline_watermark_annotation_rule():
+    """Round-13 verdict item 2: the headline suite total must carry
+    its isolated quiet-host watermark whenever it exceeds 1.2x the
+    watermark — in BOTH the committed file and the printed line — so a
+    stall-inflated driver reading (r13's 10.59 s vs a same-day
+    8.27-8.84 s band) self-adjudicates in the artifact.  The `queries`
+    key must stay last when present (printed-line tail contract)."""
+    sys.path.insert(0, REPO)
+    from bench import (
+        _HEADLINE_ISOLATED_WATERMARKS,
+        _annotate_headline,
+    )
+
+    # the watermark for the driver's bench SF must actually be recorded
+    assert _HEADLINE_ISOLATED_WATERMARKS.get(0.1), (
+        "no isolated headline watermark recorded for sf0.1 — run "
+        "tools/spot_isolated.py --headline on a quiet host"
+    )
+
+    def entry():
+        return {"metric": "headline_suite_seconds", "value": 12.0,
+                "queries": {"q1": 1.0}}
+
+    # inside the band: no annotation
+    clean = _annotate_headline(entry(), 9.0, wm=8.5)
+    assert "headline_isolated_watermark_sec" not in clean
+    # beyond 1.2x: watermark attaches, queries stays the LAST key
+    hot = _annotate_headline(entry(), 10.6, wm=8.5)
+    assert hot["headline_isolated_watermark_sec"] == 8.5
+    assert list(hot)[-1] == "queries"
+    # no watermark recorded for this sf (e.g. the sf0.001 contract
+    # run): no annotation, no crash
+    virgin = _annotate_headline(entry(), 100.0, wm=None)
+    assert "headline_isolated_watermark_sec" not in virgin
+
+
+def test_stall_rerun_rule():
+    """Round-13 verdict item 6: a headline query whose min-of-3
+    spread/min exceeds 0.5 gets extra timed runs before the min ships
+    — the trigger must match the sf1 spots' noisy-reading threshold."""
+    sys.path.insert(0, REPO)
+    from bench import _STALL_EXTRA_RUNS, _needs_stall_rerun
+
+    assert not _needs_stall_rerun([1.0, 1.1, 1.2])       # quiet pass
+    assert _needs_stall_rerun([1.0, 1.0, 1.8])           # one stall
+    assert _needs_stall_rerun([4.0, 9.1, 16.3])          # r13 ngram case
+    assert not _needs_stall_rerun([2.0, 2.0, 3.0])       # exactly 0.5: ships
+    assert _STALL_EXTRA_RUNS == 2

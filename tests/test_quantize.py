@@ -1003,3 +1003,262 @@ def test_content_fingerprint_memoizes_on_unchanged_stats(tmp_path, monkeypatch):
     corpus.write_bytes(b"changed-bytes")
     fp3 = qz._content_fingerprint(str(corpus))
     assert reads and fp3 != fp1  # stat change: bytes re-read, re-keyed
+
+
+def test_fingerprint_sidecar_survives_ttl_and_process(tmp_path, monkeypatch):
+    """Round-13 verdict item 4: after a TTL lapse (or in a fresh
+    process — the memo is per-process), an UNCHANGED corpus must cost
+    stats only: the persistent .fp.json sidecar answers the listing
+    hash with zero byte re-reads.  A changed corpus still re-reads and
+    re-keys, and rewrites the sidecar for the new listing."""
+    import os
+
+    from wikihadoop_spark.operators import quantize as qz
+
+    corpus = tmp_path / "emb.parquet"
+    corpus.write_bytes(b"sidecar-bytes-v1")
+    base = str(tmp_path / "cache")
+    os.makedirs(base)
+    qz._FP_CACHE.clear()
+    p1 = ivf_index_path_ = qz.ivf_index_path(
+        str(corpus), k=8, iterations=2, base=base
+    )
+    sidecars = [f for f in os.listdir(base) if f.endswith(".fp.json")]
+    assert len(sidecars) == 1, sidecars
+
+    # TTL lapse / fresh driver: memo gone, sidecar present
+    qz._FP_CACHE.clear()
+    reads = []
+    real = qz._hash_head_tail
+    monkeypatch.setattr(qz, "_hash_head_tail",
+                        lambda h, p: (reads.append(p), real(h, p))[1])
+    p2 = qz.ivf_index_path(str(corpus), k=8, iterations=2, base=base)
+    assert p2 == p1 and not reads  # sidecar hit: stats only
+
+    # content rewrite: listing changes -> bytes re-read -> new path,
+    # and the sidecar now answers for the NEW listing
+    corpus.write_bytes(b"sidecar-bytes-v2-longer")
+    p3 = qz.ivf_index_path(str(corpus), k=8, iterations=2, base=base)
+    assert p3 != p1 and reads
+    qz._FP_CACHE.clear()
+    reads.clear()
+    p4 = qz.ivf_index_path(str(corpus), k=8, iterations=2, base=base)
+    assert p4 == p3 and not reads
+
+    # a corrupt sidecar is ignored, not fatal
+    sc = os.path.join(base, sidecars[0])
+    with open(sc, "w") as fh:
+        fh.write("{not json")
+    qz._FP_CACHE.clear()
+    assert qz.ivf_index_path(str(corpus), k=8, iterations=2, base=base) == p3
+    assert reads  # recomputed from bytes
+    del ivf_index_path_
+
+
+def test_fingerprint_memo_invalidates_on_ctime_bump(tmp_path, monkeypatch):
+    """Round-13 review finding: a stat-preserving rewrite (rsync
+    --inplace -t restores size+mtime) bumps ctime, which userland
+    cannot restore — the listing key includes st_ctime_ns, so the memo
+    and sidecar invalidate immediately instead of waiting out the TTL.
+    A ctime-only change (chmod here) must re-read bytes but land on
+    the SAME fingerprint — metadata churn never re-keys the index."""
+    import os
+
+    from wikihadoop_spark.operators import quantize as qz
+
+    corpus = tmp_path / "emb.parquet"
+    corpus.write_bytes(b"ctime-bytes")
+    base = str(tmp_path / "cache")
+    os.makedirs(base)
+    qz._FP_CACHE.clear()
+    p1 = qz.ivf_index_path(str(corpus), k=8, iterations=2, base=base)
+    reads = []
+    real = qz._hash_head_tail
+    monkeypatch.setattr(qz, "_hash_head_tail",
+                        lambda h, p: (reads.append(p), real(h, p))[1])
+    st0 = os.stat(corpus)
+    os.chmod(corpus, 0o600)  # bumps ctime, preserves size+mtime
+    if os.stat(corpus).st_ctime_ns == st0.st_ctime_ns:
+        import pytest
+
+        pytest.skip("filesystem did not bump ctime on chmod")
+    p2 = qz.ivf_index_path(str(corpus), k=8, iterations=2, base=base)
+    assert reads  # memo+sidecar invalidated: bytes re-read NOW, no TTL wait
+    assert p2 == p1  # ...but ctime is not in the digest: same index path
+
+
+def test_legacy_ivf_artifacts_age_out(tmp_path):
+    """Round-13 verdict item 5: wikihadoop_ivf8_* entries older than
+    _IVF_MAX_AGE_SEC (legacy-formula artifacts, other corpora's
+    abandoned indexes, orphaned sidecars) are retired deterministically
+    when a build runs — not left for tmpwatch.  Fresh entries and the
+    index being built survive."""
+    import os
+    import time
+
+    from wikihadoop_spark.operators import quantize as qz
+
+    base = tmp_path / "cache"
+    base.mkdir()
+    old = time.time() - qz._IVF_MAX_AGE_SEC - 60
+    # legacy-formula artifact (pre-r13 stem, unknowable by name)
+    legacy = base / "wikihadoop_ivf8_deadbeef_000000000000"
+    legacy.mkdir()
+    (legacy / "vectors").mkdir()
+    os.utime(legacy, (old, old))
+    # orphaned sidecar of a long-gone corpus
+    orphan_sc = base / "wikihadoop_ivf8_cafebabe.fp.json"
+    orphan_sc.write_text("{}")
+    os.utime(orphan_sc, (old, old))
+    # fresh foreign index: survives
+    fresh = base / "wikihadoop_ivf8_11111111_222222222222"
+    fresh.mkdir()
+
+    corpus = tmp_path / "emb.parquet"
+    corpus.write_bytes(b"age-sweep-bytes")
+    qz._FP_CACHE.clear()
+    path = qz.ivf_index_path(str(corpus), k=8, iterations=2, base=str(base))
+    qz._cleanup_stale_indexes(path)
+    assert not legacy.exists(), "legacy artifact not retired"
+    assert not orphan_sc.exists(), "orphaned sidecar not retired"
+    assert fresh.exists(), "fresh foreign index wrongly reaped"
+    # the CURRENT corpus's sidecar was just (re)written: fresh, survives
+    assert any(f.endswith(".fp.json") for f in os.listdir(base))
+
+
+def test_staging_age_fallback_beats_pid_reuse(tmp_path):
+    """Round-13 review finding: a crashed build's staging whose pid was
+    recycled by a long-lived process looks alive forever.  The reaper's
+    age fallback retires staging older than _STAGING_MAX_AGE_SEC even
+    when the pid checks out as alive (faked here with OUR OWN pid)."""
+    import os
+    import time
+
+    from wikihadoop_spark.operators.quantize import (
+        _STAGING_MAX_AGE_SEC,
+        _reap_dead_staging,
+    )
+
+    path = str(tmp_path / "idx")
+    pid = os.getpid()  # alive by construction
+    stale_tmp = f"{path}.tmp{pid}"
+    os.makedirs(stale_tmp)
+    old = time.time() - _STAGING_MAX_AGE_SEC - 60
+    os.utime(stale_tmp, (old, old))
+    fresh_tmp = f"{path}.data{pid}"
+    os.makedirs(fresh_tmp)
+
+    _reap_dead_staging(path)
+    assert not os.path.exists(stale_tmp), "expired live-pid staging kept"
+    assert os.path.exists(fresh_tmp), "fresh live-pid staging reaped"
+
+    # the CURRENT publish target is protected even when expired
+    os.symlink(fresh_tmp, path)
+    os.utime(fresh_tmp, (old, old))
+    _reap_dead_staging(path)
+    assert os.path.exists(fresh_tmp), "published target reaped by age rule"
+
+
+def test_ivf_overwrite_publish_failure_is_loud(spark, tmp_path, monkeypatch):
+    """Round-13 review finding: if the overwrite=True symlink flip
+    fails after the legacy real-dir index was renamed aside, the old
+    index must be RESTORED and the failure re-raised — not silently
+    swallowed with the overwrite misreported as success."""
+    import os
+
+    import pytest
+
+    from wikihadoop_spark.operators import quantize as qz
+
+    df = spark.createDataFrame(
+        [(0, [5, 0], 25, 0), (1, [0, 5], 25, 1)],
+        "vec_id bigint, q array<int>, n2 bigint, cluster int",
+    )
+    path = str(tmp_path / "idx")
+    # fabricate a legacy REAL-DIRECTORY index (pre-symlink layout):
+    # write normally, then replace the published link with its target
+    qz.ivf_write_int8(df, [[5, 0], [0, 5]], path, overwrite=True)
+    tgt = os.path.realpath(path)
+    os.unlink(path)
+    os.rename(tgt, path)
+    assert os.path.isdir(path) and not os.path.islink(path)
+    marker = os.path.join(path, "centroids")
+    assert os.path.exists(marker)
+
+    real_rename = os.rename
+
+    def flaky_rename(src, dst, **kw):
+        if src.endswith(f".lnk{os.getpid()}") and dst == path:
+            raise OSError("injected publish failure")
+        return real_rename(src, dst, **kw)
+
+    monkeypatch.setattr(os, "rename", flaky_rename)
+    with pytest.raises(OSError, match="injected publish failure"):
+        qz.ivf_write_int8(df, [[5, 0], [0, 5]], path, overwrite=True)
+    monkeypatch.setattr(os, "rename", real_rename)
+    # the OLD index was restored at path — never absent, never half-gone
+    assert os.path.isdir(path) and not os.path.islink(path)
+    assert os.path.exists(marker)
+
+
+def test_probe_dim_mismatch_raises_loudly(spark):
+    """Round-13 review finding: the probe-side twin of the append
+    path's dimension guard — a mis-dimensioned query vector must raise
+    at execution, not zip_with-pad into a silently empty match set.
+    nprobe_clusters is THE shared probe rule, so this covers the batch
+    search and the streaming probe alike."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.sql import functions as SF
+
+    from wikihadoop_spark.operators.quantize import nprobe_clusters
+
+    cents = [[5, 0, 0], [0, 5, 0]]
+    bad = spark.createDataFrame([(0, [1, 2])], "vec_id bigint, q array<int>")
+    with pytest.raises((Py4JJavaError, Exception), match="dimension"):
+        bad.select(nprobe_clusters(SF.col("q"), cents, 1)).collect()
+    ok = spark.createDataFrame([(0, [1, 2, 3])], "vec_id bigint, q array<int>")
+    got = ok.select(
+        nprobe_clusters(SF.col("q"), cents, 2).alias("cl")
+    ).collect()
+    # [1,2,3]: d((5,0,0))=29, d((0,5,0))=19 -> nearest 1 then 0
+    assert got[0].cl == [1, 0]
+    with pytest.raises(ValueError, match="empty centroid"):
+        nprobe_clusters(SF.col("q"), [], 1)
+
+
+def test_ivf_append_detects_concurrent_flip(spark, tmp_path, monkeypatch):
+    """Round-13 review finding: an append racing an overwrite=True
+    re-publish would land its rows in the superseded .data target.
+    The append pins the resolved target up front and verifies the link
+    afterwards — a flip during the append raises loudly instead of
+    silently losing the rows."""
+    import os
+
+    import pytest
+
+    from wikihadoop_spark.operators import quantize as qz
+
+    df = spark.createDataFrame(
+        [(0, [5, 0], 25, 0), (1, [0, 5], 25, 1)],
+        "vec_id bigint, q array<int>, n2 bigint, cluster int",
+    )
+    path = str(tmp_path / "idx")
+    qz.ivf_write_int8(df, [[5, 0], [0, 5]], path, overwrite=True)
+    assert os.path.islink(path)
+
+    real_assign = qz.ivf_assign_int8
+
+    def flip_then_assign(*a, **k):
+        # simulate a concurrent publisher flipping the link mid-append
+        other = str(tmp_path / "other.data")
+        os.makedirs(os.path.join(other, "vectors"), exist_ok=True)
+        lnk = path + ".race"
+        os.symlink(other, lnk)
+        os.rename(lnk, path)
+        return real_assign(*a, **k)
+
+    monkeypatch.setattr(qz, "ivf_assign_int8", flip_then_assign)
+    new = spark.createDataFrame([(9, [4, 1])], "vec_id bigint, q array<int>")
+    with pytest.raises(RuntimeError, match="re-published while appending"):
+        qz.ivf_append_int8(new, [[5, 0], [0, 5]], path)

@@ -8,6 +8,14 @@ bench.py's `_SF1_ISOLATED_WATERMARKS` (with provenance in SCALING.md).
 
 Usage:
     python tools/spot_isolated.py [query ...]   # default: all spots
+    python tools/spot_isolated.py --headline    # headline-suite total
+                                                # (round-13 verdict
+                                                # item 2): min-of-3 per
+                                                # headline query at
+                                                # $SPARK_GRAFT_SF_DIR,
+                                                # prints the total to
+                                                # paste into bench.py's
+                                                # _HEADLINE_ISOLATED_WATERMARKS
 
 Run on a quiet host: no concurrent pytest or bench (see SCALING.md's
 host-variance protocol).
@@ -44,12 +52,53 @@ def _min3(spark, name: str, data_dir: str) -> tuple[float, float]:
     return min(dts), max(dts) - min(dts)
 
 
+def _headline_total(spark, sf_dir: str) -> None:
+    """Isolated headline-suite watermark: the exact bench.py protocol
+    (sf0.001 codegen warmup, sequential parquet prewarm before each
+    pass, per-query min-of-3) in a process doing nothing else."""
+    import glob
+
+    for name in bench.HEADLINE:
+        bench.QUERIES[name](spark, "/root/testdata/sf0.001").count()
+
+    def prewarm() -> None:
+        for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+            with open(p, "rb") as fh:
+                while fh.read(1 << 24):
+                    pass
+
+    raw: dict[str, list[float]] = {n: [] for n in bench.HEADLINE}
+    for _ in range(3):
+        prewarm()
+        for name in bench.HEADLINE:
+            t0 = time.perf_counter()
+            bench.QUERIES[name](spark, sf_dir).count()
+            raw[name].append(time.perf_counter() - t0)
+    mins = {n: round(min(v), 3) for n, v in raw.items()}
+    print(
+        json.dumps(
+            {
+                "headline_isolated_total_sec": round(sum(mins.values()), 3),
+                "sf_dir": sf_dir,
+                "queries": mins,
+                "queries_spread": {
+                    n: round(max(v) - min(v), 3) for n, v in raw.items()
+                },
+            }
+        )
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
     spark = get_spark("spot-isolated", cpus=cpus, shuffle_partitions=2 * cpus)
     spark.sparkContext.setLogLevel("ERROR")
+    if "--headline" in sys.argv[1:]:
+        _headline_total(spark, sf_dir)
+        spark.stop()
+        return
     spot_dir, span_dir = bench._sf1_replica_dirs(spark, sf_dir)
 
     wanted = sys.argv[1:]

@@ -263,20 +263,36 @@ def _hash_head_tail(h, path: str) -> None:
 
 
 def _stat_listing(corpus_file: str) -> tuple:
-    """RECURSIVE (relpath, size, mtime_ns) listing of a corpus — every
-    file at every depth, sorted, so a hive-partitioned dataset's
-    nested part files are all visible.  Symlinked subdirectories are
-    FOLLOWED (a realpath-visited set breaks cycles: each real dir is
-    listed once) and an unreadable subtree raises loudly rather than
-    silently vanishing from the fingerprint.  Pure stat calls, no
-    byte reads.  A single-file corpus lists under its basename, so
-    the content component is location-independent."""
+    """RECURSIVE (relpath, size, mtime_ns, ctime_ns) listing of a
+    corpus — every file at every depth, sorted, so a hive-partitioned
+    dataset's nested part files are all visible.  Symlinked
+    subdirectories are FOLLOWED (a realpath-visited set breaks cycles:
+    each real dir is listed once) and an unreadable subtree raises
+    loudly rather than silently vanishing from the fingerprint.  Pure
+    stat calls, no byte reads.  A single-file corpus lists under its
+    basename, so the content component is location-independent.
+
+    ctime_ns is part of the CHANGE-DETECTION key only (the fingerprint
+    memo and the sidecar), never of the content digest: a
+    stat-preserving rewrite (``rsync --inplace -t``) cannot restore
+    ctime from userland, so the memo invalidates immediately instead
+    of waiting out the TTL (round-13 review finding) — while a pure
+    metadata touch (chmod, re-hardlink) that bumps ctime merely
+    re-reads bytes and lands on the SAME fingerprint, so the index
+    path never churns on metadata-only changes."""
     import os
 
     if not os.path.isdir(corpus_file):
         st = os.stat(corpus_file)
-        return ((os.path.basename(corpus_file), st.st_size, st.st_mtime_ns),)
-    out: list[tuple[str, int, int]] = []
+        return (
+            (
+                os.path.basename(corpus_file),
+                st.st_size,
+                st.st_mtime_ns,
+                st.st_ctime_ns,
+            ),
+        )
+    out: list[tuple[str, int, int, int]] = []
     seen: set[str] = set()
 
     def rec(d: str) -> None:
@@ -294,6 +310,7 @@ def _stat_listing(corpus_file: str) -> tuple:
                         os.path.relpath(e.path, corpus_file),
                         st.st_size,
                         st.st_mtime_ns,
+                        st.st_ctime_ns,
                     )
                 )
 
@@ -303,18 +320,72 @@ def _stat_listing(corpus_file: str) -> tuple:
 
 # fingerprint memo, ONE entry per corpus: abspath -> (monotonic stamp,
 # stat listing, fingerprint).  Content bytes are re-read when any
-# file's (relpath, size, mtime_ns) changes OR the TTL lapses — a pure
+# file's (relpath, size, mtime_ns, ctime_ns) changes — ctime makes a
+# stat-preserving rewrite (rsync --inplace -t) invalidate IMMEDIATELY
+# (userland cannot restore ctime), so the TTL is a pure backstop for
+# pathologies the stat key cannot see (e.g. a filesystem that lies
+# about ctime), not the staleness bound it was in round 13.  A pure
 # cache hit (the common per-query invocation against an unchanged
-# corpus) costs stats only, never the 128 KiB/file reads.  The TTL is
-# what bounds staleness in a LONG-LIVED driver: an external
-# stat-preserving rewrite (rsync --inplace -t) of a corpus the driver
-# already fingerprinted is re-detected within _FP_TTL_SEC, instead of
-# never (round-13 review findings, both directions of the trade).
+# corpus) costs stats only, never the 128 KiB/file reads — and a TTL
+# lapse against an unchanged corpus is answered by the PERSISTENT
+# sidecar (below) with zero byte reads too.
 _FP_TTL_SEC = 300.0
 _FP_CACHE: dict[str, tuple[float, tuple, str]] = {}
+_FP_SIDECAR_VERSION = "fp-v1"
 
 
-def _content_fingerprint(corpus_file: str) -> str:
+def _listing_sha(listing: tuple) -> str:
+    import hashlib
+
+    return hashlib.sha256(repr(listing).encode()).hexdigest()
+
+
+def _read_fp_sidecar(sidecar: str, listing_sha: str) -> str | None:
+    """Return the sidecar's fingerprint iff it was recorded for exactly
+    this stat listing (including ctime); any read/parse problem means
+    'no sidecar' — the caller recomputes from bytes."""
+    import json
+
+    try:
+        with open(sidecar) as fh:
+            doc = json.load(fh)
+        if (
+            doc.get("version") == _FP_SIDECAR_VERSION
+            and doc.get("listing_sha") == listing_sha
+            and isinstance(doc.get("fingerprint"), str)
+        ):
+            return doc["fingerprint"]
+    except (OSError, ValueError):
+        pass
+    return None
+
+
+def _write_fp_sidecar(sidecar: str, listing_sha: str, fp: str) -> None:
+    """Best-effort atomic (tmp + rename) sidecar publish — a failed
+    write only costs a future byte re-read, never correctness."""
+    import json
+    import os
+
+    tmp = f"{sidecar}.tmp{os.getpid()}"
+    try:
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "version": _FP_SIDECAR_VERSION,
+                    "listing_sha": listing_sha,
+                    "fingerprint": fp,
+                },
+                fh,
+            )
+        os.replace(tmp, sidecar)
+    except OSError:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+
+
+def _content_fingerprint(corpus_file: str, sidecar: str | None = None) -> str:
     """Cheap content component of the cache key: sha256 of the first
     and last 64 KiB of every file (RECURSIVELY for a directory corpus
     — nested hive partitions included, symlinked subdirs followed),
@@ -323,11 +394,20 @@ def _content_fingerprint(corpus_file: str) -> str:
     ``cp -p``, tar extracts, in-place part-file rewrites at any
     depth) and coarse-mtime filesystems that the stat key alone would
     miss — parquet footers live in the tail, so a re-encoded file
-    with equal head bytes still re-keys.  Cost is bounded at 128 KiB
-    of reads per file, paid only when the stat listing changes or the
-    memo TTL (``_FP_TTL_SEC``) lapses — so a long-lived driver sees a
-    stat-identical external rewrite within the TTL, and a burst of
-    queries against an unchanged corpus pays the byte reads once."""
+    with equal head bytes still re-keys.
+
+    Cost model (round-13 verdict item 4): every call pays one
+    O(#files) stat walk — unavoidable, it IS the change detector.  The
+    128 KiB/file byte reads are paid only when the stat listing
+    (size + mtime_ns + ctime_ns per file) actually changes: an
+    unchanged listing is answered by the in-memory memo while the TTL
+    is fresh, and by the PERSISTENT ``sidecar`` (a tiny JSON keyed by
+    the listing hash, maintained atomically next to the index
+    artifacts) after a TTL lapse or in a fresh process — so a
+    10^5-part-file corpus never re-hashes gigabytes every 5 minutes,
+    and a driver restart starts warm.  ctime_ns in the listing key
+    (never in the digest — see ``_stat_listing``) is what makes the
+    TTL a backstop rather than the staleness bound."""
     import hashlib
     import os
     import time
@@ -339,9 +419,15 @@ def _content_fingerprint(corpus_file: str) -> str:
         stamp, cached_listing, fp = hit
         if cached_listing == listing and time.monotonic() - stamp < _FP_TTL_SEC:
             return fp
+    lsha = _listing_sha(listing)
+    if sidecar is not None:
+        fp = _read_fp_sidecar(sidecar, lsha)
+        if fp is not None:
+            _FP_CACHE[ap] = (time.monotonic(), listing, fp)
+            return fp
     h = hashlib.sha256()
     base = corpus_file if os.path.isdir(corpus_file) else None
-    for relpath, size, mtime_ns in listing:
+    for relpath, size, mtime_ns, _ctime_ns in listing:
         h.update(f"{relpath}:{size}:{mtime_ns};".encode())
         if size:
             _hash_head_tail(
@@ -349,6 +435,8 @@ def _content_fingerprint(corpus_file: str) -> str:
             )
     fp = h.hexdigest()[:12]
     _FP_CACHE[ap] = (time.monotonic(), listing, fp)
+    if sidecar is not None:
+        _write_fp_sidecar(sidecar, lsha, fp)
     return fp
 
 
@@ -368,26 +456,36 @@ def ivf_index_path(
     too), and the build parameters.  ``variant`` distinguishes indexes
     built over different SLICES of the same file (e.g. the streaming
     analog's static split) — without it two such builds would collide
-    on one path and silently serve each other's clusters.  Pure path
-    computation, NO filesystem side effects — stale-sibling cleanup
-    happens in the build path (:func:`ivf_build_or_read_int8`), where
-    it can be ordered against readers, not as a surprise side effect
-    of computing a name."""
+    on one path and silently serve each other's clusters.
+
+    Cost: every call pays one O(#files) stat walk of the corpus (the
+    change detector — see ``_content_fingerprint``); byte re-reads are
+    paid only when the corpus actually changed, because the computed
+    fingerprint persists in a tiny ``wikihadoop_ivf8_<stem>.fp.json``
+    sidecar in ``base`` keyed by the stat-listing hash (round-13
+    verdict item 4).  The sidecar lives NEXT TO the index rather than
+    inside it because the fingerprint determines the index path — it
+    cannot live behind the name it computes.  No side effects on index
+    ARTIFACTS (stale-sibling cleanup happens in the build path,
+    :func:`ivf_build_or_read_int8`, where it can be ordered against
+    readers); the sidecar itself is maintained atomically
+    (tmp + rename) and is a pure rebuildable cache."""
     import hashlib
     import os
     import tempfile
 
     st = os.stat(corpus_file)
-    fp = hashlib.sha256(
-        f"{_IVF_ARTIFACT_VERSION}:{os.path.abspath(corpus_file)}:{st.st_size}:"
-        f"{st.st_mtime_ns}:{_content_fingerprint(corpus_file)}:"
-        f"k={k}:it={iterations}:variant={variant}".encode()
-    ).hexdigest()[:12]
     stem = hashlib.sha256(
         f"{os.path.abspath(corpus_file)}:k={k}:it={iterations}:"
         f"variant={variant}".encode()
     ).hexdigest()[:8]
     base = base or tempfile.gettempdir()
+    sidecar = os.path.join(base, f"wikihadoop_ivf8_{stem}.fp.json")
+    fp = hashlib.sha256(
+        f"{_IVF_ARTIFACT_VERSION}:{os.path.abspath(corpus_file)}:{st.st_size}:"
+        f"{st.st_mtime_ns}:{_content_fingerprint(corpus_file, sidecar)}:"
+        f"k={k}:it={iterations}:variant={variant}".encode()
+    ).hexdigest()[:12]
     return os.path.join(base, f"wikihadoop_ivf8_{stem}_{fp}")
 
 
@@ -433,12 +531,44 @@ def _remove_index(p: str) -> None:
             pass
 
 
+# Age fallback for the staging reaper (round-13 review finding): pid
+# liveness alone is vulnerable to PID REUSE — a crashed build's staging
+# whose pid was recycled by an unrelated long-lived process would look
+# "live" forever.  Staging is transient by design (a build publishes
+# within minutes), so any staging entry older than this is an orphan
+# whatever its pid says.  The CURRENT publish target of a path is
+# protected by the realpath check before the age rule applies — a
+# published artifact is never staging, however old.
+_STAGING_MAX_AGE_SEC = 24 * 3600.0
+
+# Deterministic retirement horizon for ANY wikihadoop_ivf8_* entry in
+# an index base dir (round-13 verdict item 5): pre-r13 legacy-formula
+# artifacts are indistinguishable by name from a live index, so the
+# only safe reclaim is age — an index (or sidecar) untouched for a
+# week is rebuilt bit-identically on demand if it was still wanted.
+_IVF_MAX_AGE_SEC = 7 * 24 * 3600.0
+
+
+def _staging_expired(p: str) -> bool:
+    import os
+    import time
+
+    try:
+        st = os.lstat(p)
+    except OSError:
+        return False  # vanished under us — nothing to reap
+    return time.time() - st.st_mtime > _STAGING_MAX_AGE_SEC
+
+
 def _reap_dead_staging(path: str) -> None:
     """Remove staging siblings of ``path`` (.tmp/.data/.lnk/.old)
     whose owning pid is no longer alive — leftovers of CRASHED builds
     that would otherwise survive until the corpus changes (round-12
-    verdict item 4).  A .data dir that is the CURRENT publish target
-    of ``path`` is never reaped, even if its builder pid has exited —
+    verdict item 4) — or whose pid appears alive but the entry is
+    older than ``_STAGING_MAX_AGE_SEC`` (PID reuse: an unrelated
+    process recycled the crashed builder's pid; round-13 review
+    finding).  A .data dir that is the CURRENT publish target of
+    ``path`` is never reaped, even if its builder pid has exited —
     the artifact outlives its writer by design."""
     import glob
     import os
@@ -450,7 +580,9 @@ def _reap_dead_staging(path: str) -> None:
     # index's live published data (round-13 review finding)
     for cand in glob.glob(glob.escape(path) + ".*"):
         m = _STAGING_RE.search(cand)
-        if not m or _pid_alive(int(m.group(1))):
+        if not m:
+            continue
+        if _pid_alive(int(m.group(1))) and not _staging_expired(cand):
             continue
         if current is not None and os.path.realpath(cand) == current:
             if os.path.islink(cand):
@@ -482,18 +614,25 @@ def _cleanup_stale_indexes(path: str) -> None:
     snapshot no new reader can reach).
 
     Scope note: only siblings under the CURRENT stem formula are
-    swept.  The v2 formula shares v3's stem (the version string feeds
-    the FINGERPRINT, not the stem), so v2 artifacts are swept like any
-    stale fingerprint — which also means the single-code-version
-    assumption above extends across an upgrade: a long-lived process
-    still running v2 code and scanning its v2 index loses it (loudly)
-    when a v3 builder cleans the shared stem.  Artifacts from r12 and
-    earlier use a different stem hash (no ``variant=`` component), are
-    indistinguishable by name from another corpus's live index, and
-    are never auto-reaped — they age out with the system temp dir
-    (tmpfs / tmpwatch), a bounded one-time remainder."""
+    swept by fingerprint.  The v2 formula shares v3's stem (the
+    version string feeds the FINGERPRINT, not the stem), so v2
+    artifacts are swept like any stale fingerprint — which also means
+    the single-code-version assumption above extends across an
+    upgrade: a long-lived process still running v2 code and scanning
+    its v2 index loses it (loudly) when a v3 builder cleans the shared
+    stem.  Artifacts from r12 and earlier use a different stem hash
+    (no ``variant=`` component) and are indistinguishable BY NAME from
+    another corpus's live index — those retire deterministically via
+    the AGE sweep (round-13 verdict item 5): any ``wikihadoop_ivf8_*``
+    entry in the base dir older than ``_IVF_MAX_AGE_SEC`` is removed,
+    whatever formula named it.  The age sweep may occasionally retire
+    a still-valid old index for an unchanged corpus; that is cache
+    semantics — the deterministic build recreates it bit-identically
+    on the next search, and the sweep runs only when a build is
+    already happening (never on the pure-read path)."""
     import glob
     import os
+    import time
 
     base, name = os.path.split(path)
     stem = name.rsplit("_", 1)[0]  # wikihadoop_ivf8_<stem>
@@ -501,9 +640,24 @@ def _cleanup_stale_indexes(path: str) -> None:
         if stale == path or stale.startswith(path + "."):
             continue  # current fingerprint + its own staging siblings
         m = _STAGING_RE.search(stale)
-        if m and _pid_alive(int(m.group(1))):
+        if m and _pid_alive(int(m.group(1))) and not _staging_expired(stale):
             continue  # a live builder's staging for another fingerprint
         _remove_index(stale)
+    # age sweep over EVERY wikihadoop_ivf8_* entry in the base dir —
+    # legacy-formula artifacts (pre-r13 stems), other corpora's
+    # abandoned indexes, and orphaned .fp.json sidecars all retire
+    # after _IVF_MAX_AGE_SEC instead of waiting for tmpwatch.  lstat:
+    # a symlink-published index ages from its publish instant.
+    now = time.time()
+    for cand in glob.glob(os.path.join(base, "wikihadoop_ivf8_*")):
+        if cand == path or cand.startswith(path + "."):
+            continue  # never the index being (re)built right now
+        try:
+            if now - os.lstat(cand).st_mtime <= _IVF_MAX_AGE_SEC:
+                continue
+        except OSError:
+            continue  # vanished under us
+        _remove_index(cand)
     _reap_dead_staging(path)
 
 
@@ -636,9 +790,18 @@ def ivf_write_int8(
     except OSError:
         if os.path.lexists(lnk):
             os.unlink(lnk)
-        if legacy is not None and not os.path.lexists(path):
-            os.rename(legacy, path)  # restore — don't leave it absent
-            legacy = None
+        if legacy is not None:
+            # this process renamed ITS OWN legacy index aside and then
+            # failed to publish: restore it and re-raise.  Falling
+            # through to "use theirs" here would silently turn the
+            # requested overwrite into a no-op with the OLD index left
+            # published (round-13 review finding) — under the
+            # documented single-writer contract a failed overwrite
+            # must be loud.  The staged .data dir is left for the
+            # post-mortem; the dead-pid/age reaper retires it.
+            if not os.path.lexists(path):
+                os.rename(legacy, path)  # restore — don't leave it absent
+            raise
         if not os.path.lexists(path):
             raise
         _remove_index(data)  # someone else published a real dir; use theirs
@@ -695,6 +858,59 @@ def ivf_build_or_read_int8(
         # never delete a completed index out from under its readers
         ivf_write_int8(tagged, cents, path, overwrite=False)
     return ivf_read_int8(spark, path)
+
+
+# Marker file recording that a composite build+append artifact holds
+# its append slice.  Underscore prefix: Spark/parquet readers ignore
+# it, and it sits at the index root next to vectors/ and centroids/.
+_APPEND_DONE_MARKER = "_APPEND_DONE"
+
+
+def ivf_build_append_or_read_int8(
+    spark,
+    qcorpus: DataFrame,
+    qappend: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    q_col: str = "q",
+    k: int = 8,
+    iterations: int = 2,
+) -> tuple[DataFrame, list[list[int]]]:
+    """Build-or-read an index over ``qcorpus`` and idempotently append
+    ``qappend`` EXACTLY ONCE — the full append lifecycle as one
+    deterministic artifact (round-13 verdict item 3: the driver-gated
+    composition of build → :func:`ivf_append_int8` → search).
+
+    Idempotence protocol: a ``_APPEND_DONE`` marker is written inside
+    the published data directory AFTER the append lands, so (a) a
+    repeat invocation (bench reruns, the driver's oracle pass) reads
+    the finished artifact without double-appending, and (b) an
+    artifact found WITHOUT the marker — a crash between append and
+    marker, or a plain build that never appended — is removed and
+    rebuilt from scratch rather than trusted (parquet appends are not
+    atomic, so a partial append is indistinguishable from inside; the
+    deterministic rebuild is).  Every path through this function
+    converges on the same bits: build and assignment are
+    deterministic, so rebuild-then-append equals the surviving
+    artifact.  Single-writer contract, same as
+    :func:`ivf_append_int8`."""
+    import os
+
+    marker = os.path.join(os.path.realpath(path), _APPEND_DONE_MARKER)
+    if os.path.exists(path) and not os.path.exists(marker):
+        _remove_index(path)  # pre-append or crashed-append artifact
+    fresh = not os.path.exists(path)
+    tagged, cents = ivf_build_or_read_int8(
+        spark, qcorpus, path, id_col=id_col, q_col=q_col, k=k,
+        iterations=iterations,
+    )
+    if fresh:
+        ivf_append_int8(qappend, cents, path, id_col=id_col, q_col=q_col)
+        with open(os.path.join(os.path.realpath(path), _APPEND_DONE_MARKER), "w"):
+            pass
+        tagged, cents = ivf_read_int8(spark, path)
+    return tagged, cents
 
 
 def ivf_assign_int8(
@@ -758,17 +974,38 @@ def ivf_append_int8(
     path — the CLI and tests share it because the layout is a
     contract: a hand-rolled flat append would mix directory
     structures and break every later read.  Returns the appended row
-    count (one materialization serves the count and the write)."""
+    count (one materialization serves the count and the write).
+
+    SINGLE-WRITER contract (same as ``overwrite=True`` publishes;
+    round-13 review finding): ``path`` is usually a published symlink,
+    and a concurrent ``overwrite=True`` flip during the append would
+    land these rows in the superseded ``.data`` target that the
+    flipper then removes — silent loss.  The append therefore resolves
+    the link ONCE up front, writes into the resolved target, and
+    verifies the link still points there afterwards, raising loudly if
+    a concurrent publisher moved it (the failed rows are in a
+    directory the flipper reclaims; re-run the append against the new
+    index).  Appends against the same resolved target from one writer
+    are safe; concurrent re-publishes are not."""
     import os
 
+    resolved = os.path.realpath(path)
     rows = ivf_assign_int8(
         qframe, centroids, id_col=id_col, q_col=q_col
     ).persist()
     n = rows.count()
     rows.write.mode("append").partitionBy("cluster").parquet(
-        os.path.join(path, "vectors")
+        os.path.join(resolved, "vectors")
     )
     rows.unpersist()
+    if os.path.realpath(path) != resolved:
+        raise RuntimeError(
+            f"ivf_append_int8: index at {path!r} was re-published while "
+            f"appending {n} rows (target moved {resolved!r} -> "
+            f"{os.path.realpath(path)!r}); the append landed in the "
+            "superseded artifact — re-run against the new index "
+            "(single-writer contract)"
+        )
     return n
 
 
@@ -797,7 +1034,28 @@ def nprobe_clusters(
     THE single definition of the probe rule: the batch IVF search and
     the streaming probe both call it, and the stream≡batch equality
     test pins them bit-for-bit — a tie-rule tweak in one place is a
-    tweak in both."""
+    tweak in both.
+
+    Dimension guard (round-13 review finding): a probe vector whose
+    length differs from the trained centroids' would zip_with-pad with
+    NULLs, making every distance NULL and the match set silently empty
+    for that query.  Mirroring the append path's contract
+    (:func:`ivf_assign_int8`), the probe RAISES at execution time
+    instead — row-local, no extra pass, and because this is the single
+    probe rule the guard covers the batch search and the streaming
+    probe alike."""
+    if not centroids:
+        raise ValueError("nprobe_clusters: empty centroid list")
+    dim = len(centroids[0])
+    qvec = F.when(F.size(qvec) == dim, qvec).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("nprobe_clusters: probe vector dimension "),
+                F.size(qvec).cast("string"),
+                F.lit(f" != trained centroid dimension {dim}"),
+            )
+        )
+    )
     dists = F.array(
         *[
             _int_sq_dist(qvec, F.array(*[F.lit(int(x)) for x in cen]))

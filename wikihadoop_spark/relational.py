@@ -3784,7 +3784,8 @@ def _int_l2_sql(a: str, b: str) -> str:
 
 def _int8_ivf_oracle_sql(k: int = 8, iterations: int = 2, nprobe: int = 4,
                          topk: int = 10, corpus_pred: str = "",
-                         probe_pred: str = "") -> str:
+                         probe_pred: str = "",
+                         tagged_pred: str = "") -> str:
     """DuckDB replay of ivf_build_int8 + cosine_topk_int8_ivf: trunc
     quantization, integer Lloyd (exact integer assignment distances,
     lowest-cluster tiebreak, TRUNCATED integer centroid means — no
@@ -3797,7 +3798,16 @@ def _int8_ivf_oracle_sql(k: int = 8, iterations: int = 2, nprobe: int = 4,
     the index trains over corpus rows only (``corpus_pred`` on vec_id)
     and the probes come from the disjoint arriving slice
     (``probe_pred``), quantized identically — mirroring
-    stream_ivf_matches probing a written static index."""
+    stream_ivf_matches probing a written static index.
+
+    ``tagged_pred`` (round-13 verdict item 3) replays the APPEND
+    lifecycle: the Lloyd still trains over ``corpus_pred`` rows only,
+    but the SEARCHED set widens to every row matching ``tagged_pred``,
+    each assigned to its nearest FINAL centroid — exactly what
+    ``ivf_append_int8`` does to appended vectors (the build's own
+    final tagging pass and the append's ``ivf_assign_int8`` are the
+    same rule: exact integer distances, lowest-index tiebreak), so
+    build+append+probe+rank replays with no new convention."""
     assign = _int_l2_sql("v.q", "s.q")
     corpus_clause = f"({corpus_pred}) AND " if corpus_pred else ""
     parts = [f"""
@@ -3860,12 +3870,34 @@ def _int8_ivf_oracle_sql(k: int = 8, iterations: int = 2, nprobe: int = 4,
     ),"""
     else:
         qv_sql = "qv AS (SELECT id AS query_id, q AS qa, n2 AS na FROM v WHERE id < 10),"
-    parts.append(f""",
+    if tagged_pred:
+        # append lifecycle: the searched set is every tagged_pred row
+        # (corpus + appended slice), each assigned to its nearest FINAL
+        # centroid — the shared rule of the build's final tagging pass
+        # and ivf_assign_int8
+        assign_tv = _int_l2_sql("tv.q", "s.q")
+        tagged_sql = f"""tv AS (
+      SELECT vec_id AS id, q,
+             CAST(list_dot_product(CAST(q AS DOUBLE[]), CAST(q AS DOUBLE[]))
+                  AS BIGINT) AS n2
+      FROM qt
+      WHERE ({tagged_pred})
+        AND CAST(list_dot_product(CAST(q AS DOUBLE[]), CAST(q AS DOUBLE[]))
+                 AS BIGINT) > 0
+    ),
     tagged AS (
+      SELECT tv.id, tv.q, tv.n2,
+             (SELECT s.cl FROM {prev} s ORDER BY {assign_tv}, s.cl LIMIT 1) AS cl
+      FROM tv
+    ),"""
+    else:
+        tagged_sql = f"""tagged AS (
       SELECT v.id, v.q, v.n2,
              (SELECT s.cl FROM {prev} s ORDER BY {assign}, s.cl LIMIT 1) AS cl
       FROM v
-    ),
+    ),"""
+    parts.append(f""",
+    {tagged_sql}
     {qv_sql}
     probe AS (
       SELECT query_id, cl FROM (
@@ -4024,6 +4056,81 @@ def similarity_probe_int8_stream_analog(spark: SparkSession, sf: str) -> DataFra
         matches.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 10)
         .select("query_id", "neighbor_id", "int_dot", "qcos", "rank")
+    )
+
+
+@query(
+    "similarity_topk_int8_ivf_append",
+    oracle=_int8_ivf_oracle_sql(
+        corpus_pred="vec_id % 13 <> 0",
+        tagged_pred="TRUE",
+        probe_pred="vec_id < 10",
+    ),
+)
+def similarity_topk_int8_ivf_append(spark: SparkSession, sf: str) -> DataFrame:
+    """The int8 IVF APPEND lifecycle, driver-gated end-to-end (round-13
+    verdict item 3): train the integer-Lloyd index over the
+    vec_id % 13 != 0 slice, land it as the written cluster-partitioned
+    artifact, then append the DISJOINT vec_id % 13 == 0 slice via
+    `operators/quantize.py::ivf_append_int8` — assignment against the
+    trained centroids with NO re-train, rows landing in the same
+    ``cluster=N`` directories every search prunes to — and search the
+    appended index with the exact int8 kernel.  The probes
+    (vec_id < 10) straddle both slices, so a green gate proves the
+    appended rows are found exactly where brute-force-over-the-final-
+    centroid-assignment says they belong: vec_id 0 is itself an
+    APPENDED vector probing the index, and appended vectors rank as
+    neighbors of base-slice probes.  Idempotence (bench reruns, the
+    driver's double invocation) comes from the ``_APPEND_DONE`` marker
+    protocol in `ivf_build_append_or_read_int8`: a finished artifact
+    is read as-is, a partial one is deterministically rebuilt.  The
+    oracle replays build + append-assignment + probe + rank exactly —
+    the append's `ivf_assign_int8` and the build's final tagging pass
+    are the SAME rule (exact integer distances, lowest-index
+    tiebreak), so ``tagged_pred`` widening the searched set to both
+    slices is the whole append story in SQL.  The local pin
+    `tests/test_quantize.py::test_ivf_index_append_then_search`
+    additionally proves the appended artifact re-reads with zero Lloyd
+    jobs and leaves pre-append scores bit-identical.  At 100 TB this
+    is the incremental-ingest shape: a daily slice assigns row-locally
+    against K×D driver-held centroids (zero shuffle) and appends only
+    its own partitions; searches keep pruning to nprobe clusters."""
+    import os
+
+    from .operators.quantize import (
+        cosine_topk_int8_ivf,
+        int_norm2,
+        ivf_build_append_or_read_int8,
+        ivf_index_path,
+        quantize_int8,
+    )
+
+    t = Tables(spark, sf)
+    qn_all = (
+        t.embeddings.select(
+            "vec_id",
+            quantize_int8(F.col("embedding").cast("array<double>")).alias("q"),
+        )
+        .withColumn("n2", int_norm2(F.col("q")))
+        .filter(F.col("n2") > 0)
+    )
+    corpus = qn_all.filter(F.col("vec_id") % 13 != 0).persist()
+    arriving = qn_all.filter(F.col("vec_id") % 13 == 0)
+    idx = ivf_index_path(
+        os.path.join(sf, "embeddings.parquet"), k=8, iterations=2,
+        variant="append-mod13",
+    )
+    tagged, cents = ivf_build_append_or_read_int8(
+        spark, corpus, arriving, idx, k=8, iterations=2
+    )
+    # the persisted corpus frame only feeds the one-time build (the
+    # search reads the WRITTEN index) — release it rather than pin it
+    # in executor memory for the session
+    corpus.unpersist()
+    probes = qn_all.filter(F.col("vec_id") < 10)
+    return cosine_topk_int8_ivf(
+        tagged, cents, probes, id_col="vec_id", q_col="q", n2_col="n2",
+        k=10, nprobe=4,
     )
 
 
@@ -5469,6 +5576,65 @@ def media_frame_fanout_q(spark: SparkSession, sf: str) -> DataFrame:
 # gained q_col/n2_col parameters defaulting to the canonical artifact
 # names (pure widening; all existing calls bind identically).
 #
+# Round-14 rotation (this round): CORRECTNESS_r13 went 50/50 green
+# (tenth consecutive), so the catalog's evidence splits 50 r13-green /
+# 50 r12-pinned / 7 r11-pinned.  Must-gate, exactly as pre-declared in
+# the round-13 deferral: the seven r11-pinned queries at 2-round
+# evidence age — agg_percentile, decontaminate_exact,
+# decontaminate_ngram, events_retention, scalar_math, similarity_topk,
+# similarity_topk_int8.  One NEW query gates immediately per
+# new-query hygiene (policy item (b)): similarity_topk_int8_ivf_append
+# — the int8 IVF APPEND lifecycle (build → ivf_append_int8 over a
+# disjoint slice → search the appended index), closing round-13
+# verdict item 3 (append→search was pinned only locally); its oracle
+# replays build + append-assignment + probe + rank via the new
+# tagged_pred knob on the shared _int8_ivf_oracle_sql builder (the
+# default and stream-analog oracle strings verified byte-identical to
+# round 13's).  Catalog: 108 queries.  similarity_topk_int8_ivf
+# (r12-pinned) also rotates in out of turn: this round's
+# operators/quantize.py edits sit on its call path — the probe-side
+# dimension guard in nprobe_clusters, the persistent fingerprint
+# sidecar + ctime-keyed memo in ivf_index_path, and the
+# staging-age/legacy-age reapers — so the driver re-verifies the
+# artifact read path end-to-end rather than trusting a pin across an
+# operator change.
+#
+# The remaining 41 slots go to r12-pinned demotions — 49 candidates
+# for 41 slots, so EIGHT defer one round to r15 (still within the
+# age-2 bound), chosen by the family criterion (policy item (d)):
+# every deferred query's operator family receives a fresh r14 gate
+# through an in-window query on this round's actual code — agg_cube +
+# agg_rollup (the grouping-analytics aggregation surface re-gated via
+# the must-gate agg_percentile, plus the in-window join_*_agg/q3/q5
+# aggregation paths), scalar_array + scalar_conditional + scalar_date
+# + scalar_hash (the scalar library re-gated via the must-gate
+# scalar_math), decontaminate_bloom (operators/decontam.py re-gated
+# via the must-gates decontaminate_exact + decontaminate_ngram; the
+# Bloom bit-replay suite in test_decontam.py), and events_pivot
+# (events-table analytics re-gated via the must-gate events_retention
+# and the in-window events_sliding).  All eight are first-priority
+# must-gates for round 15.  After this round's gate no evidence is
+# older than r12, and only those eight are older than r13.
+#
+# Round-14 operator edits touching PINNED queries' call paths, all
+# behavior-preserving by construction and re-proven by the local
+# 3-SF parity suite + the stream≡batch bit-equality pin:
+# operators/quantize.py gained (a) a probe-side dimension guard in
+# nprobe_clusters (raises on a mis-dimensioned probe instead of
+# zip_with-padding into a silently empty match set — no catalog
+# corpus contains one, so results are bit-identical), (b) a
+# persistent .fp.json fingerprint sidecar + st_ctime_ns in the memo
+# key (changes WHERE the fingerprint is cached and WHEN bytes are
+# re-read, never the fingerprint VALUE — artifact paths are
+# unchanged), (c) staging-age and legacy-age reapers (filesystem
+# hygiene off the query path), and (d) a loud-failure overwrite
+# publish + realpath-pinned append (error paths only).  The only
+# demoted query whose call path touches any of this is
+# similarity_probe_int8_stream_analog (r13-green — the freshest
+# evidence in the catalog); its family is re-gated this round through
+# BOTH in-window IVF queries, which exercise the same nprobe_clusters
+# guard and artifact lifecycle on this round's code.
+#
 # STEADY-STATE CATALOG-GROWTH POLICY (round-11 verdict item 6): the
 # driver gates a fixed 50-query prefix, so a catalog of size C forces
 # a worst-case evidence age of ceil(C/50) - 1 rounds behind the
@@ -5485,129 +5651,134 @@ def media_frame_fanout_q(spark: SparkSession, sf: str) -> DataFrame:
 # must be written down with their criterion in this comment block the
 # round they are made.
 
-# The must-gate set for THIS round: the six r10-pinned deferrals at
-# the 2-round evidence-age bound (pre-declared in the round-12
-# rotation) + the NEW streaming-probe batch analog (never gated),
-# plus the 43 oldest-evidence (r11-pinned) refreshes — validated to
-# sit inside the gate prefix.
+# The must-gate set for THIS round: the seven r11-pinned deferrals at
+# the 2-round evidence-age bound (pre-declared in the round-13
+# rotation) + the NEW int8 IVF append-lifecycle query (never gated) +
+# similarity_topk_int8_ivf (rotated in out of turn — this round's
+# quantize.py edits sit on its call path), plus the 41
+# oldest-evidence (r12-pinned) refreshes — validated to sit inside
+# the gate prefix.
 GATE_WINDOW = 50
 
 ROTATION_SET: frozenset[str] = frozenset(
     {
-        # ---- round-13 must-gates: the six r10 pins deferred from the
-        # r12 rotation (the only 2-round-age evidence) and the new
-        # streaming int8 IVF probe batch analog (never gated)
-        "media_image_metadata",
-        "media_audio_features",
-        "jsonl_roundtrip",
-        "decontaminate_report",
-        "similarity_topk_ivf",
-        "embedding_cosine_dedup",
-        "similarity_probe_int8_stream_analog",
-        # ---- 43 of the 50 r11-pinned demotions rotate back (oldest
-        # evidence; the other 7 defer to r14 under the family
-        # criterion in the rotation comment)
-        "agg_approx_distinct",
-        "agg_argmax",
-        "agg_distinct",
-        "agg_grouping_sets",
-        "agg_stats",
-        "asof_join_events_orders",
-        "chunk_documents",
-        "correlated_exists",
-        "curate_pipeline",
-        "dedup_line_frequency",
-        "dedup_verify_pairs",
-        "events_tumbling",
-        "filter_regex",
-        "join_full_outer",
-        "join_inner_agg",
-        "join_theta",
-        "minhash_lsh_pairs",
-        "mixture_waterfill",
-        "ngram_overlap",
-        "pack_token_budget",
-        "q1_pricing_summary",
-        "range_join_near_orders",
-        "sample_stratified",
-        "scalar_json",
-        "scalar_string",
-        "scalar_subquery",
-        "scan_filter_project",
-        "sessionize_events",
-        "set_union_all",
-        "shuffle_pack",
-        "similarity_topk_int8_lsh",
-        "sort_topk_global",
-        "text_lm_buckets",
-        "text_quality_model",
-        "text_repetition",
-        "text_scrub_pii",
-        "text_tfidf_topk",
-        "unpivot_lineitem",
-        "wikidump_roundtrip",
-        "wikidump_roundtrip_bz2",
-        "window_distribution",
-        "window_rank_topk",
-        "window_value_functions",
+        # ---- round-14 must-gates: the seven r11 pins deferred from
+        # the r13 rotation (the only 2-round-age evidence)
+        "agg_percentile",
+        "decontaminate_exact",
+        "decontaminate_ngram",
+        "events_retention",
+        "scalar_math",
+        "similarity_topk",
+        "similarity_topk_int8",
+        # ---- the never-gated append-lifecycle query (new-query
+        # hygiene) and the artifact-path query whose operators changed
+        # this round
+        "similarity_topk_int8_ivf_append",
+        "similarity_topk_int8_ivf",
+        # ---- 41 of the 49 remaining r12-pinned demotions rotate
+        # back (oldest evidence; the other 8 defer to r15 under the
+        # family criterion in the rotation comment)
+        "corpus_delta",
+        "corpus_report_card",
+        "dedup_clusters",
+        "dedup_exact_rows",
+        "dedup_keeper_quality",
+        "dedup_span_audit",
+        "dedup_span_exact",
+        "dsir_weights",
+        "embedding_cosine_dedup_int8",
+        "events_sliding",
+        "join_anti",
+        "join_cross",
+        "join_left_agg",
+        "join_right_agg",
+        "join_semi",
+        "jsonl_corrupt_audit",
+        "media_frame_fanout",
+        "minhash_signatures",
+        "ngram_jaccard_block",
+        "q3_top_revenue",
+        "q5_revenue_by_nation",
+        "sample_mixture",
+        "semantic_dedup",
+        "set_except",
+        "set_intersect",
+        "simhash_near_pairs",
+        "simhash_signatures",
+        "similarity_topk_lsh",
+        "sketch_count_min",
+        "text_c4_clean",
+        "text_diff_adjacent",
+        "text_fingerprint",
+        "text_langid",
+        "text_lm_bigram",
+        "text_lm_surprisal",
+        "text_quality",
+        "text_stopword_strip",
+        "text_tokens",
+        "window_lag_pairs",
+        "window_moving",
+        "window_running",
     }
 )
 
 _GATE_ORDER: tuple[str, ...] = (
-    # ---- must-gate: the 6 deferred r10 pins + the never-gated
-    # streaming-probe batch analog
-    "media_image_metadata",
-    "media_audio_features",
-    "jsonl_roundtrip",
-    "decontaminate_report",
-    "similarity_topk_ivf",
-    "embedding_cosine_dedup",
-    "similarity_probe_int8_stream_analog",
-    # ---- the 43 r11-pinned demotions rotating back ----
-    "agg_approx_distinct",
-    "agg_argmax",
-    "agg_distinct",
-    "agg_grouping_sets",
-    "agg_stats",
-    "asof_join_events_orders",
-    "chunk_documents",
-    "correlated_exists",
-    "curate_pipeline",
-    "dedup_line_frequency",
-    "dedup_verify_pairs",
-    "events_tumbling",
-    "filter_regex",
-    "join_full_outer",
-    "join_inner_agg",
-    "join_theta",
-    "minhash_lsh_pairs",
-    "mixture_waterfill",
-    "ngram_overlap",
-    "pack_token_budget",
-    "q1_pricing_summary",
-    "range_join_near_orders",
-    "sample_stratified",
-    "scalar_json",
-    "scalar_string",
-    "scalar_subquery",
-    "scan_filter_project",
-    "sessionize_events",
-    "set_union_all",
-    "shuffle_pack",
-    "similarity_topk_int8_lsh",
-    "sort_topk_global",
-    "text_lm_buckets",
-    "text_quality_model",
-    "text_repetition",
-    "text_scrub_pii",
-    "text_tfidf_topk",
-    "unpivot_lineitem",
-    "wikidump_roundtrip",
-    "wikidump_roundtrip_bz2",
-    "window_distribution",
-    "window_rank_topk",
-    "window_value_functions",
+    # ---- must-gate: the 7 deferred r11 pins ----
+    "agg_percentile",
+    "decontaminate_exact",
+    "decontaminate_ngram",
+    "events_retention",
+    "scalar_math",
+    "similarity_topk",
+    "similarity_topk_int8",
+    # ---- the new append-lifecycle gate + the touched artifact path ----
+    "similarity_topk_int8_ivf_append",
+    "similarity_topk_int8_ivf",
+    # ---- the 41 r12-pinned demotions rotating back ----
+    "corpus_delta",
+    "corpus_report_card",
+    "dedup_clusters",
+    "dedup_exact_rows",
+    "dedup_keeper_quality",
+    "dedup_span_audit",
+    "dedup_span_exact",
+    "dsir_weights",
+    "embedding_cosine_dedup_int8",
+    "events_sliding",
+    "join_anti",
+    "join_cross",
+    "join_left_agg",
+    "join_right_agg",
+    "join_semi",
+    "jsonl_corrupt_audit",
+    "media_frame_fanout",
+    "minhash_signatures",
+    "ngram_jaccard_block",
+    "q3_top_revenue",
+    "q5_revenue_by_nation",
+    "sample_mixture",
+    "semantic_dedup",
+    "set_except",
+    "set_intersect",
+    "simhash_near_pairs",
+    "simhash_signatures",
+    "similarity_topk_lsh",
+    "sketch_count_min",
+    "text_c4_clean",
+    "text_diff_adjacent",
+    "text_fingerprint",
+    "text_langid",
+    "text_lm_bigram",
+    "text_lm_surprisal",
+    "text_quality",
+    "text_stopword_strip",
+    "text_tokens",
+    "window_lag_pairs",
+    "window_moving",
+    "window_running",
 )
+
 
 def _rotate_gate_window() -> None:
     # explicit raises, not assert: this validation must survive
