@@ -746,3 +746,24 @@ def test_stream_analog_probe_plan_shape(spark):
     for line in plan.splitlines():
         if "Exchange" in line and "Broadcast" not in line:
             assert "hashpartitioning(query_id" in line, line
+
+
+def test_similarity_int8_ivf_append_plan_shape(spark):
+    """The append-lifecycle search (round-14 gate): after
+    ivf_append_int8 lands the disjoint slice into the artifact's
+    cluster=N directories, the SEARCH plan must be identical in shape
+    to the plain IVF search — an equi-join on cluster id against the
+    written artifact (BroadcastHash, the nprobe-exploded probe side
+    broadcast), no nested loop, no sort-merge join, only the rank
+    window's query_id exchange — because the append changed the DATA,
+    not the plan: preserving that is the whole point of
+    ivf_append_int8's layout contract."""
+    plan = plan_of(spark, "similarity_topk_int8_ivf_append")
+    assert "BroadcastHashJoin" in plan  # equi-join on cluster
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "wikihadoop_ivf8" in plan  # scans the written artifact
+    assert "WindowGroupLimit" in plan
+    for line in plan.splitlines():
+        if "Exchange" in line and "Broadcast" not in line:
+            assert "hashpartitioning(query_id" in line, line

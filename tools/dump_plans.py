@@ -260,6 +260,20 @@ SHOWCASE = [
         " runs per micro-batch as a stream-static join.",
     ),
     (
+        "similarity_topk_int8_ivf_append",
+        "The append lifecycle (round-14 gate): ivf_append_int8 lands"
+        " the disjoint slice into the SAME cluster=N directories the"
+        " build wrote, so the search plan is IDENTICAL in shape to the"
+        " plain IVF search — `BroadcastHashJoin` on cluster id against"
+        " the written artifact, two-phase `WindowGroupLimit`, query_id"
+        " the only shuffle key.  The append changed the data, not the"
+        " plan: that invariance is the layout contract, and at 100 TB"
+        " it is what makes incremental ingest free for readers (a"
+        " daily slice assigns row-locally against K x D driver-held"
+        " centroids — zero shuffle — and appends only its own"
+        " partitions).",
+    ),
+    (
         "embedding_cosine_dedup_int8",
         "SemDeDup blocking over int8: ONE materialized quantized frame"
         " (`InMemoryTableScan`) feeds 2 sides x 2 families of capped"
