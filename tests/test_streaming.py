@@ -1500,3 +1500,98 @@ def test_stream_analog_catalog_query_equals_real_stream(spark, tmp_path):
         .select("query_id", "neighbor_id", "int_dot", "qcos", "rank")
     )
     assert sorted(map(rkey, ranked.collect())) == batch
+
+
+def test_streaming_incremental_append_matches_batch_composite(spark, tmp_path):
+    """The WRITE half of streaming ANN ingest (round 14: the append
+    lifecycle is driver-gated through the batch composite
+    similarity_topk_int8_ivf_append — this is the real-stream drill
+    behind that analog): arriving embeddings are appended to the
+    written int8 IVF index PER MICRO-BATCH via foreachBatch ->
+    ivf_append_int8 (quantize + assign row-locally against the
+    driver-held centroids — zero state, zero shuffle — rows landing in
+    the same cluster=N directories the build wrote), and a search over
+    the incrementally-appended index must equal the batch composite
+    ivf_build_append_or_read_int8 bit-for-bit, however the arriving
+    slice was chopped into micro-batches.  Pins that incremental
+    ingest is invisible to readers: same artifact layout, same
+    results, no re-train."""
+    from wikihadoop_spark.operators.quantize import (
+        cosine_topk_int8_ivf,
+        int_norm2,
+        ivf_append_int8,
+        ivf_build_append_or_read_int8,
+        ivf_build_or_read_int8,
+        ivf_read_int8,
+        quantize_int8,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+
+    def quantized(df):
+        return (
+            df.select(
+                "vec_id",
+                quantize_int8(F.col("embedding").cast("array<double>")).alias("q"),
+            )
+            .withColumn("n2", int_norm2(F.col("q")))
+            .filter(F.col("n2") > 0)
+        )
+
+    corpus = quantized(emb.filter(F.col("vec_id") >= 10))
+    arriving_raw = emb.filter(F.col("vec_id") < 10)
+
+    # batch composite: the gate query's exact lifecycle
+    idx_batch = str(tmp_path / "ivf_batch_composite")
+    tagged_b, cents_b = ivf_build_append_or_read_int8(
+        spark, corpus, quantized(arriving_raw), idx_batch, k=4, iterations=2
+    )
+
+    # streaming twin: same build, then the arriving slice appended one
+    # micro-batch at a time
+    idx_stream = str(tmp_path / "ivf_stream_append")
+    _, cents_s = ivf_build_or_read_int8(
+        spark, corpus, idx_stream, k=4, iterations=2
+    )
+    assert cents_s == cents_b  # deterministic build, same corpus
+
+    new_path = str(tmp_path / "arriving_vecs")
+    arriving_raw.repartition(3).write.mode("overwrite").parquet(new_path)
+
+    def append_batch(df, _epoch):
+        ivf_append_int8(quantized(df), cents_s, idx_stream)
+
+    q = (
+        spark.readStream.schema(arriving_raw.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(new_path)
+        .writeStream.foreachBatch(append_batch)
+        .option(
+            "checkpointLocation", str(tmp_path / "append_ckpt")
+        )
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # the incrementally-appended index reads back identical to the
+    # batch composite: same rows, same tags...
+    tagged_s, cents_read = ivf_read_int8(spark, idx_stream)
+    assert cents_read == cents_b
+    tag = lambda r: (r.vec_id, tuple(r.q), r.n2, r.cluster)
+    assert sorted(map(tag, tagged_s.collect())) == sorted(
+        map(tag, tagged_b.collect())
+    )
+
+    # ...and a search over it is bit-identical to the gate composite's
+    probes = quantized(emb.filter(F.col("vec_id") < 6))
+    key = lambda r: (r.query_id, r.neighbor_id, r.int_dot, r.qcos.hex(), r.rank)
+    got = cosine_topk_int8_ivf(
+        tagged_s, cents_read, probes,
+        id_col="vec_id", q_col="q", n2_col="n2", k=5, nprobe=2,
+    )
+    want = cosine_topk_int8_ivf(
+        tagged_b, cents_b, probes,
+        id_col="vec_id", q_col="q", n2_col="n2", k=5, nprobe=2,
+    )
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
