@@ -901,6 +901,8 @@ def test_ivf_publish_lifecycle_state_machine(spark, tmp_path):
     rng = random.Random(131)
     published: list[int] | None = None  # model: ids in the live index
     next_id = 0
+    aged: list[str] = []  # model: age-expired litter awaiting a reaper
+    foreign_aged: list[str] = []  # aged foreign indexes awaiting a clean
 
     def check():
         if published is None:
@@ -908,8 +910,21 @@ def test_ivf_publish_lifecycle_state_machine(spark, tmp_path):
         got, _ = qz.ivf_read_int8(spark, path)
         assert sorted(r.vec_id for r in got.collect()) == published
 
-    for step in range(14):
-        op = rng.choice(("over", "cache", "litter", "reap", "clean"))
+    def assert_aged_reaped():
+        # round-14 age rules: expired staging dies whatever its pid
+        # says (PID-reuse fallback) — except a live published target
+        cur = os.path.realpath(path) if os.path.lexists(path) else None
+        for p in list(aged):
+            if cur is not None and os.path.realpath(p) == cur:
+                continue
+            assert not os.path.lexists(p), f"aged staging survived: {p}"
+            aged.remove(p)
+
+    for step in range(18):
+        op = rng.choice(
+            ("over", "cache", "litter", "reap", "clean", "old_litter",
+             "foreign_aged")
+        )
         if op == "over":
             ids = list(range(next_id, next_id + rng.randrange(1, 3)))
             next_id += len(ids)
@@ -932,10 +947,37 @@ def test_ivf_publish_lifecycle_state_machine(spark, tmp_path):
                     os.symlink(str(base / "nowhere2"), f"{path}.lnk{dead}")
             else:
                 os.makedirs(f"{path}.{kind}{dead}", exist_ok=True)
+        elif op == "old_litter":
+            # LIVE-pid staging older than the staging horizon: the
+            # PID-reuse scenario the round-14 age fallback exists for
+            import time as _time
+
+            kind = rng.choice(("tmp", "data", "old"))
+            p = f"{path}.{kind}{os.getpid()}"
+            if not os.path.lexists(p):
+                os.makedirs(p)
+                old_ts = _time.time() - qz._STAGING_MAX_AGE_SEC - 5
+                os.utime(p, (old_ts, old_ts))
+                aged.append(p)
+        elif op == "foreign_aged":
+            # a legacy-formula / foreign-corpus index past the
+            # retirement horizon: only a CLEAN (build-time) sweeps it
+            import time as _time
+
+            p = str(base / f"wikihadoop_ivf8_deadd00d_{step:012d}")
+            os.makedirs(p)
+            old_ts = _time.time() - qz._IVF_MAX_AGE_SEC - 5
+            os.utime(p, (old_ts, old_ts))
+            foreign_aged.append(p)
         elif op == "reap":
             qz._reap_dead_staging(path)
+            assert_aged_reaped()
         else:
             qz._cleanup_stale_indexes(path)
+            assert_aged_reaped()
+            for p in list(foreign_aged):
+                assert not os.path.lexists(p), f"aged foreign index survived: {p}"
+                foreign_aged.remove(p)
         check()
 
     # force a final publish + reap: only the live target may remain
