@@ -1304,3 +1304,23 @@ def test_ivf_append_detects_concurrent_flip(spark, tmp_path, monkeypatch):
     new = spark.createDataFrame([(9, [4, 1])], "vec_id bigint, q array<int>")
     with pytest.raises(RuntimeError, match="re-published while appending"):
         qz.ivf_append_int8(new, [[5, 0], [0, 5]], path)
+
+
+def test_fingerprint_sidecar_backfills_on_memo_hit(tmp_path):
+    """A second (corpus, params) stem whose first call lands on a warm
+    memo must still get ITS sidecar written — otherwise a fresh
+    process would pay one byte re-read per stem forever."""
+    import os
+
+    from wikihadoop_spark.operators import quantize as qz
+
+    corpus = tmp_path / "emb.parquet"
+    corpus.write_bytes(b"backfill-bytes")
+    base = str(tmp_path / "cache")
+    os.makedirs(base)
+    qz._FP_CACHE.clear()
+    qz.ivf_index_path(str(corpus), k=8, iterations=2, base=base)
+    # second stem, warm memo: sidecar must appear without byte reads
+    qz.ivf_index_path(str(corpus), k=4, iterations=2, base=base)
+    sidecars = [f for f in os.listdir(base) if f.endswith(".fp.json")]
+    assert len(sidecars) == 2, sidecars

@@ -418,6 +418,13 @@ def _content_fingerprint(corpus_file: str, sidecar: str | None = None) -> str:
     if hit is not None:
         stamp, cached_listing, fp = hit
         if cached_listing == listing and time.monotonic() - stamp < _FP_TTL_SEC:
+            # backfill a missing sidecar even on a memo hit (the memo
+            # is per-corpus, sidecars are per-(corpus, params) stem —
+            # a second stem's first call would otherwise leave ITS
+            # sidecar unwritten and pay one byte re-read per fresh
+            # process); one stat per call, no byte reads
+            if sidecar is not None and not os.path.exists(sidecar):
+                _write_fp_sidecar(sidecar, _listing_sha(listing), fp)
             return fp
     lsha = _listing_sha(listing)
     if sidecar is not None:
