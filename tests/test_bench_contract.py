@@ -130,14 +130,21 @@ def test_headline_watermark_annotation_rule():
 
 
 def test_stall_rerun_rule():
-    """Round-13 verdict item 6: a headline query whose min-of-3
-    spread/min exceeds 0.5 gets extra timed runs before the min ships
-    — the trigger must match the sf1 spots' noisy-reading threshold."""
+    """Round-13 verdict item 6: a headline query whose minimum is
+    UNCONFIRMED (no second run within 0.5x of it) gets extra timed
+    runs before the min ships.  Confirmation — not total spread — must
+    be the condition, because spread only grows as runs append: a
+    spread-based loop could never be satisfied by new evidence."""
     sys.path.insert(0, REPO)
     from bench import _STALL_EXTRA_RUNS, _needs_stall_rerun
 
-    assert not _needs_stall_rerun([1.0, 1.1, 1.2])       # quiet pass
-    assert _needs_stall_rerun([1.0, 1.0, 1.8])           # one stall
-    assert _needs_stall_rerun([4.0, 9.1, 16.3])          # r13 ngram case
-    assert not _needs_stall_rerun([2.0, 2.0, 3.0])       # exactly 0.5: ships
+    assert not _needs_stall_rerun([1.0, 1.1, 1.2])   # quiet pass
+    # one stalled run among agreeing minima: min already confirmed,
+    # no extra runs wasted
+    assert not _needs_stall_rerun([1.0, 1.0, 1.8])
+    # r13 ngram case — all three runs in distinct stalls: rerun
+    assert _needs_stall_rerun([4.0, 9.1, 16.3])
+    # extra evidence CAN end the loop: a confirming run suffices
+    assert not _needs_stall_rerun([4.0, 9.1, 16.3, 3.7])
+    assert not _needs_stall_rerun([2.0, 3.0, 9.0])   # exactly 0.5: ships
     assert _STALL_EXTRA_RUNS == 2

@@ -1324,3 +1324,119 @@ def test_fingerprint_sidecar_backfills_on_memo_hit(tmp_path):
     qz.ivf_index_path(str(corpus), k=4, iterations=2, base=base)
     sidecars = [f for f in os.listdir(base) if f.endswith(".fp.json")]
     assert len(sidecars) == 2, sidecars
+
+
+def test_age_sweep_escapes_glob_metachars_in_base(tmp_path):
+    """Round-14 review finding: the age sweep must glob.escape the
+    base dir — a metacharacter in a user-supplied base ('run[v1]')
+    would otherwise match sibling directories ('runv', 'run1') and
+    rmtree THEIR live aged indexes."""
+    import os
+    import time
+
+    from wikihadoop_spark.operators import quantize as qz
+
+    weird = tmp_path / "run[v1]"
+    sibling = tmp_path / "runv"  # what the char-class would match
+    weird.mkdir()
+    sibling.mkdir()
+    old = time.time() - qz._IVF_MAX_AGE_SEC - 60
+    victim = sibling / "wikihadoop_ivf8_aaaaaaaa_bbbbbbbbbbbb"
+    victim.mkdir()
+    os.utime(victim, (old, old))
+
+    corpus = tmp_path / "emb.parquet"
+    corpus.write_bytes(b"metachar-base-bytes")
+    qz._FP_CACHE.clear()
+    path = qz.ivf_index_path(str(corpus), k=8, iterations=2, base=str(weird))
+    qz._cleanup_stale_indexes(path)
+    assert victim.exists(), "age sweep crossed into a sibling directory"
+
+
+def test_sidecar_read_hit_refreshes_mtime(tmp_path):
+    """Round-14 review finding: a live in-use sidecar must not age out
+    of the 7-day sweep — a read HIT bumps its mtime, so only genuinely
+    unused sidecars retire."""
+    import os
+    import time
+
+    from wikihadoop_spark.operators import quantize as qz
+
+    corpus = tmp_path / "emb.parquet"
+    corpus.write_bytes(b"mtime-refresh-bytes")
+    base = str(tmp_path / "cache")
+    os.makedirs(base)
+    qz._FP_CACHE.clear()
+    path = qz.ivf_index_path(str(corpus), k=8, iterations=2, base=base)
+    sc = next(
+        os.path.join(base, f) for f in os.listdir(base)
+        if f.endswith(".fp.json")
+    )
+    old = time.time() - qz._IVF_MAX_AGE_SEC - 60
+    os.utime(sc, (old, old))
+    qz._FP_CACHE.clear()  # fresh-process analog: forces the sidecar read
+    assert qz.ivf_index_path(str(corpus), k=8, iterations=2, base=base) == path
+    assert time.time() - os.lstat(sc).st_mtime < 3600, (
+        "sidecar read hit did not refresh mtime"
+    )
+    qz._cleanup_stale_indexes(path)
+    assert os.path.exists(sc), "freshly-used sidecar reaped by age sweep"
+
+
+def test_append_tag_mismatch_rebuilds(spark, tmp_path):
+    """Round-14 review finding: the append slice is part of the
+    artifact's identity — a marker recording a DIFFERENT append_tag
+    must force a rebuild with the new slice, never silently serve the
+    other call's rows."""
+    from wikihadoop_spark.operators import quantize as qz
+
+    def qn(ids):
+        df = spark.createDataFrame(
+            [(i, [int(i) + 1, 3, 0]) for i in ids], "vec_id bigint, q array<int>"
+        )
+        return df.withColumn("n2", qz.int_norm2(df.q))
+
+    corpus = qn(range(10, 16))
+    idx = str(tmp_path / "idx_tagged")
+    tagged_a, _ = qz.ivf_build_append_or_read_int8(
+        spark, corpus, qn([1]), idx, k=2, iterations=1, append_tag="slice-a"
+    )
+    assert {r.vec_id for r in tagged_a.collect()} == {10, 11, 12, 13, 14, 15, 1}
+    # same path, same params, DIFFERENT slice: must rebuild, not reuse
+    tagged_b, _ = qz.ivf_build_append_or_read_int8(
+        spark, corpus, qn([2]), idx, k=2, iterations=1, append_tag="slice-b"
+    )
+    assert {r.vec_id for r in tagged_b.collect()} == {10, 11, 12, 13, 14, 15, 2}
+    # matching tag: pure read, no double append
+    tagged_b2, _ = qz.ivf_build_append_or_read_int8(
+        spark, corpus, qn([2]), idx, k=2, iterations=1, append_tag="slice-b"
+    )
+    rows = tagged_b2.collect()
+    assert len(rows) == 7 and {r.vec_id for r in rows} == {10, 11, 12, 13, 14, 15, 2}
+
+
+def test_probe_null_vector_matches_nothing_not_crash(spark):
+    """Round-14 review finding: the dimension guard must not turn a
+    NULL probe vector into a job abort — NULL probes nothing (the
+    pre-guard behavior); only a present, mis-dimensioned vector is a
+    loud error."""
+    from pyspark.sql import functions as SF
+
+    from wikihadoop_spark.operators.quantize import nprobe_clusters
+
+    cents = [[5, 0, 0], [0, 5, 0]]
+    df = spark.createDataFrame(
+        [(0, None), (1, [1, 2, 3])], "vec_id bigint, q array<int>"
+    )
+    got = {
+        r.vec_id: r.cl
+        for r in df.select(
+            "vec_id", nprobe_clusters(SF.col("q"), cents, 1).alias("cl")
+        ).collect()
+    }
+    # the NULL row did NOT abort the job (the guard's raise_error is
+    # reserved for present, mis-dimensioned vectors); its bucket value
+    # is the degenerate pre-guard passthrough, and every caller's
+    # n2 > 0 filter drops such rows before they reach the probe anyway
+    assert 0 in got
+    assert got[1] == [1]

@@ -322,13 +322,21 @@ def _stat_listing(corpus_file: str) -> tuple:
 # stat listing, fingerprint).  Content bytes are re-read when any
 # file's (relpath, size, mtime_ns, ctime_ns) changes — ctime makes a
 # stat-preserving rewrite (rsync --inplace -t) invalidate IMMEDIATELY
-# (userland cannot restore ctime), so the TTL is a pure backstop for
-# pathologies the stat key cannot see (e.g. a filesystem that lies
-# about ctime), not the staleness bound it was in round 13.  A pure
-# cache hit (the common per-query invocation against an unchanged
-# corpus) costs stats only, never the 128 KiB/file reads — and a TTL
-# lapse against an unchanged corpus is answered by the PERSISTENT
-# sidecar (below) with zero byte reads too.
+# (userland cannot restore ctime), which is what lets the cache skip
+# byte re-reads entirely while the listing is unchanged: a TTL lapse
+# against an unchanged corpus is answered by the PERSISTENT sidecar
+# (below) with zero byte reads (round-13 verdict item 4 — a
+# 10^5-part-file corpus must not re-hash gigabytes every 5 minutes).
+# STATED TRADE: change detection for a listing-identical corpus now
+# rests entirely on ctime truthfulness.  On a filesystem that lies
+# about ctime AND preserves size+mtime across a rewrite, the stale
+# fingerprint is served indefinitely (round 13's TTL re-read used to
+# bound that at 5 minutes; the round-13 verdict chose the zero-re-read
+# cost model).  Escape hatch for such a corpus: delete the stem's
+# .fp.json sidecar (and restart the driver) to force a byte re-read.
+# The stat walk runs on EVERY call; the TTL only bounds how long the
+# in-memory memo answers without re-consulting the sidecar file, so
+# the escape hatch takes effect within _FP_TTL_SEC.
 _FP_TTL_SEC = 300.0
 _FP_CACHE: dict[str, tuple[float, tuple, str]] = {}
 _FP_SIDECAR_VERSION = "fp-v1"
@@ -343,8 +351,14 @@ def _listing_sha(listing: tuple) -> str:
 def _read_fp_sidecar(sidecar: str, listing_sha: str) -> str | None:
     """Return the sidecar's fingerprint iff it was recorded for exactly
     this stat listing (including ctime); any read/parse problem means
-    'no sidecar' — the caller recomputes from bytes."""
+    'no sidecar' — the caller recomputes from bytes.  A HIT refreshes
+    the sidecar's mtime (best-effort): the age sweep in
+    :func:`_cleanup_stale_indexes` retires entries by mtime, and
+    without the touch a sidecar for a stable long-lived corpus would
+    age past the horizon while in active use, forcing the full byte
+    re-hash it exists to prevent."""
     import json
+    import os
 
     try:
         with open(sidecar) as fh:
@@ -354,6 +368,10 @@ def _read_fp_sidecar(sidecar: str, listing_sha: str) -> str | None:
             and doc.get("listing_sha") == listing_sha
             and isinstance(doc.get("fingerprint"), str)
         ):
+            try:
+                os.utime(sidecar)
+            except OSError:
+                pass
             return doc["fingerprint"]
     except (OSError, ValueError):
         pass
@@ -406,8 +424,10 @@ def _content_fingerprint(corpus_file: str, sidecar: str | None = None) -> str:
     artifacts) after a TTL lapse or in a fresh process — so a
     10^5-part-file corpus never re-hashes gigabytes every 5 minutes,
     and a driver restart starts warm.  ctime_ns in the listing key
-    (never in the digest — see ``_stat_listing``) is what makes the
-    TTL a backstop rather than the staleness bound."""
+    (never in the digest — see ``_stat_listing``) is what change
+    detection for a listing-identical corpus rests on; the trade this
+    makes against a ctime-lying filesystem, and its escape hatch, are
+    stated at the ``_FP_TTL_SEC`` comment."""
     import hashlib
     import os
     import time
@@ -655,8 +675,11 @@ def _cleanup_stale_indexes(path: str) -> None:
     # abandoned indexes, and orphaned .fp.json sidecars all retire
     # after _IVF_MAX_AGE_SEC instead of waiting for tmpwatch.  lstat:
     # a symlink-published index ages from its publish instant.
+    # glob.escape on base, same as the sweeps above: a metacharacter
+    # in a user-supplied base dir would otherwise match entries in
+    # UNRELATED directories and rmtree live indexes there.
     now = time.time()
-    for cand in glob.glob(os.path.join(base, "wikihadoop_ivf8_*")):
+    for cand in glob.glob(os.path.join(glob.escape(base), "wikihadoop_ivf8_*")):
         if cand == path or cand.startswith(path + "."):
             continue  # never the index being (re)built right now
         try:
@@ -883,30 +906,46 @@ def ivf_build_append_or_read_int8(
     q_col: str = "q",
     k: int = 8,
     iterations: int = 2,
+    append_tag: str = "",
 ) -> tuple[DataFrame, list[list[int]]]:
     """Build-or-read an index over ``qcorpus`` and idempotently append
     ``qappend`` EXACTLY ONCE — the full append lifecycle as one
     deterministic artifact (round-13 verdict item 3: the driver-gated
     composition of build → :func:`ivf_append_int8` → search).
 
-    Idempotence protocol: a ``_APPEND_DONE`` marker is written inside
-    the published data directory AFTER the append lands, so (a) a
-    repeat invocation (bench reruns, the driver's oracle pass) reads
-    the finished artifact without double-appending, and (b) an
-    artifact found WITHOUT the marker — a crash between append and
-    marker, or a plain build that never appended — is removed and
-    rebuilt from scratch rather than trusted (parquet appends are not
-    atomic, so a partial append is indistinguishable from inside; the
-    deterministic rebuild is).  Every path through this function
-    converges on the same bits: build and assignment are
-    deterministic, so rebuild-then-append equals the surviving
-    artifact.  Single-writer contract, same as
+    Idempotence protocol: a ``_APPEND_DONE`` marker recording
+    ``append_tag`` is written inside the published data directory
+    AFTER the append lands, so (a) a repeat invocation (bench reruns,
+    the driver's oracle pass) reads the finished artifact without
+    double-appending, and (b) an artifact whose marker is absent OR
+    records a DIFFERENT tag — a crash between append and marker, a
+    plain build that never appended, or a prior call with a different
+    append slice — is removed and rebuilt from scratch rather than
+    trusted (parquet appends are not atomic, so a partial append is
+    indistinguishable from inside; the deterministic rebuild is).
+
+    THE APPEND SLICE IS PART OF THE ARTIFACT'S IDENTITY: the
+    fingerprint in ``path`` keys only the corpus file and build
+    params, so two calls differing only in ``qappend`` would collide
+    on one artifact.  Callers must name the slice in ``append_tag``
+    (and usually key ``path``'s ``variant`` to it too, as the gate
+    query does) — the tag check turns that collision into a rebuild
+    instead of silently serving the other call's rows.  Every path
+    through this function converges on the same bits: build and
+    assignment are deterministic, so rebuild-then-append equals the
+    surviving artifact.  Single-writer contract, same as
     :func:`ivf_append_int8`."""
     import os
 
-    marker = os.path.join(os.path.realpath(path), _APPEND_DONE_MARKER)
-    if os.path.exists(path) and not os.path.exists(marker):
-        _remove_index(path)  # pre-append or crashed-append artifact
+    done: str | None = None
+    try:
+        with open(os.path.join(os.path.realpath(path), _APPEND_DONE_MARKER)) as fh:
+            done = fh.read()
+    except OSError:
+        pass
+    if os.path.exists(path) and done != append_tag:
+        # pre-append, crashed-append, or different-slice artifact
+        _remove_index(path)
     fresh = not os.path.exists(path)
     tagged, cents = ivf_build_or_read_int8(
         spark, qcorpus, path, id_col=id_col, q_col=q_col, k=k,
@@ -914,8 +953,9 @@ def ivf_build_append_or_read_int8(
     )
     if fresh:
         ivf_append_int8(qappend, cents, path, id_col=id_col, q_col=q_col)
-        with open(os.path.join(os.path.realpath(path), _APPEND_DONE_MARKER), "w"):
-            pass
+        marker = os.path.join(os.path.realpath(path), _APPEND_DONE_MARKER)
+        with open(marker, "w") as fh:
+            fh.write(append_tag)
         tagged, cents = ivf_read_int8(spark, path)
     return tagged, cents
 
@@ -1050,16 +1090,23 @@ def nprobe_clusters(
     (:func:`ivf_assign_int8`), the probe RAISES at execution time
     instead — row-local, no extra pass, and because this is the single
     probe rule the guard covers the batch search and the streaming
-    probe alike."""
+    probe alike.  A NULL vector passes through as NULL (probing
+    nothing — every caller filters ``n2 > 0`` first anyway), matching
+    the pre-guard behavior: only a PRESENT, mis-dimensioned vector is
+    a loud error."""
     if not centroids:
         raise ValueError("nprobe_clusters: empty centroid list")
     dim = len(centroids[0])
-    qvec = F.when(F.size(qvec) == dim, qvec).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit("nprobe_clusters: probe vector dimension "),
-                F.size(qvec).cast("string"),
-                F.lit(f" != trained centroid dimension {dim}"),
+    qvec = (
+        F.when(qvec.isNull(), qvec)
+        .when(F.size(qvec) == dim, qvec)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("nprobe_clusters: probe vector dimension "),
+                    F.size(qvec).cast("string"),
+                    F.lit(f" != trained centroid dimension {dim}"),
+                )
             )
         )
     )

@@ -4121,7 +4121,8 @@ def similarity_topk_int8_ivf_append(spark: SparkSession, sf: str) -> DataFrame:
         variant="append-mod13",
     )
     tagged, cents = ivf_build_append_or_read_int8(
-        spark, corpus, arriving, idx, k=8, iterations=2
+        spark, corpus, arriving, idx, k=8, iterations=2,
+        append_tag="mod13",
     )
     # the persisted corpus frame only feeds the one-time build (the
     # search reads the WRITTEN index) — release it rather than pin it
