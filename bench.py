@@ -432,11 +432,16 @@ _SF1_ISOLATED_WATERMARKS: dict[str, float] = {
 # round-14 addendum.  Re-record when a headline query's plan changes.
 _HEADLINE_BAND_FACTOR = 1.2
 _HEADLINE_ISOLATED_WATERMARKS: dict[float, float] = {
-    # recorded 2026-08-16 (round 14): min of three isolated suite runs
-    # (9.259 / 9.453 / 10.151 s) via tools/spot_isolated.py --headline,
-    # each itself min-of-3 per query; per-query rows in SCALING.md's
-    # round-14 addendum
-    0.1: 9.259,
+    # recorded 2026-08-16 (round 14): the day's quiet-window floor,
+    # 8.421 s, from a full bench run with nothing else on the host
+    # (protocol-equivalent to --headline: fresh process, same warmup/
+    # prewarm/min-of-3+confirmation).  Four --headline isolated runs
+    # the same day read 9.259 / 9.453 / 10.151 / 9.975 s — all inside
+    # 1.2x of this floor, i.e. mildly contended windows.  The LOWEST
+    # defensible quiet reading is the right watermark: a higher one
+    # would under-annotate genuinely stalled artifacts.  Per-query
+    # rows in SCALING.md's round-14 addendum.
+    0.1: 8.421,
 }
 
 
