@@ -1434,9 +1434,157 @@ def test_probe_null_vector_matches_nothing_not_crash(spark):
             "vec_id", nprobe_clusters(SF.col("q"), cents, 1).alias("cl")
         ).collect()
     }
-    # the NULL row did NOT abort the job (the guard's raise_error is
-    # reserved for present, mis-dimensioned vectors); its bucket value
-    # is the degenerate pre-guard passthrough, and every caller's
-    # n2 > 0 filter drops such rows before they reach the probe anyway
-    assert 0 in got
+    # the NULL row did NOT abort the job, and it probes NOTHING: the
+    # result is a NULL array (not the pre-guard accident of probing
+    # cluster 0 with NULL scores)
+    assert got[0] is None
     assert got[1] == [1]
+    # exploded (the probe join shape): the NULL row simply vanishes
+    n = df.select(SF.explode(nprobe_clusters(SF.col("q"), cents, 1))).count()
+    assert n == 1
+
+
+def test_build_rejects_mis_dimensioned_corpus_vector(spark):
+    """Round-14 review finding: the BUILD path needs the same
+    dimension guard the append and probe paths have — a mis-sized
+    corpus vector would otherwise tag as cluster NULL, land in the
+    written artifact's hive default partition, and silently never
+    match any search."""
+    import pytest
+
+    from wikihadoop_spark.operators import quantize as qz
+
+    df = spark.createDataFrame(
+        [(0, [5, 0, 0]), (1, [0, 5, 0]), (2, [1, 2])],  # row 2: 2-dim
+        "vec_id bigint, q array<int>",
+    )
+    with pytest.raises(Exception, match="dimension"):
+        tagged, _ = qz.ivf_build_int8(df, k=2, iterations=1)
+        tagged.collect()
+
+
+def test_append_dedupe_token_skips_replayed_epoch(spark, tmp_path):
+    """Round-14 review finding: foreachBatch replays an epoch after a
+    failure between the append and the checkpoint commit — a repeated
+    dedupe_token must skip (return 0) instead of landing the same rows
+    twice; a new token appends normally."""
+    from wikihadoop_spark.operators import quantize as qz
+
+    df = spark.createDataFrame(
+        [(0, [5, 0], 25, 0), (1, [0, 5], 25, 1)],
+        "vec_id bigint, q array<int>, n2 bigint, cluster int",
+    )
+    path = str(tmp_path / "idx_epochs")
+    qz.ivf_write_int8(df, [[5, 0], [0, 5]], path, overwrite=True)
+    new = spark.createDataFrame([(9, [4, 1])], "vec_id bigint, q array<int>")
+    cents = [[5, 0], [0, 5]]
+    assert qz.ivf_append_int8(new, cents, path, dedupe_token="epoch-7") == 1
+    # replayed epoch: skipped, no duplicate rows
+    assert qz.ivf_append_int8(new, cents, path, dedupe_token="epoch-7") == 0
+    tagged, _ = qz.ivf_read_int8(spark, path)
+    assert [r.vec_id for r in tagged.collect()].count(9) == 1
+    # a fresh epoch appends
+    new2 = spark.createDataFrame([(10, [1, 4])], "vec_id bigint, q array<int>")
+    assert qz.ivf_append_int8(new2, cents, path, dedupe_token="epoch-8") == 1
+    tagged, _ = qz.ivf_read_int8(spark, path)
+    assert sorted(r.vec_id for r in tagged.collect()) == [0, 1, 9, 10]
+
+
+def test_dir_corpus_path_ignores_toplevel_dir_mtime(tmp_path):
+    """Round-14 review finding: namespace-neutral directory-mtime
+    churn (a stray temp file created and deleted, `touch dir/`) must
+    NOT re-key a directory corpus — the recursive listing + content
+    fingerprint already cover every real change."""
+    import os
+
+    from wikihadoop_spark.operators import quantize as qz
+
+    corpus = tmp_path / "emb.parquet"
+    (corpus / "date=1").mkdir(parents=True)
+    part = corpus / "date=1" / "part-0.parquet"
+    part.write_bytes(b"dir-stable-bytes")
+    base = str(tmp_path / "cache")
+    os.makedirs(base)
+    qz._FP_CACHE.clear()
+    p1 = qz.ivf_index_path(str(corpus), k=8, iterations=2, base=base)
+    # churn the top-level dir's mtime without touching any file
+    stray = corpus / "_tmp_editor_file"
+    stray.write_bytes(b"x")
+    stray.unlink()
+    qz._FP_CACHE.clear()
+    p2 = qz.ivf_index_path(str(corpus), k=8, iterations=2, base=base)
+    assert p2 == p1, "dir-mtime churn re-keyed a content-identical corpus"
+    # a real nested content change still re-keys
+    part.write_bytes(b"dir-changed-bytes!!")
+    qz._FP_CACHE.clear()
+    assert qz.ivf_index_path(str(corpus), k=8, iterations=2, base=base) != p1
+
+
+def test_sidecar_backfill_heals_stale_content(tmp_path, monkeypatch):
+    """Round-14 review finding: the memo-hit backfill must validate
+    sidecar CONTENT, not bare existence — a stem whose sidecar records
+    a superseded listing heals on the next warm-memo call, so a fresh
+    process pays stats only."""
+    import os
+
+    from wikihadoop_spark.operators import quantize as qz
+
+    corpus = tmp_path / "emb.parquet"
+    corpus.write_bytes(b"heal-bytes-v1")
+    base = str(tmp_path / "cache")
+    os.makedirs(base)
+    qz._FP_CACHE.clear()
+    qz.ivf_index_path(str(corpus), k=8, iterations=2, base=base)  # stem A
+    qz.ivf_index_path(str(corpus), k=4, iterations=2, base=base)  # stem B
+    # corpus changes; stem A's call recomputes and rewrites ITS sidecar
+    corpus.write_bytes(b"heal-bytes-v2-longer")
+    qz.ivf_index_path(str(corpus), k=8, iterations=2, base=base)
+    # stem B's next call hits the warm memo — it must HEAL B's sidecar
+    pB = qz.ivf_index_path(str(corpus), k=4, iterations=2, base=base)
+    # fresh process: B's sidecar must now answer with zero byte reads
+    qz._FP_CACHE.clear()
+    reads = []
+    real = qz._hash_head_tail
+    monkeypatch.setattr(qz, "_hash_head_tail",
+                        lambda h, p: (reads.append(p), real(h, p))[1])
+    assert qz.ivf_index_path(str(corpus), k=4, iterations=2, base=base) == pB
+    assert not reads, "stale stem-B sidecar was not healed on the memo hit"
+
+
+def test_multiprobe_cache_is_single_slot(spark):
+    """Round-14 review finding: multiprobe_pairs_int8's persisted
+    quantized frame is function-local and the returned frame is lazy,
+    so the function can never unpersist its own cache — each call must
+    release the PREVIOUS call's frame, bounding pinned storage at one
+    corpus projection per process."""
+    from pyspark import StorageLevel
+
+    from wikihadoop_spark.operators import quantize as qz
+    from wikihadoop_spark.relational import _INT8_LSH_PLANES, Tables
+
+    t = Tables(spark, "/root/testdata/sf0.001")
+    qz.multiprobe_pairs_int8(
+        t.embeddings, [_INT8_LSH_PLANES], id_col="vec_id",
+        vec_col="embedding", threshold=0.35, cap=1000,
+    ).count()
+    assert len(qz._MULTIPROBE_CACHE_SLOT) == 1
+    first = qz._MULTIPROBE_CACHE_SLOT[0]
+    # a semantically-identical repeat SHARES the cache entry — it must
+    # NOT be released (CacheManager keys by analyzed plan, so
+    # unpersisting the old handle would uncache the new call too)
+    qz.multiprobe_pairs_int8(
+        t.embeddings, [_INT8_LSH_PLANES], id_col="vec_id",
+        vec_col="embedding", threshold=0.35, cap=1000,
+    ).count()
+    assert len(qz._MULTIPROBE_CACHE_SLOT) == 1
+    assert first.storageLevel != StorageLevel.NONE
+    # a DIFFERENT corpus releases the previous projection
+    qz.multiprobe_pairs_int8(
+        t.embeddings.filter("vec_id < 500"), [_INT8_LSH_PLANES],
+        id_col="vec_id", vec_col="embedding", threshold=0.35, cap=1000,
+    ).count()
+    assert len(qz._MULTIPROBE_CACHE_SLOT) == 1
+    assert first.storageLevel == StorageLevel.NONE, (
+        "previous call's cache was not released"
+    )
+    qz._MULTIPROBE_CACHE_SLOT.pop().unpersist()  # leave the session clean

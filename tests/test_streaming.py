@@ -1558,8 +1558,14 @@ def test_streaming_incremental_append_matches_batch_composite(spark, tmp_path):
     new_path = str(tmp_path / "arriving_vecs")
     arriving_raw.repartition(3).write.mode("overwrite").parquet(new_path)
 
-    def append_batch(df, _epoch):
-        ivf_append_int8(quantized(df), cents_s, idx_stream)
+    def append_batch(df, epoch_id):
+        # dedupe_token: foreachBatch is at-least-once — a replayed
+        # epoch must not land its rows twice (round-14 review finding;
+        # the token protocol is pinned in test_quantize.py)
+        ivf_append_int8(
+            quantized(df), cents_s, idx_stream,
+            dedupe_token=f"epoch-{epoch_id}",
+        )
 
     q = (
         spark.readStream.schema(arriving_raw.schema)

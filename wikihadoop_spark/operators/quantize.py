@@ -207,7 +207,17 @@ def ivf_build_int8(
     to the corpus size; empty corpus raises); argmin ties take the
     lowest cluster index; a cluster that loses all members keeps its
     previous centroid.  Centroids are K×D driver-held ints (broadcast
-    state, not data).  Returns (tagged corpus, centroids)."""
+    state, not data).  Returns (tagged corpus, centroids).
+
+    Dimension guard (round-14 review finding): a corpus vector whose
+    length differs from the seeds' would zip_with-pad every distance
+    to NULL, tag as cluster NULL, land in the written artifact's
+    hive default partition, and never match any search's cluster
+    equi-join — silent data loss in the PERSISTED index, the same
+    failure mode the append path (:func:`ivf_assign_int8`) and the
+    probe path (:func:`nprobe_clusters`) already guard.  The build
+    RAISES at execution time instead (row-local, rides the first
+    assignment pass)."""
     c = qcorpus.select(F.col(id_col).alias("__id"), F.col(q_col).alias("__q"))
     seeds = c.orderBy("__id").limit(k).collect()
     if not seeds:
@@ -215,6 +225,16 @@ def ivf_build_int8(
     k = min(k, len(seeds))
     centroids = [list(r["__q"]) for r in seeds]
     dim = len(centroids[0])
+    guard = F.when(F.size(F.col("__q")) == dim, F.col("__q")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("ivf_build_int8: corpus vector dimension "),
+                F.size(F.col("__q")).cast("string"),
+                F.lit(f" != seed dimension {dim}"),
+            )
+        )
+    )
+    c = c.select("__id", guard.alias("__q"))
 
     for _ in range(iterations):
         assigned = _assign_int(c, centroids)
@@ -438,13 +458,20 @@ def _content_fingerprint(corpus_file: str, sidecar: str | None = None) -> str:
     if hit is not None:
         stamp, cached_listing, fp = hit
         if cached_listing == listing and time.monotonic() - stamp < _FP_TTL_SEC:
-            # backfill a missing sidecar even on a memo hit (the memo
-            # is per-corpus, sidecars are per-(corpus, params) stem —
-            # a second stem's first call would otherwise leave ITS
-            # sidecar unwritten and pay one byte re-read per fresh
-            # process); one stat per call, no byte reads
-            if sidecar is not None and not os.path.exists(sidecar):
-                _write_fp_sidecar(sidecar, _listing_sha(listing), fp)
+            # backfill a missing OR STALE sidecar even on a memo hit
+            # (the memo is per-corpus, sidecars are per-(corpus,
+            # params) stem — a second stem's first call would
+            # otherwise leave ITS sidecar unwritten, or recording a
+            # superseded listing, and a fresh process would pay the
+            # full byte re-read); content is validated, not bare
+            # existence, so a stem whose sidecar predates a corpus
+            # change heals here too.  Costs one tiny JSON read per
+            # call, no byte reads — and the read hit refreshes the
+            # sidecar's mtime against the age sweep.
+            if sidecar is not None:
+                lsha = _listing_sha(listing)
+                if _read_fp_sidecar(sidecar, lsha) != fp:
+                    _write_fp_sidecar(sidecar, lsha, fp)
             return fp
     lsha = _listing_sha(listing)
     if sidecar is not None:
@@ -480,7 +507,9 @@ def ivf_index_path(
     (path, size, mtime in NANOSECONDS — second granularity would let a
     same-size same-second rewrite silently reuse stale clusters), a
     head+tail CONTENT fingerprint (mtime-preserving rewrites re-key
-    too), and the build parameters.  ``variant`` distinguishes indexes
+    too), and the build parameters.  A DIRECTORY corpus keys on its
+    recursive per-file listing + content fingerprint instead of the
+    top-level dir's own stat (see the inline note).  ``variant`` distinguishes indexes
     built over different SLICES of the same file (e.g. the streaming
     analog's static split) — without it two such builds would collide
     on one path and silently serve each other's clusters.
@@ -501,16 +530,28 @@ def ivf_index_path(
     import os
     import tempfile
 
-    st = os.stat(corpus_file)
     stem = hashlib.sha256(
         f"{os.path.abspath(corpus_file)}:k={k}:it={iterations}:"
         f"variant={variant}".encode()
     ).hexdigest()[:8]
     base = base or tempfile.gettempdir()
     sidecar = os.path.join(base, f"wikihadoop_ivf8_{stem}.fp.json")
+    if os.path.isdir(corpus_file):
+        # a DIRECTORY corpus keys on its recursive per-file listing +
+        # content fingerprint only: the top-level dir's own
+        # size/mtime churns on namespace-neutral events (a stray temp
+        # file created and deleted, `touch dir/`) and would force a
+        # spurious full rebuild + sweep of a still-valid index
+        # (round-14 review finding).  The single-FILE formula below is
+        # unchanged, so existing file-corpus artifact paths (the gate
+        # corpora) are stable across this fix.
+        ident = "dir:dir"
+    else:
+        st = os.stat(corpus_file)
+        ident = f"{st.st_size}:{st.st_mtime_ns}"
     fp = hashlib.sha256(
-        f"{_IVF_ARTIFACT_VERSION}:{os.path.abspath(corpus_file)}:{st.st_size}:"
-        f"{st.st_mtime_ns}:{_content_fingerprint(corpus_file, sidecar)}:"
+        f"{_IVF_ARTIFACT_VERSION}:{os.path.abspath(corpus_file)}:{ident}:"
+        f"{_content_fingerprint(corpus_file, sidecar)}:"
         f"k={k}:it={iterations}:variant={variant}".encode()
     ).hexdigest()[:12]
     return os.path.join(base, f"wikihadoop_ivf8_{stem}_{fp}")
@@ -1012,6 +1053,7 @@ def ivf_append_int8(
     *,
     id_col: str = "vec_id",
     q_col: str = "q",
+    dedupe_token: str | None = None,
 ) -> int:
     """Append quantized vectors to a WRITTEN index: assign against the
     trained centroids (:func:`ivf_assign_int8` — no re-train, loud
@@ -1033,10 +1075,31 @@ def ivf_append_int8(
     a concurrent publisher moved it (the failed rows are in a
     directory the flipper reclaims; re-run the append against the new
     index).  Appends against the same resolved target from one writer
-    are safe; concurrent re-publishes are not."""
+    are safe; concurrent re-publishes are not.
+
+    At-least-once replay (round-14 review finding): Structured
+    Streaming's foreachBatch can RE-RUN an epoch after a failure
+    between this append and the checkpoint commit, which would land
+    the same rows twice (duplicate pairs in every later search).
+    Callers on a replayable path pass ``dedupe_token`` (e.g.
+    ``f"epoch-{epoch_id}"``): a token whose ``_append_<token>`` marker
+    already exists in the target is skipped (returns 0), and the
+    marker is written after the rows land.  Residual window: a crash
+    BETWEEN the parquet append and the marker write still duplicates
+    on replay — parquet appends are not atomic, so exactly-once needs
+    either an idempotent sink or a rebuild on restart; the token
+    narrows the window to that one gap, which is exactly the
+    guarantee foreachBatch itself offers its sinks."""
     import os
+    import re
 
     resolved = os.path.realpath(path)
+    marker = None
+    if dedupe_token is not None:
+        safe = re.sub(r"[^A-Za-z0-9._-]", "_", dedupe_token)
+        marker = os.path.join(resolved, f"_append_{safe}")
+        if os.path.exists(marker):
+            return 0  # this batch already landed (replayed epoch)
     rows = ivf_assign_int8(
         qframe, centroids, id_col=id_col, q_col=q_col
     ).persist()
@@ -1045,6 +1108,9 @@ def ivf_append_int8(
         os.path.join(resolved, "vectors")
     )
     rows.unpersist()
+    if marker is not None:
+        with open(marker, "w"):
+            pass
     if os.path.realpath(path) != resolved:
         raise RuntimeError(
             f"ivf_append_int8: index at {path!r} was re-published while "
@@ -1090,15 +1156,18 @@ def nprobe_clusters(
     (:func:`ivf_assign_int8`), the probe RAISES at execution time
     instead — row-local, no extra pass, and because this is the single
     probe rule the guard covers the batch search and the streaming
-    probe alike.  A NULL vector passes through as NULL (probing
-    nothing — every caller filters ``n2 > 0`` first anyway), matching
-    the pre-guard behavior: only a PRESENT, mis-dimensioned vector is
-    a loud error."""
+    probe alike.  A NULL vector probes NOTHING — the result is a NULL
+    array, which ``F.explode`` in every caller drops, so a NULL
+    embedding yields zero matches rather than a job abort (and rather
+    than the pre-guard accident of probing the lowest-index clusters
+    with NULL scores); every caller filters ``n2 > 0`` first anyway.
+    Only a PRESENT, mis-dimensioned vector is a loud error."""
     if not centroids:
         raise ValueError("nprobe_clusters: empty centroid list")
     dim = len(centroids[0])
+    was_null = qvec.isNull()
     qvec = (
-        F.when(qvec.isNull(), qvec)
+        F.when(was_null, qvec)
         .when(F.size(qvec) == dim, qvec)
         .otherwise(
             F.raise_error(
@@ -1123,7 +1192,11 @@ def nprobe_clusters(
             lambda d, i: F.struct(d.alias("d"), i.alias("i")),
         )
     )
-    return F.transform(F.slice(idx, 1, nprobe), lambda s: s["i"])
+    probed = F.transform(F.slice(idx, 1, nprobe), lambda s: s["i"])
+    # F.array(NULL, ...) is a NON-null array of null elements, so
+    # without this a NULL vector would sort ties by index and "probe"
+    # clusters 0..nprobe-1 — map it to a NULL array (probes nothing)
+    return F.when(was_null, F.lit(None).cast("array<int>")).otherwise(probed)
 
 
 def cosine_topk_int8_ivf(
@@ -1178,6 +1251,11 @@ def cosine_topk_int8_ivf(
     # before ranking — same argument as the float IVF path
 
 
+# at most ONE multiprobe quantized-corpus projection stays cached per
+# process — see the persist note inside multiprobe_pairs_int8
+_MULTIPROBE_CACHE_SLOT: list = []
+
+
 def multiprobe_pairs_int8(
     corpus: DataFrame,
     plane_families: list[list[list[int]]],
@@ -1210,7 +1288,13 @@ def multiprobe_pairs_int8(
     # inline, the quantize expression re-evaluates per PAIR (measured
     # 6.0 s vs 2.2 s for the float path at sf0.1 before this persist;
     # the SCALING.md CSE-across-joins rule).  At real scale this is
-    # the written SQ8 column the whole pipeline shares.
+    # the written SQ8 column the whole pipeline shares.  The cache is
+    # SINGLE-SLOT per process (round-14 review finding): the returned
+    # frame is lazy, so this function cannot unpersist its own cache —
+    # instead each call releases the PREVIOUS call's frame, bounding
+    # pinned executor storage at one corpus projection instead of one
+    # per invocation for the session.  A caller still lazily consuming
+    # an older result merely recomputes (slower, never wrong).
     v = (
         corpus.select(
             F.col(id_col).alias("vec_id"),
@@ -1220,6 +1304,19 @@ def multiprobe_pairs_int8(
         .filter(F.col("n2") > 0)
         .persist()
     )
+    while _MULTIPROBE_CACHE_SLOT:
+        old = _MULTIPROBE_CACHE_SLOT.pop()
+        try:
+            # Spark's CacheManager keys entries by analyzed plan, so a
+            # semantically-identical previous frame SHARES the entry the
+            # persist above just referenced — unpersisting it would
+            # uncache the current call too.  Release only a frame over
+            # a different corpus/params.
+            if not old.sameSemantics(v):
+                old.unpersist()
+        except Exception:
+            pass
+    _MULTIPROBE_CACHE_SLOT.append(v)
     per_family = []
     for planes in plane_families:
         b = v.withColumn("bkt", hyperplane_bucket_int(F.col("q"), planes))

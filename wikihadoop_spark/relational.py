@@ -5629,12 +5629,25 @@ def media_frame_fanout_q(spark: SparkSession, sf: str) -> DataFrame:
 # re-read, never the fingerprint VALUE — artifact paths are
 # unchanged), (c) staging-age and legacy-age reapers (filesystem
 # hygiene off the query path), and (d) a loud-failure overwrite
-# publish + realpath-pinned append (error paths only).  The only
-# demoted query whose call path touches any of this is
+# publish + realpath-pinned append (error paths only).  A same-round
+# review pass added: (e) the build path's own dimension guard
+# (ivf_build_int8 — raises on a mis-sized corpus vector instead of
+# silently writing it to an unreachable NULL partition), (f) NULL
+# probe vectors now probe NOTHING (NULL array, dropped by explode)
+# instead of accidentally probing the lowest-index clusters,
+# (g) an at-least-once dedupe_token on ivf_append_int8 for
+# foreachBatch replays, (h) directory corpora key on their recursive
+# listing only (top-level dir-mtime churn no longer rebuilds; the
+# single-FILE key formula — all gate corpora — is byte-identical),
+# and (i) a single-slot bound on the multiprobe quantized-frame
+# cache.  All behavior-preserving for every catalog corpus (no NULLs,
+# no dimension mixes, file corpora), re-proven by local parity; the
+# only demoted query whose call path touches any of this is
 # similarity_probe_int8_stream_analog (r13-green — the freshest
 # evidence in the catalog); its family is re-gated this round through
-# BOTH in-window IVF queries, which exercise the same nprobe_clusters
-# guard and artifact lifecycle on this round's code.
+# BOTH in-window IVF queries plus the new append gate, which exercise
+# the same nprobe_clusters guard, build guard, and artifact lifecycle
+# on this round's code.
 #
 # STEADY-STATE CATALOG-GROWTH POLICY (round-11 verdict item 6): the
 # driver gates a fixed 50-query prefix, so a catalog of size C forces
