@@ -1588,3 +1588,166 @@ def test_multiprobe_cache_is_single_slot(spark):
         "previous call's cache was not released"
     )
     qz._MULTIPROBE_CACHE_SLOT.pop().unpersist()  # leave the session clean
+
+
+def test_hot_index_read_survives_age_sweep(spark, tmp_path):
+    """Round-14 verdict item 2 / ADVICE: the 7-day age sweep retires a
+    published index by its own lstat mtime, and reads used to refresh
+    only the .fp.json sidecar — so an index SEARCHED daily but not
+    rebuilt for a week was reaped by any co-located build.  Now a
+    successful ivf_read_int8 touches the published entry itself: an
+    index read after its mtime passed the horizon survives a sibling
+    build's sweep; a genuinely idle one still retires."""
+    import os
+    import time
+
+    from wikihadoop_spark.operators import quantize as qz
+
+    df = spark.createDataFrame(
+        [(0, [5, 0], 25, 0), (1, [0, 5], 25, 1)],
+        "vec_id bigint, q array<int>, n2 bigint, cluster int",
+    )
+    base = tmp_path / "cache"
+    base.mkdir()
+    hot = str(base / "wikihadoop_ivf8_aaaaaaaa_111111111111")
+    idle = str(base / "wikihadoop_ivf8_bbbbbbbb_222222222222")
+    qz.ivf_write_int8(df, [[5, 0], [0, 5]], hot, overwrite=True)
+    qz.ivf_write_int8(df, [[5, 0], [0, 5]], idle, overwrite=True)
+    old = time.time() - qz._IVF_MAX_AGE_SEC - 60
+    for p in (hot, idle):
+        os.utime(p, (old, old), follow_symlinks=False)
+    # a daily search reads the hot index — the read refreshes its mtime
+    tagged, cents = qz.ivf_read_int8(spark, hot)
+    assert tagged.count() == 2 and len(cents) == 2
+    assert time.time() - os.lstat(hot).st_mtime < 3600, (
+        "read did not refresh the published entry's lstat mtime"
+    )
+    # a sibling build (different corpus, same base dir) runs the sweep
+    corpus = tmp_path / "emb.parquet"
+    corpus.write_bytes(b"hot-index-shield-bytes")
+    qz._FP_CACHE.clear()
+    sibling = qz.ivf_index_path(str(corpus), k=8, iterations=2, base=str(base))
+    qz._cleanup_stale_indexes(sibling)
+    assert os.path.lexists(hot), "hot (read-daily) index reaped by age sweep"
+    assert not os.path.lexists(idle), "idle index not retired at the horizon"
+    # the survivor is still fully readable after the sweep
+    tagged, _ = qz.ivf_read_int8(spark, hot)
+    assert tagged.count() == 2
+
+
+def test_append_token_sanitization_cannot_collide(spark, tmp_path):
+    """Round-14 ADVICE: marker names built from sanitization alone map
+    distinct tokens ('epoch/1' vs 'epoch_1') to one marker, silently
+    skipping a legitimate batch as a replay.  The sha256 suffix keeps
+    them distinct: both batches must land."""
+    from wikihadoop_spark.operators import quantize as qz
+
+    df = spark.createDataFrame(
+        [(0, [5, 0], 25, 0), (1, [0, 5], 25, 1)],
+        "vec_id bigint, q array<int>, n2 bigint, cluster int",
+    )
+    path = str(tmp_path / "idx_tokens")
+    qz.ivf_write_int8(df, [[5, 0], [0, 5]], path, overwrite=True)
+    cents = [[5, 0], [0, 5]]
+    a = spark.createDataFrame([(9, [4, 1])], "vec_id bigint, q array<int>")
+    b = spark.createDataFrame([(10, [1, 4])], "vec_id bigint, q array<int>")
+    assert qz.ivf_append_int8(a, cents, path, dedupe_token="epoch/1") == 1
+    assert qz.ivf_append_int8(b, cents, path, dedupe_token="epoch_1") == 1, (
+        "sanitization collision dropped a distinct token's batch"
+    )
+    # and each token individually still dedupes its own replay
+    assert qz.ivf_append_int8(a, cents, path, dedupe_token="epoch/1") == 0
+    tagged, _ = qz.ivf_read_int8(spark, path)
+    assert sorted(r.vec_id for r in tagged.collect()) == [0, 1, 9, 10]
+
+
+def test_append_reconciles_crash_between_land_and_marker(spark, tmp_path, monkeypatch):
+    """Round-14 verdict item 3: the old protocol's unfixable window — a
+    crash AFTER the rows landed but BEFORE the marker write — used to
+    double-append on replay.  The two-phase landing reconciles it: the
+    replay finds the intent, unlinks the listed files, and redoes the
+    append — exactly-once, bit-identical to a crash-free run."""
+    import os
+
+    from wikihadoop_spark.operators import quantize as qz
+
+    df = spark.createDataFrame(
+        [(0, [5, 0], 25, 0), (1, [0, 5], 25, 1)],
+        "vec_id bigint, q array<int>, n2 bigint, cluster int",
+    )
+    path = str(tmp_path / "idx_crash")
+    qz.ivf_write_int8(df, [[5, 0], [0, 5]], path, overwrite=True)
+    cents = [[5, 0], [0, 5]]
+    new = spark.createDataFrame(
+        [(9, [4, 1]), (10, [1, 4])], "vec_id bigint, q array<int>"
+    )
+
+    real_finalize = qz._finalize_append_marker
+
+    def crash_at_marker(marker, intent, dests):
+        raise RuntimeError("injected crash between landing and marker")
+
+    monkeypatch.setattr(qz, "_finalize_append_marker", crash_at_marker)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        qz.ivf_append_int8(new, cents, path, dedupe_token="epoch-3")
+    # the rows LANDED (the crash was after step 3) and the intent is
+    # still present — exactly the unreconcilable old-protocol state
+    resolved = os.path.realpath(path)
+    marker, intent, stage, _sha = qz._append_marker_paths(resolved, "epoch-3")
+    assert os.path.exists(intent) and not os.path.exists(marker)
+    landed = [r.vec_id for r in qz.ivf_read_int8(spark, path)[0].collect()]
+    assert sorted(landed) == [0, 1, 9, 10]
+
+    # the replayed epoch reconciles: no duplicates, exactly one copy
+    monkeypatch.setattr(qz, "_finalize_append_marker", real_finalize)
+    assert qz.ivf_append_int8(new, cents, path, dedupe_token="epoch-3") == 2
+    tagged, _ = qz.ivf_read_int8(spark, path)
+    got = sorted(r.vec_id for r in tagged.collect())
+    assert got == [0, 1, 9, 10], f"replay duplicated or dropped rows: {got}"
+    assert os.path.exists(marker) and not os.path.exists(intent)
+    # a further replay is a clean skip
+    assert qz.ivf_append_int8(new, cents, path, dedupe_token="epoch-3") == 0
+    # crash BEFORE the intent (between staging and step 2): nothing
+    # visible landed, replay just redoes
+    new2 = spark.createDataFrame([(11, [5, 1])], "vec_id bigint, q array<int>")
+
+    def crash_at_land(rows, resolved, intent, stage, sha):
+        rows.write.mode("overwrite").partitionBy("cluster").parquet(stage)
+        raise RuntimeError("injected crash before intent")
+
+    monkeypatch.setattr(qz, "_land_append_staged", crash_at_land)
+    with _pytest.raises(RuntimeError, match="before intent"):
+        qz.ivf_append_int8(new2, cents, path, dedupe_token="epoch-4")
+    assert sorted(
+        r.vec_id for r in qz.ivf_read_int8(spark, path)[0].collect()
+    ) == [0, 1, 9, 10], "staged rows leaked into the readable index"
+    monkeypatch.undo()
+    assert qz.ivf_append_int8(new2, cents, path, dedupe_token="epoch-4") == 1
+    assert sorted(
+        r.vec_id for r in qz.ivf_read_int8(spark, path)[0].collect()
+    ) == [0, 1, 9, 10, 11]
+
+
+def test_reaped_index_read_fails_loudly(spark, tmp_path):
+    """Round-14 verdict item 6: the documented failure mode for an
+    index reaped while a reader holds an open scan is a LOUD job
+    failure — never a silently-empty result that would masquerade as
+    'no neighbors'.  Pin it: a collect over a just-reaped index
+    raises."""
+    import pytest as _pytest
+
+    from wikihadoop_spark.operators import quantize as qz
+
+    df = spark.createDataFrame(
+        [(0, [5, 0], 25, 0), (1, [0, 5], 25, 1)],
+        "vec_id bigint, q array<int>, n2 bigint, cluster int",
+    )
+    path = str(tmp_path / "idx_reaped")
+    qz.ivf_write_int8(df, [[5, 0], [0, 5]], path, overwrite=True)
+    tagged, cents = qz.ivf_read_int8(spark, path)  # open (lazy) scan
+    assert tagged.count() == 2  # the scan works while the index lives
+    qz._remove_index(path)  # what the age sweep does
+    with _pytest.raises(Exception):
+        tagged.count()

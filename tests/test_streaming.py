@@ -1601,3 +1601,106 @@ def test_streaming_incremental_append_matches_batch_composite(spark, tmp_path):
         id_col="vec_id", q_col="q", n2_col="n2", k=5, nprobe=2,
     )
     assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+
+
+def test_streaming_append_crash_before_marker_lands_exactly_once(
+    spark, tmp_path, monkeypatch
+):
+    """Round-14 verdict item 3, the kill drill: a foreachBatch append
+    that CRASHES between landing its rows and writing the epoch marker
+    (the old protocol's unreconcilable window) must land exactly-once
+    after the stream restarts from its checkpoint — the replayed epoch
+    reconciles via the intent file instead of double-appending or
+    silently skipping.  The restarted index reads back bit-equal to
+    the batch composite, same as the crash-free drill above."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from wikihadoop_spark.operators import quantize as qz
+
+    emb = load_table(spark, SF, "embeddings")
+
+    def quantized(df):
+        return (
+            df.select(
+                "vec_id",
+                qz.quantize_int8(
+                    F.col("embedding").cast("array<double>")
+                ).alias("q"),
+            )
+            .withColumn("n2", qz.int_norm2(F.col("q")))
+            .filter(F.col("n2") > 0)
+        )
+
+    corpus = quantized(emb.filter(F.col("vec_id") >= 10))
+    arriving_raw = emb.filter(F.col("vec_id") < 10)
+
+    # distinct stems (text up to the LAST underscore): the build path
+    # sweeps same-stem siblings, so "ivf_x"/"ivf_y" would reap each
+    # other as stale fingerprints of one corpus
+    idx_batch = str(tmp_path / "killdrill_batch_composite")
+    tagged_b, cents_b = qz.ivf_build_append_or_read_int8(
+        spark, corpus, quantized(arriving_raw), idx_batch, k=4, iterations=2
+    )
+
+    idx_stream = str(tmp_path / "killdrill_stream_append")
+    _, cents_s = qz.ivf_build_or_read_int8(
+        spark, corpus, idx_stream, k=4, iterations=2
+    )
+    assert cents_s == cents_b
+
+    new_path = str(tmp_path / "arriving")
+    arriving_raw.repartition(3).write.mode("overwrite").parquet(new_path)
+
+    # crash injection: the FIRST marker finalization raises AFTER the
+    # rows are already renamed into vectors/ — exactly the
+    # kill-between-append-and-marker point
+    real_finalize = qz._finalize_append_marker
+    crashed = {"n": 0}
+
+    def finalize_or_crash(marker, intent, dests):
+        if crashed["n"] == 0:
+            crashed["n"] = 1
+            raise RuntimeError("injected kill between append and marker")
+        real_finalize(marker, intent, dests)
+
+    monkeypatch.setattr(qz, "_finalize_append_marker", finalize_or_crash)
+
+    def append_batch(df, epoch_id):
+        qz.ivf_append_int8(
+            quantized(df), cents_s, idx_stream,
+            dedupe_token=f"epoch-{epoch_id}",
+        )
+
+    def start():
+        return (
+            spark.readStream.schema(arriving_raw.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(new_path)
+            .writeStream.foreachBatch(append_batch)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+
+    q = start()
+    with pytest.raises((StreamingQueryException, Py4JJavaError)):
+        q.processAllAvailable()
+    q.stop()
+    assert crashed["n"] == 1, "the injected crash never fired"
+
+    # restart from the same checkpoint: the failed epoch REPLAYS, the
+    # intent reconciles the landed-but-unmarked files, and the
+    # remaining micro-batches land normally
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    tagged_s, cents_read = qz.ivf_read_int8(spark, idx_stream)
+    assert cents_read == cents_b
+    tag = lambda r: (r.vec_id, tuple(r.q), r.n2, r.cluster)
+    got = sorted(map(tag, tagged_s.collect()))
+    want = sorted(map(tag, tagged_b.collect()))
+    assert got == want, (
+        "crash+restart diverged from the batch composite: "
+        f"{len(got)} rows vs {len(want)}"
+    )

@@ -618,6 +618,16 @@ _IVF_MAX_AGE_SEC = 7 * 24 * 3600.0
 
 
 def _staging_expired(p: str) -> bool:
+    """True when NOTHING under ``p`` (the entry itself, or any file at
+    any depth for a directory) was modified within
+    ``_STAGING_MAX_AGE_SEC``.  The deep scan matters for live-pid
+    entries (round-14 ADVICE): a legitimate build running longer than
+    24 h keeps landing parquet parts under ``.tmp<pid>/vectors/`` —
+    which bumps the PART files' mtimes but not the staging ROOT's — so
+    judging the root alone would let another builder's sweep delete a
+    live build's staging mid-write.  The walk is paid only when the
+    root already looks expired (never on the common fresh path), and
+    short-circuits at the first fresh entry."""
     import os
     import time
 
@@ -625,7 +635,19 @@ def _staging_expired(p: str) -> bool:
         st = os.lstat(p)
     except OSError:
         return False  # vanished under us — nothing to reap
-    return time.time() - st.st_mtime > _STAGING_MAX_AGE_SEC
+    now = time.time()
+    if now - st.st_mtime <= _STAGING_MAX_AGE_SEC:
+        return False
+    if os.path.isdir(p) and not os.path.islink(p):
+        for dirpath, dirnames, filenames in os.walk(p):
+            for name in dirnames + filenames:
+                try:
+                    mt = os.lstat(os.path.join(dirpath, name)).st_mtime
+                except OSError:
+                    continue
+                if now - mt <= _STAGING_MAX_AGE_SEC:
+                    return False
+    return True
 
 
 def _reap_dead_staging(path: str) -> None:
@@ -890,12 +912,30 @@ def ivf_write_int8(
 def ivf_read_int8(spark, path: str) -> tuple[DataFrame, list[list[int]]]:
     """Read back an index written by ivf_write_int8: (tagged frame,
     centroid list).  The frame is a plain parquet scan — filters and
-    column pruning push down; the centroids are K×D driver ints."""
+    column pruning push down; the centroids are K×D driver ints.
+
+    A successful read refreshes the published entry's OWN (lstat)
+    mtime — the handle the age sweep in :func:`_cleanup_stale_indexes`
+    retires by (round-14 verdict item 2: reads used to refresh only
+    the ``.fp.json`` sidecar, so a hot read-only index searched daily
+    but not rebuilt for a week was rmtree'd by the next co-located
+    build, failing in-flight readers and forcing a multi-TB rebuild of
+    a hot artifact).  With the touch, only genuinely IDLE artifacts
+    age past ``_IVF_MAX_AGE_SEC``.  ``follow_symlinks=False``: the
+    sweep lstats the published symlink itself, so that is the mtime to
+    refresh; a legacy real-dir index is touched directly.  Best-effort
+    — a read-only filesystem costs only earlier retirement, never
+    correctness (the deterministic build recreates the index
+    bit-identically)."""
     import os
 
     tagged = spark.read.parquet(os.path.join(path, "vectors"))
     rows = spark.read.parquet(os.path.join(path, "centroids")).collect()
     cents = [list(r["centroid"]) for r in sorted(rows, key=lambda r: r["cluster"])]
+    try:
+        os.utime(path, follow_symlinks=False)
+    except (OSError, NotImplementedError):
+        pass
     return tagged, cents
 
 
@@ -1046,6 +1086,113 @@ def ivf_assign_int8(
     )
 
 
+def _append_marker_paths(
+    resolved: str, dedupe_token: str
+) -> tuple[str, str, str, str]:
+    """(marker, intent, stage, token_sha) paths for one dedupe token.
+    The name embeds BOTH a filesystem-safe rendering of the token and
+    a short sha256 of the raw token — sanitization alone collides
+    (``epoch/1`` vs ``epoch_1``, round-14 ADVICE), and a collision
+    here silently drops a legitimate batch as a replay.  All three
+    live at the index ROOT (next to ``vectors/``), underscore-prefixed
+    so parquet readers ignore them."""
+    import hashlib
+    import os
+    import re
+
+    safe = re.sub(r"[^A-Za-z0-9._-]", "_", dedupe_token)
+    sha = hashlib.sha256(dedupe_token.encode()).hexdigest()[:8]
+    stem = os.path.join(resolved, f"_append_{safe}_{sha}")
+    return stem, stem + ".intent", stem + ".stage", sha
+
+
+def _clear_append_residue(intent: str, stage: str) -> None:
+    import os
+    import shutil
+
+    try:
+        os.unlink(intent)
+    except OSError:
+        pass
+    shutil.rmtree(stage, ignore_errors=True)
+
+
+def _reconcile_crashed_append(resolved: str, intent: str, stage: str) -> None:
+    """Undo a crashed prior attempt for this token: unlink every
+    destination file the intent recorded (files that never landed are
+    skipped), then drop the intent and any staged leftovers — after
+    which the caller's fresh append is the FIRST landing, whatever the
+    crash point was (round-14 verdict item 3)."""
+    import json
+    import os
+    import shutil
+
+    if os.path.exists(intent):
+        try:
+            with open(intent) as fh:
+                listed = json.load(fh)
+        except (OSError, ValueError):
+            listed = []
+        for rel in listed:
+            try:
+                os.unlink(os.path.join(resolved, rel))
+            except OSError:
+                pass
+        try:
+            os.unlink(intent)
+        except OSError:
+            pass
+    shutil.rmtree(stage, ignore_errors=True)
+
+
+def _land_append_staged(
+    rows: DataFrame, resolved: str, intent: str, stage: str, sha: str
+) -> list[str]:
+    """Two-phase landing: stage the cluster-partitioned parquet
+    OUTSIDE ``vectors/``, record every destination name in the intent,
+    then rename each file into its ``cluster=N`` directory (atomic per
+    file; the token-hash prefix makes this append's files identifiable
+    for reconciliation forever).  Returns the destination list."""
+    import json
+    import os
+    import shutil
+
+    rows.write.mode("overwrite").partitionBy("cluster").parquet(stage)
+    moves: list[tuple[str, str]] = []
+    for cdir in sorted(os.listdir(stage)):
+        if not cdir.startswith("cluster="):
+            continue
+        for fname in sorted(os.listdir(os.path.join(stage, cdir))):
+            if fname.startswith(("_", ".")):
+                continue
+            rel = os.path.join("vectors", cdir, f"{sha}-{fname}")
+            moves.append((os.path.join(stage, cdir, fname), rel))
+    dests = [rel for _, rel in moves]
+    with open(intent, "w") as fh:
+        json.dump(dests, fh)
+    for src, rel in moves:
+        dst = os.path.join(resolved, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.rename(src, dst)
+    shutil.rmtree(stage, ignore_errors=True)
+    return dests
+
+
+def _finalize_append_marker(marker: str, intent: str, dests: list[str]) -> None:
+    """Step 4 of the landing protocol — its own function so the
+    kill-between-append-and-marker drill (test_streaming.py) can
+    inject a crash exactly here."""
+    import json
+    import os
+
+    with open(marker, "w") as fh:
+        json.dump(dests, fh)
+    try:
+        os.unlink(intent)
+    except OSError:
+        pass
+
+
 def ivf_append_int8(
     qframe: DataFrame,
     centroids: list[list[int]],
@@ -1077,40 +1224,64 @@ def ivf_append_int8(
     index).  Appends against the same resolved target from one writer
     are safe; concurrent re-publishes are not.
 
-    At-least-once replay (round-14 review finding): Structured
+    EXACTLY-ONCE replay (round-14 verdict item 3, upgrading the
+    round-14 review finding's at-least-once token): Structured
     Streaming's foreachBatch can RE-RUN an epoch after a failure
     between this append and the checkpoint commit, which would land
     the same rows twice (duplicate pairs in every later search).
     Callers on a replayable path pass ``dedupe_token`` (e.g.
-    ``f"epoch-{epoch_id}"``): a token whose ``_append_<token>`` marker
-    already exists in the target is skipped (returns 0), and the
-    marker is written after the rows land.  Residual window: a crash
-    BETWEEN the parquet append and the marker write still duplicates
-    on replay — parquet appends are not atomic, so exactly-once needs
-    either an idempotent sink or a rebuild on restart; the token
-    narrows the window to that one gap, which is exactly the
-    guarantee foreachBatch itself offers its sinks."""
+    ``f"epoch-{epoch_id}"``); the landing is then a two-phase rename
+    protocol that a replay can RECONCILE from any crash point:
+
+    1. rows are written to a ``_append_<token>.stage`` dir at the
+       index root — underscore-prefixed and OUTSIDE ``vectors/``, so
+       no reader ever sees staged rows;
+    2. an ``.intent`` file listing every DESTINATION part-file name
+       (token-hash-prefixed, so this append's files are identifiable
+       forever) is written before any file lands;
+    3. the staged files are os.rename'd into their ``cluster=N``
+       directories (atomic per file, same filesystem);
+    4. the ``_append_<token>`` marker is written (it records the same
+       file list for audit) and the intent is removed.
+
+    A replay finding the marker skips (returns 0).  A replay finding
+    an INTENT instead — a crash anywhere between steps 2 and 4,
+    including the old protocol's unfixable gap between the append and
+    the marker — unlinks every listed file that landed, then redoes
+    the append from scratch: exactly-once, not at-least-once.  A crash
+    before step 2 left nothing visible to readers.  The marker/intent
+    names carry a short sha256 of the RAW token (round-14 ADVICE):
+    sanitization alone mapped distinct tokens like ``epoch/1`` and
+    ``epoch_1`` to one marker, silently dropping the second batch as a
+    "replay".  Without ``dedupe_token`` the rows land as a plain
+    parquet append — single-shot CLI semantics, no replay to guard."""
     import os
-    import re
 
     resolved = os.path.realpath(path)
-    marker = None
+    marker = intent = stage = sha = None
     if dedupe_token is not None:
-        safe = re.sub(r"[^A-Za-z0-9._-]", "_", dedupe_token)
-        marker = os.path.join(resolved, f"_append_{safe}")
+        marker, intent, stage, sha = _append_marker_paths(
+            resolved, dedupe_token
+        )
         if os.path.exists(marker):
-            return 0  # this batch already landed (replayed epoch)
+            # this batch already landed (replayed epoch); clear any
+            # residue from the narrow window between marker write and
+            # intent unlink
+            _clear_append_residue(intent, stage)
+            return 0
+        _reconcile_crashed_append(resolved, intent, stage)
     rows = ivf_assign_int8(
         qframe, centroids, id_col=id_col, q_col=q_col
     ).persist()
     n = rows.count()
-    rows.write.mode("append").partitionBy("cluster").parquet(
-        os.path.join(resolved, "vectors")
-    )
+    if marker is None:
+        rows.write.mode("append").partitionBy("cluster").parquet(
+            os.path.join(resolved, "vectors")
+        )
+    else:
+        dests = _land_append_staged(rows, resolved, intent, stage, sha)
+        _finalize_append_marker(marker, intent, dests)
     rows.unpersist()
-    if marker is not None:
-        with open(marker, "w"):
-            pass
     if os.path.realpath(path) != resolved:
         raise RuntimeError(
             f"ivf_append_int8: index at {path!r} was re-published while "
