@@ -4521,6 +4521,135 @@ def events_pivot(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "events_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id,
+             min(ts) FILTER (WHERE event_type = 'view') AS t_view
+      FROM events GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id,
+             min(e.ts) FILTER (
+               WHERE e.event_type = 'click' AND e.ts > s1.t_view
+                 AND e.ts <= s1.t_view + INTERVAL 24 HOURS
+             ) AS t_click
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id,
+             min(e.ts) FILTER (
+               WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+                 AND e.ts <= s2.t_click + INTERVAL 24 HOURS
+             ) AS t_buy
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      GROUP BY e.user_id
+    ),
+    agg AS (
+      SELECT count(*) AS total, count(s2.t_click) AS u2,
+             count(s1.t_view) AS u1, count(s3.t_buy) AS u3
+      FROM s1
+      LEFT JOIN s2 ON s1.user_id = s2.user_id
+      LEFT JOIN s3 ON s1.user_id = s3.user_id
+    )
+    SELECT 1 AS step, 'view' AS step_name, u1 AS users,
+           CAST(floor(u1 * 10000 / nullif(total, 0)) AS BIGINT) AS conv_bp
+    FROM agg
+    UNION ALL
+    SELECT 2, 'click', u2,
+           CAST(floor(u2 * 10000 / nullif(u1, 0)) AS BIGINT)
+    FROM agg
+    UNION ALL
+    SELECT 3, 'purchase', u3,
+           CAST(floor(u3 * 10000 / nullif(u2, 0)) AS BIGINT)
+    FROM agg
+    """,
+)
+def events_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered TIME-BOXED conversion funnel (first view → first click
+    within 24 h after it → first purchase within 24 h after that
+    click) with per-step user counts
+    and basis-point conversion from the previous step — the
+    product-analytics primitive the events family lacked (funnels are
+    ORDER-constrained, which pivot/retention/sessionize don't test).
+
+    Scale design: ONE hash exchange on user_id.  The three step
+    timestamps are conditional minima over the same unordered window
+    spec, so Catalyst computes them in sequential projects over a
+    single sort/partitioning (no per-step shuffle); the per-user frame
+    reduces through a groupBy on the SAME key (exchange reused), then
+    a single-row global aggregate stacks into three rows.  The SQL
+    alternative — chained self-joins per step — would shuffle the
+    events table once per funnel step at 100 TB (that shape is the
+    ORACLE, where DuckDB replays it on small data).  conv_bp is
+    floor(users*10000/prev) — one IEEE divide + floor on exact bigint
+    counts, bit-equal across engines; NULL (not a crash) when a step's
+    denominator is empty.  Strictly-greater ordering: a click at the
+    exact timestamp of the first view does not convert, both sides."""
+    t = Tables(spark, sf)
+    w = Window.partitionBy("user_id")
+    e = t.events.select("user_id", "event_type", "ts")
+    is_type = lambda s: F.col("event_type") == s  # noqa: E731
+    d = (
+        e.withColumn(
+            "t_view", F.min(F.when(is_type("view"), F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    is_type("click")
+                    & (F.col("ts") > F.col("t_view"))
+                    & (
+                        F.col("ts")
+                        <= F.col("t_view") + F.expr("INTERVAL 24 HOURS")
+                    ),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_buy",
+            F.min(
+                F.when(
+                    is_type("purchase")
+                    & (F.col("ts") > F.col("t_click"))
+                    & (
+                        F.col("ts")
+                        <= F.col("t_click") + F.expr("INTERVAL 24 HOURS")
+                    ),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = d.groupBy("user_id").agg(
+        F.first("t_view").alias("t_view"),
+        F.first("t_click").alias("t_click"),
+        F.first("t_buy").alias("t_buy"),
+    )
+    agg = per_user.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count("t_view").alias("u1"),
+        F.count("t_click").alias("u2"),
+        F.count("t_buy").alias("u3"),
+    )
+    return agg.select(
+        F.expr(
+            """stack(3,
+                 1, 'view', u1,
+                 CAST(floor(u1 * 10000 / nullif(total, 0)) AS BIGINT),
+                 2, 'click', u2,
+                 CAST(floor(u2 * 10000 / nullif(u1, 0)) AS BIGINT),
+                 3, 'purchase', u3,
+                 CAST(floor(u3 * 10000 / nullif(u2, 0)) AS BIGINT)
+               ) AS (step, step_name, users, conv_bp)"""
+        )
+    )
+
+
 # ===========================================================================
 # As-of + range joins  (time-series ops Spark lacks natively)
 # ===========================================================================
@@ -5665,132 +5794,223 @@ def media_frame_fanout_q(spark: SparkSession, sf: str) -> DataFrame:
 # must be written down with their criterion in this comment block the
 # round they are made.
 
-# The must-gate set for THIS round: the seven r11-pinned deferrals at
-# the 2-round evidence-age bound (pre-declared in the round-13
-# rotation) + the NEW int8 IVF append-lifecycle query (never gated) +
-# similarity_topk_int8_ivf (rotated in out of turn — this round's
-# quantize.py edits sit on its call path), plus the 41
-# oldest-evidence (r12-pinned) refreshes — validated to sit inside
-# the gate prefix.
+# Round-15 rotation (this round): CORRECTNESS_r14 went 50/50 green
+# (eleventh consecutive), so the catalog's evidence splits 50
+# r14-green / 50 r13-pinned / 8 r12-pinned.  Must-gate, exactly as
+# pre-declared in the round-14 deferral: the eight r12-pinned queries
+# at the 2-round evidence-age bound — agg_cube, agg_rollup,
+# decontaminate_bloom, events_pivot, scalar_array, scalar_conditional,
+# scalar_date, scalar_hash.  One NEW query gates immediately per
+# new-query hygiene (policy item (b)): events_funnel — the ordered
+# time-boxed conversion funnel (view → click ≤24h → purchase ≤24h),
+# the product-analytics primitive the events family lacked; its
+# oracle replays the same step semantics through chained
+# FILTER-aggregate joins.  Catalog: 109 queries.  Two r14-green
+# queries also rotate in out of turn: similarity_topk_int8_ivf and
+# similarity_topk_int8_ivf_append — this round's operators/quantize.py
+# edits sit directly on their call paths (the exactly-once two-phase
+# append landing with intent-file reconciliation, the token-hash
+# marker names, the read-path utime that shields hot indexes from the
+# age sweep, and the tree-aware staging expiry), so the driver
+# re-verifies the artifact lifecycle end-to-end rather than trusting
+# fresh evidence across an operator change.
+#
+# The remaining 39 slots go to r13-pinned demotions — 50 candidates
+# for 39 slots, so ELEVEN defer one round to r16 (still within the
+# age-2 bound), chosen by the family criterion (policy item (d)):
+# every deferred query's operator family receives a fresh r15 gate
+# through an in-window query on this round's actual code —
+# agg_approx_distinct + agg_argmax + agg_distinct + agg_grouping_sets
+# + agg_stats (the aggregation surface re-gated via the must-gates
+# agg_cube + agg_rollup, plus the in-window join_*_agg/q1/q3/q5
+# aggregation paths), scalar_json + scalar_string (the scalar library
+# re-gated via the four scalar must-gates), window_distribution +
+# window_value_functions (the window-function surface re-gated via
+# the in-window window_rank_topk and the window-based events_funnel),
+# events_tumbling (events-table analytics re-gated via the must-gate
+# events_pivot and the new events_funnel), and decontaminate_report
+# (operators/decontam.py re-gated via the must-gate
+# decontaminate_bloom; the Bloom bit-replay suite in
+# test_decontam.py).  All eleven are first-priority must-gates for
+# round 16.  After this round's gate no evidence is older than r13,
+# and only those eleven are older than r14.
+#
+# Round-15 operator edits touching the catalog's call paths, with
+# where the driver re-verifies them: operators/quantize.py gained
+# (a) the exactly-once append landing (stage → intent → rename →
+# marker, reconciling replays from any crash point — round-14 verdict
+# item 3), (b) token-hash marker names (round-14 ADVICE collision),
+# (c) a read-path utime on the published entry so hot indexes survive
+# the age sweep (round-14 verdict item 2), and (d) tree-aware staging
+# expiry (a >24h live build is no longer reaped mid-write).  (a)+(b)
+# change HOW tokened appends land (same bits, pinned bit-equal to the
+# batch composite in test_streaming.py's two drills), (c)+(d) are
+# filesystem hygiene off the query path; every catalog query whose
+# call path touches any of this gates THIS round
+# (similarity_topk_int8_ivf, similarity_topk_int8_ivf_append, and
+# similarity_probe_int8_stream_analog are all in-window).
+#
+# Float-twin retirement evidence table (round-14 verdict item 5 —
+# the standing policy (c) adjudication, re-evaluated at catalog 109
+# so the decision is written BEFORE the 150 cap forces it; the r13
+# adjudication said revisit at 130, this table is the start of that
+# evidence):
+#
+#   twin                    int8 replacement        equivalence evidence
+#   similarity_topk         similarity_topk_int8    both r14-green; same
+#     (brute-force float)                           oracle family; recall
+#                                                   + rank pins in
+#                                                   test_quantize.py
+#   similarity_topk_ivf     similarity_topk_int8_ivf both gate-proven
+#     (inline float Lloyd)    (+ _append lifecycle)  (r13/r14); int8 path
+#                                                   additionally covers
+#                                                   the WRITTEN artifact +
+#                                                   append; plan shape of
+#                                                   the float IVF search
+#                                                   is subsumed by the
+#                                                   int8 artifact search
+#                                                   (test_plans.py pins)
+#   embedding_cosine_dedup  embedding_cosine_dedup_ both gate-proven; the
+#     (float multiprobe)      int8                  float pass remains the
+#                                                   PRECISION REFERENCE
+#                                                   for the int8
+#                                                   no-false-positive /
+#                                                   monotonicity suites
+#
+#   Decision at 109: KEEP ALL THREE (headroom argument unchanged —
+#   retiring 3 queries does not lower the ceil(C/50)-1 age bound
+#   until C>150).  Retirement order WHEN the catalog nears 130:
+#   (1) similarity_topk_ivf first — fully subsumed, its only unique
+#   surface is the float Lloyd's round_dp oracle convention;
+#   (2) embedding_cosine_dedup second, and only after an equivalent
+#   precision-reference pin (float-vs-int8 cosine agreement on a
+#   fixed fixture) moves into test_quantize.py;
+#   (3) similarity_topk stays — it is the bench's float/int8 contrast
+#   row and the recall baseline every ANN suite compares against.
+#
+# The must-gate set for THIS round: the eight r12 pins deferred from
+# the r14 rotation (the only 2-round-age evidence) + the NEW funnel
+# query (never gated) + the two artifact-path queries whose operators
+# changed this round, plus the 39 oldest-evidence (r13-pinned)
+# refreshes — validated to sit inside the gate prefix.
 GATE_WINDOW = 50
 
 ROTATION_SET: frozenset[str] = frozenset(
     {
-        # ---- round-14 must-gates: the seven r11 pins deferred from
-        # the r13 rotation (the only 2-round-age evidence)
-        "agg_percentile",
-        "decontaminate_exact",
-        "decontaminate_ngram",
-        "events_retention",
-        "scalar_math",
-        "similarity_topk",
-        "similarity_topk_int8",
-        # ---- the never-gated append-lifecycle query (new-query
-        # hygiene) and the artifact-path query whose operators changed
-        # this round
-        "similarity_topk_int8_ivf_append",
+        # ---- round-15 must-gates: the eight r12 pins deferred from
+        # the r14 rotation (the only 2-round-age evidence)
+        "agg_cube",
+        "agg_rollup",
+        "decontaminate_bloom",
+        "events_pivot",
+        "scalar_array",
+        "scalar_conditional",
+        "scalar_date",
+        "scalar_hash",
+        # ---- the never-gated funnel query (new-query hygiene) and
+        # the two artifact-path queries whose operators changed
+        "events_funnel",
         "similarity_topk_int8_ivf",
-        # ---- 41 of the 49 remaining r12-pinned demotions rotate
-        # back (oldest evidence; the other 8 defer to r15 under the
+        "similarity_topk_int8_ivf_append",
+        # ---- 39 of the 50 r13-pinned demotions rotate back
+        # (oldest evidence; the other 11 defer to r16 under the
         # family criterion in the rotation comment)
-        "corpus_delta",
-        "corpus_report_card",
-        "dedup_clusters",
-        "dedup_exact_rows",
-        "dedup_keeper_quality",
-        "dedup_span_audit",
-        "dedup_span_exact",
-        "dsir_weights",
-        "embedding_cosine_dedup_int8",
-        "events_sliding",
-        "join_anti",
-        "join_cross",
-        "join_left_agg",
-        "join_right_agg",
-        "join_semi",
-        "jsonl_corrupt_audit",
-        "media_frame_fanout",
-        "minhash_signatures",
-        "ngram_jaccard_block",
-        "q3_top_revenue",
-        "q5_revenue_by_nation",
-        "sample_mixture",
-        "semantic_dedup",
-        "set_except",
-        "set_intersect",
-        "simhash_near_pairs",
-        "simhash_signatures",
-        "similarity_topk_lsh",
-        "sketch_count_min",
-        "text_c4_clean",
-        "text_diff_adjacent",
-        "text_fingerprint",
-        "text_langid",
-        "text_lm_bigram",
-        "text_lm_surprisal",
-        "text_quality",
-        "text_stopword_strip",
-        "text_tokens",
-        "window_lag_pairs",
-        "window_moving",
-        "window_running",
+        "asof_join_events_orders",
+        "chunk_documents",
+        "correlated_exists",
+        "curate_pipeline",
+        "dedup_line_frequency",
+        "dedup_verify_pairs",
+        "embedding_cosine_dedup",
+        "filter_regex",
+        "join_full_outer",
+        "join_inner_agg",
+        "join_theta",
+        "jsonl_roundtrip",
+        "media_audio_features",
+        "media_image_metadata",
+        "minhash_lsh_pairs",
+        "mixture_waterfill",
+        "ngram_overlap",
+        "pack_token_budget",
+        "q1_pricing_summary",
+        "range_join_near_orders",
+        "sample_stratified",
+        "scalar_subquery",
+        "scan_filter_project",
+        "sessionize_events",
+        "set_union_all",
+        "shuffle_pack",
+        "similarity_probe_int8_stream_analog",
+        "similarity_topk_int8_lsh",
+        "similarity_topk_ivf",
+        "sort_topk_global",
+        "text_lm_buckets",
+        "text_quality_model",
+        "text_repetition",
+        "text_scrub_pii",
+        "text_tfidf_topk",
+        "unpivot_lineitem",
+        "wikidump_roundtrip",
+        "wikidump_roundtrip_bz2",
+        "window_rank_topk",
     }
 )
 
 _GATE_ORDER: tuple[str, ...] = (
-    # ---- must-gate: the 7 deferred r11 pins ----
-    "agg_percentile",
-    "decontaminate_exact",
-    "decontaminate_ngram",
-    "events_retention",
-    "scalar_math",
-    "similarity_topk",
-    "similarity_topk_int8",
-    # ---- the new append-lifecycle gate + the touched artifact path ----
-    "similarity_topk_int8_ivf_append",
+    # ---- must-gate: the 8 deferred r12 pins ----
+    "agg_cube",
+    "agg_rollup",
+    "decontaminate_bloom",
+    "events_pivot",
+    "scalar_array",
+    "scalar_conditional",
+    "scalar_date",
+    "scalar_hash",
+    # ---- the new funnel gate + the touched artifact paths ----
+    "events_funnel",
     "similarity_topk_int8_ivf",
-    # ---- the 41 r12-pinned demotions rotating back ----
-    "corpus_delta",
-    "corpus_report_card",
-    "dedup_clusters",
-    "dedup_exact_rows",
-    "dedup_keeper_quality",
-    "dedup_span_audit",
-    "dedup_span_exact",
-    "dsir_weights",
-    "embedding_cosine_dedup_int8",
-    "events_sliding",
-    "join_anti",
-    "join_cross",
-    "join_left_agg",
-    "join_right_agg",
-    "join_semi",
-    "jsonl_corrupt_audit",
-    "media_frame_fanout",
-    "minhash_signatures",
-    "ngram_jaccard_block",
-    "q3_top_revenue",
-    "q5_revenue_by_nation",
-    "sample_mixture",
-    "semantic_dedup",
-    "set_except",
-    "set_intersect",
-    "simhash_near_pairs",
-    "simhash_signatures",
-    "similarity_topk_lsh",
-    "sketch_count_min",
-    "text_c4_clean",
-    "text_diff_adjacent",
-    "text_fingerprint",
-    "text_langid",
-    "text_lm_bigram",
-    "text_lm_surprisal",
-    "text_quality",
-    "text_stopword_strip",
-    "text_tokens",
-    "window_lag_pairs",
-    "window_moving",
-    "window_running",
+    "similarity_topk_int8_ivf_append",
+    # ---- the 39 r13-pinned demotions rotating back ----
+    "asof_join_events_orders",
+    "chunk_documents",
+    "correlated_exists",
+    "curate_pipeline",
+    "dedup_line_frequency",
+    "dedup_verify_pairs",
+    "embedding_cosine_dedup",
+    "filter_regex",
+    "join_full_outer",
+    "join_inner_agg",
+    "join_theta",
+    "jsonl_roundtrip",
+    "media_audio_features",
+    "media_image_metadata",
+    "minhash_lsh_pairs",
+    "mixture_waterfill",
+    "ngram_overlap",
+    "pack_token_budget",
+    "q1_pricing_summary",
+    "range_join_near_orders",
+    "sample_stratified",
+    "scalar_subquery",
+    "scan_filter_project",
+    "sessionize_events",
+    "set_union_all",
+    "shuffle_pack",
+    "similarity_probe_int8_stream_analog",
+    "similarity_topk_int8_lsh",
+    "similarity_topk_ivf",
+    "sort_topk_global",
+    "text_lm_buckets",
+    "text_quality_model",
+    "text_repetition",
+    "text_scrub_pii",
+    "text_tfidf_topk",
+    "unpivot_lineitem",
+    "wikidump_roundtrip",
+    "wikidump_roundtrip_bz2",
+    "window_rank_topk",
 )
 
 
