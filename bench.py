@@ -432,16 +432,22 @@ _SF1_ISOLATED_WATERMARKS: dict[str, float] = {
 # round-14 addendum.  Re-record when a headline query's plan changes.
 _HEADLINE_BAND_FACTOR = 1.2
 _HEADLINE_ISOLATED_WATERMARKS: dict[float, float] = {
-    # recorded 2026-08-16 (round 14): the day's quiet-window floor,
-    # 8.421 s, from a full bench run with nothing else on the host
-    # (protocol-equivalent to --headline: fresh process, same warmup/
-    # prewarm/min-of-3+confirmation).  Four --headline isolated runs
-    # the same day read 9.259 / 9.453 / 10.151 / 9.975 s — all inside
-    # 1.2x of this floor, i.e. mildly contended windows.  The LOWEST
-    # defensible quiet reading is the right watermark: a higher one
-    # would under-annotate genuinely stalled artifacts.  Per-query
-    # rows in SCALING.md's round-14 addendum.
-    0.1: 8.421,
+    # recorded 2026-08-16 (round 14) by the documented tool,
+    # tools/spot_isolated.py --headline: 9.259 s, the lowest of four
+    # same-day tool readings (9.259 / 9.453 / 10.151 / 9.975 s).
+    # Round-14 shipped this dict briefly re-pinned to a single 8.421 s
+    # full-bench reading that fell BELOW the round's own
+    # pre-registered 9.24-12.06 s band; the round-14 ADVICE adjudged
+    # that calibration-to-the-most-favorable-reading a protocol
+    # violation, so the value is restored to the tool-recorded floor
+    # and may only move when re-recorded BY THE TOOL across multiple
+    # quiet windows (provenance in SCALING.md).  The tool now runs the
+    # same min-of-3 + stall-confirmation loop as the bench itself, so
+    # its readings are protocol-identical, not merely similar.
+    # Round-15 re-record attempt (post-upgrade tool, three windows):
+    # 11.585 / 9.726 / 10.084 s — none below 9.259, so the recorded
+    # floor stands confirmed.
+    0.1: 9.259,
 }
 
 
@@ -485,6 +491,75 @@ def _needs_stall_rerun(values: list[float]) -> bool:
     of the minimum — i.e. the min is a one-off nobody reproduced."""
     lo = sorted(values)[:2]
     return lo[1] - lo[0] > _STALL_SPREAD_FACTOR * lo[0]
+
+
+def _timed_runs(run, prewarm, passes: int = 3) -> list[float]:
+    """min-of-N timing loop with the confirmed-min stall fallback —
+    THE shared policy (round-14 verdict item 4 extended it from the
+    headline queries to the wikidump pipeline rows, whose r14 spreads
+    ran up to 1.12 s on 2-4 s minima with no confirmation rule).
+    ``run`` returns elapsed seconds; ``prewarm`` refaults the input
+    before every timed pass.  While no second run confirms the
+    minimum, up to _STALL_EXTRA_RUNS extra passes are taken."""
+    dts = []
+    for _ in range(passes):
+        prewarm()
+        dts.append(run())
+    for _ in range(_STALL_EXTRA_RUNS):
+        if not _needs_stall_rerun(dts):
+            break
+        prewarm()
+        dts.append(run())
+    return dts
+
+
+# Isolated quiet-host watermarks for the wikidump pipeline rows
+# (round-14 verdict item 4): the r14 driver artifact's plain/bz2/
+# markup rows shipped spreads of 0.43-1.12 s on 2.3-3.9 s minima with
+# no self-adjudication — reading the bz2 14.53 GB/core-hour against
+# the same-day quiet 21.87 took SCALING.md archaeology.  Each row
+# records the quiet-host minimum SECONDS and the raw input GB it was
+# measured at: the corpora are deterministic and size-pinned, so
+# seconds are comparable run-to-run, and a nonstandard
+# SPARK_GRAFT_BENCH_BYTES (different corpus) makes the watermark
+# silently inapplicable rather than wrong.  Recorded by
+# `tools/spot_isolated.py --wikidump` on a quiet host (the same
+# min-of-3 + stall-confirmation protocol as the bench itself);
+# provenance in SCALING.md's round-15 section.  Re-record when the
+# diffdb pipeline or the corpus generators change.
+_WIKIDUMP_ISOLATED_WATERMARKS: dict[str, dict] = {
+    # recorded 2026-08-16 (round 15), tools/spot_isolated.py
+    # --wikidump across FOUR same-day windows (each reading is itself
+    # a min-of-3 + stall-confirmation inside _bench_wikidump):
+    #   plain  2.38 / 1.90 / 1.79 / 2.07 s
+    #   bz2    3.44 / 2.90 / 2.43 / 2.96 s
+    #   markup 3.03 / 2.50 / 2.41 / 2.81 s
+    # Watermark = the lowest tool reading per row (the headline rule:
+    # a higher one would under-annotate genuinely stalled artifacts);
+    # full window log in SCALING.md's round-15 section.
+    "plain": {"sec": 1.79, "input_gb": 0.5},
+    "bz2": {"sec": 2.43, "input_gb": 0.5},
+    "markup": {"sec": 2.41, "input_gb": 0.25},
+}
+
+
+def _annotate_wikidump(entry: dict, key: str, raw_gb: float, cpus: int) -> dict:
+    """Attach the isolated quiet-host watermark — and the GB/core-hour
+    it implies — to a wikidump row whose shipped minimum exceeds the
+    band (same 1.2x rule as the headline total), so a contended
+    throughput number self-adjudicates from the artifact alone instead
+    of needing SCALING.md context (round-14 verdict item 4).  A row
+    measured on a nonstandard corpus size carries no watermark (the
+    recorded one would be for a different corpus)."""
+    wm = _WIKIDUMP_ISOLATED_WATERMARKS.get(key)
+    if not wm or abs(raw_gb - wm["input_gb"]) > 0.01 * wm["input_gb"]:
+        return entry
+    if entry["sec"] > _HEADLINE_BAND_FACTOR * wm["sec"]:
+        entry["isolated_watermark_sec"] = wm["sec"]
+        entry["watermark_gb_per_core_hour"] = round(
+            raw_gb / (wm["sec"] / 3600) / cpus, 2
+        )
+    return entry
 
 
 def _build_sf1(spark, sf_dir: str, out_dir: str) -> None:
@@ -888,10 +963,9 @@ def _bench_wikidump(spark) -> dict:
 
     prewarm_cache()
     run()  # warm python workers + codegen for this pipeline shape
-    dts = []
-    for _ in range(3):
-        prewarm_cache()
-        dts.append(run())
+    # min-of-3 + confirmed-min stall fallback, same policy as the
+    # headline queries (round-14 verdict item 4)
+    dts = _timed_runs(run, prewarm_cache)
     dt = min(dts)  # steady-state: the host throttles bursts 2-3x
     # rate divides by ALLOCATED cores (the honest comparison with the
     # reference's 700 GB / 24 cores / ~22 h ≈ 1.33 GB/core-hour)
@@ -910,6 +984,7 @@ def _bench_wikidump(spark) -> dict:
         "gb_per_core_hour": round(size_gb / (dt / 3600) / cpus, 2),
         "native_kernel": native.load() is not None,
     }
+    _annotate_wikidump(result, "plain", size_gb, cpus)
     result["bz2"] = _bench_wikidump_bz2(spark, path, size_gb, cpus)
     result["markup"] = _bench_wikidump_markup(spark, cpus)
     return result
@@ -1043,17 +1118,19 @@ def _bench_wikidump_markup(spark, cpus: int) -> dict:
 
     prewarm()
     run()
-    dts = []
-    for _ in range(3):
-        prewarm()
-        dts.append(run())
+    dts = _timed_runs(run, prewarm)
     dt = min(dts)
-    return {
-        "input_gb": round(size_gb, 3),
-        "sec": round(dt, 2),
-        "spread_sec": round(max(dts) - dt, 2),
-        "gb_per_core_hour": round(size_gb / (dt / 3600) / cpus, 2),
-    }
+    return _annotate_wikidump(
+        {
+            "input_gb": round(size_gb, 3),
+            "sec": round(dt, 2),
+            "spread_sec": round(max(dts) - dt, 2),
+            "gb_per_core_hour": round(size_gb / (dt / 3600) / cpus, 2),
+        },
+        "markup",
+        size_gb,
+        cpus,
+    )
 
 
 def _bench_wikidump_bz2(spark, xml_path: str, size_gb: float, cpus: int) -> dict:
@@ -1109,17 +1186,19 @@ def _bench_wikidump_bz2(spark, xml_path: str, size_gb: float, cpus: int) -> dict
 
     prewarm()
     run()
-    dts = []
-    for _ in range(3):
-        prewarm()
-        dts.append(run())
+    dts = _timed_runs(run, prewarm)
     dt = min(dts)
-    return {
-        "compressed_gb": round(comp_size / 1e9, 4),
-        "sec": round(dt, 2),
-        "spread_sec": round(max(dts) - dt, 2),
-        "raw_gb_per_core_hour": round(size_gb / (dt / 3600) / cpus, 2),
-    }
+    return _annotate_wikidump(
+        {
+            "compressed_gb": round(comp_size / 1e9, 4),
+            "sec": round(dt, 2),
+            "spread_sec": round(max(dts) - dt, 2),
+            "raw_gb_per_core_hour": round(size_gb / (dt / 3600) / cpus, 2),
+        },
+        "bz2",
+        size_gb,
+        cpus,
+    )
 
 
 if __name__ == "__main__":

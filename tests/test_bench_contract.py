@@ -148,3 +148,73 @@ def test_stall_rerun_rule():
     assert not _needs_stall_rerun([4.0, 9.1, 16.3, 3.7])
     assert not _needs_stall_rerun([2.0, 3.0, 9.0])   # exactly 0.5: ships
     assert _STALL_EXTRA_RUNS == 2
+
+
+def test_wikidump_watermark_annotation_rule():
+    """Round-14 verdict item 4: the wikidump pipeline rows (plain /
+    bz2 / markup) must self-adjudicate like the headline total — a
+    contended minimum carries the recorded quiet-host watermark AND
+    the GB/core-hour it implies, so the throughput number reads
+    without SCALING.md archaeology.  A row measured on a nonstandard
+    corpus size must stay unannotated (the watermark was recorded on a
+    different corpus)."""
+    sys.path.insert(0, REPO)
+    from bench import (
+        _WIKIDUMP_ISOLATED_WATERMARKS,
+        _annotate_wikidump,
+    )
+
+    # all three rows must actually have recorded watermarks
+    for key in ("plain", "bz2", "markup"):
+        wm = _WIKIDUMP_ISOLATED_WATERMARKS.get(key)
+        assert wm and wm.get("sec") and wm.get("input_gb"), (
+            f"no isolated wikidump watermark recorded for {key!r} — run "
+            "tools/spot_isolated.py --wikidump on a quiet host"
+        )
+
+    wm = _WIKIDUMP_ISOLATED_WATERMARKS["plain"]
+    gb, cpus = wm["input_gb"], 32
+
+    def entry(sec):
+        return {"input_gb": gb, "sec": sec, "spread_sec": 0.1,
+                "gb_per_core_hour": round(gb / (sec / 3600) / cpus, 2)}
+
+    # inside the band: no annotation
+    clean = _annotate_wikidump(entry(wm["sec"] * 1.1), "plain", gb, cpus)
+    assert "isolated_watermark_sec" not in clean
+    # beyond 1.2x: watermark + implied quiet rate attach
+    hot = _annotate_wikidump(entry(wm["sec"] * 1.5), "plain", gb, cpus)
+    assert hot["isolated_watermark_sec"] == wm["sec"]
+    assert hot["watermark_gb_per_core_hour"] == round(
+        gb / (wm["sec"] / 3600) / cpus, 2
+    )
+    # nonstandard corpus (SPARK_GRAFT_BENCH_BYTES override): silent no-op
+    off = _annotate_wikidump(entry(wm["sec"] * 9), "plain", gb * 3, cpus)
+    assert "isolated_watermark_sec" not in off
+    # unknown row key: no crash, no annotation
+    assert "isolated_watermark_sec" not in _annotate_wikidump(
+        entry(99.0), "nonesuch", gb, cpus
+    )
+
+
+def test_timed_runs_shared_stall_policy():
+    """The wikidump rows time through the same confirmed-min loop as
+    the headline queries (_timed_runs): an unconfirmed minimum takes
+    extra passes (bounded), a confirmed one stops at 3."""
+    sys.path.insert(0, REPO)
+    from bench import _STALL_EXTRA_RUNS, _timed_runs
+
+    # quiet host: exactly 3 passes, 3 prewarms
+    seq = iter([1.0, 1.05, 1.1])
+    calls = {"prewarm": 0}
+    out = _timed_runs(lambda: next(seq), lambda: calls.__setitem__(
+        "prewarm", calls["prewarm"] + 1))
+    assert out == [1.0, 1.05, 1.1] and calls["prewarm"] == 3
+    # three distinct stalls: extra passes until a run confirms the min
+    seq = iter([4.0, 9.1, 16.3, 3.7])
+    out = _timed_runs(lambda: next(seq), lambda: None)
+    assert out == [4.0, 9.1, 16.3, 3.7]  # 4th run confirmed: loop ends
+    # never more than _STALL_EXTRA_RUNS extras even if nothing confirms
+    seq = iter([1.0, 9.0, 25.0, 64.0, 121.0, 999.0])
+    out = _timed_runs(lambda: next(seq), lambda: None)
+    assert len(out) == 3 + _STALL_EXTRA_RUNS

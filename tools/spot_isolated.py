@@ -10,12 +10,17 @@ Usage:
     python tools/spot_isolated.py [query ...]   # default: all spots
     python tools/spot_isolated.py --headline    # headline-suite total
                                                 # (round-13 verdict
-                                                # item 2): min-of-3 per
+                                                # item 2): min-of-3 +
+                                                # stall-confirmation per
                                                 # headline query at
                                                 # $SPARK_GRAFT_SF_DIR,
                                                 # prints the total to
                                                 # paste into bench.py's
                                                 # _HEADLINE_ISOLATED_WATERMARKS
+    python tools/spot_isolated.py --wikidump    # plain/bz2/markup row
+                                                # minima (round-14
+                                                # verdict item 4) for
+                                                # _WIKIDUMP_ISOLATED_WATERMARKS
 
 Run on a quiet host: no concurrent pytest or bench (see SCALING.md's
 host-variance protocol).
@@ -55,7 +60,10 @@ def _min3(spark, name: str, data_dir: str) -> tuple[float, float]:
 def _headline_total(spark, sf_dir: str) -> None:
     """Isolated headline-suite watermark: the exact bench.py protocol
     (sf0.001 codegen warmup, sequential parquet prewarm before each
-    pass, per-query min-of-3) in a process doing nothing else."""
+    pass, per-query min-of-3 PLUS the confirmed-min stall fallback —
+    round-14 ADVICE: the tool used to lack the _needs_stall_rerun
+    loop, so its readings were not protocol-identical to the bench
+    they calibrate) in a process doing nothing else."""
     import glob
 
     for name in bench.HEADLINE:
@@ -71,6 +79,16 @@ def _headline_total(spark, sf_dir: str) -> None:
     for _ in range(3):
         prewarm()
         for name in bench.HEADLINE:
+            t0 = time.perf_counter()
+            bench.QUERIES[name](spark, sf_dir).count()
+            raw[name].append(time.perf_counter() - t0)
+    # stall fallback, same rule as bench.main(): an UNCONFIRMED
+    # minimum gets up to _STALL_EXTRA_RUNS extra timed runs
+    for name in bench.HEADLINE:
+        for _ in range(bench._STALL_EXTRA_RUNS):
+            if not bench._needs_stall_rerun(raw[name]):
+                break
+            prewarm()
             t0 = time.perf_counter()
             bench.QUERIES[name](spark, sf_dir).count()
             raw[name].append(time.perf_counter() - t0)
@@ -97,6 +115,32 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     if "--headline" in sys.argv[1:]:
         _headline_total(spark, sf_dir)
+        spark.stop()
+        return
+    if "--wikidump" in sys.argv[1:]:
+        # isolated wikidump-row watermarks (round-14 verdict item 4):
+        # the full plain/bz2/markup pipeline bench — already
+        # min-of-3 + stall-confirmed internally — in a process doing
+        # nothing else; the sec minima are the values for bench.py's
+        # _WIKIDUMP_ISOLATED_WATERMARKS (provenance in SCALING.md)
+        w = bench._bench_wikidump(spark)
+        print(
+            json.dumps(
+                {
+                    "wikidump_isolated": {
+                        "plain": {"sec": w["sec"], "input_gb": w["input_gb"]},
+                        "bz2": {
+                            "sec": w["bz2"]["sec"],
+                            "input_gb": w["input_gb"],
+                        },
+                        "markup": {
+                            "sec": w["markup"]["sec"],
+                            "input_gb": w["markup"]["input_gb"],
+                        },
+                    }
+                }
+            )
+        )
         spark.stop()
         return
     spot_dir, span_dir = bench._sf1_replica_dirs(spark, sf_dir)
