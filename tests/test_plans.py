@@ -767,3 +767,25 @@ def test_similarity_int8_ivf_append_plan_shape(spark):
     for line in plan.splitlines():
         if "Exchange" in line and "Broadcast" not in line:
             assert "hashpartitioning(query_id" in line, line
+
+
+def test_events_funnel_single_user_exchange(spark):
+    """The funnel's scale contract (round 15): the three ordered step
+    timestamps are conditional window minima over ONE user_id
+    partitioning, and the per-user reduction reuses it — so the whole
+    query carries exactly ONE hash exchange on user_id plus the
+    unavoidable single-partition exchange for the final 3-row stack.
+    A regression to the oracle's chained-self-join shape (one shuffle
+    of the events table PER STEP at 100 TB) shows up here as extra
+    hash exchanges or a join operator."""
+    plan = plan_of(spark, "events_funnel")
+    assert "Join" not in plan  # no self-joins on any step
+    hash_ex, single_ex = [], []
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            hash_ex.append(line)
+        elif "Exchange SinglePartition" in line:
+            single_ex.append(line)
+    assert len(hash_ex) == 1 and "user_id" in hash_ex[0], hash_ex
+    assert len(single_ex) == 1, single_ex
+    assert plan.count("Window") >= 3  # the three step minima

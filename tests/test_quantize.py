@@ -1751,3 +1751,101 @@ def test_reaped_index_read_fails_loudly(spark, tmp_path):
     qz._remove_index(path)  # what the age sweep does
     with _pytest.raises(Exception):
         tagged.count()
+
+
+def test_int8_cosine_tracks_float_reference(spark):
+    """The PRECISION-REFERENCE pin the float-twin retirement plan
+    requires (rotation comment, relational.py: embedding_cosine_dedup
+    may retire from the catalog only after an equivalent float-vs-int8
+    agreement pin lives here).  On the fixed sf0.001 fixture:
+
+    (a) the exact-int8 quantized cosine tracks the TRUE float cosine
+        within 0.02 for every emitted dedup pair AND for 2000 seeded
+        random pairs (observed max deviation on this fixture: 0.0073;
+        trunc-to-127-levels theory bounds it near 0.016) — which also
+        implies int8 ranking agrees with float ranking for any two
+        pairs whose float cosines differ by more than 0.04;
+    (b) threshold transfer, both directions with the 0.02 margin:
+        every pair the int8 blocking emits at threshold 0.35 has float
+        cosine >= 0.33, and every co-bucketed pair with float cosine
+        >= 0.37 is emitted — so the int8 query is a faithful stand-in
+        for the float multiprobe pass, not merely self-consistent."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from wikihadoop_spark.relational import (
+        _INT8_LSH_PLANES,
+        _INT8_LSH_PLANES_B,
+        QUERIES,
+        Tables,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.id_a, r.id_b): r.qcos
+        for r in QUERIES["embedding_cosine_dedup_int8"](spark, sf).collect()
+    }
+    assert got
+
+    t = Tables(spark, sf)
+    vecs = {
+        r.vec_id: list(r.embedding)
+        for r in t.embeddings.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        ).collect()
+    }
+
+    def pyq(v):
+        mx = max((abs(x) for x in v), default=0.0)
+        if mx <= 0.0:
+            return [0] * len(v)
+        return [int(math.trunc(x * 127.0 / mx)) for x in v]
+
+    q = {i: pyq(v) for i, v in vecs.items()}
+    n2 = {i: sum(x * x for x in qq) for i, qq in q.items()}
+
+    def fcos(a, b):
+        va, vb = vecs[a], vecs[b]
+        na = math.sqrt(sum(x * x for x in va))
+        nb = math.sqrt(sum(x * x for x in vb))
+        return sum(x * y for x, y in zip(va, vb)) / (na * nb)
+
+    def qcos_py(a, b):
+        return sum(x * y for x, y in zip(q[a], q[b])) / math.sqrt(
+            float(n2[a] * n2[b])
+        )
+
+    # (a) agreement on the emitted pairs and on a seeded random sample
+    for (a, b), qc in got.items():
+        assert abs(qc - fcos(a, b)) <= 0.02, (a, b)
+    ids = [i for i in vecs if n2[i] > 0]
+    rng = random.Random(42)
+    for _ in range(2000):
+        a, b = rng.sample(ids, 2)
+        assert abs(qcos_py(a, b) - fcos(a, b)) <= 0.02, (a, b)
+
+    # (b) threshold transfer
+    for (a, b) in got:
+        assert fcos(a, b) >= 0.33, (a, b)
+
+    def bucket(qq, planes):
+        return sum(
+            (1 << k)
+            for k, p in enumerate(planes)
+            if sum(x * y for x, y in zip(qq, p)) >= 0
+        )
+
+    by_bucket: dict[tuple[int, int], list[int]] = {}
+    for fam_i, fam in enumerate((_INT8_LSH_PLANES, _INT8_LSH_PLANES_B)):
+        for i in ids:
+            by_bucket.setdefault((fam_i, bucket(q[i], fam)), []).append(i)
+    missed = []
+    for members in by_bucket.values():
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                a, b = sorted((members[x], members[y]))
+                if fcos(a, b) >= 0.37 and (a, b) not in got:
+                    missed.append((a, b))
+    assert not missed, f"co-bucketed strong pairs not emitted: {missed[:5]}"

@@ -5882,9 +5882,11 @@ def media_frame_fanout_q(spark: SparkSession, sf: str) -> DataFrame:
 #   until C>150).  Retirement order WHEN the catalog nears 130:
 #   (1) similarity_topk_ivf first — fully subsumed, its only unique
 #   surface is the float Lloyd's round_dp oracle convention;
-#   (2) embedding_cosine_dedup second, and only after an equivalent
-#   precision-reference pin (float-vs-int8 cosine agreement on a
-#   fixed fixture) moves into test_quantize.py;
+#   (2) embedding_cosine_dedup second — its retirement PREREQUISITE
+#   is now met: test_quantize.py::test_int8_cosine_tracks_float_
+#   reference (landed this round) pins float-vs-int8 cosine agreement
+#   within 0.02 plus two-way threshold transfer on the fixed fixture,
+#   so only the catalog-pressure trigger remains;
 #   (3) similarity_topk stays — it is the bench's float/int8 contrast
 #   row and the recall baseline every ANN suite compares against.
 #
