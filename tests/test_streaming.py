@@ -1559,7 +1559,8 @@ def test_streaming_incremental_append_matches_batch_composite(spark, tmp_path):
     arriving_raw.repartition(3).write.mode("overwrite").parquet(new_path)
 
     def append_batch(df, epoch_id):
-        # dedupe_token: foreachBatch is at-least-once — a replayed
+        # dedupe_token: foreachBatch replays are reconciled to
+        # exactly-once by the two-phase landing (r15) — a replayed
         # epoch must not land its rows twice (round-14 review finding;
         # the token protocol is pinned in test_quantize.py)
         ivf_append_int8(

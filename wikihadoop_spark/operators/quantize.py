@@ -1273,15 +1273,19 @@ def ivf_append_int8(
     rows = ivf_assign_int8(
         qframe, centroids, id_col=id_col, q_col=q_col
     ).persist()
-    n = rows.count()
-    if marker is None:
-        rows.write.mode("append").partitionBy("cluster").parquet(
-            os.path.join(resolved, "vectors")
-        )
-    else:
-        dests = _land_append_staged(rows, resolved, intent, stage, sha)
-        _finalize_append_marker(marker, intent, dests)
-    rows.unpersist()
+    try:
+        n = rows.count()
+        if marker is None:
+            rows.write.mode("append").partitionBy("cluster").parquet(
+                os.path.join(resolved, "vectors")
+            )
+        else:
+            dests = _land_append_staged(rows, resolved, intent, stage, sha)
+            _finalize_append_marker(marker, intent, dests)
+    finally:
+        # a failed landing in a LIVE process (the caller catches and
+        # replays) must not pin the assigned frame in executor storage
+        rows.unpersist()
     if os.path.realpath(path) != resolved:
         raise RuntimeError(
             f"ivf_append_int8: index at {path!r} was re-published while "
