@@ -529,17 +529,18 @@ def _timed_runs(run, prewarm, passes: int = 3) -> list[float]:
 # diffdb pipeline or the corpus generators change.
 _WIKIDUMP_ISOLATED_WATERMARKS: dict[str, dict] = {
     # recorded 2026-08-16 (round 15), tools/spot_isolated.py
-    # --wikidump across FOUR same-day windows (each reading is itself
+    # --wikidump across SIX same-day windows (each reading is itself
     # a min-of-3 + stall-confirmation inside _bench_wikidump):
-    #   plain  2.38 / 1.90 / 1.79 / 2.07 s
-    #   bz2    3.44 / 2.90 / 2.43 / 2.96 s
-    #   markup 3.03 / 2.50 / 2.41 / 2.81 s
+    #   plain  2.38 / 1.90 / 1.79 / 2.07 / 1.83 / 1.86 s
+    #   bz2    3.44 / 2.90 / 2.43 / 2.96 / 2.40 / 2.35 s
+    #   markup 3.03 / 2.50 / 2.41 / 2.81 / 2.03 / 2.00 s
     # Watermark = the lowest tool reading per row (the headline rule:
-    # a higher one would under-annotate genuinely stalled artifacts);
-    # full window log in SCALING.md's round-15 section.
+    # a higher one would under-annotate genuinely stalled artifacts),
+    # each confirmed by a sibling window within a few percent; full
+    # window log in SCALING.md's round-15 section.
     "plain": {"sec": 1.79, "input_gb": 0.5},
-    "bz2": {"sec": 2.43, "input_gb": 0.5},
-    "markup": {"sec": 2.41, "input_gb": 0.25},
+    "bz2": {"sec": 2.35, "input_gb": 0.5},
+    "markup": {"sec": 2.00, "input_gb": 0.25},
 }
 
 
