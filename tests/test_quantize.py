@@ -1615,7 +1615,11 @@ def test_hot_index_read_survives_age_sweep(spark, tmp_path):
     qz.ivf_write_int8(df, [[5, 0], [0, 5]], idle, overwrite=True)
     old = time.time() - qz._IVF_MAX_AGE_SEC - 60
     for p in (hot, idle):
+        # age the published symlink AND its .data target: the sweep
+        # lstats both independently, and the r15 review found a fresh
+        # link over an aged target still lost its data
         os.utime(p, (old, old), follow_symlinks=False)
+        os.utime(os.path.realpath(p), (old, old))
     # a daily search reads the hot index — the read refreshes its mtime
     tagged, cents = qz.ivf_read_int8(spark, hot)
     assert tagged.count() == 2 and len(cents) == 2
@@ -1849,3 +1853,35 @@ def test_int8_cosine_tracks_float_reference(spark):
                 if fcos(a, b) >= 0.37 and (a, b) not in got:
                     missed.append((a, b))
     assert not missed, f"co-bucketed strong pairs not emitted: {missed[:5]}"
+
+
+def test_append_honors_legacy_pre_hash_marker(spark, tmp_path):
+    """Round-15 review finding: the marker name gained a token-hash
+    suffix, but an index written by the PREVIOUS protocol carries
+    plain _append_<safe> markers — the first checkpoint-restart replay
+    after an upgrade must still recognize them, or it double-appends
+    an already-landed epoch."""
+    import os
+
+    from wikihadoop_spark.operators import quantize as qz
+
+    df = spark.createDataFrame(
+        [(0, [5, 0], 25, 0), (1, [0, 5], 25, 1)],
+        "vec_id bigint, q array<int>, n2 bigint, cluster int",
+    )
+    path = str(tmp_path / "idx_legacy_marker")
+    qz.ivf_write_int8(df, [[5, 0], [0, 5]], path, overwrite=True)
+    cents = [[5, 0], [0, 5]]
+    # simulate the pre-upgrade state: epoch 7's rows landed (plain
+    # spark append) and the OLD-format marker was written
+    landed = spark.createDataFrame([(9, [4, 1])], "vec_id bigint, q array<int>")
+    assert qz.ivf_append_int8(landed, cents, path) == 1  # no token: plain
+    with open(os.path.join(os.path.realpath(path), "_append_epoch-7"), "w"):
+        pass
+    # the upgraded code replays epoch 7: recognized, skipped
+    assert qz.ivf_append_int8(landed, cents, path, dedupe_token="epoch-7") == 0
+    tagged, _ = qz.ivf_read_int8(spark, path)
+    assert sorted(r.vec_id for r in tagged.collect()) == [0, 1, 9]
+    # a genuinely new epoch under the new protocol still lands
+    new = spark.createDataFrame([(10, [1, 4])], "vec_id bigint, q array<int>")
+    assert qz.ivf_append_int8(new, cents, path, dedupe_token="epoch-8") == 1

@@ -750,6 +750,25 @@ def _cleanup_stale_indexes(path: str) -> None:
                 continue
         except OSError:
             continue  # vanished under us
+        # a staging-suffixed entry (.data<pid> etc.) that is the LIVE
+        # target of a FRESH published symlink is hot, however old its
+        # own mtime: reads touch the symlink, never the target
+        # (round-15 review finding — without this, the read-path
+        # shield protected the link while this loop reaped the data
+        # underneath it, leaving a dangling symlink and failing
+        # readers anyway)
+        m = _STAGING_RE.search(cand)
+        if m:
+            stem = cand[: m.start()]
+            try:
+                if (
+                    os.path.islink(stem)
+                    and os.path.realpath(stem) == os.path.realpath(cand)
+                    and now - os.lstat(stem).st_mtime <= _IVF_MAX_AGE_SEC
+                ):
+                    continue
+            except OSError:
+                pass
         _remove_index(cand)
     _reap_dead_staging(path)
 
@@ -934,6 +953,13 @@ def ivf_read_int8(spark, path: str) -> tuple[DataFrame, list[list[int]]]:
     cents = [list(r["centroid"]) for r in sorted(rows, key=lambda r: r["cluster"])]
     try:
         os.utime(path, follow_symlinks=False)
+        # the symlink's .data target ages independently (round-15
+        # review finding: the sweep lstats BOTH, and a reaped target
+        # under a fresh link fails readers just the same) — touch it
+        # too; the sweep additionally refuses to reap a fresh link's
+        # live target, so either defense alone suffices
+        if os.path.islink(path):
+            os.utime(os.path.realpath(path))
     except (OSError, NotImplementedError):
         pass
     return tagged, cents
@@ -1106,6 +1132,39 @@ def _append_marker_paths(
     return stem, stem + ".intent", stem + ".stage", sha
 
 
+def _write_durable(path: str, payload: str) -> None:
+    """Write + fsync a small protocol file AND its directory, so the
+    exactly-once ordering (intent durable before any rename; marker
+    durable before the intent vanishes) holds across POWER loss, not
+    just process crashes (round-15 review finding: delayed allocation
+    can persist the renamed part-files while the intent that reconciles
+    them is still empty).  Best-effort on the directory fsync —
+    filesystems that refuse it (some network mounts) keep the process-
+    crash guarantee, which is what they can honor anyway."""
+    import os
+
+    with open(path, "w") as fh:
+        fh.write(payload)
+        fh.flush()
+        os.fsync(fh.fileno())
+    _fsync_dir(os.path.dirname(path))
+
+
+def _fsync_dir(d: str) -> None:
+    import os
+
+    try:
+        fd = os.open(d, os.O_RDONLY)
+    except OSError:
+        return
+    try:
+        os.fsync(fd)
+    except OSError:
+        pass
+    finally:
+        os.close(fd)
+
+
 def _clear_append_residue(intent: str, stage: str) -> None:
     import os
     import shutil
@@ -1168,12 +1227,17 @@ def _land_append_staged(
             rel = os.path.join("vectors", cdir, f"{sha}-{fname}")
             moves.append((os.path.join(stage, cdir, fname), rel))
     dests = [rel for _, rel in moves]
-    with open(intent, "w") as fh:
-        json.dump(dests, fh)
+    # intent must be DURABLE before any file lands (power-loss
+    # ordering, round-15 review finding)
+    _write_durable(intent, json.dumps(dests))
+    touched: set[str] = set()
     for src, rel in moves:
         dst = os.path.join(resolved, rel)
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         os.rename(src, dst)
+        touched.add(os.path.dirname(dst))
+    for d in sorted(touched):
+        _fsync_dir(d)  # renames durable before the marker claims them
     shutil.rmtree(stage, ignore_errors=True)
     return dests
 
@@ -1181,12 +1245,13 @@ def _land_append_staged(
 def _finalize_append_marker(marker: str, intent: str, dests: list[str]) -> None:
     """Step 4 of the landing protocol — its own function so the
     kill-between-append-and-marker drill (test_streaming.py) can
-    inject a crash exactly here."""
+    inject a crash exactly here.  The marker is durable BEFORE the
+    intent vanishes: persisting the unlink without the marker would
+    leave a landed, unrecorded append that a replay then duplicates."""
     import json
     import os
 
-    with open(marker, "w") as fh:
-        json.dump(dests, fh)
+    _write_durable(marker, json.dumps(dests))
     try:
         os.unlink(intent)
     except OSError:
@@ -1244,6 +1309,11 @@ def ivf_append_int8(
     4. the ``_append_<token>`` marker is written (it records the same
        file list for audit) and the intent is removed.
 
+    Steps 2 and 4 are fsync-ordered (file + directory), so the
+    reconciliation invariant — intent durable before any file lands,
+    marker durable before the intent vanishes — holds across POWER
+    loss on filesystems that honor fsync, not just process crashes.
+
     A replay finding the marker skips (returns 0).  A replay finding
     an INTENT instead — a crash anywhere between steps 2 and 4,
     including the old protocol's unfixable gap between the append and
@@ -1263,7 +1333,18 @@ def ivf_append_int8(
         marker, intent, stage, sha = _append_marker_paths(
             resolved, dedupe_token
         )
-        if os.path.exists(marker):
+        # legacy pre-hash marker (_append_<safe> with no sha suffix,
+        # written by the r14 protocol): an index carrying one already
+        # landed this token's rows — honoring it prevents the first
+        # checkpoint-restart replay after an upgrade from
+        # double-appending (round-15 review finding).  Only the new
+        # format is ever WRITTEN, so the legacy collision class
+        # ('epoch/1' vs 'epoch_1') cannot grow.
+        legacy = os.path.join(
+            resolved,
+            "_append_" + _re.sub(r"[^A-Za-z0-9._-]", "_", dedupe_token),
+        )
+        if os.path.exists(marker) or os.path.exists(legacy):
             # this batch already landed (replayed epoch); clear any
             # residue from the narrow window between marker write and
             # intent unlink
