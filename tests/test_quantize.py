@@ -1885,3 +1885,101 @@ def test_append_honors_legacy_pre_hash_marker(spark, tmp_path):
     # a genuinely new epoch under the new protocol still lands
     new = spark.createDataFrame([(10, [1, 4])], "vec_id bigint, q array<int>")
     assert qz.ivf_append_int8(new, cents, path, dedupe_token="epoch-8") == 1
+
+
+def test_append_crash_state_enumeration(spark, tmp_path):
+    """Exhaustive replay-reconciliation drill for the two-phase append
+    landing (round 15): enumerate every on-disk state a crash can
+    leave — staged-only, intent with no/some/all files landed, marker
+    with stale intent, marker only — construct each state directly on
+    disk, replay the epoch, and assert the index converges to exactly
+    one copy of the slice with a durable marker and no residue.  The
+    injected-crash drills cover two specific points; this pins the
+    whole state machine."""
+    import json
+    import os
+    import shutil
+
+    from wikihadoop_spark.operators import quantize as qz
+
+    base_rows = [(0, [5, 0], 25, 0), (1, [0, 5], 25, 1)]
+    cents = [[5, 0], [0, 5]]
+    slice_df = lambda: spark.createDataFrame(
+        [(9, [4, 1]), (10, [1, 4])], "vec_id bigint, q array<int>"
+    )
+
+    def fresh_index(name):
+        df = spark.createDataFrame(
+            base_rows, "vec_id bigint, q array<int>, n2 bigint, cluster int"
+        )
+        p = str(tmp_path / name)
+        qz.ivf_write_int8(df, cents, p, overwrite=True)
+        return p
+
+    # one clean append to learn the protocol's real artifacts
+    ref = fresh_index("enum_ref_idx")
+    assert qz.ivf_append_int8(slice_df(), cents, ref, dedupe_token="e1") == 2
+    resolved = os.path.realpath(ref)
+    marker, intent, stage, _sha = qz._append_marker_paths(resolved, "e1")
+    dests = json.loads(open(marker).read())
+    assert dests and all(
+        os.path.exists(os.path.join(resolved, d)) for d in dests
+    )
+
+    def replay_and_check(path, label):
+        n = qz.ivf_append_int8(slice_df(), cents, path, dedupe_token="e1")
+        res = os.path.realpath(path)
+        mk, it, st, _ = qz._append_marker_paths(res, "e1")
+        tagged, _c = qz.ivf_read_int8(spark, path)
+        got = sorted(r.vec_id for r in tagged.collect())
+        assert got == [0, 1, 9, 10], f"{label}: rows {got} (appended {n})"
+        assert os.path.exists(mk), f"{label}: no marker after replay"
+        assert not os.path.exists(it), f"{label}: intent residue"
+        assert not os.path.exists(st), f"{label}: stage residue"
+
+    # State A: crash after staging, before intent — stage dir only
+    p = fresh_index("enum_a_idx")
+    res = os.path.realpath(p)
+    mk, it, st, _ = qz._append_marker_paths(res, "e1")
+    os.makedirs(os.path.join(st, "cluster=0"))
+    with open(os.path.join(st, "cluster=0", "part-junk.parquet"), "w") as fh:
+        fh.write("torn")
+    replay_and_check(p, "staged-only")
+
+    # States B/C: intent durable, {none, one, all} destination files
+    # landed (copied bit-for-bit from the reference artifact)
+    for label, n_landed in (("intent-none", 0), ("intent-some", 1),
+                            ("intent-all", len(dests))):
+        p = fresh_index(f"enum_{label}_idx")
+        res = os.path.realpath(p)
+        mk, it, st, _ = qz._append_marker_paths(res, "e1")
+        with open(it, "w") as fh:
+            json.dump(dests, fh)
+        for d in dests[:n_landed]:
+            dst = os.path.join(res, d)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.copy2(os.path.join(resolved, d), dst)
+        replay_and_check(p, label)
+
+    # State D: marker durable, intent not yet unlinked (and files
+    # landed) — replay must SKIP, clear residue, keep exactly one copy
+    p = fresh_index("enum_d_idx")
+    res = os.path.realpath(p)
+    mk, it, st, _ = qz._append_marker_paths(res, "e1")
+    for d in dests:
+        dst = os.path.join(res, d)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.copy2(os.path.join(resolved, d), dst)
+    with open(mk, "w") as fh:
+        json.dump(dests, fh)
+    with open(it, "w") as fh:
+        json.dump(dests, fh)
+    assert qz.ivf_append_int8(slice_df(), cents, p, dedupe_token="e1") == 0
+    assert not os.path.exists(it), "marker+intent: residue not cleared"
+    tagged, _c = qz.ivf_read_int8(spark, p)
+    assert sorted(r.vec_id for r in tagged.collect()) == [0, 1, 9, 10]
+
+    # State E: marker only (clean landing) — pure skip, still one copy
+    assert qz.ivf_append_int8(slice_df(), cents, p, dedupe_token="e1") == 0
+    tagged, _c = qz.ivf_read_int8(spark, p)
+    assert sorted(r.vec_id for r in tagged.collect()) == [0, 1, 9, 10]
