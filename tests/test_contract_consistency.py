@@ -38,29 +38,35 @@ def test_coverage_doc_mentions_every_query():
 
 def test_gate_window_contains_rotation_set():
     """The driver gates the first GATE_WINDOW registered queries; the
-    current rotation set (round 15: the eight r12-pinned deferrals at
-    the 2-round evidence-age bound + the never-gated events_funnel
-    query + the two artifact-path queries whose quantize.py operators
-    changed this round, plus 39 of the 50 r13-pinned demotions — the
-    other eleven defer to r16 under the family criterion in the
-    rotation comment in relational.py) must sit inside that prefix."""
+    current rotation set (round 16: the eleven r13-pinned deferrals at
+    the 2-round evidence-age bound + the never-gated
+    wikidump_pairs_join query + the two out-of-turn re-gates whose
+    call paths changed this round — similarity_topk_int8_ivf_append
+    for the quantize.py legacy-marker guard, events_funnel for the
+    hot-key contract/helper refactor — plus 36 of the 48 r14-pinned
+    demotions; the other twelve defer to r17 under the family
+    criterion in the rotation comment in relational.py) must sit
+    inside that prefix."""
     first = list(QUERIES)[:GATE_WINDOW]
     missing = ROTATION_SET - set(first)
     assert not missing, f"rotation set outside gate window: {sorted(missing)}"
-    # queries with no driver evidence ever, and the documented r15
+    # queries with no driver evidence ever, and the documented r16
     # first-priority deferrals, MUST take their gate now
     for n in (
-        "agg_cube",
-        "agg_rollup",
-        "decontaminate_bloom",
-        "events_pivot",
-        "scalar_array",
-        "scalar_conditional",
-        "scalar_date",
-        "scalar_hash",
-        "events_funnel",
-        "similarity_topk_int8_ivf",
+        "agg_approx_distinct",
+        "agg_argmax",
+        "agg_distinct",
+        "agg_grouping_sets",
+        "agg_stats",
+        "scalar_json",
+        "scalar_string",
+        "window_distribution",
+        "window_value_functions",
+        "events_tumbling",
+        "decontaminate_report",
+        "wikidump_pairs_join",
         "similarity_topk_int8_ivf_append",
+        "events_funnel",
     ):
         assert n in first, f"must-gate query missing from window: {n}"
     # every gated query must be oracle-checked (hash gate, not rows-only)
@@ -74,90 +80,91 @@ def test_gate_window_contains_rotation_set():
 # here until the query is rotated back into _GATE_ORDER for the next
 # round (then re-pin the survivors).
 _DEMOTED_SOURCE_PINS = {
-    # round-15 demotions.  48 rows are r14-green (CORRECTNESS_r14
-    # 50/50), code unchanged this round; the eight round-15 must-gates
-    # (the r12-pinned deferrals at the age-2 bound) plus the NEW
-    # events_funnel query, the two artifact-path queries rotated in
-    # out of turn (similarity_topk_int8_ivf and
-    # similarity_topk_int8_ivf_append — this round's quantize.py
-    # append/read/reap edits sit on their call paths), and 39
-    # r13-pinned demotions rotated into the window in exchange.
-    # ELEVEN rows are r13-green pins deferred one round to r16 (50
-    # candidates for 39 slots) under the family criterion in the
-    # relational.py rotation comment: each deferred query's operator
-    # family is re-gated THIS round through an in-window query
-    # (agg_approx_distinct/agg_argmax/agg_distinct/agg_grouping_sets/
-    # agg_stats -> the must-gates agg_cube + agg_rollup and the
-    # in-window aggregation paths, scalar_json/scalar_string -> the
-    # four scalar must-gates, window_distribution/
-    # window_value_functions -> the in-window window_rank_topk and
-    # the window-based events_funnel, events_tumbling -> the
-    # must-gate events_pivot + the new events_funnel,
-    # decontaminate_report -> the must-gate decontaminate_bloom), and
-    # each carries a dedicated local suite.  They are first-priority
-    # must-gates for round 16.  After the round-15 gate runs, no
-    # catalog query's driver evidence is older than r13, and only
-    # those eleven are older than r14 — enforced structurally by
+    # round-16 demotions.  48 rows are r15-green (CORRECTNESS_r15
+    # 50/50), code unchanged this round; the eleven round-16
+    # must-gates (the r13-pinned deferrals at the age-2 bound) plus
+    # the NEW wikidump_pairs_join query (the dense-seq pairing
+    # strategy on this round's rewritten one-exchange operator), the
+    # two out-of-turn re-gates (similarity_topk_int8_ivf_append —
+    # this round's quantize.py legacy-marker guard sits on its call
+    # path; events_funnel — its body gained the hot-key contract and
+    # the _funnel_per_user helper refactor), and 36 r14-pinned
+    # demotions rotated into the window in exchange.  TWELVE rows are
+    # r14-green pins deferred one round to r17 (48 candidates for 36
+    # slots) under the family criterion in the relational.py rotation
+    # comment: agg_percentile -> the five agg must-gates; join_anti/
+    # join_cross/join_semi -> in-window join_left_agg + join_right_agg
+    # + q3 + q5; window_moving/window_running -> the must-gates
+    # window_distribution + window_value_functions; window_lag_pairs
+    # -> the NEW wikidump_pairs_join (pairing family, this round's
+    # rewritten operator) + the window must-gates; text_c4_clean/
+    # text_langid/text_stopword_strip -> six in-window text queries;
+    # set_except -> in-window set_intersect; dedup_keeper_quality ->
+    # four in-window exact-dedup queries.  They are first-priority
+    # must-gates for round 17.  After the round-16 gate runs, no
+    # catalog query's driver evidence is older than r14, and only
+    # those twelve are older than r15 — enforced structurally by
     # test_max_evidence_age below.
-    "agg_approx_distinct": "6532e5a0c72c2a9f",  # r13-green, deferred to r16 (family re-gated via an in-window r15 query)
-    "agg_argmax": "3f03274d0f9f2f82",  # r13-green, deferred to r16 (family re-gated via an in-window r15 query)
-    "agg_distinct": "3cbde80dbf72ea87",  # r13-green, deferred to r16 (family re-gated via an in-window r15 query)
-    "agg_grouping_sets": "f685188aa1b82d0b",  # r13-green, deferred to r16 (family re-gated via an in-window r15 query)
-    "agg_percentile": "da7e078703af57f1",
-    "agg_stats": "35b21489747f25ae",  # r13-green, deferred to r16 (family re-gated via an in-window r15 query)
-    "corpus_delta": "7805916baee0689d",
-    "corpus_report_card": "d26bb9a833b974b6",
-    "decontaminate_exact": "2501e3996f48222b",
-    "decontaminate_ngram": "3ea1d9b42de8633e",
-    "decontaminate_report": "000b42315b4fbfb3",  # r13-green, deferred to r16 (family re-gated via an in-window r15 query)
-    "dedup_clusters": "21cbf558840e3aeb",
-    "dedup_exact_rows": "e03df1abce283dc6",
-    "dedup_keeper_quality": "f8b3f5f7ba87b3ab",
-    "dedup_span_audit": "877cf4d08fd2c95a",
-    "dedup_span_exact": "33a8a4b78188dcf9",
-    "dsir_weights": "b87550e69e870d5b",
-    "embedding_cosine_dedup_int8": "7395ce24a2a58508",
-    "events_retention": "b765baa9b8e9a9e2",
-    "events_sliding": "005b2a1c572097de",
-    "events_tumbling": "8aed8b9153c987fa",  # r13-green, deferred to r16 (family re-gated via an in-window r15 query)
-    "join_anti": "4ee8ad81a9ae5a5b",
-    "join_cross": "8e28519e77a707ad",
-    "join_left_agg": "16b29ffd5458f4c0",
-    "join_right_agg": "8c9d8995b1bab41a",
-    "join_semi": "051f79cdd64d54e2",
-    "jsonl_corrupt_audit": "3346798ae79cd78f",
-    "media_frame_fanout": "3e39e07d6786c875",
-    "minhash_signatures": "fdcc19e47feb7674",
-    "ngram_jaccard_block": "c4605872af129943",
-    "q3_top_revenue": "f19aff5bad580d78",
-    "q5_revenue_by_nation": "c86e1e193e35e5c2",
-    "sample_mixture": "2f30e5a765f37fe4",
-    "scalar_json": "66eb99cf08eecad7",  # r13-green, deferred to r16 (family re-gated via an in-window r15 query)
-    "scalar_math": "684488204dc95feb",
-    "scalar_string": "38a2e51423fc738b",  # r13-green, deferred to r16 (family re-gated via an in-window r15 query)
-    "semantic_dedup": "654d5188e37fcff8",
-    "set_except": "3d8cbe4130707d5d",
-    "set_intersect": "d7ff616bcca89fcf",
-    "simhash_near_pairs": "4f2edff51a54f6d2",
-    "simhash_signatures": "720d8995662be958",
-    "similarity_topk": "46518dcb0143d4fb",
-    "similarity_topk_int8": "8aa25c8030b931d9",
-    "similarity_topk_lsh": "1210c9254daa3722",
-    "sketch_count_min": "f9948dc45306cc1a",
-    "text_c4_clean": "2cc8562f76bd5f2f",
-    "text_diff_adjacent": "c092d4fede978899",
-    "text_fingerprint": "f4a767a9d53374dd",
-    "text_langid": "a98512ee2d3f1b78",
-    "text_lm_bigram": "1e8b42527834988c",
-    "text_lm_surprisal": "b67c53adb3163f00",
-    "text_quality": "5b4465eb015806fe",
-    "text_stopword_strip": "2eac56e392f87f76",
-    "text_tokens": "add226c7babdeb84",
-    "window_distribution": "fdb6a74d11cb3944",  # r13-green, deferred to r16 (family re-gated via an in-window r15 query)
-    "window_lag_pairs": "f729d197d47dcf48",
-    "window_moving": "0bd9d62107a76cee",
-    "window_running": "56a88253d1ea3ce3",
-    "window_value_functions": "338debe3795fa35c",  # r13-green, deferred to r16 (family re-gated via an in-window r15 query)
+    "agg_cube": "734e8e961bba8096",
+    "agg_percentile": "da7e078703af57f1",  # r14-green, deferred to r17 (family re-gated via an in-window r16 query)
+    "agg_rollup": "4302c99ab1c8ecf4",
+    "asof_join_events_orders": "73a4584ecbec5547",
+    "chunk_documents": "3f23f6ccee284755",
+    "correlated_exists": "2180da0486b759ec",
+    "curate_pipeline": "3e5d28ceae6b6ecd",
+    "decontaminate_bloom": "bade0783dfc57627",
+    "dedup_keeper_quality": "f8b3f5f7ba87b3ab",  # r14-green, deferred to r17 (family re-gated via an in-window r16 query)
+    "dedup_line_frequency": "44282c0542ae182b",
+    "dedup_verify_pairs": "1c4b963f903abd90",
+    "embedding_cosine_dedup": "fcd55f10bcff127a",
+    "events_pivot": "75e80b732e4758b0",
+    "filter_regex": "cdc41d855536f9e2",
+    "join_anti": "4ee8ad81a9ae5a5b",  # r14-green, deferred to r17 (family re-gated via an in-window r16 query)
+    "join_cross": "8e28519e77a707ad",  # r14-green, deferred to r17 (family re-gated via an in-window r16 query)
+    "join_full_outer": "68f92d4e4cf403e9",
+    "join_inner_agg": "fe54374f33db6a0d",
+    "join_semi": "051f79cdd64d54e2",  # r14-green, deferred to r17 (family re-gated via an in-window r16 query)
+    "join_theta": "0ca20c452a95bd6b",
+    "jsonl_roundtrip": "217612d57cf3aa84",
+    "media_audio_features": "3b6a09ea33625b6c",
+    "media_image_metadata": "acb619d93a5d08bc",
+    "minhash_lsh_pairs": "08f0fd7e3471c110",
+    "mixture_waterfill": "ef69b14ffc648bcc",
+    "ngram_overlap": "1c16e089f005a2e7",
+    "pack_token_budget": "78e58e3fe3a7e621",
+    "q1_pricing_summary": "0f80d1148a90ab59",
+    "range_join_near_orders": "37dfb2b236d9964e",
+    "sample_stratified": "0e84ac6e2232c519",
+    "scalar_array": "a742a45ca902e45d",
+    "scalar_conditional": "d8381006df2721db",
+    "scalar_date": "88782a77498e0ab7",
+    "scalar_hash": "b146a2df0ad01a41",
+    "scalar_subquery": "f9165f6bdfb772ca",
+    "scan_filter_project": "54ff3947f6a8a5c6",
+    "sessionize_events": "ae32bfec89f844b0",
+    "set_except": "3d8cbe4130707d5d",  # r14-green, deferred to r17 (family re-gated via an in-window r16 query)
+    "set_union_all": "44ca1532854c55e6",
+    "shuffle_pack": "8b1f7788077426ce",
+    "similarity_probe_int8_stream_analog": "9a155eabd2d50f4d",
+    "similarity_topk_int8_ivf": "f448ee5349aaf3b4",
+    "similarity_topk_int8_lsh": "b42e8ea792ada54d",
+    "similarity_topk_ivf": "325c5dc3b75e144f",
+    "sort_topk_global": "22a29bc24d2cca0a",
+    "text_c4_clean": "2cc8562f76bd5f2f",  # r14-green, deferred to r17 (family re-gated via an in-window r16 query)
+    "text_langid": "a98512ee2d3f1b78",  # r14-green, deferred to r17 (family re-gated via an in-window r16 query)
+    "text_lm_buckets": "46a1b5bed0cdfcdb",
+    "text_quality_model": "c1447a0a1f8d1ecc",
+    "text_repetition": "58fb8692579576f4",
+    "text_scrub_pii": "69dcb6fc13e99c4e",
+    "text_stopword_strip": "2eac56e392f87f76",  # r14-green, deferred to r17 (family re-gated via an in-window r16 query)
+    "text_tfidf_topk": "5a1220387e5cfd1b",
+    "unpivot_lineitem": "391003271fd11185",
+    "wikidump_roundtrip": "cf5d8180b47dab71",
+    "wikidump_roundtrip_bz2": "4d8d19ca6721800f",
+    "window_lag_pairs": "f729d197d47dcf48",  # r14-green, deferred to r17 (family re-gated via an in-window r16 query)
+    "window_moving": "0bd9d62107a76cee",  # r14-green, deferred to r17 (family re-gated via an in-window r16 query)
+    "window_rank_topk": "3b1c83b9e69021cf",
+    "window_running": "56a88253d1ea3ce3",  # r14-green, deferred to r17 (family re-gated via an in-window r16 query)
 }
 
 

@@ -789,3 +789,26 @@ def test_events_funnel_single_user_exchange(spark):
     assert len(hash_ex) == 1 and "user_id" in hash_ex[0], hash_ex
     assert len(single_ex) == 1, single_ex
     assert plan.count("Window") >= 3  # the three step minima
+
+
+def test_wikidump_pairs_join_single_exchange_no_window(spark):
+    """The dense-seq pairing gate (round-15 verdict item 3): the
+    skew-proof strategy must actually BE skew-proof in the plan —
+    revision payloads hash-partition on the COMPOSITE (page_id,
+    rev_seq), never on page_id alone, so a giant page's history
+    spreads across the cluster.  Exactly ONE hash exchange (the
+    explode+aggregate formulation; a regression to the naive
+    self-join doubles it), zero Window operators (a regression to the
+    window strategy re-creates the one-task-per-page hazard), and the
+    small documents side broadcasts."""
+    plan = plan_of(spark, "wikidump_pairs_join")
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # the documents check join
+    hash_ex = [
+        line
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+    ]
+    assert len(hash_ex) == 1, hash_ex
+    assert "page_id" in hash_ex[0] and "rev_seq" in hash_ex[0], hash_ex

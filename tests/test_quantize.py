@@ -1983,3 +1983,38 @@ def test_append_crash_state_enumeration(spark, tmp_path):
     assert qz.ivf_append_int8(slice_df(), cents, p, dedupe_token="e1") == 0
     tagged, _c = qz.ivf_read_int8(spark, p)
     assert sorted(r.vec_id for r in tagged.collect()) == [0, 1, 9, 10]
+
+
+def test_legacy_marker_ignored_once_hashed_markers_exist(spark, tmp_path):
+    """Round-15 ADVICE: a pre-upgrade marker '_append_epoch_1' (written
+    for the DISTINCT token 'epoch_1') must not shadow a new token
+    'epoch/1' whose sanitized form collides — once ANY hash-format
+    marker exists, the index is post-upgrade and legacy names stop
+    being honored, so the colliding batch LANDS instead of silently
+    dropping."""
+    import os
+
+    from wikihadoop_spark.operators import quantize as qz
+
+    df = spark.createDataFrame(
+        [(0, [5, 0], 25, 0), (1, [0, 5], 25, 1)],
+        "vec_id bigint, q array<int>, n2 bigint, cluster int",
+    )
+    path = str(tmp_path / "idx_legacy_collision")
+    qz.ivf_write_int8(df, [[5, 0], [0, 5]], path, overwrite=True)
+    cents = [[5, 0], [0, 5]]
+    root = os.path.realpath(path)
+    # pre-upgrade marker for token 'epoch_1' (its rows landed under
+    # the old plain-append protocol)
+    with open(os.path.join(root, "_append_epoch_1"), "w"):
+        pass
+    # a post-upgrade append has happened: hash-format marker exists
+    first = spark.createDataFrame([(9, [4, 1])], "vec_id bigint, q array<int>")
+    assert qz.ivf_append_int8(first, cents, path, dedupe_token="epoch-9") == 1
+    # the colliding NEW token must land (1 row), not skip as a replay
+    new = spark.createDataFrame([(10, [1, 4])], "vec_id bigint, q array<int>")
+    assert qz.ivf_append_int8(new, cents, path, dedupe_token="epoch/1") == 1
+    tagged, _ = qz.ivf_read_int8(spark, path)
+    assert sorted(r.vec_id for r in tagged.collect()) == [0, 1, 9, 10]
+    # and the legitimate replay of the NEW token still skips
+    assert qz.ivf_append_int8(new, cents, path, dedupe_token="epoch/1") == 0

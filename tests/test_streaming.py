@@ -1705,3 +1705,123 @@ def test_streaming_append_crash_before_marker_lands_exactly_once(
         "crash+restart diverged from the batch composite: "
         f"{len(got)} rows vs {len(want)}"
     )
+
+
+def test_streaming_append_checkpoint_crossproduct_exactly_once(
+    spark, tmp_path, monkeypatch
+):
+    """Round-15 verdict item 6: cross the two-phase landing's crash
+    states with the CHECKPOINT outcome, from a LIVE stream restart.
+    The batch-side enumeration (test_quantize.py) drills every on-disk
+    state; this drill proves both replay flavors end-to-end through
+    Structured Streaming's own recovery:
+
+    - epoch A crashes AFTER its marker is durable but BEFORE the
+      checkpoint commits -> the restart REPLAYS epoch A with the same
+      epoch_id, finds the marker, and SKIPS (replay-with-marker);
+    - epoch B crashes after its files landed but BEFORE the marker ->
+      the second restart replays epoch B, finds the INTENT, unlinks
+      the landed files, and redoes the append (replay-with-intent).
+
+    After both kills and both restarts the incrementally-appended
+    index must be bit-equal to the batch composite — each arriving
+    row landed exactly once, whichever side of the marker/checkpoint
+    boundary the kill hit."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from wikihadoop_spark.operators import quantize as qz
+
+    emb = load_table(spark, SF, "embeddings")
+
+    def quantized(df):
+        return (
+            df.select(
+                "vec_id",
+                qz.quantize_int8(
+                    F.col("embedding").cast("array<double>")
+                ).alias("q"),
+            )
+            .withColumn("n2", qz.int_norm2(F.col("q")))
+            .filter(F.col("n2") > 0)
+        )
+
+    corpus = quantized(emb.filter(F.col("vec_id") >= 10))
+    arriving_raw = emb.filter(F.col("vec_id") < 10)
+
+    idx_batch = str(tmp_path / "xdrill_batch_composite")
+    tagged_b, cents_b = qz.ivf_build_append_or_read_int8(
+        spark, corpus, quantized(arriving_raw), idx_batch, k=4, iterations=2
+    )
+
+    idx_stream = str(tmp_path / "xdrill_stream_append")
+    _, cents_s = qz.ivf_build_or_read_int8(
+        spark, corpus, idx_stream, k=4, iterations=2
+    )
+    assert cents_s == cents_b
+
+    new_path = str(tmp_path / "arriving")
+    arriving_raw.repartition(3).write.mode("overwrite").parquet(new_path)
+
+    real_finalize = qz._finalize_append_marker
+    fired = {"after_marker": 0, "before_marker": 0, "seq": 0}
+
+    def finalize_hook(marker, intent, dests):
+        fired["seq"] += 1
+        if fired["seq"] == 1:
+            # kill AFTER the marker is durable, BEFORE the epoch's
+            # checkpoint commit: the landing succeeded, the stream
+            # doesn't know it
+            real_finalize(marker, intent, dests)
+            fired["after_marker"] += 1
+            raise RuntimeError("injected kill after marker, pre-checkpoint")
+        if fired["seq"] == 2:
+            # kill BEFORE the marker: files landed, intent still there
+            fired["before_marker"] += 1
+            raise RuntimeError("injected kill before marker")
+        real_finalize(marker, intent, dests)
+
+    monkeypatch.setattr(qz, "_finalize_append_marker", finalize_hook)
+
+    def append_batch(df, epoch_id):
+        qz.ivf_append_int8(
+            quantized(df), cents_s, idx_stream,
+            dedupe_token=f"epoch-{epoch_id}",
+        )
+
+    def start():
+        return (
+            spark.readStream.schema(arriving_raw.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(new_path)
+            .writeStream.foreachBatch(append_batch)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+
+    # run 1: dies after epoch A's marker (checkpoint uncommitted)
+    q = start()
+    with pytest.raises((StreamingQueryException, Py4JJavaError)):
+        q.processAllAvailable()
+    q.stop()
+    assert fired["after_marker"] == 1
+
+    # run 2: epoch A replays -> marker skip (finalize NOT called for
+    # it); epoch B dies before its marker
+    q = start()
+    with pytest.raises((StreamingQueryException, Py4JJavaError)):
+        q.processAllAvailable()
+    q.stop()
+    assert fired["before_marker"] == 1
+
+    # run 3: epoch B replays -> intent reconciliation; rest land clean
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    tagged_s, cents_read = qz.ivf_read_int8(spark, idx_stream)
+    assert cents_read == cents_b
+    tag = lambda r: (r.vec_id, tuple(r.q), r.n2, r.cluster)
+    assert sorted(map(tag, tagged_s.collect())) == sorted(
+        map(tag, tagged_b.collect())
+    )

@@ -61,31 +61,80 @@ def pair_with_previous_join(
     first_flag: str = "is_first",
     prefix: str = "prev_",
 ) -> DataFrame:
-    """Join-based pairing for DENSE sequences (seq = 1..n per key,
-    which the wikidump source guarantees for rev_seq).
+    """Join-semantics pairing for DENSE sequences (seq = 1..n per key,
+    which the wikidump source guarantees for rev_seq) — row (key, seq)
+    meets row (key, seq-1), realized as ONE exchange.
 
     ``Window.partitionBy(page)`` puts a page's entire history in one
-    task — the giant-page hazard (SURVEY §7.4.1).  Joining row (key,
-    seq) against row (key, seq-1) instead hash-partitions on BOTH key
-    and sequence, so a multi-gigabyte page history spreads across the
-    cluster like any other join.  Costs a second shuffle of the paired
-    columns; wins unbounded skew-resistance.  Equivalence with the
-    window variant is asserted in tests.
+    task — the giant-page hazard (SURVEY §7.4.1).  Pairing on the
+    composite (key, seq) instead hash-partitions on BOTH key and
+    sequence, so a multi-gigabyte page history spreads across the
+    cluster like any other keyed exchange.  The naive self-join costs
+    TWO shuffles (each side exchanges on the composite key) and two
+    scans; this formulation costs ONE of each: every input row is
+    exploded into two shuffle records — its own payload addressed at
+    (key, seq) and its paired columns re-addressed at (key, seq+1) —
+    and one aggregate over (key, seq) zips the at-most-one "self" and
+    at-most-one "prev" record back into a row.  Same bytes a join
+    would move, half the exchanges, and the (key, seq+1) records with
+    no self row (each key's end-of-sequence sentinel) drop in the
+    aggregate.  ``first(ignorenulls)`` is deterministic here because
+    density makes (key, seq) unique: each group holds at most one
+    non-null candidate per struct.  Equivalence with the window
+    variant is asserted in tests; the one-exchange no-window plan
+    shape is pinned in tests/test_plans.py.
     """
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
     fill = fill or {}
     keys = list(partition_by)
-    prev = df.select(
-        *[F.col(k) for k in keys],
-        (F.col(seq_col) + 1).alias(seq_col),
-        *[F.col(c).alias(prefix + c) for c in cols],
-        F.lit(1).alias("__has_prev"),
+    rest = [c for c in df.columns if c not in keys and c != seq_col]
+    by_name = {f.name: f for f in df.schema.fields}
+    # "__p" marker: keeps the prev struct non-empty when cols == []
+    # and makes row presence independent of the paired values' nulls
+    self_t = StructType(
+        [StructField("__p", BooleanType())]
+        + [StructField(c, by_name[c].dataType) for c in rest]
     )
-    joined = df.join(prev, on=[*keys, seq_col], how="left")
-    out = joined.withColumn(first_flag, F.col("__has_prev").isNull()).drop(
-        "__has_prev"
+    prev_t = StructType(
+        [StructField("__p", BooleanType())]
+        + [StructField(c, by_name[c].dataType) for c in cols]
     )
-    for c, v in fill.items():
-        out = out.withColumn(
-            prefix + c, F.coalesce(F.col(prefix + c), F.lit(v))
-        )
-    return out
+    two = F.array(
+        F.struct(
+            F.col(seq_col).alias("__seq"),
+            F.struct(
+                F.lit(True).alias("__p"), *[F.col(c) for c in rest]
+            ).alias("__self"),
+            F.lit(None).cast(prev_t).alias("__prev"),
+        ),
+        F.struct(
+            (F.col(seq_col) + 1).alias("__seq"),
+            F.lit(None).cast(self_t).alias("__self"),
+            F.struct(
+                F.lit(True).alias("__p"), *[F.col(c) for c in cols]
+            ).alias("__prev"),
+        ),
+    )
+    doubled = df.select(
+        *[F.col(k) for k in keys], F.explode(two).alias("__x")
+    ).select(
+        *keys,
+        F.col("__x.__seq").alias(seq_col),
+        F.col("__x.__self").alias("__self"),
+        F.col("__x.__prev").alias("__prev"),
+    )
+    agg = doubled.groupBy(*keys, seq_col).agg(
+        F.first("__self", ignorenulls=True).alias("__self"),
+        F.first("__prev", ignorenulls=True).alias("__prev"),
+    )
+    proj: list[Column] = [F.col(k) for k in keys]
+    proj.append(F.col(seq_col))
+    proj.extend(F.col(f"__self.{c}").alias(c) for c in rest)
+    for c in cols:
+        pc: Column = F.col(f"__prev.{c}")
+        if c in fill:
+            pc = F.coalesce(pc, F.lit(fill[c]))
+        proj.append(pc.alias(prefix + c))
+    proj.append(F.col("__prev").isNull().alias(first_flag))
+    return agg.filter(F.col("__self").isNotNull()).select(*proj)

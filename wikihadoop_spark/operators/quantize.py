@@ -1132,6 +1132,25 @@ def _append_marker_paths(
     return stem, stem + ".intent", stem + ".stage", sha
 
 
+def _index_has_hashed_marker(resolved: str) -> bool:
+    """True once ANY hash-format append marker (``_append_<safe>_<8
+    hex>``, no ``.intent``/``.stage`` suffix) exists at the index root
+    — i.e. the index has landed at least one append under the upgraded
+    protocol.  Gates legacy pre-hash marker recognition in
+    :func:`ivf_append_int8` (round-15 ADVICE): the only legitimate
+    legacy replay is the epoch uncommitted at upgrade time, which by
+    checkpoint ordering arrives before any new-format landing."""
+    import os
+    import re
+
+    pat = re.compile(r"^_append_.+_[0-9a-f]{8}$")
+    try:
+        names = os.listdir(resolved)
+    except OSError:
+        return False
+    return any(pat.match(n) for n in names)
+
+
 def _write_durable(path: str, payload: str) -> None:
     """Write + fsync a small protocol file AND its directory, so the
     exactly-once ordering (intent durable before any rename; marker
@@ -1319,7 +1338,20 @@ def ivf_append_int8(
     including the old protocol's unfixable gap between the append and
     the marker — unlinks every listed file that landed, then redoes
     the append from scratch: exactly-once, not at-least-once.  A crash
-    before step 2 left nothing visible to readers.  The marker/intent
+    before step 2 left nothing visible to readers.
+
+    SCOPE OF THE GUARANTEE (round-15 ADVICE): exactly-once here means
+    REPLAY CONVERGENCE — however many times an epoch replays and
+    wherever it crashed, the index converges to each row landed once.
+    It is NOT point-in-time reader atomicity: step 3 renames
+    part-files into ``vectors/`` one at a time (and a reconciliation
+    unlinks them one at a time), so a reader scanning the SAME index
+    concurrently with a landing or reconciliation can observe a
+    partially-landed epoch.  "No reader ever sees staged rows" means
+    rows never appear outside their final ``cluster=N`` homes; it
+    does not make the epoch's appearance atomic.  Single-writer
+    deployments that need read isolation should publish appends the
+    way overwrites publish (build aside, flip the symlink).  The marker/intent
     names carry a short sha256 of the RAW token (round-14 ADVICE):
     sanitization alone mapped distinct tokens like ``epoch/1`` and
     ``epoch_1`` to one marker, silently dropping the second batch as a
@@ -1337,14 +1369,29 @@ def ivf_append_int8(
         # written by the r14 protocol): an index carrying one already
         # landed this token's rows — honoring it prevents the first
         # checkpoint-restart replay after an upgrade from
-        # double-appending (round-15 review finding).  Only the new
-        # format is ever WRITTEN, so the legacy collision class
-        # ('epoch/1' vs 'epoch_1') cannot grow.
+        # double-appending (round-15 review finding).  Honored ONLY
+        # while the index carries NO hash-format marker for any token
+        # (round-15 ADVICE): committed epochs never replay, so the one
+        # legacy token that can legitimately reappear — the epoch
+        # uncommitted at upgrade time — arrives BEFORE the first
+        # new-format append lands; once any hash-format marker exists,
+        # a "legacy" hit can only be the sanitization collision
+        # ('epoch/1' shadowed by a pre-upgrade '_append_epoch_1' for
+        # the distinct token 'epoch_1'), which silently dropped the
+        # new batch.  Residual class, documented: a legacy token whose
+        # SAFE form itself ends in _<8 hex> is indistinguishable from
+        # a new-format marker by name, so its presence stops legacy
+        # recognition one epoch early (a double append on that exact
+        # upgrade replay, never a silent drop — and 'epoch-{id}'
+        # tokens can't produce such names).  Only the new format is
+        # ever WRITTEN, so neither class can grow.
         legacy = os.path.join(
             resolved,
             "_append_" + _re.sub(r"[^A-Za-z0-9._-]", "_", dedupe_token),
         )
-        if os.path.exists(marker) or os.path.exists(legacy):
+        if os.path.exists(marker) or (
+            os.path.exists(legacy) and not _index_has_hashed_marker(resolved)
+        ):
             # this batch already landed (replayed epoch); clear any
             # residue from the narrow window between marker write and
             # intent unlink

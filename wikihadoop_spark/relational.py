@@ -267,6 +267,75 @@ def wikidump_roundtrip_bz2(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "wikidump_pairs_join",
+    oracle="""
+    SELECT doc_id * 10 + 1 AS rev_id, doc_id AS page_id, 1 AS rev_seq,
+           CAST(NULL AS BIGINT) AS prev_rev_id,
+           true AS beginningofpage, true AS prev_ok
+    FROM documents
+    UNION ALL
+    SELECT doc_id * 10 + 2, doc_id, 2, doc_id * 10 + 1, false, true
+    FROM documents
+    """,
+)
+def wikidump_pairs_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Consecutive-revision pairing (reference P1) through the DENSE-SEQ
+    strategy — ``operators/pairing.py::pair_with_previous_join`` — the
+    giant-page skew mitigation SURVEY §7.4.1 designates (round-15
+    verdict item 3: this path previously carried only local equivalence
+    evidence; this gate drives it end-to-end on the real source).
+
+    The gate dump is read UNPAIRED (no ``pair_revisions``, so the
+    source emits bare revisions with the parse-guaranteed dense
+    ``rev_seq``), then paired relationally: each revision's payload is
+    exploded to (page, seq) and (page, seq+1) shuffle records and ONE
+    aggregate over the composite key zips self+prev back together — a
+    multi-gigabyte page history hash-partitions across the cluster
+    instead of landing in one window task.  Plan shape (pinned in
+    tests/test_plans.py): exactly one hash exchange, keyed on
+    (page_id, rev_seq); zero Window operators; the documents join
+    broadcasts.  The oracle states the pairing closed-form from the
+    documents table: rev_seq 1 is beginningofpage with NULL
+    prev_rev_id and the empty-string prev fill, rev_seq 2 carries
+    rev 1's id and text (``prev_ok`` checks prev_text against the
+    page's known rev-1 text, exactly the reference's
+    beginningofpage/previous-revision contract,
+    StreamWikiDumpInputFormat.java:298-429)."""
+    from .operators.pairing import pair_with_previous_join
+    from .sources.gatedump import ensure_gate_dump
+    from .sources.wikidump import read_wikidump
+
+    xml_path, _ = ensure_gate_dump(sf)
+    revs = read_wikidump(spark, xml_path, splitsize="65536").select(
+        "page_id", "rev_seq", "rev_id", "text"
+    )
+    paired = pair_with_previous_join(
+        revs,
+        ["page_id"],
+        "rev_seq",
+        ["rev_id", "text"],
+        fill={"text": ""},
+        first_flag="beginningofpage",
+    )
+    docs = Tables(spark, sf).documents.select(
+        "doc_id", F.col("text").alias("doc_text")
+    )
+    expected_prev = F.when(F.col("rev_seq") == 1, F.lit("")).otherwise(
+        F.col("doc_text")
+    )
+    return paired.join(
+        F.broadcast(docs), paired.page_id == F.col("doc_id")
+    ).select(
+        F.col("rev_id"),
+        F.col("page_id"),
+        F.col("rev_seq").cast("int").alias("rev_seq"),
+        F.col("prev_rev_id"),
+        F.col("beginningofpage"),
+        (F.col("prev_text") == expected_prev).alias("prev_ok"),
+    )
+
+
+@query(
     "jsonl_roundtrip",
     oracle="""
     SELECT doc_id, 'gz' AS codec, lang, source, n_chars, true AS text_ok
@@ -4521,6 +4590,74 @@ def events_pivot(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _funnel_per_user(e: DataFrame, *, skew_safe: bool = False) -> DataFrame:
+    """Per-user ordered step times (t_view, t_click, t_buy) for the
+    24h-boxed view→click→purchase funnel — the shared core of
+    :func:`events_funnel`, in two plan shapes:
+
+    - default (``skew_safe=False``): conditional minima over one
+      unordered ``partitionBy(user_id)`` window — ONE hash exchange
+      total, but one task buffers (and spills) a hot user's events;
+    - ``skew_safe=True``: a two-phase groupBy+join chain.  Each step's
+      minimum is a hash AGGREGATE (map-side partial combine reduces a
+      hot user inside every input partition before the exchange), and
+      each join's build side carries exactly one row per user, so the
+      probe side STREAMS — no operator ever holds a user's event set
+      in memory.  Costs one extra exchange of the events frame; wins
+      bounded memory under arbitrary key skew.
+
+    Both shapes implement the same strictly-greater, 24h-boxed step
+    semantics; the edge drill in tests/test_operators_edge.py pins
+    them equal on a frame where one user owns ~99% of all events."""
+    is_type = lambda s: F.col("event_type") == s  # noqa: E731
+    day = F.expr("INTERVAL 24 HOURS")
+
+    def step(kind: str, after: str) -> Column:
+        return F.min(
+            F.when(
+                is_type(kind)
+                & (F.col("ts") > F.col(after))
+                & (F.col("ts") <= F.col(after) + day),
+                F.col("ts"),
+            )
+        )
+
+    if skew_safe:
+        g1 = e.groupBy("user_id").agg(
+            F.min(F.when(is_type("view"), F.col("ts"))).alias("t_view")
+        )
+        g2 = (
+            e.join(g1, "user_id")
+            .groupBy("user_id")
+            .agg(
+                F.first("t_view").alias("t_view"),
+                step("click", "t_view").alias("t_click"),
+            )
+        )
+        return (
+            e.join(g2, "user_id")
+            .groupBy("user_id")
+            .agg(
+                F.first("t_view").alias("t_view"),
+                F.first("t_click").alias("t_click"),
+                step("purchase", "t_click").alias("t_buy"),
+            )
+        )
+    w = Window.partitionBy("user_id")
+    d = (
+        e.withColumn(
+            "t_view", F.min(F.when(is_type("view"), F.col("ts"))).over(w)
+        )
+        .withColumn("t_click", step("click", "t_view").over(w))
+        .withColumn("t_buy", step("purchase", "t_click").over(w))
+    )
+    return d.groupBy("user_id").agg(
+        F.first("t_view").alias("t_view"),
+        F.first("t_click").alias("t_click"),
+        F.first("t_buy").alias("t_buy"),
+    )
+
+
 @query(
     "events_funnel",
     oracle="""
@@ -4587,49 +4724,22 @@ def events_funnel(spark: SparkSession, sf: str) -> DataFrame:
     floor(users*10000/prev) — one IEEE divide + floor on exact bigint
     counts, bit-equal across engines; NULL (not a crash) when a step's
     denominator is empty.  Strictly-greater ordering: a click at the
-    exact timestamp of the first view does not convert, both sides."""
+    exact timestamp of the first view does not convert, both sides.
+
+    HOT-KEY CONTRACT (round-15 verdict item 4): the unordered window
+    buffers ONE USER's entire event set in a single task — WindowExec
+    SPILLS to disk rather than OOMs, so a bot user holding ~all events
+    completes correctly but serializes in one task (the edge drill in
+    tests/test_operators_edge.py proves completion + correctness with
+    one user owning ~99% of sf0.01).  For ADVERSARIAL user_id
+    distributions, :func:`_funnel_per_user` offers ``skew_safe=True``:
+    a two-phase groupBy+join chain whose partial map-side minima
+    reduce hot keys before any exchange and whose per-key build sides
+    are single rows (streams, never buffers) — one extra exchange,
+    zero per-key memory; equivalence on the skewed frame is asserted
+    in the same drill."""
     t = Tables(spark, sf)
-    w = Window.partitionBy("user_id")
-    e = t.events.select("user_id", "event_type", "ts")
-    is_type = lambda s: F.col("event_type") == s  # noqa: E731
-    d = (
-        e.withColumn(
-            "t_view", F.min(F.when(is_type("view"), F.col("ts"))).over(w)
-        )
-        .withColumn(
-            "t_click",
-            F.min(
-                F.when(
-                    is_type("click")
-                    & (F.col("ts") > F.col("t_view"))
-                    & (
-                        F.col("ts")
-                        <= F.col("t_view") + F.expr("INTERVAL 24 HOURS")
-                    ),
-                    F.col("ts"),
-                )
-            ).over(w),
-        )
-        .withColumn(
-            "t_buy",
-            F.min(
-                F.when(
-                    is_type("purchase")
-                    & (F.col("ts") > F.col("t_click"))
-                    & (
-                        F.col("ts")
-                        <= F.col("t_click") + F.expr("INTERVAL 24 HOURS")
-                    ),
-                    F.col("ts"),
-                )
-            ).over(w),
-        )
-    )
-    per_user = d.groupBy("user_id").agg(
-        F.first("t_view").alias("t_view"),
-        F.first("t_click").alias("t_click"),
-        F.first("t_buy").alias("t_buy"),
-    )
+    per_user = _funnel_per_user(t.events.select("user_id", "event_type", "ts"))
     agg = per_user.agg(
         F.count(F.lit(1)).alias("total"),
         F.count("t_view").alias("u1"),
@@ -5890,129 +6000,208 @@ def media_frame_fanout_q(spark: SparkSession, sf: str) -> DataFrame:
 #   (3) similarity_topk stays — it is the bench's float/int8 contrast
 #   row and the recall baseline every ANN suite compares against.
 #
-# The must-gate set for THIS round: the eight r12 pins deferred from
-# the r14 rotation (the only 2-round-age evidence) + the NEW funnel
-# query (never gated) + the two artifact-path queries whose operators
-# changed this round, plus the 39 oldest-evidence (r13-pinned)
+# The round-15 must-gate set (history): the eight r12 pins deferred
+# from the r14 rotation (the only 2-round-age evidence) + the NEW
+# funnel query (never gated) + the two artifact-path queries whose
+# operators changed that round, plus the 39 oldest-evidence
+# (r13-pinned) refreshes — all 50 went green in CORRECTNESS_r15.
+
+# Round-16 rotation (this round): CORRECTNESS_r15 went 50/50 green
+# (twelfth consecutive), so the catalog's evidence splits 50 r15-green
+# / 48 r14-pinned / 11 r13-pinned.  Must-gate, exactly as pre-declared
+# in the round-15 deferral: the ELEVEN r13-pinned queries at the
+# 2-round evidence-age bound — agg_approx_distinct, agg_argmax,
+# agg_distinct, agg_grouping_sets, agg_stats, scalar_json,
+# scalar_string, window_distribution, window_value_functions,
+# events_tumbling, decontaminate_report.  One NEW query gates
+# immediately per new-query hygiene (policy item (b)):
+# wikidump_pairs_join — the dense-sequence pairing strategy
+# (operators/pairing.py::pair_with_previous_join, SURVEY §7.4.1's
+# giant-page skew mitigation) driven end-to-end on the real wikidump
+# source; round-15 verdict item 3 flagged that this path carried only
+# local equivalence evidence.  The operator itself was REWRITTEN this
+# round from the naive two-exchange self-join to a one-exchange
+# explode+aggregate formulation (same join semantics, half the
+# exchanges — plan-pinned in test_plans.py), so the new gate verifies
+# the rewrite, not just the registration.  Catalog: 110 queries.
+# Two r15-green queries also rotate in out of turn:
+# similarity_topk_int8_ivf_append, because this round's
+# operators/quantize.py edit sits on its call path (the legacy
+# pre-hash marker is now honored only while the index carries NO
+# hash-format append marker — closing the round-15 ADVICE
+# sanitization-collision replay-skip across an upgrade), and
+# events_funnel, whose query body gained the hot-key contract
+# docstring and whose step logic moved into the shared
+# _funnel_per_user helper (window + skew_safe two-phase shapes,
+# equivalence-drilled on a ~99%-one-user frame in
+# tests/test_operators_edge.py) — behavior-preserving (the r15 oracle
+# is unchanged and local 3-SF parity re-proves it), but a source-pin
+# hash cannot carry evidence across a body edit, so the driver
+# re-verifies it.
+#
+# The remaining 36 slots go to r14-pinned demotions — 48 candidates
+# for 36 slots, so TWELVE defer one round to r17 (still within the
+# age-2 bound), chosen by the family criterion (policy item (d)):
+# every deferred query's operator family receives a fresh r16 gate
+# through an in-window query on this round's actual code —
+# agg_percentile (the aggregation surface re-gated via the five agg
+# must-gates agg_distinct/agg_stats/agg_grouping_sets/
+# agg_approx_distinct/agg_argmax); join_anti + join_cross + join_semi
+# (the join surface re-gated via in-window join_left_agg,
+# join_right_agg, q3_top_revenue, q5_revenue_by_nation);
+# window_moving + window_running (the window-function surface
+# re-gated via the must-gates window_distribution +
+# window_value_functions); window_lag_pairs (the pairing family
+# re-gated via the NEW wikidump_pairs_join on this round's rewritten
+# operator, plus the window must-gates for its lag/lead surface);
+# text_c4_clean + text_langid + text_stopword_strip (the text
+# curation surface re-gated via in-window text_quality,
+# text_fingerprint, text_tokens, text_diff_adjacent, text_lm_bigram,
+# text_lm_surprisal); set_except (the set-op surface re-gated via
+# in-window set_intersect); and dedup_keeper_quality (the exact-dedup
+# surface re-gated via in-window dedup_exact_rows, dedup_span_exact,
+# dedup_span_audit, dedup_clusters).  All twelve are first-priority
+# must-gates for round 17.  After this round's gate no evidence is
+# older than r14, and only those twelve are older than r15.
+#
+# Float-twin retirement evidence table (standing policy (c)
+# adjudication, re-stated per round-15 verdict item 5): catalog is
+# 110 of 150 after this round's one addition — below the ~130
+# re-evaluation trigger, so the decision HOLDS unchanged: KEEP ALL
+# THREE float twins (retiring 3 does not lower the ceil(C/50)-1 age
+# bound until C>150).  The written retirement order when the catalog
+# nears 130 is unchanged: (1) similarity_topk_ivf first (fully
+# subsumed by the int8 artifact path; only unique surface is the
+# float Lloyd's round_dp oracle convention); (2) embedding_cosine_
+# dedup second (prerequisite pin test_quantize.py::
+# test_int8_cosine_tracks_float_reference landed r15 and still
+# holds); (3) similarity_topk stays (the bench's float/int8 contrast
+# row and the recall baseline).
+#
+# The must-gate set for THIS round: the eleven r13 pins deferred from
+# the r15 rotation (the only 2-round-age evidence) + the NEW
+# dense-seq pairing gate (never gated) + the two out-of-turn
+# operator-change re-gates, plus the 36 oldest-evidence (r14-pinned)
 # refreshes — validated to sit inside the gate prefix.
 GATE_WINDOW = 50
 
 ROTATION_SET: frozenset[str] = frozenset(
     {
-        # ---- round-15 must-gates: the eight r12 pins deferred from
-        # the r14 rotation (the only 2-round-age evidence)
-        "agg_cube",
-        "agg_rollup",
-        "decontaminate_bloom",
-        "events_pivot",
-        "scalar_array",
-        "scalar_conditional",
-        "scalar_date",
-        "scalar_hash",
-        # ---- the never-gated funnel query (new-query hygiene) and
-        # the two artifact-path queries whose operators changed
-        "events_funnel",
-        "similarity_topk_int8_ivf",
+        # ---- round-16 must-gates: the eleven r13 pins deferred
+        # from the r15 rotation (the only 2-round-age evidence)
+        "agg_approx_distinct",
+        "agg_argmax",
+        "agg_distinct",
+        "agg_grouping_sets",
+        "agg_stats",
+        "decontaminate_report",
+        "events_tumbling",
+        "scalar_json",
+        "scalar_string",
+        "window_distribution",
+        "window_value_functions",
+        # ---- the never-gated dense-seq pairing gate and the two
+        # out-of-turn operator-change re-gates (quantize legacy-
+        # marker guard; funnel hot-key contract + helper refactor)
+        "wikidump_pairs_join",
         "similarity_topk_int8_ivf_append",
-        # ---- 39 of the 50 r13-pinned demotions rotate back
-        # (oldest evidence; the other 11 defer to r16 under the
+        "events_funnel",
+        # ---- 36 of the 48 r14-pinned demotions rotate back
+        # (oldest evidence; the other 12 defer to r17 under the
         # family criterion in the rotation comment)
-        "asof_join_events_orders",
-        "chunk_documents",
-        "correlated_exists",
-        "curate_pipeline",
-        "dedup_line_frequency",
-        "dedup_verify_pairs",
-        "embedding_cosine_dedup",
-        "filter_regex",
-        "join_full_outer",
-        "join_inner_agg",
-        "join_theta",
-        "jsonl_roundtrip",
-        "media_audio_features",
-        "media_image_metadata",
-        "minhash_lsh_pairs",
-        "mixture_waterfill",
-        "ngram_overlap",
-        "pack_token_budget",
-        "q1_pricing_summary",
-        "range_join_near_orders",
-        "sample_stratified",
-        "scalar_subquery",
-        "scan_filter_project",
-        "sessionize_events",
-        "set_union_all",
-        "shuffle_pack",
-        "similarity_probe_int8_stream_analog",
-        "similarity_topk_int8_lsh",
-        "similarity_topk_ivf",
-        "sort_topk_global",
-        "text_lm_buckets",
-        "text_quality_model",
-        "text_repetition",
-        "text_scrub_pii",
-        "text_tfidf_topk",
-        "unpivot_lineitem",
-        "wikidump_roundtrip",
-        "wikidump_roundtrip_bz2",
-        "window_rank_topk",
+        "corpus_delta",
+        "corpus_report_card",
+        "decontaminate_exact",
+        "decontaminate_ngram",
+        "dedup_clusters",
+        "dedup_exact_rows",
+        "dedup_span_audit",
+        "dedup_span_exact",
+        "dsir_weights",
+        "embedding_cosine_dedup_int8",
+        "events_retention",
+        "events_sliding",
+        "join_left_agg",
+        "join_right_agg",
+        "jsonl_corrupt_audit",
+        "media_frame_fanout",
+        "minhash_signatures",
+        "ngram_jaccard_block",
+        "q3_top_revenue",
+        "q5_revenue_by_nation",
+        "sample_mixture",
+        "scalar_math",
+        "semantic_dedup",
+        "set_intersect",
+        "simhash_near_pairs",
+        "simhash_signatures",
+        "similarity_topk",
+        "similarity_topk_int8",
+        "similarity_topk_lsh",
+        "sketch_count_min",
+        "text_diff_adjacent",
+        "text_fingerprint",
+        "text_lm_bigram",
+        "text_lm_surprisal",
+        "text_quality",
+        "text_tokens",
     }
 )
 
 _GATE_ORDER: tuple[str, ...] = (
-    # ---- must-gate: the 8 deferred r12 pins ----
-    "agg_cube",
-    "agg_rollup",
-    "decontaminate_bloom",
-    "events_pivot",
-    "scalar_array",
-    "scalar_conditional",
-    "scalar_date",
-    "scalar_hash",
-    # ---- the new funnel gate + the touched artifact paths ----
-    "events_funnel",
-    "similarity_topk_int8_ivf",
+    # ---- must-gate: the 11 deferred r13 pins ----
+    "agg_approx_distinct",
+    "agg_argmax",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_stats",
+    "decontaminate_report",
+    "events_tumbling",
+    "scalar_json",
+    "scalar_string",
+    "window_distribution",
+    "window_value_functions",
+    # ---- the new pairing gate + the touched operator paths ----
+    "wikidump_pairs_join",
     "similarity_topk_int8_ivf_append",
-    # ---- the 39 r13-pinned demotions rotating back ----
-    "asof_join_events_orders",
-    "chunk_documents",
-    "correlated_exists",
-    "curate_pipeline",
-    "dedup_line_frequency",
-    "dedup_verify_pairs",
-    "embedding_cosine_dedup",
-    "filter_regex",
-    "join_full_outer",
-    "join_inner_agg",
-    "join_theta",
-    "jsonl_roundtrip",
-    "media_audio_features",
-    "media_image_metadata",
-    "minhash_lsh_pairs",
-    "mixture_waterfill",
-    "ngram_overlap",
-    "pack_token_budget",
-    "q1_pricing_summary",
-    "range_join_near_orders",
-    "sample_stratified",
-    "scalar_subquery",
-    "scan_filter_project",
-    "sessionize_events",
-    "set_union_all",
-    "shuffle_pack",
-    "similarity_probe_int8_stream_analog",
-    "similarity_topk_int8_lsh",
-    "similarity_topk_ivf",
-    "sort_topk_global",
-    "text_lm_buckets",
-    "text_quality_model",
-    "text_repetition",
-    "text_scrub_pii",
-    "text_tfidf_topk",
-    "unpivot_lineitem",
-    "wikidump_roundtrip",
-    "wikidump_roundtrip_bz2",
-    "window_rank_topk",
+    "events_funnel",
+    # ---- the 36 r14-pinned demotions rotating back ----
+    "corpus_delta",
+    "corpus_report_card",
+    "decontaminate_exact",
+    "decontaminate_ngram",
+    "dedup_clusters",
+    "dedup_exact_rows",
+    "dedup_span_audit",
+    "dedup_span_exact",
+    "dsir_weights",
+    "embedding_cosine_dedup_int8",
+    "events_retention",
+    "events_sliding",
+    "join_left_agg",
+    "join_right_agg",
+    "jsonl_corrupt_audit",
+    "media_frame_fanout",
+    "minhash_signatures",
+    "ngram_jaccard_block",
+    "q3_top_revenue",
+    "q5_revenue_by_nation",
+    "sample_mixture",
+    "scalar_math",
+    "semantic_dedup",
+    "set_intersect",
+    "simhash_near_pairs",
+    "simhash_signatures",
+    "similarity_topk",
+    "similarity_topk_int8",
+    "similarity_topk_lsh",
+    "sketch_count_min",
+    "text_diff_adjacent",
+    "text_fingerprint",
+    "text_lm_bigram",
+    "text_lm_surprisal",
+    "text_quality",
+    "text_tokens",
 )
 
 
