@@ -40,11 +40,12 @@ def test_gate_window_contains_rotation_set():
     """The driver gates the first GATE_WINDOW registered queries; the
     current rotation set (round 16: the eleven r13-pinned deferrals at
     the 2-round evidence-age bound + the never-gated
-    wikidump_pairs_join query + the two out-of-turn re-gates whose
+    wikidump_pairs_join and events_funnel_skewsafe queries + the two
+    out-of-turn re-gates whose
     call paths changed this round — similarity_topk_int8_ivf_append
     for the quantize.py legacy-marker guard, events_funnel for the
-    hot-key contract/helper refactor — plus 36 of the 48 r14-pinned
-    demotions; the other twelve defer to r17 under the family
+    hot-key contract/helper refactor — plus 35 of the 48 r14-pinned
+    demotions; the other thirteen defer to r17 under the family
     criterion in the rotation comment in relational.py) must sit
     inside that prefix."""
     first = list(QUERIES)[:GATE_WINDOW]
@@ -65,6 +66,7 @@ def test_gate_window_contains_rotation_set():
         "events_tumbling",
         "decontaminate_report",
         "wikidump_pairs_join",
+        "events_funnel_skewsafe",
         "similarity_topk_int8_ivf_append",
         "events_funnel",
     ):
@@ -84,14 +86,16 @@ _DEMOTED_SOURCE_PINS = {
     # 50/50), code unchanged this round; the eleven round-16
     # must-gates (the r13-pinned deferrals at the age-2 bound) plus
     # the NEW wikidump_pairs_join query (the dense-seq pairing
-    # strategy on this round's rewritten one-exchange operator), the
+    # strategy on this round's rewritten one-exchange operator) and
+    # the NEW events_funnel_skewsafe same-oracle twin (the two-phase
+    # aggregate shape, driver-proven against the window shape), the
     # two out-of-turn re-gates (similarity_topk_int8_ivf_append —
     # this round's quantize.py legacy-marker guard sits on its call
     # path; events_funnel — its body gained the hot-key contract and
     # the _funnel_per_user helper refactor), and 36 r14-pinned
-    # demotions rotated into the window in exchange.  TWELVE rows are
-    # r14-green pins deferred one round to r17 (48 candidates for 36
-    # slots) under the family criterion in the relational.py rotation
+    # demotions rotated into the window in exchange.  THIRTEEN rows
+    # are r14-green pins deferred one round to r17 (48 candidates for
+    # 35 slots) under the family criterion in the relational.py rotation
     # comment: agg_percentile -> the five agg must-gates; join_anti/
     # join_cross/join_semi -> in-window join_left_agg + join_right_agg
     # + q3 + q5; window_moving/window_running -> the must-gates
@@ -100,10 +104,11 @@ _DEMOTED_SOURCE_PINS = {
     # rewritten operator) + the window must-gates; text_c4_clean/
     # text_langid/text_stopword_strip -> six in-window text queries;
     # set_except -> in-window set_intersect; dedup_keeper_quality ->
-    # four in-window exact-dedup queries.  They are first-priority
+    # four in-window exact-dedup queries; simhash_signatures ->
+    # in-window simhash_near_pairs.  They are first-priority
     # must-gates for round 17.  After the round-16 gate runs, no
     # catalog query's driver evidence is older than r14, and only
-    # those twelve are older than r15 — enforced structurally by
+    # those thirteen are older than r15 — enforced structurally by
     # test_max_evidence_age below.
     "agg_cube": "734e8e961bba8096",
     "agg_percentile": "da7e078703af57f1",  # r14-green, deferred to r17 (family re-gated via an in-window r16 query)
@@ -145,6 +150,7 @@ _DEMOTED_SOURCE_PINS = {
     "set_except": "3d8cbe4130707d5d",  # r14-green, deferred to r17 (family re-gated via an in-window r16 query)
     "set_union_all": "44ca1532854c55e6",
     "shuffle_pack": "8b1f7788077426ce",
+    "simhash_signatures": "720d8995662be958",  # r14-green, deferred to r17 (family re-gated via an in-window r16 query)
     "similarity_probe_int8_stream_analog": "9a155eabd2d50f4d",
     "similarity_topk_int8_ivf": "f448ee5349aaf3b4",
     "similarity_topk_int8_lsh": "b42e8ea792ada54d",

@@ -812,3 +812,27 @@ def test_wikidump_pairs_join_single_exchange_no_window(spark):
     ]
     assert len(hash_ex) == 1, hash_ex
     assert "page_id" in hash_ex[0] and "rev_seq" in hash_ex[0], hash_ex
+
+
+def test_events_funnel_skewsafe_aggregates_not_window(spark):
+    """The skew-safe funnel twin's whole point is the plan shape: NO
+    per-user window (nothing buffers a user's event set), every step
+    minimum a hash aggregate with a map-side partial combine (the
+    partial_min collapses a hot user inside each input partition
+    BEFORE its exchange), every hash exchange keyed on user_id, and
+    one SinglePartition exchange for the 3-row report.  A regression
+    to the window shape (or a join that stops being per-user-keyed)
+    shows up here."""
+    plan = plan_of(spark, "events_funnel_skewsafe")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan  # map-side combine = the skew defense
+    hash_ex, single_ex = [], []
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            hash_ex.append(line)
+            assert "user_id" in line, line
+        elif "Exchange SinglePartition" in line:
+            single_ex.append(line)
+    assert len(hash_ex) == 3, hash_ex  # one per step's per-user agg
+    assert len(single_ex) == 1, single_ex

@@ -4658,9 +4658,7 @@ def _funnel_per_user(e: DataFrame, *, skew_safe: bool = False) -> DataFrame:
     )
 
 
-@query(
-    "events_funnel",
-    oracle="""
+_FUNNEL_ORACLE_SQL = """
     WITH s1 AS (
       SELECT user_id,
              min(ts) FILTER (WHERE event_type = 'view') AS t_view
@@ -4702,8 +4700,10 @@ def _funnel_per_user(e: DataFrame, *, skew_safe: bool = False) -> DataFrame:
     SELECT 3, 'purchase', u3,
            CAST(floor(u3 * 10000 / nullif(u2, 0)) AS BIGINT)
     FROM agg
-    """,
-)
+    """
+
+
+@query("events_funnel", oracle=_FUNNEL_ORACLE_SQL)
 def events_funnel(spark: SparkSession, sf: str) -> DataFrame:
     """Ordered TIME-BOXED conversion funnel (first view → first click
     within 24 h after it → first purchase within 24 h after that
@@ -4740,6 +4740,15 @@ def events_funnel(spark: SparkSession, sf: str) -> DataFrame:
     in the same drill."""
     t = Tables(spark, sf)
     per_user = _funnel_per_user(t.events.select("user_id", "event_type", "ts"))
+    return _funnel_stack(per_user)
+
+
+def _funnel_stack(per_user: DataFrame) -> DataFrame:
+    """Reduce the per-user step times to the 3-row funnel report:
+    per-step user counts and basis-point conversion from the previous
+    step (floor(users*10000/prev) on exact bigint counts — IEEE
+    bit-equal across engines; NULL when a step's denominator is
+    empty).  Shared by both funnel plan shapes."""
     agg = per_user.agg(
         F.count(F.lit(1)).alias("total"),
         F.count("t_view").alias("u1"),
@@ -4758,6 +4767,30 @@ def events_funnel(spark: SparkSession, sf: str) -> DataFrame:
                ) AS (step, step_name, users, conv_bp)"""
         )
     )
+
+
+@query("events_funnel_skewsafe", oracle=_FUNNEL_ORACLE_SQL)
+def events_funnel_skewsafe(spark: SparkSession, sf: str) -> DataFrame:
+    """The funnel's SKEW-SAFE plan shape as a first-class catalog twin
+    (round-15 verdict item 4 follow-through): identical report to
+    :func:`events_funnel` — same oracle, same 3 rows — computed by the
+    two-phase groupBy+join chain instead of the per-user window.  Each
+    step minimum is a hash AGGREGATE whose map-side partial combine
+    collapses a hot user inside every input partition BEFORE the
+    exchange, and each step join's build side is one row per user so
+    the probe side streams — no task ever buffers a user's event set,
+    under arbitrary key skew (the bot-user hazard the default shape
+    documents as spill-not-OOM).  Costs one extra exchange of the
+    events frame vs the window shape; the driver's hash gate proves
+    the two shapes agree on real data, and the edge drill in
+    tests/test_operators_edge.py pins them equal under ~99%-one-user
+    skew.  At 100 TB: run this shape when the key distribution is
+    adversarial or unknown; the window shape when it isn't."""
+    t = Tables(spark, sf)
+    per_user = _funnel_per_user(
+        t.events.select("user_id", "event_type", "ts"), skew_safe=True
+    )
+    return _funnel_stack(per_user)
 
 
 # ===========================================================================
@@ -6039,8 +6072,8 @@ def media_frame_fanout_q(spark: SparkSession, sf: str) -> DataFrame:
 # hash cannot carry evidence across a body edit, so the driver
 # re-verifies it.
 #
-# The remaining 36 slots go to r14-pinned demotions — 48 candidates
-# for 36 slots, so TWELVE defer one round to r17 (still within the
+# The remaining 35 slots go to r14-pinned demotions — 48 candidates
+# for 35 slots, so THIRTEEN defer one round to r17 (still within the
 # age-2 bound), chosen by the family criterion (policy item (d)):
 # every deferred query's operator family receives a fresh r16 gate
 # through an in-window query on this round's actual code —
@@ -6058,15 +6091,18 @@ def media_frame_fanout_q(spark: SparkSession, sf: str) -> DataFrame:
 # curation surface re-gated via in-window text_quality,
 # text_fingerprint, text_tokens, text_diff_adjacent, text_lm_bigram,
 # text_lm_surprisal); set_except (the set-op surface re-gated via
-# in-window set_intersect); and dedup_keeper_quality (the exact-dedup
+# in-window set_intersect); dedup_keeper_quality (the exact-dedup
 # surface re-gated via in-window dedup_exact_rows, dedup_span_exact,
-# dedup_span_audit, dedup_clusters).  All twelve are first-priority
-# must-gates for round 17.  After this round's gate no evidence is
-# older than r14, and only those twelve are older than r15.
+# dedup_span_audit, dedup_clusters); and simhash_signatures (the
+# simhash surface re-gated via in-window simhash_near_pairs, which
+# consumes the signatures on this round's code).  All thirteen are
+# first-priority must-gates for round 17.  After this round's gate no
+# evidence is older than r14, and only those thirteen are older than
+# r15.
 #
 # Float-twin retirement evidence table (standing policy (c)
 # adjudication, re-stated per round-15 verdict item 5): catalog is
-# 110 of 150 after this round's one addition — below the ~130
+# 111 of 150 after this round's two additions — below the ~130
 # re-evaluation trigger, so the decision HOLDS unchanged: KEEP ALL
 # THREE float twins (retiring 3 does not lower the ceil(C/50)-1 age
 # bound until C>150).  The written retirement order when the catalog
@@ -6079,10 +6115,11 @@ def media_frame_fanout_q(spark: SparkSession, sf: str) -> DataFrame:
 # row and the recall baseline).
 #
 # The must-gate set for THIS round: the eleven r13 pins deferred from
-# the r15 rotation (the only 2-round-age evidence) + the NEW
-# dense-seq pairing gate (never gated) + the two out-of-turn
-# operator-change re-gates, plus the 36 oldest-evidence (r14-pinned)
-# refreshes — validated to sit inside the gate prefix.
+# the r15 rotation (the only 2-round-age evidence) + the TWO new
+# queries (never gated: the dense-seq pairing gate and the skew-safe
+# funnel twin) + the two out-of-turn operator-change re-gates, plus
+# the 35 oldest-evidence (r14-pinned) refreshes — validated to sit
+# inside the gate prefix.
 GATE_WINDOW = 50
 
 ROTATION_SET: frozenset[str] = frozenset(
@@ -6100,14 +6137,16 @@ ROTATION_SET: frozenset[str] = frozenset(
         "scalar_string",
         "window_distribution",
         "window_value_functions",
-        # ---- the never-gated dense-seq pairing gate and the two
-        # out-of-turn operator-change re-gates (quantize legacy-
-        # marker guard; funnel hot-key contract + helper refactor)
+        # ---- the two never-gated queries (dense-seq pairing gate,
+        # skew-safe funnel twin) and the two out-of-turn operator-
+        # change re-gates (quantize legacy-marker guard; funnel
+        # hot-key contract + helper refactor)
         "wikidump_pairs_join",
+        "events_funnel_skewsafe",
         "similarity_topk_int8_ivf_append",
         "events_funnel",
-        # ---- 36 of the 48 r14-pinned demotions rotate back
-        # (oldest evidence; the other 12 defer to r17 under the
+        # ---- 35 of the 48 r14-pinned demotions rotate back
+        # (oldest evidence; the other 13 defer to r17 under the
         # family criterion in the rotation comment)
         "corpus_delta",
         "corpus_report_card",
@@ -6134,7 +6173,6 @@ ROTATION_SET: frozenset[str] = frozenset(
         "semantic_dedup",
         "set_intersect",
         "simhash_near_pairs",
-        "simhash_signatures",
         "similarity_topk",
         "similarity_topk_int8",
         "similarity_topk_lsh",
@@ -6161,11 +6199,12 @@ _GATE_ORDER: tuple[str, ...] = (
     "scalar_string",
     "window_distribution",
     "window_value_functions",
-    # ---- the new pairing gate + the touched operator paths ----
+    # ---- the two new gates + the touched operator paths ----
     "wikidump_pairs_join",
+    "events_funnel_skewsafe",
     "similarity_topk_int8_ivf_append",
     "events_funnel",
-    # ---- the 36 r14-pinned demotions rotating back ----
+    # ---- the 35 r14-pinned demotions rotating back ----
     "corpus_delta",
     "corpus_report_card",
     "decontaminate_exact",
@@ -6191,7 +6230,6 @@ _GATE_ORDER: tuple[str, ...] = (
     "semantic_dedup",
     "set_intersect",
     "simhash_near_pairs",
-    "simhash_signatures",
     "similarity_topk",
     "similarity_topk_int8",
     "similarity_topk_lsh",
