@@ -6056,7 +6056,13 @@ def media_frame_fanout_q(spark: SparkSession, sf: str) -> DataFrame:
 # round from the naive two-exchange self-join to a one-exchange
 # explode+aggregate formulation (same join semantics, half the
 # exchanges — plan-pinned in test_plans.py), so the new gate verifies
-# the rewrite, not just the registration.  Catalog: 110 queries.
+# the rewrite, not just the registration.  A SECOND new query gates
+# with it: events_funnel_skewsafe — the funnel's two-phase
+# groupBy+join plan shape as a first-class same-oracle twin (hot keys
+# collapse in map-side partial minima before any exchange; round-15
+# verdict item 4's adversarial-distribution variant), so the driver's
+# hash gate itself proves the window and aggregate shapes agree.
+# Catalog: 111 queries.
 # Two r15-green queries also rotate in out of turn:
 # similarity_topk_int8_ivf_append, because this round's
 # operators/quantize.py edit sits on its call path (the legacy
