@@ -2027,3 +2027,46 @@ def test_join_pairing_empty_cols_flag_only(spark):
     assert sorted((r.k, r.seq, r.v) for r in out) == [
         (1, 1, "a"), (1, 2, "b"), (2, 1, "c")
     ]
+
+
+def test_join_pairing_single_giant_key(spark):
+    """The skew case the dense-seq strategy exists for: ONE key owns a
+    long history.  The one-exchange formulation must complete, spread
+    rows across partitions by (key, seq), and agree with the window
+    strategy row-for-row."""
+    from wikihadoop_spark.operators.pairing import (
+        pair_with_previous,
+        pair_with_previous_join,
+    )
+
+    n = 20_000
+    df = (
+        spark.range(1, n + 1)
+        .select(
+            F.lit(1).alias("page"),
+            F.col("id").alias("seq"),
+            (F.col("id") * 7 % 1000).alias("payload"),
+        )
+    )
+    via_join = pair_with_previous_join(
+        df, ["page"], "seq", ["payload"], fill={"payload": -1}
+    )
+    # the giant key CAN spread: the one exchange partitions on the
+    # composite (page, seq), never on page alone (AQE may still
+    # coalesce this tiny frame into one partition — the KEY is the
+    # contract, so assert the plan, not the runtime partition count)
+    plan = via_join._jdf.queryExecution().executedPlan().toString()
+    hash_ex = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    # (the constant page key folds to a literal in the attribute name;
+    # the composite naming on a real multi-key frame is pinned in
+    # test_plans.py::test_wikidump_pairs_join_single_exchange_no_window)
+    assert len(hash_ex) == 1 and "seq" in hash_ex[0]
+    via_window = pair_with_previous(
+        df, ["page"], ["seq"], ["payload"], fill={"payload": -1}
+    )
+    key = lambda rows: sorted(
+        (r.page, r.seq, r.payload, r.prev_payload, r.is_first) for r in rows
+    )
+    assert key(via_join.collect()) == key(via_window.collect())
