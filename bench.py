@@ -445,7 +445,7 @@ _HEADLINE_ISOLATED_WATERMARKS: dict[float, float] = {
     # bench itself.
     # Round-16 re-record (tools/spot_isolated.py --headline): the
     # round-15 ADVICE flagged a persistent ~10-15% tool-above-bench
-    # offset (all five prior tool readings 9.259-11.585 s vs quiet
+    # offset (all seven prior tool readings 9.259-11.585 s vs quiet
     # full-bench 8.07-9.06 s) that contradicted protocol identity.
     # Root-caused by a same-window A/B — tool 9.003 s, then `bench.py
     # --no-artifact` 8.577 s, then tool 8.497 s back-to-back

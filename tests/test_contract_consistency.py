@@ -92,7 +92,7 @@ _DEMOTED_SOURCE_PINS = {
     # two out-of-turn re-gates (similarity_topk_int8_ivf_append —
     # this round's quantize.py legacy-marker guard sits on its call
     # path; events_funnel — its body gained the hot-key contract and
-    # the _funnel_per_user helper refactor), and 36 r14-pinned
+    # the _funnel_per_user helper refactor), and 35 r14-pinned
     # demotions rotated into the window in exchange.  THIRTEEN rows
     # are r14-green pins deferred one round to r17 (48 candidates for
     # 35 slots) under the family criterion in the relational.py rotation

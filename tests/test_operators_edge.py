@@ -2070,3 +2070,28 @@ def test_join_pairing_single_giant_key(spark):
         (r.page, r.seq, r.payload, r.prev_payload, r.is_first) for r in rows
     )
     assert key(via_join.collect()) == key(via_window.collect())
+
+
+def test_join_pairing_contract_violations_raise(spark):
+    """Round-16 review: density-contract violations must fail loudly.
+    A NULL seq would otherwise group a row with itself (self-pairing);
+    a duplicated (key, seq) would otherwise collapse rows
+    nondeterministically.  Both now raise with the offending key in
+    the message."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from wikihadoop_spark.operators.pairing import pair_with_previous_join
+
+    with_null = spark.createDataFrame(
+        [(1, None, "a"), (1, 1, "b"), (1, 2, "c")],
+        "k int, seq int, v string",
+    )
+    with pytest.raises(SparkRuntimeException, match="NULL sequence"):
+        pair_with_previous_join(with_null, ["k"], "seq", ["v"]).collect()
+
+    with_dup = spark.createDataFrame(
+        [(1, 1, "a"), (1, 1, "a2"), (1, 2, "b")],
+        "k int, seq int, v string",
+    )
+    with pytest.raises(SparkRuntimeException, match="duplicated"):
+        pair_with_previous_join(with_dup, ["k"], "seq", ["v"]).collect()

@@ -2018,3 +2018,38 @@ def test_legacy_marker_ignored_once_hashed_markers_exist(spark, tmp_path):
     assert sorted(r.vec_id for r in tagged.collect()) == [0, 1, 9, 10]
     # and the legitimate replay of the NEW token still skips
     assert qz.ivf_append_int8(new, cents, path, dedupe_token="epoch/1") == 0
+
+
+def test_append_protocol_sentinel_is_the_upgrade_fact(spark, tmp_path):
+    """Round-16 review: the first hash-format landing writes a durable
+    _append_protocol_v2 sentinel, and from then on legacy recognition
+    is off as a FACT — even if the hash marker files themselves are
+    gone (e.g. a very old index whose markers were hand-cleaned), the
+    sentinel alone keeps a colliding legacy name from shadowing a new
+    token."""
+    import os
+
+    from wikihadoop_spark.operators import quantize as qz
+
+    df = spark.createDataFrame(
+        [(0, [5, 0], 25, 0), (1, [0, 5], 25, 1)],
+        "vec_id bigint, q array<int>, n2 bigint, cluster int",
+    )
+    path = str(tmp_path / "idx_sentinel")
+    qz.ivf_write_int8(df, [[5, 0], [0, 5]], path, overwrite=True)
+    cents = [[5, 0], [0, 5]]
+    root = os.path.realpath(path)
+    assert not qz._index_post_upgrade(root)
+    first = spark.createDataFrame([(9, [4, 1])], "vec_id bigint, q array<int>")
+    assert qz.ivf_append_int8(first, cents, path, dedupe_token="epoch-1") == 1
+    assert os.path.exists(os.path.join(root, qz._PROTOCOL_SENTINEL))
+    assert qz._index_post_upgrade(root)
+    # remove every hash-format marker: the sentinel still carries the fact
+    for n in os.listdir(root):
+        if n.startswith("_append_") and n != qz._PROTOCOL_SENTINEL:
+            os.unlink(os.path.join(root, n))
+    assert qz._index_post_upgrade(root)
+    with open(os.path.join(root, "_append_epoch_2"), "w"):
+        pass  # colliding legacy name for the distinct token 'epoch_2'
+    new = spark.createDataFrame([(10, [1, 4])], "vec_id bigint, q array<int>")
+    assert qz.ivf_append_int8(new, cents, path, dedupe_token="epoch/2") == 1

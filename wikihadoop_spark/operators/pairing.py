@@ -83,6 +83,18 @@ def pair_with_previous_join(
     non-null candidate per struct.  Equivalence with the window
     variant is asserted in tests; the one-exchange no-window plan
     shape is pinned in tests/test_plans.py.
+
+    CONTRACT GUARDS (round-16 review): a violated density contract
+    must fail LOUDLY, not corrupt silently.  A NULL ``seq_col`` value
+    raises at execution time (in this formulation the row's self and
+    prev records would otherwise land in the same (key, NULL) group
+    and the row would report ITSELF as its predecessor — worse than
+    the old join formulation's accidental is_first=True).  A
+    duplicated (key, seq) raises too (the aggregate would otherwise
+    collapse duplicates to one nondeterministic survivor — silent row
+    loss, where the old join silently multiplied).  Both guards are
+    row-local expressions inside the existing single aggregate — no
+    extra pass, no extra exchange.
     """
     from pyspark.sql.types import BooleanType, StructField, StructType
 
@@ -100,9 +112,26 @@ def pair_with_previous_join(
         [StructField("__p", BooleanType())]
         + [StructField(c, by_name[c].dataType) for c in cols]
     )
+    # NULL-seq guard: raise per-row instead of mis-grouping (same
+    # idiom as the quantize dimension guards — loud on a PRESENT
+    # contract violation)
+    guarded_seq = F.when(
+        F.col(seq_col).isNotNull(), F.col(seq_col)
+    ).otherwise(
+        F.raise_error(
+            F.concat_ws(
+                "",
+                F.lit(
+                    "pair_with_previous_join: NULL sequence value for key "
+                ),
+                *[F.col(k).cast("string") for k in keys],
+                F.lit(" — the dense-seq contract requires seq = 1..n"),
+            )
+        )
+    )
     two = F.array(
         F.struct(
-            F.col(seq_col).alias("__seq"),
+            guarded_seq.alias("__seq"),
             F.struct(
                 F.lit(True).alias("__p"), *[F.col(c) for c in rest]
             ).alias("__self"),
@@ -127,7 +156,29 @@ def pair_with_previous_join(
     agg = doubled.groupBy(*keys, seq_col).agg(
         F.first("__self", ignorenulls=True).alias("__self"),
         F.first("__prev", ignorenulls=True).alias("__prev"),
+        F.count("__self").alias("__ns"),
+        F.count("__prev").alias("__np"),
     )
+    # duplicate-(key, seq) guard: >1 self (or prev) record in a group
+    # means the sequence is not unique — raise instead of collapsing
+    # to one nondeterministic survivor
+    dup_guard = F.when(
+        (F.col("__ns") <= 1) & (F.col("__np") <= 1), F.col("__self")
+    ).otherwise(
+        F.raise_error(
+            F.concat_ws(
+                "",
+                F.lit(
+                    "pair_with_previous_join: duplicated (key, seq) for key "
+                ),
+                *[F.col(k).cast("string") for k in keys],
+                F.lit(" seq "),
+                F.col(seq_col).cast("string"),
+                F.lit(" — the dense-seq contract requires unique seq per key"),
+            )
+        )
+    )
+    agg = agg.withColumn("__self", dup_guard).drop("__ns", "__np")
     proj: list[Column] = [F.col(k) for k in keys]
     proj.append(F.col(seq_col))
     proj.extend(F.col(f"__self.{c}").alias(c) for c in rest)

@@ -1132,17 +1132,26 @@ def _append_marker_paths(
     return stem, stem + ".intent", stem + ".stage", sha
 
 
-def _index_has_hashed_marker(resolved: str) -> bool:
-    """True once ANY hash-format append marker (``_append_<safe>_<8
-    hex>``, no ``.intent``/``.stage`` suffix) exists at the index root
-    — i.e. the index has landed at least one append under the upgraded
-    protocol.  Gates legacy pre-hash marker recognition in
+_PROTOCOL_SENTINEL = "_append_protocol_v2"
+
+
+def _index_post_upgrade(resolved: str) -> bool:
+    """True once the index has landed at least one append under the
+    upgraded (hash-marker) protocol.  Primary fact: the
+    ``_append_protocol_v2`` sentinel, written durably with the FIRST
+    hash-format marker (round-16 review: an explicit version fact
+    beats name-shape inference).  Fallback for indexes whose first
+    hash-format append landed under the sentinel-less r15 code: any
+    ``_append_<safe>_<8 hex>`` marker name (no ``.intent``/``.stage``
+    suffix).  Gates legacy pre-hash marker recognition in
     :func:`ivf_append_int8` (round-15 ADVICE): the only legitimate
     legacy replay is the epoch uncommitted at upgrade time, which by
     checkpoint ordering arrives before any new-format landing."""
     import os
     import re
 
+    if os.path.exists(os.path.join(resolved, _PROTOCOL_SENTINEL)):
+        return True
     pat = re.compile(r"^_append_.+_[0-9a-f]{8}$")
     try:
         names = os.listdir(resolved)
@@ -1266,11 +1275,18 @@ def _finalize_append_marker(marker: str, intent: str, dests: list[str]) -> None:
     kill-between-append-and-marker drill (test_streaming.py) can
     inject a crash exactly here.  The marker is durable BEFORE the
     intent vanishes: persisting the unlink without the marker would
-    leave a landed, unrecorded append that a replay then duplicates."""
+    leave a landed, unrecorded append that a replay then duplicates.
+    The protocol-version sentinel rides along (written once, durably,
+    with the first hash-format marker): from then on
+    :func:`_index_post_upgrade` is a direct fact, not a filename
+    inference."""
     import json
     import os
 
     _write_durable(marker, json.dumps(dests))
+    sentinel = os.path.join(os.path.dirname(marker), _PROTOCOL_SENTINEL)
+    if not os.path.exists(sentinel):
+        _write_durable(sentinel, "2")
     try:
         os.unlink(intent)
     except OSError:
@@ -1370,27 +1386,37 @@ def ivf_append_int8(
         # landed this token's rows — honoring it prevents the first
         # checkpoint-restart replay after an upgrade from
         # double-appending (round-15 review finding).  Honored ONLY
-        # while the index carries NO hash-format marker for any token
-        # (round-15 ADVICE): committed epochs never replay, so the one
-        # legacy token that can legitimately reappear — the epoch
-        # uncommitted at upgrade time — arrives BEFORE the first
-        # new-format append lands; once any hash-format marker exists,
-        # a "legacy" hit can only be the sanitization collision
-        # ('epoch/1' shadowed by a pre-upgrade '_append_epoch_1' for
-        # the distinct token 'epoch_1'), which silently dropped the
-        # new batch.  Residual class, documented: a legacy token whose
-        # SAFE form itself ends in _<8 hex> is indistinguishable from
-        # a new-format marker by name, so its presence stops legacy
-        # recognition one epoch early (a double append on that exact
-        # upgrade replay, never a silent drop — and 'epoch-{id}'
-        # tokens can't produce such names).  Only the new format is
-        # ever WRITTEN, so neither class can grow.
+        # while the index has NOT landed a new-format append
+        # (_index_post_upgrade: the durable _append_protocol_v2
+        # sentinel, or any hash-format marker for r15-written
+        # indexes): committed epochs never replay, so the one legacy
+        # token that can legitimately reappear — the epoch uncommitted
+        # at upgrade time — arrives BEFORE the first new-format append
+        # lands; after that, a "legacy" hit can only be the
+        # sanitization collision ('epoch/1' shadowed by a pre-upgrade
+        # '_append_epoch_1' for the distinct token 'epoch_1'), which
+        # silently dropped the new batch.  RESIDUAL CLASSES, named
+        # precisely (round-16 review): (a) the FIRST post-upgrade
+        # append, if its token sanitization-collides with a
+        # pre-upgrade marker, is still dropped — unsolvable by any
+        # on-disk fact, because legacy markers never recorded their
+        # raw token; (b) on a sentinel-less r15-written index only,
+        # a legacy token whose SAFE form ends in _<8 hex> reads as
+        # new-format and stops legacy recognition one epoch early (a
+        # double append on that exact upgrade replay, never a drop);
+        # (c) the single-writer contract is load-bearing across the
+        # upgrade: a MANUAL tokened batch append between a stream's
+        # crash and its restart lands the sentinel, after which the
+        # stream's uncommitted legacy epoch replays unrecognized
+        # (double append) — restart the stream before hand-feeding an
+        # upgraded index.  'epoch-{id}' tokens hit none of these.
+        # Only the new format is ever WRITTEN, so no class can grow.
         legacy = os.path.join(
             resolved,
             "_append_" + _re.sub(r"[^A-Za-z0-9._-]", "_", dedupe_token),
         )
         if os.path.exists(marker) or (
-            os.path.exists(legacy) and not _index_has_hashed_marker(resolved)
+            os.path.exists(legacy) and not _index_post_upgrade(resolved)
         ):
             # this batch already landed (replayed epoch); clear any
             # residue from the narrow window between marker write and
