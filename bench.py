@@ -452,11 +452,15 @@ _HEADLINE_ISOLATED_WATERMARKS: dict[float, float] = {
     # (2026-08-16 ~20:37-20:50 UTC; full log in SCALING.md round-16):
     # the second tool reading lands BELOW the adjacent bench reading,
     # so there is no systematic tool overhead — every prior tool
-    # window was contended.  Watermark = 8.497 s, the lowest tool
-    # reading across all windows, confirmed within 1% by the adjacent
-    # bench total; annotation band 1.2x = 10.20 s now tracks the real
-    # 8.1-8.6 s steady state (round-15 verdict item 2).
-    0.1: 8.497,
+    # window was contended.  That A/B window recorded 8.497 s; two
+    # post-midnight windows later the same night (W5 7.955 s, W6
+    # 7.870 s — adjacent runs agreeing within 1.1%, the quietest host
+    # state ever observed) lowered the floor to the current value.
+    # Watermark = 7.870 s, the lowest tool reading across all windows
+    # (full window log in SCALING.md round-16); annotation band
+    # 1.2x = 9.44 s now hugs the true quiet steady state (round-15
+    # verdict item 2).
+    0.1: 7.870,
 }
 
 
