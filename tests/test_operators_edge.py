@@ -274,6 +274,19 @@ def test_connected_components_handles_chain_and_isolates(spark):
     assert summary[99] == (99, 1, True)
 
 
+def test_connected_components_empty_edges_converges_fast(spark):
+    """Edge-free input exercises the observe-based convergence count's
+    NULL guard (sum over an empty label frame is NULL, which must read
+    as converged, not loop to max_iterations): every vertex labels
+    itself in one round (round-17 internals change)."""
+    from wikihadoop_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    vertices = spark.createDataFrame([(v,) for v in (3, 7, 9)], ["id"])
+    cc = connected_components(vertices, edges, id_col="id", max_iterations=2)
+    assert {r.id: r.component for r in cc.collect()} == {3: 3, 7: 7, 9: 9}
+
+
 def test_connected_components_raises_past_max_iterations(spark):
     """A diameter larger than max_iterations must raise, not silently
     return partial labels."""

@@ -23,10 +23,15 @@ Design for 100 TB:
 - Lineage is truncated every iteration with an eager localCheckpoint —
   without it the plan doubles per round and Catalyst analysis time
   dominates by iteration ~10.
-- Convergence is detected from the SUM of labels: labels only ever
-  decrease, so the sum strictly decreases until the fixpoint and is
-  stable exactly there.  That is one scalar per iteration on the
-  driver — control flow, not a data collect.
+- Convergence is detected EXACTLY and for free (round-17 optimization):
+  the per-round min-aggregate also computes each node's previous label
+  (the union leg it came from is flagged), and a ``DataFrame.observe``
+  metric counts rows whose label decreased — zero extra jobs, zero
+  extra passes, no hash-collision screen.  The round's one
+  materialization (the lineage-truncating localCheckpoint) pins the
+  count; ``changed == 0`` is the fixpoint by monotonicity.  (The
+  previous design collected a (count, hash-sum) signature plus an
+  ``exceptAll`` confirmation — two extra driver jobs per round.)
 - Skew: a mega-component concentrates its min-aggregate on one label
   value, but min is combiner-friendly (partial aggregation bounds the
   shuffle at one row per (node, map partition)); the join side is keyed
@@ -72,39 +77,43 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
-    def label_sig(lb: DataFrame):
-        # overflow-free convergence check: a plain SUM of labels would
-        # exceed int64 for hash-derived ids (~2^62) under ANSI mode;
-        # summing 32-bit row hashes cannot overflow.  Labels only ever
-        # decrease, so the signature is stable exactly at the fixpoint
-        # up to hash-sum collision (~2^-32) — the number of CHANGED
-        # labels can't be nonzero twice with identical (count, hashsum)
-        # on a monotone sequence without a collision; acceptable for a
-        # convergence screen bounded by max_iterations either way.
-        row = lb.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.hash("node", "component").cast("long")).alias("s"),
-        ).collect()[0]
-        return (row["n"], row["s"])
+    from pyspark.sql import Observation
 
-    prev_sig = label_sig(labels)
     for _ in range(max_iterations):
         msgs = (
             sym.join(labels, sym.s == labels.node)
             .select(F.col("d").alias("node"), "component")
         )
+        # one union + one min-aggregate, exactly as before, but the
+        # labels leg is flagged so the SAME aggregate also yields each
+        # node's previous label (every node occurs in the labels leg
+        # exactly once, so min over the flagged rows IS the old label).
+        # The observe above the aggregate counts decreased labels —
+        # convergence costs zero extra jobs and is exact, not a
+        # hash-signature screen.
+        unioned = labels.withColumn("__old", F.lit(True)).unionByName(
+            msgs.withColumn("__old", F.lit(False))
+        )
+        obs = Observation()
         new_labels = (
-            labels.unionByName(msgs)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            unioned.groupBy("node")
+            .agg(
+                F.min("component").alias("component"),
+                F.min(F.when(F.col("__old"), F.col("component"))).alias("__prev"),
+            )
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("component") < F.col("__prev")).cast("long")
+                ).alias("changed"),
+            )
+            .select("node", "component")
             .localCheckpoint(eager=True)
         )
-        sig = label_sig(new_labels)
-        converged = sig == prev_sig and (
-            new_labels.exceptAll(labels).limit(1).count() == 0
-        )
-        labels, prev_sig = new_labels, sig
-        if converged:
+        labels = new_labels
+        # sum over an empty label frame (edge-free graph) is NULL —
+        # nothing can ever change there, so treat it as converged
+        if not obs.get["changed"]:
             break
     else:
         raise RuntimeError(

@@ -143,30 +143,40 @@ def minhash_signatures_rowwise(
     """
     if n_hashes > len(MINHASH_A):
         raise ValueError(f"at most {len(MINHASH_A)} hash functions available")
+    from .._exprs import cached_exprs
+
     k = shingle_k
-    toks = df.withColumn("__t", tokens(F.col(text_col))).withColumn(
-        "__lt", F.lower(F.col(text_col))
+    toks = df.withColumn(
+        "__t",
+        cached_exprs(("mh_tokens", text_col), lambda: tokens(F.col(text_col))),
+    ).withColumn("__lt", F.lower(F.col(text_col)))
+
+    def build_hashed():
+        windows = F.transform(
+            F.sequence(F.lit(1), F.size(F.col("__t")) - F.lit(k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(F.col("__t"), i, k)),
+        )
+        sh = F.when(F.size(F.col("__t")) >= k, windows).otherwise(
+            F.array(F.col("__lt"))
+        )
+        # hash each shingle once, then n cheap linear transforms over ints
+        return F.transform(sh, hash31)
+
+    out = toks.withColumn("__hx", cached_exprs(("mh_hashed", k), build_hashed))
+    def _perm(i: int):
+        # one-arg lambda on purpose: F.transform treats a two-arg
+        # function as (element, index)
+        return lambda x: (
+            F.lit(MINHASH_A[i]) * x + F.lit(MINHASH_B[i])
+        ) % F.lit(MERSENNE31)
+
+    sigs = cached_exprs(
+        ("mh_sigs", n_hashes),
+        lambda: [
+            F.array_min(F.transform(F.col("__hx"), _perm(i))).alias(f"s{i}")
+            for i in range(n_hashes)
+        ],
     )
-    windows = F.transform(
-        F.sequence(F.lit(1), F.size(F.col("__t")) - F.lit(k - 1)),
-        lambda i: F.concat_ws(" ", F.slice(F.col("__t"), i, k)),
-    )
-    sh = F.when(F.size(F.col("__t")) >= k, windows).otherwise(
-        F.array(F.col("__lt"))
-    )
-    # hash each shingle once, then n cheap linear transforms over ints
-    hashed = F.transform(sh, hash31)
-    out = toks.withColumn("__hx", hashed)
-    sigs = [
-        F.array_min(
-            F.transform(
-                F.col("__hx"),
-                lambda x: (F.lit(MINHASH_A[i]) * x + F.lit(MINHASH_B[i]))
-                % F.lit(MERSENNE31),
-            )
-        ).alias(f"s{i}")
-        for i in range(n_hashes)
-    ]
     return out.select(F.col(id_col), *[F.col(c) for c in keep_cols], *sigs)
 
 
@@ -189,17 +199,22 @@ def band_key_structs(
             "remainder would silently drop signature components from "
             "every band key"
         )
+    from .._exprs import cached_exprs
+
     rows = n_hashes // bands
-    return [
-        F.struct(
-            F.lit(band).alias("band"),
-            *[
-                F.col(f"s{band * rows + r}").alias(f"{field_prefix}{r}")
-                for r in range(rows)
-            ],
-        )
-        for band in range(bands)
-    ]
+    return cached_exprs(
+        ("band_key_structs", n_hashes, bands, field_prefix),
+        lambda: [
+            F.struct(
+                F.lit(band).alias("band"),
+                *[
+                    F.col(f"s{band * rows + r}").alias(f"{field_prefix}{r}")
+                    for r in range(rows)
+                ],
+            )
+            for band in range(bands)
+        ],
+    )
 
 
 def lsh_candidate_pairs(
@@ -254,12 +269,22 @@ def lsh_candidate_pairs(
             "the window, kept above the truncation filter) to ride the "
             "single linear plan without re-evaluating the signatures"
         )
-    sig_struct = F.struct(
-        F.col(id_col).alias("id"), *[F.col(f"s{i}") for i in range(n_hashes)]
+    from .._exprs import cached_exprs
+
+    sig_struct = cached_exprs(
+        ("lsh_sig_struct", id_col, n_hashes),
+        lambda: F.struct(
+            F.col(id_col).alias("id"), *[F.col(f"s{i}") for i in range(n_hashes)]
+        ),
     )
     band_entries = sig.select(
         sig_struct.alias("m"),
-        F.explode(F.array(*band_key_structs(n_hashes, bands))).alias("bk"),
+        cached_exprs(
+            ("lsh_band_explode", n_hashes, bands),
+            lambda: F.explode(F.array(*band_key_structs(n_hashes, bands))).alias(
+                "bk"
+            ),
+        ),
     )
     if observation is not None:
         # BELOW the window: counts every band entry, before the partial
@@ -269,7 +294,12 @@ def lsh_candidate_pairs(
         )
     ranked = band_entries.withColumn(
         "__rn",
-        F.row_number().over(Window.partitionBy("bk").orderBy(F.col("m.id"))),
+        cached_exprs(
+            ("lsh_rank",),
+            lambda: F.row_number().over(
+                Window.partitionBy("bk").orderBy(F.col("m.id"))
+            ),
+        ),
     )
     # the rank filter sits DIRECTLY above the window so Spark rewrites
     # it to WindowGroupLimit (partial per-map-task truncation to the
@@ -285,37 +315,49 @@ def lsh_candidate_pairs(
         kept = observation._observe_kept(kept)
     buckets = (
         kept.groupBy("bk")
-        .agg(F.sort_array(F.collect_list("m")).alias("members"))
+        .agg(
+            cached_exprs(
+                ("lsh_members",),
+                lambda: F.sort_array(F.collect_list("m")).alias("members"),
+            )
+        )
         .filter(F.size("members") > 1)
     )
     # all (i < j) member pairs, ids already ascending via sort_array
     pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("members"),
-                    lambda x, i: F.transform(
-                        F.slice(
-                            F.col("members"),
-                            i + F.lit(2),
-                            F.size(F.col("members")),
+        cached_exprs(
+            ("lsh_pair_explode",),
+            lambda: F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("members"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("members"),
+                                i + F.lit(2),
+                                F.size(F.col("members")),
+                            ),
+                            lambda y: F.struct(x.alias("a"), y.alias("b")),
                         ),
-                        lambda y: F.struct(x.alias("a"), y.alias("b")),
-                    ),
+                    )
                 )
-            )
-        ).alias("p")
+            ).alias("p"),
+        )
     )
-    matches = sum(
-        (F.col(f"p.a.s{i}") == F.col(f"p.b.s{i}")).cast("int")
-        for i in range(n_hashes)
-    )
-    return (
-        pairs.select(
+
+    def build_out():
+        matches = sum(
+            (F.col(f"p.a.s{i}") == F.col(f"p.b.s{i}")).cast("int")
+            for i in range(n_hashes)
+        )
+        return [
             F.col("p.a.id").alias("id_a"),
             F.col("p.b.id").alias("id_b"),
             (matches.cast("double") / F.lit(float(n_hashes))).alias("est_jaccard"),
-        )
+        ]
+
+    return (
+        pairs.select(*cached_exprs(("lsh_pair_out", n_hashes), build_out))
         .dropDuplicates(["id_a", "id_b"])
     )
 

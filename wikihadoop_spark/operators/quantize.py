@@ -97,13 +97,25 @@ def hyperplane_bucket_int(qvec: Column, planes: list[list[int]]) -> Column:
     — the bucket id is bit-identical across engines BY CONSTRUCTION,
     in any summation order.  The hash family is the spec (same trick
     as the float LSH gate, with the portability argument upgraded
-    from 'both engines fold the same way' to 'exact integers')."""
-    bucket = F.lit(0)
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(int(x)) for x in p])
-        bit = (int_dot(qvec, plane) >= 0).cast("int")
-        bucket = bucket + bit * F.lit(2 ** i)
-    return bucket
+    from 'both engines fold the same way' to 'exact integers').
+
+    The built Column is memoized per (planes, vec expression): the
+    plane literals alone are |planes|×d py4j calls of pure driver
+    build latency re-paid per query build (round-17; see
+    wikihadoop_spark._exprs)."""
+    from .._exprs import cached_exprs
+
+    def build() -> Column:
+        bucket = F.lit(0)
+        for i, p in enumerate(planes):
+            plane = F.array(*[F.lit(int(x)) for x in p])
+            bit = (int_dot(qvec, plane) >= 0).cast("int")
+            bucket = bucket + bit * F.lit(2 ** i)
+        return bucket
+
+    return cached_exprs(
+        ("hyperplane_bucket_int", tuple(map(tuple, planes)), str(qvec)), build
+    )
 
 
 def cosine_topk_int8_lsh(

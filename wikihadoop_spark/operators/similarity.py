@@ -56,18 +56,26 @@ def cosine_topk(
     past that switch to ``cosine_topk_lsh`` or ``cosine_topk_ivf``
     (sized crossover table in SCALING.md).
     """
+    # norms are per-ROW quantities: compute each side's norm once
+    # before the pair join instead of once per scored pair (round-17 —
+    # same expression over the same array, hence bit-identical values;
+    # 3 dot folds per pair become 1)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__qvec"),
-    )
+    ).withColumn("__qnorm", norm(F.col("__qvec")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("__cvec"),
-    )
+    ).withColumn("__cnorm", norm(F.col("__cvec")))
     scored = c.join(F.broadcast(q), how="cross")
     if not include_self:
         scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
-    scored = scored.withColumn("cosine_sim", cosine(F.col("__qvec"), F.col("__cvec")))
+    scored = scored.withColumn(
+        "cosine_sim",
+        dot(F.col("__qvec"), F.col("__cvec"))
+        / (F.col("__qnorm") * F.col("__cnorm")),
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
     )
@@ -81,13 +89,25 @@ def cosine_topk(
 def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH bucket id: sign bit per plane packed into an
     int.  Vectors with small angle land in the same bucket with high
-    probability; used to prune the candidate set before exact cosine."""
-    bucket = F.lit(0)
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        bit = (dot(vec, plane) >= 0).cast("int")
-        bucket = bucket + bit * F.lit(2**i)
-    return bucket
+    probability; used to prune the candidate set before exact cosine.
+
+    The built Column is memoized per (planes, vec expression): the
+    plane literals alone are |planes|×d py4j calls (~0.2 s per build
+    for 8×64), pure driver latency re-paid on every query build
+    (round-17; see wikihadoop_spark._exprs)."""
+    from .._exprs import cached_exprs
+
+    def build() -> Column:
+        bucket = F.lit(0)
+        for i, p in enumerate(planes):
+            plane = F.array(*[F.lit(float(x)) for x in p])
+            bit = (dot(vec, plane) >= 0).cast("int")
+            bucket = bucket + bit * F.lit(2**i)
+        return bucket
+
+    return cached_exprs(
+        ("hyperplane_bucket", tuple(map(tuple, planes)), str(vec)), build
+    )
 
 
 def cosine_topk_lsh(
@@ -108,15 +128,27 @@ def cosine_topk_lsh(
     two engines computing the same formula rank the same values in
     practice (a similarity within an ulp of a rounding boundary could
     still split — the driver's hash gate is the proof on real data)."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("__cvec"),
-    ).withColumn("__bucket", hyperplane_bucket(F.col("__cvec"), planes))
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("__qvec"),
-    ).withColumn("__bucket", hyperplane_bucket(F.col("__qvec"), planes))
-    sim = cosine(F.col("__qvec"), F.col("__cvec"))
+    # per-row norms hoisted out of the pair score (round-17) — same
+    # expression over the same array, bit-identical values
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("__cvec"),
+        )
+        .withColumn("__bucket", hyperplane_bucket(F.col("__cvec"), planes))
+        .withColumn("__cnorm", norm(F.col("__cvec")))
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("__qvec"),
+        )
+        .withColumn("__bucket", hyperplane_bucket(F.col("__qvec"), planes))
+        .withColumn("__qnorm", norm(F.col("__qvec")))
+    )
+    sim = dot(F.col("__qvec"), F.col("__cvec")) / (
+        F.col("__qnorm") * F.col("__cnorm")
+    )
     if round_dp is not None:
         sim = F.round(sim, round_dp)
     scored = (
@@ -159,17 +191,24 @@ def multiprobe_pairs(
         raise ValueError("multiprobe_pairs: need at least one plane family")
     from .dedup import capped_block_pairs
 
+    # per-row norm hoisted out of the pair score and carried as a
+    # payload column (round-17) — bit-identical values, one dot fold
+    # per pair instead of three
     v = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("e"),
-    )
+    ).withColumn("__n", norm(F.col("e")))
     per_family = []
     for planes in plane_families:
         b = v.withColumn("bkt", hyperplane_bucket(F.col("e"), planes))
         pairs = capped_block_pairs(
-            b, block_cols=["bkt"], id_col="vec_id", payload_cols=["e"], cap=cap
+            b, block_cols=["bkt"], id_col="vec_id", payload_cols=["e", "__n"],
+            cap=cap,
         )
-        sim = F.round(cosine(F.col("e_a"), F.col("e_b")), round_dp)
+        sim = F.round(
+            dot(F.col("e_a"), F.col("e_b")) / (F.col("__n_a") * F.col("__n_b")),
+            round_dp,
+        )
         per_family.append(
             pairs.select("id_a", "id_b", sim.alias("cosine_sim")).filter(
                 F.col("cosine_sim") >= threshold
@@ -303,13 +342,15 @@ def cosine_topk_ivf(
     )
     q = q.withColumn(
         "cluster", F.explode(F.transform(F.slice(idx, 1, nprobe), lambda s: s["i"]))
-    )
+    ).withColumn("__qn", norm(F.col("__qv")))
     c = tagged_corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("__cv"),
         "cluster",
-    )
-    sim = cosine(F.col("__qv"), F.col("__cv"))
+    ).withColumn("__cn", norm(F.col("__cv")))
+    # per-row norms hoisted out of the pair score (round-17): same
+    # expression over the same array — bit-identical values
+    sim = dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
     if round_dp is not None:
         sim = F.round(sim, round_dp)
     scored = (

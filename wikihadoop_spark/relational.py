@@ -56,6 +56,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
+# (table stat key, defaultParallelism) -> scan partition count; see
+# _spread (round-17: one exact probe per table instead of per build)
+_SCAN_PARTS_CACHE: dict[tuple, int] = {}
+
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
@@ -87,7 +91,22 @@ def _spread(df: DataFrame) -> DataFrame:
     it."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    # `df.rdd.getNumPartitions()` forces a plan-to-RDD conversion —
+    # pure driver latency paid on EVERY query build.  Every _spread
+    # call site passes a raw catalog-table scan, whose partition count
+    # is deterministic for (files, parallelism): probe it exactly once
+    # and cache on the stat key `load_table` tagged (round-17); any
+    # untagged frame keeps the exact per-call probe.
+    skey = getattr(df, "_wikihadoop_scan_stat", None)
+    if skey is not None:
+        ckey = (skey, target)
+        nparts = _SCAN_PARTS_CACHE.get(ckey)
+        if nparts is None:
+            nparts = df.rdd.getNumPartitions()
+            _SCAN_PARTS_CACHE[ckey] = nparts
+    else:
+        nparts = df.rdd.getNumPartitions()
+    if nparts < max(2, target // 2):
         return df.repartition(target)
     return df
 
@@ -3695,21 +3714,29 @@ def similarity_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force cosine top-k (broadcast queries, one corpus pass).
     Similarity rounded to 9 dp before ranking so both engines rank the
     same values; ties broken by neighbor id."""
-    from .operators.similarity import cosine
+    from .operators.similarity import dot, norm
 
     t = Tables(spark, sf)
+    # per-row norms hoisted out of the pair score (round-17): the same
+    # expressions over the same arrays — bit-identical similarity
+    # values — but one dot fold per scored pair instead of three
     q = t.embeddings.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("qv"),
-    )
+    ).withColumn("qn", norm(F.col("qv")))
     c = t.embeddings.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").cast("array<double>").alias("cv"),
-    )
+    ).withColumn("cn", norm(F.col("cv")))
     scored = (
         c.join(F.broadcast(q), how="cross")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine_sim", F.round(cosine(F.col("qv"), F.col("cv")), 9))
+        .withColumn(
+            "cosine_sim",
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 9
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), "neighbor_id")
     return (
@@ -5000,20 +5027,29 @@ def embedding_cosine_dedup(spark: SparkSession, sf: str) -> DataFrame:
     Approximate by design (pairs split across buckets are missed —
     recall/cost trade documented in SCALING.md)."""
     from .operators.dedup import capped_block_pairs
-    from .operators.similarity import cosine, hyperplane_bucket
+    from .operators.similarity import dot, hyperplane_bucket, norm
 
     t = Tables(spark, sf)
-    v = t.embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    ).withColumn("bkt", hyperplane_bucket(F.col("e"), _LSH_PLANES))
+    # per-row norm hoisted out of the pair score and carried as a
+    # payload column (round-17) — bit-identical similarity values,
+    # one dot fold per pair instead of three
+    v = (
+        t.embeddings.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+        .withColumn("bkt", hyperplane_bucket(F.col("e"), _LSH_PLANES))
+        .withColumn("__n", norm(F.col("e")))
+    )
     pairs = capped_block_pairs(
         v,
         block_cols=["bkt"],
         id_col="vec_id",
-        payload_cols=["e"],
+        payload_cols=["e", "__n"],
         cap=1000,
     )
-    sim = F.round(cosine(F.col("e_a"), F.col("e_b")), 9)
+    sim = F.round(
+        dot(F.col("e_a"), F.col("e_b")) / (F.col("__n_a") * F.col("__n_b")), 9
+    )
     return (
         pairs.select("id_a", "id_b", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= 0.35)

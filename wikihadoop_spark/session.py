@@ -77,7 +77,17 @@ def configure_session(spark: SparkSession) -> SparkSession:
 
     Safe to call on a session we did not create (the driver passes its
     own): only runtime-settable confs are touched.
+
+    Idempotent AND memoized (round-17): it runs on every query build
+    (the driver wrapper and every ``Tables`` load call it), and each
+    ``conf.set`` is a py4j round trip — six of them per call add real
+    driver latency across a 111-query catalog.  The configured flag
+    rides the SparkSession object, so a fresh session (or a fresh
+    context) is configured exactly once and re-configured never.
     """
+    if getattr(spark, "_wikihadoop_session_configured", False):
+        _ship_package(spark)  # per-context guard of its own, cheap
+        return spark
     _ship_package(spark)
     # Oracle parity: DuckDB treats parquet timestamps as naive UTC.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -92,6 +102,7 @@ def configure_session(spark: SparkSession) -> SparkSession:
     # the wikidump source implements pushFilters(); Spark errors if the
     # reader defines it while pushdown is disabled
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark._wikihadoop_session_configured = True
     return spark
 
 
