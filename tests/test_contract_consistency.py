@@ -121,7 +121,6 @@ _DEMOTED_SOURCE_PINS = {
     "dedup_keeper_quality": "f8b3f5f7ba87b3ab",  # r14-green, deferred to r17 (family re-gated via an in-window r16 query)
     "dedup_line_frequency": "44282c0542ae182b",
     "dedup_verify_pairs": "1c4b963f903abd90",
-    "embedding_cosine_dedup": "fcd55f10bcff127a",
     "events_pivot": "75e80b732e4758b0",
     "filter_regex": "cdc41d855536f9e2",
     "join_anti": "4ee8ad81a9ae5a5b",  # r14-green, deferred to r17 (family re-gated via an in-window r16 query)
@@ -147,6 +146,7 @@ _DEMOTED_SOURCE_PINS = {
     "scalar_subquery": "f9165f6bdfb772ca",
     "scan_filter_project": "54ff3947f6a8a5c6",
     "sessionize_events": "ae32bfec89f844b0",
+    "scalar_math": "684488204dc95feb",  # demoted r17 (rotation swap for the out-of-turn re-gates; r16-green)
     "set_except": "3d8cbe4130707d5d",  # r14-green, deferred to r17 (family re-gated via an in-window r16 query)
     "set_union_all": "44ca1532854c55e6",
     "shuffle_pack": "8b1f7788077426ce",
@@ -154,7 +154,6 @@ _DEMOTED_SOURCE_PINS = {
     "similarity_probe_int8_stream_analog": "9a155eabd2d50f4d",
     "similarity_topk_int8_ivf": "f448ee5349aaf3b4",
     "similarity_topk_int8_lsh": "b42e8ea792ada54d",
-    "similarity_topk_ivf": "325c5dc3b75e144f",
     "sort_topk_global": "22a29bc24d2cca0a",
     "text_c4_clean": "2cc8562f76bd5f2f",  # r14-green, deferred to r17 (family re-gated via an in-window r16 query)
     "text_langid": "a98512ee2d3f1b78",  # r14-green, deferred to r17 (family re-gated via an in-window r16 query)
@@ -164,6 +163,7 @@ _DEMOTED_SOURCE_PINS = {
     "text_scrub_pii": "69dcb6fc13e99c4e",
     "text_stopword_strip": "2eac56e392f87f76",  # r14-green, deferred to r17 (family re-gated via an in-window r16 query)
     "text_tfidf_topk": "5a1220387e5cfd1b",
+    "text_tokens": "add226c7babdeb84",  # demoted r17 (rotation swap for the out-of-turn re-gates; r16-green)
     "unpivot_lineitem": "391003271fd11185",
     "wikidump_roundtrip": "cf5d8180b47dab71",
     "wikidump_roundtrip_bz2": "4d8d19ca6721800f",

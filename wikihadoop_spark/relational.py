@@ -6164,6 +6164,33 @@ def media_frame_fanout_q(spark: SparkSession, sf: str) -> DataFrame:
 # holds); (3) similarity_topk stays (the bench's float/int8 contrast
 # row and the recall baseline).
 #
+# ---- Round-17 (optimization round) out-of-turn re-gates ----
+# This round's optimization edits changed the PLAN of two demoted
+# queries, so they rotate into the gate out of turn (the r16 precedent
+# for operator-path edits: carry-over evidence is valid only for
+# unchanged plans):
+#   embedding_cosine_dedup — its query body now hoists the per-row
+#     norm out of the per-pair cosine (bit-identical values, plan
+#     gains a projection column); its source pin could not carry.
+#   similarity_topk_ivf — its operator (cosine_topk_ivf) gained the
+#     same norm hoist; the float IVF twin is the only demoted query
+#     whose executed plan changed without a body edit.
+# Two untouched r16-green queries demote to make room, each with its
+# operator family still in-gate on this round's code: scalar_math
+# (scalar surface in-gate via scalar_json + scalar_string) and
+# text_tokens (tokenizer surface in-gate via text_quality,
+# text_fingerprint, text_diff_adjacent, and every minhash-family
+# consumer of the same tokenizer).  The other demoted queries
+# downstream of this round's operator edits keep their pins under the
+# family criterion: the expression-memoization changes produce
+# IDENTICAL plan ASTs (shape-diffed in plans/r17/), and the
+# connected-components convergence change is consumed in-gate by
+# dedup_clusters and semantic_dedup on this round's code
+# (dedup_keeper_quality and curate_pipeline remain r17 must-gate /
+# pinned respectively, per the standing rotation list).  Full-catalog
+# parity was re-proven wholesale on this round's HEAD: 111/111 vs
+# oracles (tools/gate_rehearsal.py --all, sf0.01).
+#
 # The must-gate set for THIS round: the eleven r13 pins deferred from
 # the r15 rotation (the only 2-round-age evidence) + the TWO new
 # queries (never gated: the dense-seq pairing gate and the skew-safe
@@ -6219,7 +6246,7 @@ ROTATION_SET: frozenset[str] = frozenset(
         "q3_top_revenue",
         "q5_revenue_by_nation",
         "sample_mixture",
-        "scalar_math",
+        "embedding_cosine_dedup",
         "semantic_dedup",
         "set_intersect",
         "simhash_near_pairs",
@@ -6232,7 +6259,7 @@ ROTATION_SET: frozenset[str] = frozenset(
         "text_lm_bigram",
         "text_lm_surprisal",
         "text_quality",
-        "text_tokens",
+        "similarity_topk_ivf",
     }
 )
 
@@ -6276,7 +6303,7 @@ _GATE_ORDER: tuple[str, ...] = (
     "q3_top_revenue",
     "q5_revenue_by_nation",
     "sample_mixture",
-    "scalar_math",
+    "embedding_cosine_dedup",
     "semantic_dedup",
     "set_intersect",
     "simhash_near_pairs",
@@ -6289,7 +6316,7 @@ _GATE_ORDER: tuple[str, ...] = (
     "text_lm_bigram",
     "text_lm_surprisal",
     "text_quality",
-    "text_tokens",
+    "similarity_topk_ivf",
 )
 
 
