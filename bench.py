@@ -399,22 +399,27 @@ _SF1_SHIFT = 100_000_000  # beyond every key range in the sf0.1 tables
 _HOST_BAND_FACTOR = 2.0
 # recorded 2026-08-15 (round 12), tools/spot_isolated.py on a quiet
 # host, span-scheme-v2 replicas; full rows (sf0.1 legs, spreads,
-# ratios) in SCALING.md's round-12 section
+# ratios) in SCALING.md's round-12 section.  Round-17 re-record
+# (pre-registered trigger: the round's optimization diff changed the
+# build path / executed job structure of most spots): two daytime
+# tool windows S1/S2 (SCALING.md round-17 log); per the conservative
+# floor-move rule a floor moves DOWN to the lowest tool reading only
+# — 8 moved, 7 confirmed-from-above and keep their r12 values.
 _SF1_ISOLATED_WATERMARKS: dict[str, float] = {
-    "minhash_lsh_pairs": 4.881,
+    "minhash_lsh_pairs": 3.970,
     "q3_top_revenue": 1.242,
-    "similarity_topk": 0.967,
-    "dedup_clusters": 5.76,
+    "similarity_topk": 0.946,
+    "dedup_clusters": 5.116,
     "curation_e2e": 11.564,
     "ngram_overlap": 3.582,
-    "dedup_verify_pairs": 4.004,
-    "dedup_line_frequency": 0.54,
-    "dsir_weights": 0.371,
+    "dedup_verify_pairs": 3.102,
+    "dedup_line_frequency": 0.423,
+    "dsir_weights": 0.348,
     "dedup_span_exact": 0.387,
-    "semantic_dedup": 16.603,
+    "semantic_dedup": 11.421,
     "text_lm_bigram": 0.406,
     "sketch_count_min": 0.53,
-    "similarity_topk_int8_lsh": 1.379,
+    "similarity_topk_int8_lsh": 0.460,
     "embedding_cosine_dedup_int8": 9.124,
 }
 
