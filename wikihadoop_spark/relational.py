@@ -818,20 +818,12 @@ def join_theta(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def q3_top_revenue(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q3 shape: 3-way join + agg + global top-k.
-
-    Written fact-as-probe (round-17): the filtered customer⨝orders
-    side is joined first and the lineitem fact table streams through
-    as the probe side — the same star shape as q5, so the planner
-    never builds a hash relation over the fact table (measured
-    1.47 s → 1.17 s at sf0.1; at scale the small side is the one the
-    planner may broadcast, the fact side only ever streams)."""
+    """TPC-H Q3 shape: 3-way join + agg + global top-k."""
     t = Tables(spark, sf)
-    co = t.customer.filter(F.col("c_mktsegment") == "BUILDING").join(
-        t.orders, F.col("c_custkey") == F.col("o_custkey")
-    )
     return (
-        t.lineitem.join(co, F.col("l_orderkey") == F.col("o_orderkey"))
+        t.customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(t.orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(t.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_orderkey", "o_orderdate")
         .agg(F.sum(disc_price()).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
