@@ -95,6 +95,13 @@ def pair_with_previous_join(
     loss, where the old join silently multiplied).  Both guards are
     row-local expressions inside the existing single aggregate — no
     extra pass, no extra exchange.
+
+    SCHEMA ORDER (round-16 review): the output column order is
+    partition keys, then ``seq_col``, then the remaining input
+    columns, then the ``prev_``-prefixed pair columns and
+    ``first_flag`` — NOT the input ``df.columns`` order the pre-r16
+    join formulation preserved.  Select by name; positional consumers
+    of the old order must re-bind.
     """
     from pyspark.sql.types import BooleanType, StructField, StructType
 
