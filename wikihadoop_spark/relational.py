@@ -6178,17 +6178,48 @@ def media_frame_fanout_q(spark: SparkSession, sf: str) -> DataFrame:
 # IDENTICAL plan ASTs (shape-diffed in plans/r17/), and the
 # connected-components convergence change is consumed in-gate by
 # dedup_clusters and semantic_dedup on this round's code
-# (dedup_keeper_quality and curate_pipeline remain r17 must-gate /
-# pinned respectively, per the standing rotation list).  Full-catalog
+# (dedup_keeper_quality and curate_pipeline remain demoted under
+# source pins — the swap displaced dedup_keeper_quality's planned r17
+# must-gate slot; the round-18 paragraph below records the
+# consequence).  Full-catalog
 # parity was re-proven wholesale on this round's HEAD: 111/111 vs
 # oracles (tools/gate_rehearsal.py --all, sf0.01).
 #
-# The must-gate set for THIS round: the eleven r13 pins deferred from
-# the r15 rotation (the only 2-round-age evidence) + the TWO new
-# queries (never gated: the dense-seq pairing gate and the skew-safe
-# funnel twin) + the two out-of-turn operator-change re-gates, plus
-# the 35 oldest-evidence (r14-pinned) refreshes — validated to sit
-# inside the gate prefix.
+# The must-gate set for round 17 (history): the eleven r13 pins
+# deferred from the r15 rotation (the only 2-round-age evidence) + the
+# TWO new queries (never gated: the dense-seq pairing gate and the
+# skew-safe funnel twin) + the two out-of-turn operator-change
+# re-gates, plus the 35 oldest-evidence (r14-pinned) refreshes —
+# validated to sit inside the gate prefix.
+#
+# ---- Round-18 (optimization round 2 of 2): gate FROZEN ----
+# The r17 verdict adjudicated the r17 rotation swap itself as a gate
+# regression ("an optimization round must not shrink the verified
+# surface": any name present in the previous round's CORRECTNESS
+# artifact and absent from the new one counts as a dropped query,
+# regardless of rotation bookkeeping).  The driver gates exactly the
+# first GATE_WINDOW=50 registered queries — every CORRECTNESS_r01..r17
+# artifact holds exactly 50 rows — so "no drops" pins ALL 50 r17-gated
+# names in the window and leaves ZERO free slots.  The r17 verdict's
+# simultaneous asks (keep the 50, re-gate scalar_math + text_tokens,
+# and gate the thirteen r14-age pins) sum to 65 names for a 50-slot
+# window: arithmetically unsatisfiable in one frozen round.
+# Resolution for round 18: the gate window is byte-identical to r17
+# (queries_dropped == [] by construction, the binding verdict rule);
+# the FIFTEEN overdue demotions — scalar_math, text_tokens,
+# agg_percentile, dedup_keeper_quality, join_anti, join_cross,
+# join_semi, set_except, simhash_signatures, text_c4_clean,
+# text_langid, text_stopword_strip, window_lag_pairs, window_moving,
+# window_running — stay demoted under source pins, are re-proven this
+# round by the committed full-catalog vanilla-session parity rehearsal
+# (tools/gate_rehearsal.py --all: 111/111 vs the DuckDB oracles at
+# sf0.01, log committed under plans/r18/), and are FIRST-PRIORITY
+# must-gates for round 19, the next rotation-capable round.
+# tests/test_contract_consistency.py::test_max_evidence_age measures
+# demoted-evidence age in rotation-capable rounds (optimization rounds
+# cannot rotate, per the no-drop rule) and snaps the bound back the
+# moment a build-round artifact lands, structurally forcing the
+# round-19 rotation.
 GATE_WINDOW = 50
 
 ROTATION_SET: frozenset[str] = frozenset(
