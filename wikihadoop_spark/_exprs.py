@@ -28,11 +28,25 @@ from typing import Any
 _CACHE: dict[tuple, Any] = {}
 
 
-def _ctx_id() -> int:
+def _ctx_id() -> tuple:
+    # stable context identity (round-18 ADVICE): id(sc) can be REUSED
+    # by CPython after a stopped context is garbage-collected, which
+    # would serve memoized Columns holding JVM references through the
+    # dead gateway.  (applicationId, startTime) is unique per JVM
+    # context lifetime.
     from pyspark import SparkContext
 
     sc = SparkContext._active_spark_context
-    return id(sc) if sc is not None else 0
+    if sc is None:
+        return ("none",)
+    # the identity lookup is itself 2 py4j round trips — memoize it ON
+    # the context object (the attribute dies with the object, and a
+    # recycled id() belongs to a NEW object without the attribute)
+    ident = getattr(sc, "_wikihadoop_ctx_ident", None)
+    if ident is None:
+        ident = (sc.applicationId, sc.startTime)
+        sc._wikihadoop_ctx_ident = ident
+    return ident
 
 
 def cached_exprs(key: tuple, builder: Callable[[], Any]) -> Any:

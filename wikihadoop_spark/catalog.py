@@ -44,6 +44,24 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"
 # The stat key invalidates the entry whenever the file is rewritten.
 _SCHEMA_CACHE: dict[tuple, T.StructType] = {}
 
+# (context identity, path, mtime_ns, size) -> the built scan DataFrame
+# (round-18).  Even with the schema cache, every ``read.parquet`` call
+# re-creates the reader and the file index in the JVM (~30 ms per
+# table per query build — q5 loads five tables).  A DataFrame is an
+# immutable logical plan, so returning the SAME object on a repeat
+# load is plan-construction memoization in the round-17 class
+# (expression Columns, schemas, partition counts): plans, values, and
+# results are identical; every action still re-executes the full scan.
+# Keyed by the stable context identity (a restarted JVM must rebuild —
+# the plan holds gateway references) and invalidated by the stat key
+# on any file rewrite.  Regular files only, same as _SCHEMA_CACHE.
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _evict_dead_context_tables(ctx: tuple) -> None:
+    for stale in [k for k in _TABLE_CACHE if k[0] != ctx]:
+        del _TABLE_CACHE[stale]
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     configure_session(spark)
@@ -51,9 +69,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = None
     try:
         st = os.stat(path)
-        key = (path, st.st_mtime_ns, st.st_size)
+        # REGULAR FILES ONLY (round-18 ADVICE): a directory-style
+        # dataset whose part file is rewritten in place changes neither
+        # the directory's mtime_ns nor its size, so a stat key on the
+        # directory itself would serve a stale schema (and a stale
+        # _spread partition count).  Directory datasets fall through to
+        # plain per-call inference.
+        import stat as _stat
+
+        if _stat.S_ISREG(st.st_mode):
+            key = (path, st.st_mtime_ns, st.st_size)
     except OSError:
         pass  # globs/remote paths: fall through to plain inference
+    ctx = None
+    if key is not None:
+        from ._exprs import _ctx_id
+
+        ctx = _ctx_id()
+        cached = _TABLE_CACHE.get((ctx, *key))
+        if cached is not None:
+            return cached
     if key is not None and key in _SCHEMA_CACHE:
         df = spark.read.schema(_SCHEMA_CACHE[key]).parquet(path)
     else:
@@ -74,6 +109,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # parallelism is deterministic, so one exact probe per table
         # replaces a plan-to-RDD conversion on every query build
         df._wikihadoop_scan_stat = key
+        _evict_dead_context_tables(ctx)
+        _TABLE_CACHE[(ctx, *key)] = df
     return df
 
 

@@ -940,10 +940,43 @@ def ivf_write_int8(
         shutil.rmtree(prev_target, ignore_errors=True)
 
 
+# (realpath, centroids-file stat listing) -> K×D centroid ints
+# (round-18, verdict item 5): the centroids are a tiny one-file parquet
+# whose ``collect`` is a full driver job paid on EVERY search
+# invocation (~0.1-0.2 s of pure latency at bench scale; one cluster
+# round trip at real scale).  The values are plain Python ints — no
+# JVM handles, so no SparkContext key is needed — and the stat listing
+# (name, size, mtime_ns per file under ``centroids/``) invalidates the
+# entry whenever the artifact is rebuilt (a rebuild lands under a new
+# fingerprint path or re-points the published symlink, changing the
+# realpath; an in-place rewrite changes the listing).  The read-path
+# ``os.utime`` touches only the index ROOT, never ``centroids/``, so
+# hot reads do not churn the key.  Mirrors catalog._SCHEMA_CACHE.
+_CENTROID_CACHE: dict[tuple, list[list[int]]] = {}
+_CENTROID_CACHE_MAX = 32
+
+
+def _centroid_cache_key(path: str) -> tuple | None:
+    import os
+
+    cdir = os.path.join(os.path.realpath(path), "centroids")
+    try:
+        listing = tuple(
+            (e.name, e.stat().st_size, e.stat().st_mtime_ns)
+            for e in sorted(os.scandir(cdir), key=lambda x: x.name)
+            if e.is_file()
+        )
+    except OSError:
+        return None
+    return (os.path.realpath(path), listing)
+
+
 def ivf_read_int8(spark, path: str) -> tuple[DataFrame, list[list[int]]]:
     """Read back an index written by ivf_write_int8: (tagged frame,
     centroid list).  The frame is a plain parquet scan — filters and
-    column pruning push down; the centroids are K×D driver ints.
+    column pruning push down; the centroids are K×D driver ints
+    (stat-cached per artifact — see ``_CENTROID_CACHE``; a fresh copy
+    is returned so callers can never mutate the cached lists).
 
     A successful read refreshes the published entry's OWN (lstat)
     mtime — the handle the age sweep in :func:`_cleanup_stale_indexes`
@@ -961,8 +994,19 @@ def ivf_read_int8(spark, path: str) -> tuple[DataFrame, list[list[int]]]:
     import os
 
     tagged = spark.read.parquet(os.path.join(path, "vectors"))
-    rows = spark.read.parquet(os.path.join(path, "centroids")).collect()
-    cents = [list(r["centroid"]) for r in sorted(rows, key=lambda r: r["cluster"])]
+    ckey = _centroid_cache_key(path)
+    cached = _CENTROID_CACHE.get(ckey) if ckey is not None else None
+    if cached is not None:
+        cents = [list(c) for c in cached]
+    else:
+        rows = spark.read.parquet(os.path.join(path, "centroids")).collect()
+        cents = [
+            list(r["centroid"]) for r in sorted(rows, key=lambda r: r["cluster"])
+        ]
+        if ckey is not None:
+            if len(_CENTROID_CACHE) >= _CENTROID_CACHE_MAX:
+                _CENTROID_CACHE.clear()  # tiny values; simplest bound
+            _CENTROID_CACHE[ckey] = [list(c) for c in cents]
     try:
         os.utime(path, follow_symlinks=False)
         # the symlink's .data target ages independently (round-15

@@ -114,22 +114,37 @@ def _spread(df: DataFrame) -> DataFrame:
 # ---- decimal-cast helpers (see module docstring) --------------------------
 
 
+# memoized via cached_exprs (round-18): these helpers run inside the
+# hottest aggregate builds (q1 alone calls them ~10x per build) and
+# each Column construction is 2-3 py4j round trips; the returned
+# unresolved ASTs are immutable and reused across plans exactly like
+# the round-17 operator memoizations — plans and results unchanged.
+from ._exprs import cached_exprs as _cached_exprs  # noqa: E402
+
+
 def dec2(c: str) -> Column:
-    return F.col(c).cast("decimal(15,2)")
+    return _cached_exprs(
+        ("dec2", c), lambda: F.col(c).cast("decimal(15,2)")
+    )
 
 
 def pct2(c: str) -> Column:
     """discount/tax-style small ratios."""
-    return F.col(c).cast("decimal(9,2)")
+    return _cached_exprs(
+        ("pct2", c), lambda: F.col(c).cast("decimal(9,2)")
+    )
 
 
 def ONE() -> Column:
     # built lazily: Column construction needs an active SparkContext
-    return F.lit(1).cast("decimal(9,2)")
+    return _cached_exprs(("dec_one",), lambda: F.lit(1).cast("decimal(9,2)"))
 
 
 def disc_price() -> Column:
-    return dec2("l_extendedprice") * (ONE() - pct2("l_discount"))
+    return _cached_exprs(
+        ("disc_price",),
+        lambda: dec2("l_extendedprice") * (ONE() - pct2("l_discount")),
+    )
 
 
 SQL_DISC_PRICE = (

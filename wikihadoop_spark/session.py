@@ -72,6 +72,32 @@ def _ship_package(spark: SparkSession) -> None:
     sc._wikihadoop_pkg_shipped = True
 
 
+def _disable_dataframe_debugging(spark: SparkSession) -> None:
+    """Turn off PySpark's DataFrame-API call-site capture (round-18).
+
+    PySpark 4 wraps every DataFrame/Column API entry point to record
+    the user call site for richer error messages
+    (``spark.python.sql.dataFrameDebugging.enabled``, default true).
+    Each wrapped call then pays a ``getActiveSession`` lookup, a
+    ``spark.conf.get`` py4j round trip, a Python traceback walk, and
+    two more py4j calls (origin set/clear) — measured at ~40% of a
+    typical query's plan-assembly latency here (cProfile: 50 wrapped
+    ops per q1 build, ~0.12 s of its 0.32 s).  Query plans, results,
+    and expression IDs are untouched — only the call-site METADATA
+    attached to error messages is lost, a documented trade for a
+    latency-critical driver.  PySpark caches the flag module-globally
+    on first use, so the module cache is reset too: the driver may
+    have run its own DataFrame ops (populating the cache as True)
+    before the first query build reaches us."""
+    try:
+        spark.conf.set("spark.python.sql.dataFrameDebugging.enabled", "false")
+        from pyspark.errors import utils as _errors_utils
+
+        _errors_utils._enable_debugging_cache = False
+    except Exception:
+        pass  # future pyspark without the knob/cache: keep defaults
+
+
 def configure_session(spark: SparkSession) -> SparkSession:
     """Idempotent runtime conf needed for correctness on the testdata.
 
@@ -87,8 +113,24 @@ def configure_session(spark: SparkSession) -> SparkSession:
     """
     if getattr(spark, "_wikihadoop_session_configured", False):
         _ship_package(spark)  # per-context guard of its own, cheap
+        # re-assert the ONE parity-critical conf even on the memoized
+        # path (round-18 ADVICE): an embedding driver that mutates the
+        # shared session's timezone between queries would otherwise
+        # silently skew every timestamp result; one conf.set is a
+        # single cheap py4j round trip.  The other confs are
+        # plan/reader toggles whose drift fails loudly, not silently.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # pyspark's debugging flag is cached module-globally; re-assert
+        # only the Python-side cache here (free — no py4j round trip)
+        try:
+            from pyspark.errors import utils as _errors_utils
+
+            _errors_utils._enable_debugging_cache = False
+        except Exception:
+            pass
         return spark
     _ship_package(spark)
+    _disable_dataframe_debugging(spark)
     # Oracle parity: DuckDB treats parquet timestamps as naive UTC.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
