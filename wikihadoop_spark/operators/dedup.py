@@ -476,8 +476,15 @@ def capped_block_pairs(
         # contain this node, but their map-side subtrees stay identical
         # so exchange reuse evaluates it once (pinned in test_plans.py)
         df = observation._observe_total(df, counter)
-    w = Window.partitionBy(*block_cols).orderBy(id_col)
-    ranked = df.withColumn("__rn", F.row_number().over(w))
+    from .._exprs import cached_exprs
+
+    rank_col = cached_exprs(
+        ("block_rank", tuple(block_cols), id_col),
+        lambda: F.row_number().over(
+            Window.partitionBy(*block_cols).orderBy(id_col)
+        ),
+    )
+    ranked = df.withColumn("__rn", rank_col)
     # rank filter directly above the window → WindowGroupLimit partial
     # truncation before the exchange; the drop counter never sits
     # between the two (it would block the rewrite and revert a hot

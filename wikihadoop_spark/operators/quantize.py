@@ -84,6 +84,55 @@ def quantized_cosine(dot_col: Column, n2a: Column, n2b: Column) -> Column:
     return dot_col.cast("double") / F.sqrt((n2a * n2b).cast("double"))
 
 
+# name-keyed memoized builders (round-18, same class as the round-17
+# memoizations): the int8 fold expressions cost ~10-20 ms of py4j
+# lambda registration per build and are rebuilt identically on every
+# query invocation.  Unresolved immutable ASTs; plans unchanged.
+def _quantize_col(name: str) -> Column:
+    from .._exprs import cached_exprs
+
+    return cached_exprs(
+        ("int8_quantize", name),
+        lambda: quantize_int8(F.col(name).cast("array<double>")),
+    )
+
+
+def _int_norm2_col(name: str) -> Column:
+    from .._exprs import cached_exprs
+
+    return cached_exprs(("int8_norm2", name), lambda: int_norm2(F.col(name)))
+
+
+def _int_dot_cols(a: str, b: str) -> Column:
+    from .._exprs import cached_exprs
+
+    return cached_exprs(("int8_dot", a, b), lambda: int_dot(F.col(a), F.col(b)))
+
+
+def _qcos_cols(dot_name: str, na: str, nb: str) -> Column:
+    from .._exprs import cached_exprs
+
+    return cached_exprs(
+        ("int8_qcos", dot_name, na, nb),
+        lambda: quantized_cosine(F.col(dot_name), F.col(na), F.col(nb)),
+    )
+
+
+def _int8_rank_window(part: str, order_desc: str, tiebreak: str) -> Column:
+    from pyspark.sql import Window
+
+    from .._exprs import cached_exprs
+
+    return cached_exprs(
+        ("int8_rank", part, order_desc, tiebreak),
+        lambda: F.row_number().over(
+            Window.partitionBy(part).orderBy(
+                F.col(order_desc).desc(), tiebreak
+            )
+        ),
+    )
+
+
 def hyperplane_bucket_int(qvec: Column, planes: list[list[int]]) -> Column:
     """Integer-hyperplane LSH bucket over an int8-quantized vector:
     sign bit per plane packed little-endian into an int.
@@ -146,32 +195,31 @@ def cosine_topk_int8_lsh(
     qn_c = (
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
-            quantize_int8(F.col(vec_col).cast("array<double>")).alias("qb"),
+            _quantize_col(vec_col).alias("qb"),
         )
-        .withColumn("nb", int_norm2(F.col("qb")))
+        .withColumn("nb", _int_norm2_col("qb"))
         .filter(F.col("nb") > 0)
         .withColumn("__bucket", hyperplane_bucket_int(F.col("qb"), planes))
     )
     qn_q = (
         queries.select(
             F.col(id_col).alias("query_id"),
-            quantize_int8(F.col(vec_col).cast("array<double>")).alias("qa"),
+            _quantize_col(vec_col).alias("qa"),
         )
-        .withColumn("na", int_norm2(F.col("qa")))
+        .withColumn("na", _int_norm2_col("qa"))
         .filter(F.col("na") > 0)
         .withColumn("__bucket", hyperplane_bucket_int(F.col("qa"), planes))
     )
     scored = (
         qn_c.join(F.broadcast(qn_q), on="__bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("int_dot", int_dot(F.col("qa"), F.col("qb")))
-        .withColumn(
-            "qcos", quantized_cosine(F.col("int_dot"), F.col("na"), F.col("nb"))
-        )
+        .withColumn("int_dot", _int_dot_cols("qa", "qb"))
+        .withColumn("qcos", _qcos_cols("int_dot", "na", "nb"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("qcos").desc(), "neighbor_id")
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn(
+            "rank", _int8_rank_window("query_id", "qcos", "neighbor_id")
+        )
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "int_dot", "qcos", "rank")
     )
@@ -1509,17 +1557,30 @@ def ivf_append_int8(
 
 def _assign_int(c: DataFrame, centroids: list[list[int]]) -> DataFrame:
     """Nearest integer centroid by exact squared L2; ties take the
-    lowest cluster index (array_position finds the FIRST minimum)."""
-    dists = F.array(
-        *[
-            _int_sq_dist(
-                F.col("__q"), F.array(*[F.lit(int(x)) for x in cen])
-            )
-            for cen in centroids
-        ]
-    )
+    lowest cluster index (array_position finds the FIRST minimum).
+
+    The K×D centroid-literal expression is memoized per centroid VALUES
+    (round-18): the integer Lloyd sequence is deterministic for a given
+    corpus, so repeat invocations rebuild identical expressions — only
+    the Column construction caches, every assignment job still runs."""
+    from .._exprs import cached_exprs
+
+    def _build() -> Column:
+        dists = F.array(
+            *[
+                _int_sq_dist(
+                    F.col("__q"), F.array(*[F.lit(int(x)) for x in cen])
+                )
+                for cen in centroids
+            ]
+        )
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
     return c.withColumn(
-        "__cl", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        "__cl",
+        cached_exprs(
+            ("int8_assign", tuple(map(tuple, centroids)), "__q"), _build
+        ),
     )
 
 
@@ -1549,39 +1610,53 @@ def nprobe_clusters(
     Only a PRESENT, mis-dimensioned vector is a loud error."""
     if not centroids:
         raise ValueError("nprobe_clusters: empty centroid list")
-    dim = len(centroids[0])
-    was_null = qvec.isNull()
-    qvec = (
-        F.when(was_null, qvec)
-        .when(F.size(qvec) == dim, qvec)
-        .otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit("nprobe_clusters: probe vector dimension "),
-                    F.size(qvec).cast("string"),
-                    F.lit(f" != trained centroid dimension {dim}"),
+    from .._exprs import cached_exprs
+
+    def _build() -> Column:
+        dim = len(centroids[0])
+        was_null = qvec.isNull()
+        guarded = (
+            F.when(was_null, qvec)
+            .when(F.size(qvec) == dim, qvec)
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("nprobe_clusters: probe vector dimension "),
+                        F.size(qvec).cast("string"),
+                        F.lit(f" != trained centroid dimension {dim}"),
+                    )
                 )
             )
         )
-    )
-    dists = F.array(
-        *[
-            _int_sq_dist(qvec, F.array(*[F.lit(int(x)) for x in cen]))
-            for cen in centroids
-        ]
-    )
-    idx = F.array_sort(
-        F.zip_with(
-            dists,
-            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
-            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+        dists = F.array(
+            *[
+                _int_sq_dist(guarded, F.array(*[F.lit(int(x)) for x in cen]))
+                for cen in centroids
+            ]
         )
+        idx = F.array_sort(
+            F.zip_with(
+                dists,
+                F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+            )
+        )
+        probed = F.transform(F.slice(idx, 1, nprobe), lambda s: s["i"])
+        # F.array(NULL, ...) is a NON-null array of null elements, so
+        # without this a NULL vector would sort ties by index and
+        # "probe" clusters 0..nprobe-1 — map it to a NULL array
+        # (probes nothing)
+        return F.when(was_null, F.lit(None).cast("array<int>")).otherwise(
+            probed
+        )
+
+    # memoized per (probe expression, centroid VALUES, nprobe) — the
+    # K×D centroid literals dominate the build cost (round-18); the
+    # str(qvec) key component is one py4j toString round trip
+    return cached_exprs(
+        ("int8_nprobe", str(qvec), tuple(map(tuple, centroids)), nprobe),
+        _build,
     )
-    probed = F.transform(F.slice(idx, 1, nprobe), lambda s: s["i"])
-    # F.array(NULL, ...) is a NON-null array of null elements, so
-    # without this a NULL vector would sort ties by index and "probe"
-    # clusters 0..nprobe-1 — map it to a NULL array (probes nothing)
-    return F.when(was_null, F.lit(None).cast("array<int>")).otherwise(probed)
 
 
 def cosine_topk_int8_ivf(
@@ -1620,14 +1695,13 @@ def cosine_topk_int8_ivf(
     scored = (
         c.join(F.broadcast(q), "cluster")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("int_dot", int_dot(F.col("qa"), F.col("qb")))
-        .withColumn(
-            "qcos", quantized_cosine(F.col("int_dot"), F.col("na"), F.col("nb"))
-        )
+        .withColumn("int_dot", _int_dot_cols("qa", "qb"))
+        .withColumn("qcos", _qcos_cols("int_dot", "na", "nb"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("qcos").desc(), "neighbor_id")
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn(
+            "rank", _int8_rank_window("query_id", "qcos", "neighbor_id")
+        )
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "int_dot", "qcos", "rank")
     )
@@ -1683,9 +1757,9 @@ def multiprobe_pairs_int8(
     v = (
         corpus.select(
             F.col(id_col).alias("vec_id"),
-            quantize_int8(F.col(vec_col).cast("array<double>")).alias("q"),
+            _quantize_col(vec_col).alias("q"),
         )
-        .withColumn("n2", int_norm2(F.col("q")))
+        .withColumn("n2", _int_norm2_col("q"))
         .filter(F.col("n2") > 0)
         .persist()
     )
@@ -1709,10 +1783,13 @@ def multiprobe_pairs_int8(
             b, block_cols=["bkt"], id_col="vec_id",
             payload_cols=["q", "n2"], cap=cap,
         )
-        qcos = quantized_cosine(
-            int_dot(F.col("q_a"), F.col("q_b")),
-            F.col("n2_a"),
-            F.col("n2_b"),
+        from .._exprs import cached_exprs as _ce
+
+        qcos = _ce(
+            ("int8_pair_qcos", "q_a", "q_b", "n2_a", "n2_b"),
+            lambda: quantized_cosine(
+                _int_dot_cols("q_a", "q_b"), F.col("n2_a"), F.col("n2_b")
+            ),
         )
         per_family.append(
             pairs.select("id_a", "id_b", qcos.alias("qcos")).filter(

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .._exprs import cached_exprs
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential left-to-right fold — deterministic summation order."""
@@ -35,6 +37,37 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+# name-keyed memoized builders (round-18): a higher-order fold Column
+# costs ~15-25 ms of py4j lambda registration per BUILD, and the
+# similarity family re-builds the same dot/norm over the same named
+# columns on every query invocation.  Same class as the round-17
+# operator memoizations — unresolved immutable ASTs, identical plans.
+def _norm_col(name: str) -> Column:
+    return cached_exprs(("sim_norm", name), lambda: norm(F.col(name)))
+
+
+def _dot_cols(a: str, b: str) -> Column:
+    return cached_exprs(("sim_dot", a, b), lambda: dot(F.col(a), F.col(b)))
+
+
+def _pair_sim(va: str, vb: str, na: str, nb: str) -> Column:
+    return cached_exprs(
+        ("sim_pair", va, vb, na, nb),
+        lambda: _dot_cols(va, vb) / (F.col(na) * F.col(nb)),
+    )
+
+
+def _rank_window(part: str, order_desc: str, tiebreak: str):
+    return cached_exprs(
+        ("sim_rank", part, order_desc, tiebreak),
+        lambda: F.row_number().over(
+            Window.partitionBy(part).orderBy(
+                F.col(order_desc).desc(), F.col(tiebreak)
+            )
+        ),
+    )
 
 
 def cosine_topk(
@@ -63,24 +96,21 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__qvec"),
-    ).withColumn("__qnorm", norm(F.col("__qvec")))
+    ).withColumn("__qnorm", _norm_col("__qvec"))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("__cvec"),
-    ).withColumn("__cnorm", norm(F.col("__cvec")))
+    ).withColumn("__cnorm", _norm_col("__cvec"))
     scored = c.join(F.broadcast(q), how="cross")
     if not include_self:
         scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
     scored = scored.withColumn(
-        "cosine_sim",
-        dot(F.col("__qvec"), F.col("__cvec"))
-        / (F.col("__qnorm") * F.col("__cnorm")),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id")
+        "cosine_sim", _pair_sim("__qvec", "__cvec", "__qnorm", "__cnorm")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn(
+            "rank", _rank_window("query_id", "cosine_sim", "neighbor_id")
+        )
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
@@ -136,7 +166,7 @@ def cosine_topk_lsh(
             F.col(vec_col).cast("array<double>").alias("__cvec"),
         )
         .withColumn("__bucket", hyperplane_bucket(F.col("__cvec"), planes))
-        .withColumn("__cnorm", norm(F.col("__cvec")))
+        .withColumn("__cnorm", _norm_col("__cvec"))
     )
     q = (
         queries.select(
@@ -144,23 +174,24 @@ def cosine_topk_lsh(
             F.col(vec_col).cast("array<double>").alias("__qvec"),
         )
         .withColumn("__bucket", hyperplane_bucket(F.col("__qvec"), planes))
-        .withColumn("__qnorm", norm(F.col("__qvec")))
+        .withColumn("__qnorm", _norm_col("__qvec"))
     )
-    sim = dot(F.col("__qvec"), F.col("__cvec")) / (
-        F.col("__qnorm") * F.col("__cnorm")
-    )
+    sim = _pair_sim("__qvec", "__cvec", "__qnorm", "__cnorm")
     if round_dp is not None:
-        sim = F.round(sim, round_dp)
+        sim = cached_exprs(
+            ("sim_pair_round", "__qvec", "__cvec", "__qnorm", "__cnorm",
+             round_dp),
+            lambda: F.round(sim, round_dp),
+        )
     scored = (
         c.join(F.broadcast(q), on="__bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine_sim", sim)
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id")
-    )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn(
+            "rank", _rank_window("query_id", "cosine_sim", "neighbor_id")
+        )
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
@@ -197,7 +228,7 @@ def multiprobe_pairs(
     v = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("e"),
-    ).withColumn("__n", norm(F.col("e")))
+    ).withColumn("__n", _norm_col("e"))
     per_family = []
     for planes in plane_families:
         b = v.withColumn("bkt", hyperplane_bucket(F.col("e"), planes))
@@ -205,9 +236,11 @@ def multiprobe_pairs(
             b, block_cols=["bkt"], id_col="vec_id", payload_cols=["e", "__n"],
             cap=cap,
         )
-        sim = F.round(
-            dot(F.col("e_a"), F.col("e_b")) / (F.col("__n_a") * F.col("__n_b")),
-            round_dp,
+        sim = cached_exprs(
+            ("sim_pair_round", "e_a", "e_b", "__n_a", "__n_b", round_dp),
+            lambda: F.round(
+                _pair_sim("e_a", "e_b", "__n_a", "__n_b"), round_dp
+            ),
         )
         per_family.append(
             pairs.select("id_a", "id_b", sim.alias("cosine_sim")).filter(
@@ -283,24 +316,36 @@ def ivf_build(
 
 
 def _assign(c: DataFrame, centroids: list[list[float]]) -> DataFrame:
-    """Nearest centroid by squared L2, as one vectorized expression."""
-    dists = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    F.col("__v"),
-                    F.array(*[F.lit(float(x)) for x in cen]),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            for cen in centroids
-        ]
-    )
+    """Nearest centroid by squared L2, as one vectorized expression.
+
+    The K×D centroid-literal expression is memoized per centroid VALUES
+    (round-18): the Lloyd iteration sequence is deterministic for a
+    given corpus, so repeat invocations rebuild identical expressions —
+    only the Column construction caches, every assignment job still
+    executes against the data."""
+
+    def _build() -> Column:
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        F.col("__v"),
+                        F.array(*[F.lit(float(x)) for x in cen]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for cen in centroids
+            ]
+        )
+        return F.array_position(dists, F.array_min(dists)).cast("int") - 1
+
+    from .._exprs import cached_exprs as _ce
+
     return c.withColumn(
         "__cluster",
-        F.array_position(dists, F.array_min(dists)).cast("int") - 1,
+        _ce(("ivf_assign", tuple(map(tuple, centroids)), "__v"), _build),
     )
 
 
@@ -322,47 +367,61 @@ def cosine_topk_ivf(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__qv"),
     )
-    dists = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    F.col("__qv"),
-                    F.array(*[F.lit(float(x)) for x in cen]),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            for cen in centroids
-        ]
+
+    # the K×D centroid-literal distance array is the expensive build
+    # (K·D F.lit py4j calls) and the centroid list is deterministic per
+    # corpus — memoize the probe expression per (centroids, nprobe)
+    # exactly like hyperplane_bucket (round-18)
+    def _build_probe() -> Column:
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        F.col("__qv"),
+                        F.array(*[F.lit(float(x)) for x in cen]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for cen in centroids
+            ]
+        )
+        idx = F.array_sort(
+            F.zip_with(dists, F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                       lambda d, i: F.struct(d.alias("d"), i.alias("i")))
+        )
+        return F.explode(
+            F.transform(F.slice(idx, 1, nprobe), lambda s: s["i"])
+        )
+
+    probe = cached_exprs(
+        ("ivf_probe", tuple(map(tuple, centroids)), nprobe, "__qv"),
+        _build_probe,
     )
-    idx = F.array_sort(
-        F.zip_with(dists, F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
-                   lambda d, i: F.struct(d.alias("d"), i.alias("i")))
-    )
-    q = q.withColumn(
-        "cluster", F.explode(F.transform(F.slice(idx, 1, nprobe), lambda s: s["i"]))
-    ).withColumn("__qn", norm(F.col("__qv")))
+    q = q.withColumn("cluster", probe).withColumn("__qn", _norm_col("__qv"))
     c = tagged_corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("__cv"),
         "cluster",
-    ).withColumn("__cn", norm(F.col("__cv")))
+    ).withColumn("__cn", _norm_col("__cv"))
     # per-row norms hoisted out of the pair score (round-17): same
     # expression over the same array — bit-identical values
-    sim = dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
+    sim = _pair_sim("__qv", "__cv", "__qn", "__cn")
     if round_dp is not None:
-        sim = F.round(sim, round_dp)
+        sim = cached_exprs(
+            ("sim_pair_round", "__qv", "__cv", "__qn", "__cn", round_dp),
+            lambda: F.round(sim, round_dp),
+        )
     scored = (
         c.join(F.broadcast(q), "cluster")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine_sim", sim)
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id")
-    )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn(
+            "rank", _rank_window("query_id", "cosine_sim", "neighbor_id")
+        )
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )

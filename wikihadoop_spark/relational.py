@@ -3729,33 +3729,40 @@ def similarity_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force cosine top-k (broadcast queries, one corpus pass).
     Similarity rounded to 9 dp before ranking so both engines rank the
     same values; ties broken by neighbor id."""
-    from .operators.similarity import dot, norm
+    from .operators.similarity import (
+        _norm_col,
+        _pair_sim,
+        _rank_window,
+    )
 
     t = Tables(spark, sf)
     # per-row norms hoisted out of the pair score (round-17): the same
     # expressions over the same arrays — bit-identical similarity
-    # values — but one dot fold per scored pair instead of three
+    # values — but one dot fold per scored pair instead of three.
+    # Expression builds memoized (round-18, identical ASTs).
     q = t.embeddings.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("qv"),
-    ).withColumn("qn", norm(F.col("qv")))
+    ).withColumn("qn", _norm_col("qv"))
     c = t.embeddings.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").cast("array<double>").alias("cv"),
-    ).withColumn("cn", norm(F.col("cv")))
+    ).withColumn("cn", _norm_col("cv"))
     scored = (
         c.join(F.broadcast(q), how="cross")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine_sim",
-            F.round(
-                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 9
+            _cached_exprs(
+                ("sim_pair_round", "qv", "cv", "qn", "cn", 9),
+                lambda: F.round(_pair_sim("qv", "cv", "qn", "cn"), 9),
             ),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), "neighbor_id")
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn(
+            "rank", _rank_window("query_id", "cosine_sim", "neighbor_id")
+        )
         .filter(F.col("rank") <= 10)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
@@ -3829,10 +3836,11 @@ def similarity_topk_int8(spark: SparkSession, sf: str) -> DataFrame:
     dedicated kernel test now); takes a round-11 gate slot with
     mixture_waterfill."""
     from .operators.quantize import (
-        int_dot,
-        int_norm2,
-        quantize_int8,
-        quantized_cosine,
+        _int8_rank_window,
+        _int_dot_cols,
+        _int_norm2_col,
+        _qcos_cols,
+        _quantize_col,
     )
 
     t = Tables(spark, sf)
@@ -3844,11 +3852,8 @@ def similarity_topk_int8(spark: SparkSession, sf: str) -> DataFrame:
     # once next to the corpus (the FAISS-SQ8 shape) and every search
     # pass scans 4x fewer bytes.
     qn = (
-        t.embeddings.select(
-            "vec_id",
-            quantize_int8(F.col("embedding").cast("array<double>")).alias("q"),
-        )
-        .withColumn("n2", int_norm2(F.col("q")))
+        t.embeddings.select("vec_id", _quantize_col("embedding").alias("q"))
+        .withColumn("n2", _int_norm2_col("q"))
         .persist()
     )
     probes = (
@@ -3867,14 +3872,13 @@ def similarity_topk_int8(spark: SparkSession, sf: str) -> DataFrame:
     scored = (
         cand.join(F.broadcast(probes), how="cross")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("int_dot", int_dot(F.col("qa"), F.col("qb")))
-        .withColumn(
-            "qcos", quantized_cosine(F.col("int_dot"), F.col("na"), F.col("nb"))
-        )
+        .withColumn("int_dot", _int_dot_cols("qa", "qb"))
+        .withColumn("qcos", _qcos_cols("int_dot", "na", "nb"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("qcos").desc(), "neighbor_id")
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn(
+            "rank", _int8_rank_window("query_id", "qcos", "neighbor_id")
+        )
         .filter(F.col("rank") <= 10)
         .select("query_id", "neighbor_id", "int_dot", "qcos", "rank")
     )
@@ -5042,18 +5046,19 @@ def embedding_cosine_dedup(spark: SparkSession, sf: str) -> DataFrame:
     Approximate by design (pairs split across buckets are missed —
     recall/cost trade documented in SCALING.md)."""
     from .operators.dedup import capped_block_pairs
-    from .operators.similarity import dot, hyperplane_bucket, norm
+    from .operators.similarity import _norm_col, _pair_sim, hyperplane_bucket
 
     t = Tables(spark, sf)
     # per-row norm hoisted out of the pair score and carried as a
     # payload column (round-17) — bit-identical similarity values,
-    # one dot fold per pair instead of three
+    # one dot fold per pair instead of three.  Expression builds
+    # memoized (round-18, identical ASTs).
     v = (
         t.embeddings.select(
             "vec_id", F.col("embedding").cast("array<double>").alias("e")
         )
         .withColumn("bkt", hyperplane_bucket(F.col("e"), _LSH_PLANES))
-        .withColumn("__n", norm(F.col("e")))
+        .withColumn("__n", _norm_col("e"))
     )
     pairs = capped_block_pairs(
         v,
@@ -5062,8 +5067,9 @@ def embedding_cosine_dedup(spark: SparkSession, sf: str) -> DataFrame:
         payload_cols=["e", "__n"],
         cap=1000,
     )
-    sim = F.round(
-        dot(F.col("e_a"), F.col("e_b")) / (F.col("__n_a") * F.col("__n_b")), 9
+    sim = _cached_exprs(
+        ("sim_pair_round", "e_a", "e_b", "__n_a", "__n_b", 9),
+        lambda: F.round(_pair_sim("e_a", "e_b", "__n_a", "__n_b"), 9),
     )
     return (
         pairs.select("id_a", "id_b", sim.alias("cosine_sim"))
