@@ -3,6 +3,8 @@ the required keys, at a small scale factor so it stays fast."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 import subprocess
@@ -11,6 +13,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_bench_prints_one_json_line(tmp_path):
     env = dict(
         os.environ,

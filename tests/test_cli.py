@@ -3,6 +3,8 @@ which must not tear down the shared pytest session)."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import subprocess
 import sys
@@ -13,6 +15,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF = "/root/testdata/sf0.001"
 
 
+@pytest.mark.slow
 def test_dedup_subcommand_end_to_end(tmp_path):
     out = str(tmp_path / "clusters")
     env = dict(os.environ, SPARK_GRAFT_CPUS="8")
@@ -56,6 +59,7 @@ def test_dedup_subcommand_end_to_end(tmp_path):
     assert any(s[0] > 1 for s in comps.values())  # corpus has real dupes
 
 
+@pytest.mark.slow
 def test_curate_subcommand_end_to_end(tmp_path):
     out = str(tmp_path / "shards")
     env = dict(os.environ, SPARK_GRAFT_CPUS="8")
@@ -77,6 +81,7 @@ def test_curate_subcommand_end_to_end(tmp_path):
     assert n > 0
 
 
+@pytest.mark.slow
 def test_curate_subcommand_keeper_and_waterfill_flags(tmp_path):
     out = str(tmp_path / "curated")
     env = dict(os.environ, SPARK_GRAFT_CPUS="8")
@@ -102,6 +107,7 @@ def test_curate_subcommand_keeper_and_waterfill_flags(tmp_path):
     assert "chunk_idx" in cols and "chunk_text" in cols
 
 
+@pytest.mark.slow
 def test_curate_subcommand_jsonl_in_jsonl_out(tmp_path):
     """The trainer interchange loop: *.jsonl.zst shards in, curated
     gzip jsonl shards out, stage counters printed."""
@@ -157,6 +163,7 @@ def test_curate_subcommand_jsonl_in_jsonl_out(tmp_path):
     assert r3.returncode == 2 and "--output-shards" in r3.stderr
 
 
+@pytest.mark.slow
 def test_curate_output_shards_parquet(tmp_path):
     """--output-shards is honored for parquet output too (round-9 fix:
     it was silently ignored), controlling the output file count."""
@@ -194,6 +201,7 @@ def test_readme_documents_every_cli_flag():
     assert not missing, f"flags absent from README.md: {missing}"
 
 
+@pytest.mark.slow
 def test_curate_dedup_spans_flags(tmp_path):
     """--dedup-spans runs the span stage (counter printed); span knobs
     without the flag are an argparse error, not a silent no-op."""
@@ -224,6 +232,7 @@ def test_curate_dedup_spans_flags(tmp_path):
     assert "--dedup-spans" in bad.stderr
 
 
+@pytest.mark.slow
 def test_ann_subcommand_build_append_search(tmp_path):
     """The train-once/search-many workflow end-to-end through the CLI:
     build writes the int8 IVF artifact, append grows it without
@@ -290,6 +299,7 @@ def test_ann_subcommand_build_append_search(tmp_path):
         assert rank1[2] == 1.0
 
 
+@pytest.mark.slow
 def test_curate_lm_gate_flags(tmp_path):
     """The CCNet tail-drop gate through the CLI: --lm-reference fits
     the LM, --lm-max-entries prunes the scoring artifact (bound

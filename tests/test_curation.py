@@ -5,6 +5,8 @@ plan."""
 
 from __future__ import annotations
 
+import pytest
+
 import glob
 import os
 
@@ -533,6 +535,7 @@ def test_curation_dsir_stage_filters_off_target_docs(spark):
     assert "dsir" not in res2.counts()  # identical fillers, not doc 1
 
 
+@pytest.mark.slow
 def test_curation_dedup_spans_stage(spark):
     """With dedup_spans=True the chain removes duplicated k-token spans
     at arbitrary offsets (keeping the corpus-first copy) BEFORE

@@ -11,6 +11,8 @@ cosine's bit equality including the sqrt step.
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from hypothesis import given, settings
@@ -42,6 +44,7 @@ def _py_quantize(vec: list[float]) -> list[int]:
 
 @settings(max_examples=25, deadline=None)
 @given(st.lists(finite, min_size=1, max_size=16))
+@pytest.mark.slow
 def test_quantize_matches_python_reference_bitwise(spark, vec):
     got = (
         spark.createDataFrame([(vec,)], "v array<double>")
@@ -867,6 +870,7 @@ def test_ivf_index_path_rekeys_on_dir_child_content_change(tmp_path):
     assert p1 != p2
 
 
+@pytest.mark.slow
 def test_ivf_publish_lifecycle_state_machine(spark, tmp_path):
     """Seeded random walk over the artifact lifecycle — overwrite
     publishes, cache (no-replace) publishes, crashed-build leftovers
@@ -1887,6 +1891,7 @@ def test_append_honors_legacy_pre_hash_marker(spark, tmp_path):
     assert qz.ivf_append_int8(new, cents, path, dedupe_token="epoch-8") == 1
 
 
+@pytest.mark.slow
 def test_append_crash_state_enumeration(spark, tmp_path):
     """Exhaustive replay-reconciliation drill for the two-phase append
     landing (round 15): enumerate every on-disk state a crash can

@@ -3,6 +3,8 @@ exact isn't, one pass either way."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 import subprocess
@@ -68,6 +70,7 @@ def test_corpus_report_is_one_action(spark, monkeypatch):
     assert "Expand" in plan
 
 
+@pytest.mark.slow
 def test_report_cli_writes_json(tmp_path):
     out = str(tmp_path / "card.json")
     env = dict(os.environ, SPARK_GRAFT_CPUS="8")

@@ -727,6 +727,7 @@ def test_curate_stream_with_dsir_matches_batch(spark, tmp_path):
     assert got == batch
 
 
+@pytest.mark.slow
 def test_strip_duplicated_spans_stream_matches_batch(spark, tmp_path):
     """The streaming half of exact-substring span dedup: arriving docs
     strip duplicated spans against a static frequent-window index with
@@ -813,6 +814,7 @@ def test_strip_duplicated_spans_stream_matches_batch(spark, tmp_path):
         assert header not in tb, d
 
 
+@pytest.mark.slow
 def test_curate_stream_with_span_strip_matches_batch(spark, tmp_path):
     """curate_stream with a duplicated-window index strips spans
     BEFORE quality/token-count — stateless append mode, exactly the
@@ -1058,6 +1060,7 @@ def test_curate_stream_gate_order_matches_batch(spark, tmp_path):
     assert all(banner not in t for t in out.values())
 
 
+@pytest.mark.slow
 def test_curate_stream_full_stack_kill_midbatch_restart(spark, tmp_path):
     """Checkpoint-restart drill for the FULL stateless stage stack
     (round-9 verdict item 5: the span-strip and DSIR stages had
@@ -1431,6 +1434,7 @@ def test_streaming_int8_ivf_probe_and_assign_match_batch(spark, tmp_path):
     assert sorted(map(rkey, ranked.collect())) == sorted(map(rkey, want.collect()))
 
 
+@pytest.mark.slow
 def test_stream_analog_catalog_query_equals_real_stream(spark, tmp_path):
     """The catalog query `similarity_probe_int8_stream_analog` claims
     its driver gate is evidence FOR the streaming probe — this pin is
@@ -1502,6 +1506,7 @@ def test_stream_analog_catalog_query_equals_real_stream(spark, tmp_path):
     assert sorted(map(rkey, ranked.collect())) == batch
 
 
+@pytest.mark.slow
 def test_streaming_incremental_append_matches_batch_composite(spark, tmp_path):
     """The WRITE half of streaming ANN ingest (round 14: the append
     lifecycle is driver-gated through the batch composite
@@ -1604,6 +1609,7 @@ def test_streaming_incremental_append_matches_batch_composite(spark, tmp_path):
     assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
 
 
+@pytest.mark.slow
 def test_streaming_append_crash_before_marker_lands_exactly_once(
     spark, tmp_path, monkeypatch
 ):
@@ -1707,6 +1713,7 @@ def test_streaming_append_crash_before_marker_lands_exactly_once(
     )
 
 
+@pytest.mark.slow
 def test_streaming_append_checkpoint_crossproduct_exactly_once(
     spark, tmp_path, monkeypatch
 ):

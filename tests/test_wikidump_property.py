@@ -5,6 +5,8 @@ generalization of the reference's randomized split-coverage stress
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -50,6 +52,7 @@ def dumps(draw):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(dumps())
+@pytest.mark.slow
 def test_random_dump_roundtrip(spark, tmp_path_factory, dump):
     xml, expected = dump
     d = tmp_path_factory.mktemp("prop")
@@ -67,6 +70,7 @@ def test_random_dump_roundtrip(spark, tmp_path_factory, dump):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(dumps(), st.sampled_from([1, 5, 9]))
+@pytest.mark.slow
 def test_random_dump_roundtrip_bz2_blocks(spark, tmp_path_factory, dump, level):
     """Same invariance through the block-aligned bz2 splitter, across
     compression levels (block sizes) and split sizes smaller than the

@@ -5,6 +5,8 @@ batch reader."""
 
 from __future__ import annotations
 
+import pytest
+
 import bz2
 import time
 
@@ -110,6 +112,7 @@ def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
     assert len(rows) == len(set(rows))
 
 
+@pytest.mark.slow
 def test_streaming_diffdb_matches_batch(spark, tmp_path):
     """Incremental diffdb: the SAME build_diffdb plan runs on the
     streaming source (compute_diffs in-scan -> stream-static broadcast
