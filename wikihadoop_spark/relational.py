@@ -60,15 +60,154 @@ ORACLE: dict[str, str] = {}
 # _spread (round-17: one exact probe per table instead of per build)
 _SCAN_PARTS_CACHE: dict[tuple, int] = {}
 
+# ---- prepared-plan memo (round-18) ----------------------------------------
+#
+# The terminal form of the round-17/18 plan-construction memoization
+# class (expression Columns -> schemas -> table scan DataFrames ->
+# whole query plans): for a query whose build is PURE PLAN ASSEMBLY,
+# the returned DataFrame is an immutable logical plan over the catalog
+# tables, fully determined by (query name, sf_dir contents), so a
+# repeat invocation can return the SAME object — a prepared-statement
+# cache, exactly like plan caches in server databases.  Every ACTION
+# on the frame still executes the full job from the parquet inputs:
+# nothing row- or result-shaped is stored, and plans/values are
+# byte-identical to a fresh build.
+#
+# Eligibility is deliberately narrow and machine-verified
+# (tests/test_prepared_plans.py drills every name): a query is in
+# `_PURE_PLAN_QUERIES` only if, with warm table schemas, its build
+# (a) runs ZERO Spark jobs — memoizing a build that trains/iterates
+#     (IVF k-means, connected components, pack boundaries, Bloom
+#     builds) would skip real recomputation, which is result caching;
+# (b) leaves NO persisted relation in the optimized plan — a memoized
+#     frame marked for caching would serve CacheManager data across
+#     invocations (the round-17 verdict's unpersist-discipline trap);
+# (c) scans ONLY the ten catalog tables under sf_dir — the memo key's
+#     stat tuple must cover every input that could change.
+# The key carries the stable context identity (a restarted JVM must
+# rebuild: plans hold gateway references) and the (mtime_ns, size)
+# stat of every catalog table, so any rewrite of the inputs
+# invalidates the entry; non-regular / missing table files disable
+# the memo entirely for that sf_dir.
+_PREPARED_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _prepared_key(sf_dir: str, name: str) -> tuple | None:
+    import os as _os
+    import stat as _stat
+
+    from .catalog import TABLE_NAMES
+
+    sfd = _os.path.realpath(sf_dir)
+    stats = []
+    try:
+        for t in TABLE_NAMES:
+            st = _os.stat(_os.path.join(sfd, f"{t}.parquet"))
+            if not _stat.S_ISREG(st.st_mode):
+                return None
+            stats.append((st.st_mtime_ns, st.st_size))
+    except OSError:
+        return None
+    from ._exprs import _ctx_id
+
+    return (_ctx_id(), name, sfd, tuple(stats))
+
+
+def _evict_dead_context_prepared(ctx: tuple) -> None:
+    for stale in [k for k in _PREPARED_CACHE if k[0] != ctx]:
+        del _PREPARED_CACHE[stale]
+
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
+        if name in _PURE_PLAN_QUERIES:
+            import functools
+
+            @functools.wraps(fn)
+            def prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
+                key = _prepared_key(sf_dir, name)
+                if key is None:
+                    return fn(spark, sf_dir)
+                cached = _PREPARED_CACHE.get(key)
+                if cached is None:
+                    cached = fn(spark, sf_dir)
+                    _evict_dead_context_prepared(key[0])
+                    _PREPARED_CACHE[key] = cached
+                    return cached
+                # keep the configure_session contract (UTC re-assert)
+                # that a fresh build would have run
+                from .session import configure_session
+
+                configure_session(spark)
+                # Hand back the memoized LOGICAL plan under a FRESH
+                # Dataset (ofRows): a Dataset pins its QueryExecution —
+                # analysis/optimization/physical planning — at first
+                # use, so returning the cached Dataset itself would
+                # freeze conf-dependent physical choices (shuffle
+                # partitions, AQE, broadcast thresholds) at whatever
+                # the session looked like on the FIRST invocation.
+                # Re-wrapping replans against the CALLER's current
+                # session every time; only the py4j plan-assembly
+                # chain (the expensive part) is amortized.
+                jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+                    spark._jsparkSession,
+                    cached._jdf.queryExecution().logical(),
+                )
+                return DataFrame(jdf, spark)
+
+            QUERIES[name] = prepared
+        else:
+            QUERIES[name] = fn
         if oracle is not None:
             ORACLE[name] = oracle
         return fn
 
     return deco
+
+
+# Machine-verified membership (see the drill in
+# tests/test_prepared_plans.py, which rejects any name that runs a
+# build job, persists, or scans outside the catalog tables — and any
+# NEW query added here without passing that drill).  Notable
+# exclusions and why: the IVF family (training/artifact jobs),
+# dedup_clusters / semantic_dedup / dedup_keeper_quality /
+# dedup_verify_pairs / text_lm_buckets / curate_pipeline (connected
+# components or other convergence jobs during build),
+# similarity_topk_int8{,_lsh} / text_lm_{surprisal,bigram} /
+# dsir_weights / embedding_cosine_dedup_int8 (persisted model or
+# corpus frames), pack_token_budget / shuffle_pack / mixture_waterfill
+# / sample_mixture (range-boundary or budget scans), decontaminate_bloom
+# (Bloom build), ngram_overlap (localCheckpoint), jsonl_* (reads
+# regenerated /tmp shard fixtures).
+_PURE_PLAN_QUERIES: frozenset[str] = frozenset({
+    "agg_approx_distinct", "agg_argmax", "agg_cube", "agg_distinct",
+    "agg_grouping_sets", "agg_percentile", "agg_rollup", "agg_stats",
+    "asof_join_events_orders", "chunk_documents", "corpus_delta",
+    "corpus_report_card", "correlated_exists", "decontaminate_exact",
+    "decontaminate_ngram", "decontaminate_report", "dedup_exact_rows",
+    "dedup_line_frequency", "dedup_span_audit", "dedup_span_exact",
+    "embedding_cosine_dedup", "events_funnel", "events_funnel_skewsafe",
+    "events_pivot", "events_retention", "events_sliding",
+    "events_tumbling", "filter_regex", "join_anti", "join_cross",
+    "join_full_outer", "join_inner_agg", "join_left_agg",
+    "join_right_agg", "join_semi", "join_theta", "media_audio_features",
+    "media_frame_fanout", "media_image_metadata", "minhash_lsh_pairs",
+    "minhash_signatures", "ngram_jaccard_block", "q1_pricing_summary",
+    "q3_top_revenue", "q5_revenue_by_nation", "range_join_near_orders",
+    "sample_stratified", "scalar_array", "scalar_conditional",
+    "scalar_date", "scalar_hash", "scalar_json", "scalar_math",
+    "scalar_string", "scalar_subquery", "scan_filter_project",
+    "sessionize_events", "set_except", "set_intersect", "set_union_all",
+    "simhash_near_pairs", "simhash_signatures", "similarity_topk",
+    "similarity_topk_lsh", "sketch_count_min", "sort_topk_global",
+    "text_c4_clean", "text_diff_adjacent", "text_fingerprint",
+    "text_langid", "text_quality", "text_quality_model",
+    "text_repetition", "text_scrub_pii", "text_stopword_strip",
+    "text_tfidf_topk", "text_tokens", "unpivot_lineitem",
+    "wikidump_pairs_join", "wikidump_roundtrip", "wikidump_roundtrip_bz2",
+    "window_distribution", "window_lag_pairs", "window_moving",
+    "window_rank_topk", "window_running", "window_value_functions",
+})
 
 
 def _spread(df: DataFrame) -> DataFrame:
